@@ -1,0 +1,77 @@
+"""Core pipeline queries: the flagship metrics row, validity counts,
+the synthetic fallback source, and the CSV-flatten projection.
+
+Reference parity: src/lib/randomuser.js (extract/transform/metrics),
+pages/index.js:107-133 (CSV flatten), src/mock-data/etl.json (metrics
+schema).  See SURVEY.md §2.1-2.2, §2.4 A9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .oracles import USERS_CTE
+from .plans.pipeline import METRICS_ROW_ORACLE, flagship_metrics_row
+from .sources.synthetic import SYNTHETIC_USERS_ORACLE, synthetic_users
+from .sources.sinks import flatten_for_csv
+from .tables import users_raw, users_valid
+
+
+def _synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthetic_users(spark, 50)
+
+
+def _csv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = users_valid(spark, sf_dir)
+    return flatten_for_csv(users)
+
+
+def _validity_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REF-DECL P6: rows_in vs valid vs invalid (pages/index.js:55)."""
+    raw = users_raw(spark, sf_dir).withColumn(
+        "is_valid",
+        F.col("email").isNotNull()
+        & F.try_to_timestamp("registered_raw").isNotNull(),
+    )
+    return raw.agg(
+        F.count("*").alias("rows_in"),
+        F.count(F.when(F.col("is_valid"), 1)).alias("rows_valid"),
+        F.count(F.when(~F.col("is_valid"), 1)).alias("rows_invalid"),
+    )
+
+
+QUERIES = {
+    "metrics_row": flagship_metrics_row,
+    "synthetic_source": _synthetic_source,
+    "csv_flatten": _csv_flatten,
+    "validity_filter_counts": _validity_filter_counts,
+}
+
+ORACLES = {
+    "metrics_row": USERS_CTE + METRICS_ROW_ORACLE,
+    "synthetic_source": SYNTHETIC_USERS_ORACLE,
+    "csv_flatten": USERS_CTE + """
+SELECT
+  coalesce(id, '') AS id,
+  coalesce(name_first, '') AS name_first,
+  coalesce(name_last, '') AS name_last,
+  coalesce(email, '') AS email,
+  coalesce(phone, '') AS phone,
+  coalesce(country, '') AS country,
+  coalesce(city, '') AS city,
+  coalesce(strftime(registered_ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z', '')
+    AS registered_date
+FROM users_valid
+""",
+    "validity_filter_counts": USERS_CTE + """
+SELECT
+  count(*) AS rows_in,
+  count(CASE WHEN email IS NOT NULL
+              AND try_cast(registered_raw AS TIMESTAMP) IS NOT NULL
+        THEN 1 END) AS rows_valid,
+  count(CASE WHEN NOT (email IS NOT NULL
+              AND try_cast(registered_raw AS TIMESTAMP) IS NOT NULL)
+        THEN 1 END) AS rows_invalid
+FROM users_raw
+""",
+}

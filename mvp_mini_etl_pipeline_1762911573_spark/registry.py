@@ -1,0 +1,40 @@
+"""Assembles the driver contract: every implemented query from
+SURVEY.md §2 with (where SQL-expressible) its DuckDB oracle.
+
+Each operator module exposes ``QUERIES: dict[str, callable]`` (callable
+takes (spark, sf_dir) -> DataFrame) and ``ORACLES: dict[str, str]``.
+Names missing from ORACLES get the driver's weaker rows-only check
+(non-SQL-expressible ops: LSH, approx sketches, streaming state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _modules():
+    from .operators import (aggregates, dedup, joins, projections,
+                            setops, similarity, sorts, windows)
+    from .functions import scalars, text
+    from . import core
+    from .streaming import batch_equiv
+    return [core, projections, joins, aggregates, windows, sorts, setops,
+            dedup, similarity, scalars, text, batch_equiv]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for mod in _modules():
+        for name, fn in getattr(mod, "QUERIES", {}).items():
+            assert name not in out, f"duplicate query name: {name}"
+            out[name] = fn
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(getattr(mod, "ORACLES", {}))
+    return out

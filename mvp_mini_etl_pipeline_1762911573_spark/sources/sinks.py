@@ -1,0 +1,62 @@
+"""Sinks: CSV with the reference's exact formatting, JSON API payload.
+
+Reference CSV export (pages/index.js:107-133, escaping :446-450):
+8 flat columns, header row, every value quoted with `""` escaping,
+nulls as empty string, ISO-8601 timestamps.  Spark's csv writer with
+quoteAll reproduces this distributed (one file per partition; at 100 TB
+you never single-file — the reference's in-browser Blob obviously
+doesn't scale past RAM).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+CSV_COLUMNS = ["id", "name_first", "name_last", "email", "phone",
+               "country", "city", "registered_date"]
+
+
+def flatten_for_csv(users: DataFrame) -> DataFrame:
+    """Flatten + null-default projection (reference P3,
+    pages/index.js:112-119): every cell coalesced to '' and the
+    timestamp rendered ISO-8601 with milliseconds (index.js:119)."""
+    cols = {
+        "id": F.col("id"),
+        "name_first": F.col("name_first"),
+        "name_last": F.col("name_last"),
+        "email": F.col("email"),
+        "phone": F.col("phone"),
+        "country": F.col("country"),
+        "city": F.col("city"),
+        "registered_date": F.date_format(
+            "registered_ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+    }
+    return users.select(
+        *[F.coalesce(expr.cast("string"), F.lit("")).alias(name)
+          for name, expr in cols.items()]
+    )
+
+
+def write_users_csv(users: DataFrame, path: str) -> None:
+    flat = users if set(CSV_COLUMNS) == set(users.columns) \
+        else flatten_for_csv(users)
+    (flat.write.mode("overwrite")
+     .option("header", True)
+     .option("quoteAll", True)       # reference quotes every cell
+     .option("escapeQuotes", True)   # '"' -> '""' (index.js:448)
+     .option("escape", '"')
+     .csv(path))
+
+
+def to_json_payload(users: DataFrame, metrics: dict,
+                    source_url: str, fallback_used: bool,
+                    fetched_at: str, limit: int = 500) -> dict:
+    """JSON API sink (reference S6, pages/api/etl/restart.js:14-20)."""
+    rows = [r.asDict(recursive=True) for r in users.limit(limit).collect()]
+    return {
+        "users": rows,
+        "metrics": metrics,
+        "fallbackUsed": fallback_used,
+        "sourceUrl": source_url,
+        "fetchedAt": fetched_at,
+    }

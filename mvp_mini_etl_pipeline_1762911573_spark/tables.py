@@ -1,0 +1,125 @@
+"""Parquet loaders + the canonical ``users`` derivation.
+
+The reference's one core entity is the ``user`` record produced by its
+Extract+Transform steps (reference: src/lib/randomuser.js:49-57).  The
+driver testdata has no users table, so — per SURVEY.md §1.3 / FIXTURES.md —
+``customer ⋈ nation ⋈ region`` plays the user/country entity, with the
+"registered" timestamp derived from each customer's first order date.
+
+To exercise the reference's cleaning semantics (null-guards
+randomuser.js:99-104, lenient date parse :105-111, dedup_removed metric
+etl.json:5) the derivation deterministically injects dirty data:
+
+* ``email`` is NULL when ``custkey % 20 == 19``       (null-guard path)
+* ``registered_raw`` is the unparseable string ``'not-a-date'`` when
+  ``custkey % 25 == 13``                              (lenient-parse path)
+* rows with ``custkey % 10 == 0`` are duplicated verbatim (dedup path)
+
+The identical derivation exists as a SQL CTE in ``oracles.USERS_CTE`` so
+every downstream query can be checked against DuckDB.
+
+Scale note (100 TB): every step here is a narrow projection plus two
+broadcast joins (nation=25, region=5 rows) and one aggregation on
+``orders`` keyed by ``o_custkey`` — the single shuffle.  The duplicate
+injection is a union of a filtered scan, not a self-join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Pinned "current year" so avg_registration_years is deterministic
+# (the reference uses wall-clock `new Date().getFullYear()`,
+# randomuser.js:108; we pin per SURVEY.md §7 hard-point (3)).
+CURRENT_YEAR = 2026
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def users_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clean canonical user entity, one row per customer (no dirt)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    orders = load(spark, sf_dir, "orders")
+
+    first_order = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order_ts")
+    )
+
+    joined = (
+        customer
+        .join(F.broadcast(nation),
+              customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey, "left")
+        .join(first_order,
+              customer.c_custkey == first_order.o_custkey, "left")
+    )
+
+    ck = F.col("c_custkey")
+    return joined.select(
+        ck.alias("custkey"),
+        ck.cast("string").alias("id"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_first"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_last"),
+        F.when(ck % 20 == 19, F.lit(None).cast("string"))
+         .otherwise(F.concat(F.lower(F.expr("replace(c_name, '#', '.')")),
+                             F.lit("@example.com")))
+         .alias("email"),
+        F.lpad((ck % 100).cast("string"), 2, "0").alias("phone"),
+        F.col("n_name").alias("country"),
+        F.concat(F.col("n_name"), F.lit(" City "),
+                 (ck % 3).cast("string")).alias("city"),
+        F.when(ck % 25 == 13, F.lit("not-a-date"))
+         .otherwise(F.date_format("first_order_ts", "yyyy-MM-dd'T'HH:mm:ss"))
+         .alias("registered_raw"),
+        F.col("r_name").alias("region"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.concat(F.lit("https://pics.example.com/"), ck.cast("string"),
+                 F.lit(".jpg")).alias("thumbnail"),
+    )
+
+
+def users_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """users_base plus verbatim duplicates of every 10th customer —
+    the pipeline's dirty input (rows_in)."""
+    base = users_base(spark, sf_dir)
+    return base.unionByName(base.where(F.col("custkey") % 10 == 0))
+
+
+def users_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity filter (reference P4-P6): non-null email/id and a
+    parseable registration timestamp.  Adds ``registered_ts``."""
+    raw = users_raw(spark, sf_dir)
+    with_ts = raw.withColumn(
+        "registered_ts", F.try_to_timestamp(F.col("registered_raw"))
+    )
+    return with_ts.where(
+        F.col("email").isNotNull()
+        & F.col("id").isNotNull()
+        & F.col("registered_ts").isNotNull()
+    )
+
+
+def users_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Valid + exact-deduped by id (reference D1, `dedup_removed`).
+    Duplicates are verbatim copies, so any surviving row is identical —
+    dropDuplicates is deterministic here."""
+    return users_valid(spark, sf_dir).dropDuplicates(["id"])
