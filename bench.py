@@ -1,0 +1,66 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the flagship ETL pipeline plus one representative of
+each operator family (join, agg, window, dedup, similarity, text,
+streaming-batch-equiv) — the queries whose plans matter at 100 TB.
+Each query is timed to full materialization (count of the result, not
+collect — we measure engine time, not driver transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+from mvp_mini_etl_pipeline_1762911573_spark.session import get_spark
+
+HEADLINE = [
+    "metrics_row",          # flagship: scan→validate→dedup→join→agg
+    "agg_stats",            # TPC-H Q1 shape scan-agg
+    "join_equi",            # 3-way join + group
+    "window_rank",          # partitioned window
+    "dedup_near",           # MinHash LSH near-dup
+    "similarity_topk",      # brute-force cosine top-k
+    "text_stats",           # corpus stats
+    "stream_tumbling",      # windowed event agg (batch flavor)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # warm the JVM + parquet footers with one tiny action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

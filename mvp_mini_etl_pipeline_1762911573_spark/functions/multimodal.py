@@ -1,0 +1,158 @@
+"""Multimodal columns (SURVEY.md §2.10 D5 + EXT north star): image /
+audio / video as opaque binary columns with typed metadata, processed
+by Arrow-batched pandas functions over mapInPandas.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake behind `_decode_stub` (clearly marked; swap for
+PIL/librosa/av on a real cluster).  Everything Spark-side — schema,
+binary generation, partitioning, UDF signature, Arrow batch shape —
+is real and tested.
+
+Scale notes (100 TB of media):
+* media bytes ride as `binary` columns in parquet — columnar pages,
+  scan-prunable metadata beside them; never row-at-a-time driver I/O.
+* mapInPandas streams Arrow record batches through Python — batch
+  size via spark.sql.execution.arrow.maxRecordsPerBatch; the pattern
+  costs one serialization boundary, which is why metadata-only ops
+  (filtering by width, bucketing by duration) stay in JVM columns and
+  only the codec call crosses into Python.
+* derived features (embedding array, dims) land back as typed columns
+  — downstream joins/dedup reuse the relational operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "width int, height int, duration_ms int"
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes long, "
+    "checksum string, thumb_w int, thumb_h int, feature array<float>"
+)
+
+
+def synthetic_media(spark: SparkSession, n: int = 200) -> DataFrame:
+    """Deterministic fake media table: payload = repeated hash bytes,
+    metadata derived from the id.  Generated distributed via
+    spark.range — no driver materialization."""
+    i = F.col("id")
+    return spark.range(n).select(
+        i.alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"),
+                             F.lit("video")),
+                     (i % 3 + 1).cast("int")).alias("kind"),
+        F.to_binary(
+            F.repeat(F.sha2(F.concat(F.lit("media-"), i.cast("string")),
+                            256), 4),
+            F.lit("hex")).alias("payload"),
+        (F.lit(64) + (i % 16).cast("int") * 8).cast("int").alias("width"),
+        (F.lit(64) + (i % 9).cast("int") * 8).cast("int").alias("height"),
+        F.when(i % 3 == 0, F.lit(None).cast("int"))
+         .otherwise(((i % 30).cast("int") + 1) * 1000).alias("duration_ms"),
+    )
+
+
+def _decode_stub(payload: bytes, kind: str) -> dict:
+    """STUB: stands in for the real codec (PIL.Image.open /
+    soundfile.read / av.open).  Deterministic on the payload bytes so
+    tests are stable.  Raises for unknown kinds exactly as a real
+    decoder would."""
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for kind={kind!r}")
+    # fake "decoded signal": byte histogram moments
+    total = sum(payload)
+    return {
+        "mean_byte": total / max(len(payload), 1),
+        "peak_byte": max(payload) if payload else 0,
+    }
+
+
+def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """The mapInPandas decode→feature pipeline: binary payload in,
+    typed feature columns out.  Arrow batches keep transfer vectorized;
+    per-batch pandas ops keep Python amortized."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            feats, checks = [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                sig = _decode_stub(bytes(payload), kind)
+                base = sig["mean_byte"]
+                feats.append(
+                    [round((base * (d + 1)) % 251, 3)
+                     for d in range(feat_dim)])
+                checks.append(
+                    hashlib.sha256(bytes(payload)).hexdigest()[:16])
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "checksum": checks,
+                "thumb_w": (pdf["width"] // 2).astype("int32"),
+                "thumb_h": (pdf["height"] // 2).astype("int32"),
+                "feature": feats,
+            })
+            yield out
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def _multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 query: generate media, extract features via mapInPandas,
+    then aggregate per kind — JVM→Arrow→Python→Arrow→JVM round trip
+    ending in a relational agg.  Rows-only check (binary + stub)."""
+    media = synthetic_media(spark, 200)
+    feats = extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(F.count("*").alias("n"),
+             F.sum("n_bytes").alias("total_bytes"),
+             F.round(F.avg(F.element_at("feature", 1)), 3)
+              .alias("avg_f0"))
+        .orderBy("kind")
+    )
+
+
+def _multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 schema smoke: one DataFrame carrying struct metadata, binary
+    payload, and an embedding array side by side (checkable: the typed
+    metadata projection has a SQL oracle on deterministic fields)."""
+    media = synthetic_media(spark, 200)
+    return media.select(
+        "media_id", "kind",
+        F.length("payload").alias("payload_bytes"),
+        "width", "height", "duration_ms",
+        (F.col("width") * F.col("height")).alias("pixels"),
+    )
+
+
+QUERIES = {
+    "multimodal_pipeline": _multimodal_pipeline,
+    "multimodal_schema": _multimodal_schema,
+}
+
+ORACLES = {
+    # multimodal_pipeline: rows-only (mapInPandas stub decode)
+    "multimodal_schema": """
+SELECT i AS media_id,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(128 AS INTEGER) AS payload_bytes,
+       CAST(64 + (i % 16) * 8 AS INTEGER) AS width,
+       CAST(64 + (i % 9) * 8 AS INTEGER) AS height,
+       CASE WHEN i % 3 = 0 THEN NULL
+            ELSE CAST(((i % 30) + 1) * 1000 AS INTEGER) END AS duration_ms,
+       CAST((64 + (i % 16) * 8) * (64 + (i % 9) * 8) AS INTEGER) AS pixels
+FROM generate_series(0, 199) AS t(i)
+""",
+}

@@ -1,2 +1,190 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Scalar function battery (SURVEY.md §2.8 F1-F15).
+
+Reference parity, per function: mock email lower+concat
+(src/lib/randomuser.js:14), lpad phone (:15), CSV quote-escape
+(pages/index.js:448), mod branching (randomuser.js:4-8), lenient
+timestamp parse (:107), ISO format (pages/index.js:119), date
+arithmetic (randomuser.js:9), URL hostname (pages/index.js:437-444),
+JSON stringify (:262), null-coalesce (:56,:447), EXT map/json over
+events.props.
+
+All built-in pyspark.sql.functions — JVM-side, whole-stage codegen,
+zero UDFs.  Every expression here is a narrow map: no shuffle at any
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import MapType, StringType
+
+from ..oracles import USERS_CTE
+from ..tables import load, users_raw
+
+
+def _scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F3: lower/concat (mock email), lpad (phone), regexp_replace
+    (CSV '"'→'""' escape), plus trim/substr/split for battery width."""
+    raw = users_raw(spark, sf_dir)
+    return raw.select(
+        "custkey",
+        F.concat(F.lower("name_first"), F.lit("."),
+                 F.lower("name_last"), F.lit("@example.com"))
+         .alias("mock_email"),
+        F.lpad(F.col("phone"), 4, "0").alias("padded_phone"),
+        F.regexp_replace(
+            F.concat(F.lit('say "'), F.col("name_first"), F.lit('"')),
+            '"', '""').alias("csv_escaped"),
+        F.substring("name_first", 1, 3).alias("prefix3"),
+        F.upper("country").alias("country_upper"),
+        F.length("email").alias("email_len"),
+        F.split_part(F.col("email"), F.lit("@"), F.lit(2))
+         .alias("email_domain"),
+    )
+
+
+def _scalar_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: modulo branching — the reference's index%2/index%3
+    gender/country/city assignment (randomuser.js:4-8)."""
+    raw = users_raw(spark, sf_dir)
+    return raw.select(
+        "custkey",
+        F.when(F.col("custkey") % 2 == 0, "male").otherwise("female")
+         .alias("gender"),
+        F.when(F.col("custkey") % 3 == 0, "alpha")
+         .when(F.col("custkey") % 3 == 1, "beta")
+         .otherwise("gamma").alias("cohort"),
+        F.pmod(F.col("custkey"), F.lit(7)).alias("bucket7"),
+    )
+
+
+def _scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5-F8: parse / format / extract / arithmetic on timestamps."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") % 10 == 0)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("iso"),
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("hr"),
+        F.date_format(F.date_trunc("day", F.col("ts")),
+                      "yyyy-MM-dd").alias("day_floor"),
+        F.date_format(F.col("ts") + F.expr("INTERVAL 7 DAYS"),
+                      "yyyy-MM-dd HH:mm:ss").alias("plus_week"),
+        F.datediff(F.lit("2026-01-01").cast("date"),
+                   F.col("ts").cast("date")).alias("days_to_2026"),
+    )
+
+
+def _scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: URL hostname extraction (pages/index.js:437-444)."""
+    raw = users_raw(spark, sf_dir)
+    url = F.concat(F.lit("https://pics.example.com/u/"),
+                   F.col("id"), F.lit(".jpg?size=64&v=2"))
+    return raw.select(
+        "custkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("size")).alias("size_param"),
+    )
+
+
+def _scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: JSON stringify of the whole row (raw modal payload,
+    pages/index.js:262)."""
+    raw = users_raw(spark, sf_dir)
+    return raw.select(
+        "custkey",
+        F.to_json(F.struct("id", "name_first", "name_last", "country"))
+         .alias("payload"),
+    )
+
+
+def _scalar_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: parse events.props JSON into a map and extract fields —
+    from_json + element access + json-path."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") % 10 == 0)
+    parsed = ev.select(
+        "event_id", "props",
+        F.from_json("props", MapType(StringType(), StringType()))
+         .alias("m"),
+    )
+    return parsed.select(
+        "event_id",
+        F.map_keys("m").getItem(0).alias("first_key"),
+        F.size(F.map_keys("m")).alias("n_keys"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+        F.element_at(F.col("m"), "k").cast("bigint").alias("k_via_map"),
+    )
+
+
+QUERIES = {
+    "scalar_string": _scalar_string,
+    "scalar_case": _scalar_case,
+    "scalar_date": _scalar_date,
+    "scalar_url": _scalar_url,
+    "scalar_json": _scalar_json,
+    "scalar_map_json": _scalar_map_json,
+}
+
+ORACLES = {
+    "scalar_string": USERS_CTE + """
+SELECT custkey,
+       lower(name_first) || '.' || lower(name_last) || '@example.com'
+         AS mock_email,
+       lpad(phone, 4, '0') AS padded_phone,
+       replace('say "' || name_first || '"', '"', '""') AS csv_escaped,
+       substr(name_first, 1, 3) AS prefix3,
+       upper(country) AS country_upper,
+       CAST(length(email) AS INTEGER) AS email_len,
+       CASE WHEN email IS NULL THEN NULL
+            ELSE split_part(email, '@', 2) END AS email_domain
+FROM users_raw
+""",
+    "scalar_case": USERS_CTE + """
+SELECT custkey,
+       CASE WHEN custkey % 2 = 0 THEN 'male' ELSE 'female' END AS gender,
+       CASE custkey % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+            ELSE 'gamma' END AS cohort,
+       custkey % 7 AS bucket7
+FROM users_raw
+""",
+    "scalar_date": """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS iso,
+       CAST(year(ts) AS INTEGER) AS yr,
+       CAST(month(ts) AS INTEGER) AS mo,
+       CAST(day(ts) AS INTEGER) AS dom,
+       CAST(hour(ts) AS INTEGER) AS hr,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_floor,
+       strftime(ts + INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S') AS plus_week,
+       CAST(date_diff('day', CAST(ts AS DATE), DATE '2026-01-01')
+            AS INTEGER) AS days_to_2026
+FROM events WHERE event_id % 10 = 0
+""",
+    "scalar_url": USERS_CTE + """
+SELECT custkey,
+       'pics.example.com' AS host,
+       '/u/' || id || '.jpg' AS path,
+       'size=64&v=2' AS query,
+       '64' AS size_param
+FROM users_raw
+""",
+    "scalar_json": USERS_CTE + """
+SELECT custkey,
+       '{"id":"' || id || '","name_first":"' || name_first ||
+       '","name_last":"' || name_last || '","country":"' || country ||
+       '"}' AS payload
+FROM users_raw
+""",
+    "scalar_map_json": """
+SELECT event_id,
+       'k' AS first_key,
+       1 AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_via_map
+FROM events WHERE event_id % 10 = 0
+""",
+}

@@ -1,2 +1,219 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Text analysis for training-data pipelines (SURVEY.md §2.8 F16 + EXT:
+language-ID, quality scoring, token counting, fingerprinting).
+
+No reference counterpart (the reference has no text corpus); mandated
+by the BASELINE.json north star, exercised on the driver `documents`
+table.
+
+All built-ins (split/regexp/aggregate HOFs) — narrow maps, no shuffle,
+codegen-friendly.  At 100 TB these run as pure scan+project over the
+corpus; only the corpus-level stats (`text_stats` grouping) shuffle a
+few aggregate states per (lang, source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tables import load
+
+# Tiny stopword list for the quality score (public, generic).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+# n-gram heuristic language markers — deterministic and public;
+# a stand-in for real n-gram LM language-ID (fasttext-style) which
+# would be a broadcast model + pandas UDF at production quality.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "zh": ["的", "是", "在"],
+}
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (ceil(chars/4) — the public rule-of-thumb bytes→tokens ratio) +
+    distinct-token count."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.ceil(F.length("text") / 4).cast("bigint").alias("est_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: mean word length, stopword ratio, punctuation
+    ratio, alpha ratio — the standard cheap pre-filter signals for
+    corpus cleaning (C4/Gopher-style rules, public)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.filter(
+        toks, lambda t: F.array_contains(stop_arr, t)))
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    return docs.select(
+        "doc_id", "lang",
+        F.round(F.length("text") / F.greatest(n_toks, F.lit(1)), 4)
+         .alias("avg_word_len"),
+        F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 4)
+         .alias("stopword_ratio"),
+        F.round(punct / F.greatest(F.length("text"), F.lit(1)), 4)
+         .alias("punct_ratio"),
+        F.round(alpha / F.greatest(F.length("text"), F.lit(1)), 4)
+         .alias("alpha_ratio"),
+    )
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: score each candidate language by marker-
+    token hits, pick argmax (ties → lexicographic first).  Compared
+    against the table's `lang` ground truth for an accuracy column."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def _hits(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks,
+                               lambda t: F.array_contains(arr, t)))
+
+    scores = [(lang, _hits(markers))
+              for lang, markers in sorted(LANG_MARKERS.items())]
+    # argmax via greatest over structs (score, negated-rank via name)
+    pred = F.reverse(F.array_sort(F.array(*[
+        F.struct(score.alias("s"),
+                 F.lit(-i).alias("tie"),
+                 F.lit(lang).alias("lang"))
+        for i, (lang, score) in enumerate(scores)
+    ]))).getItem(0).getField("lang")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("correct"),
+    )
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash of the token
+    stream (mod-prime Horner scheme via aggregate HOF) + sha256 of the
+    normalized text.  The rolling hash is order-sensitive — reordered
+    words change it; the content hash is the exact-dedup key."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    prime, base = 1_000_000_007, 31
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * base + F.pmod(F.xxhash64(t),
+                                                  F.lit(prime)),
+                              F.lit(prime)),
+    )
+    return docs.select(
+        "doc_id",
+        rolling.alias("rolling_hash"),
+        F.sha2(F.trim(F.lower("text")), 256).alias("content_sha"),
+    )
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: corpus stats by (lang, source): doc count, char/token
+    totals, avg doc length — the shuffle is a few agg states per
+    group."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return (
+        docs.select("lang", "source", F.length("text").alias("chars"),
+                    F.size(toks).alias("tokens"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("docs"),
+             F.sum("chars").alias("total_chars"),
+             F.sum("tokens").alias("total_tokens"),
+             F.round(F.avg("chars"), 2).alias("avg_chars"))
+    )
+
+
+QUERIES = {
+    "token_count": _token_count,
+    "text_quality": _text_quality,
+    "lang_id": _lang_id,
+    "doc_fingerprint": _doc_fingerprint,
+    "text_stats": _text_stats,
+}
+
+_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+ORACLES = {
+    "token_count": f"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct({_DUCK_TOKS})) AS INTEGER)
+         AS n_distinct_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+""",
+    "text_quality": f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_DUCK_TOKS} AS toks,
+         length(text) AS nc
+  FROM documents
+)
+SELECT doc_id, lang,
+       round(nc / greatest(len(toks), 1), 4) AS avg_word_len,
+       round(len(list_filter(toks, x -> list_contains(
+           ['the','a','of','and','to','in','is','it'], x)))
+         / greatest(len(toks), 1), 4) AS stopword_ratio,
+       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+         / greatest(nc, 1), 4) AS punct_ratio,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+         / greatest(nc, 1), 4) AS alpha_ratio
+FROM t
+""",
+    # lang_id: marker sets are engine-shared but argmax struct-sort is
+    # Spark-specific; still SQL-expressible:
+    "lang_id": f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','and','of'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['der','die','und'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['le','la','et'], x))) AS s_fr,
+    len(list_filter(toks, x -> list_contains(['的','是','在'], x))) AS s_zh
+  FROM t
+)
+SELECT doc_id, lang AS true_lang,
+       CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+         WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+         WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred_lang,
+       (CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+         WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+         WHEN s_fr THEN 'fr' ELSE 'zh' END) = lang AS correct
+FROM s
+""",
+    # doc_fingerprint rolling hash uses xxhash64 (no DuckDB equivalent)
+    # → rows-only for the hash; content_sha IS checkable but the one
+    # query returns both, so it stays rows-only.
+    "text_stats": f"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS total_tokens,
+       round(avg(length(text)), 2) AS avg_chars
+FROM documents
+GROUP BY lang, source
+""",
+}

@@ -1,2 +1,235 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Aggregation operators (SURVEY.md §2.4 A1-A9).
+
+Reference parity: buildMetrics (src/lib/randomuser.js:70-123) — count
+(:71,:118), Set-based count-distinct (:93-94,:119-120), conditional
+avg-of-year-diffs (:95-115), toFixed(2) rounding (:121), the vestigial
+gender groupBy-count (:72-90), and the REF-DECL dedup_removed metric
+(src/mock-data/etl.json:5).
+
+Scale notes (100 TB):
+* counts/sums/avgs are map-side partial aggregates — one small shuffle
+  of partial states, never of rows.
+* exact countDistinct costs an expand+reshuffle per distinct column;
+  `agg_approx_count_distinct` is the HLL path you'd run at 100 TB
+  (rsd=5% default, constant memory per partition).
+* rollup/cube produce grouping-set expansion map-side; the shuffle is
+  keyed by (grouping_id, keys) — no extra pass per level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..oracles import USERS_CTE
+from ..tables import CURRENT_YEAR, load, users_clean, users_valid
+
+
+def _agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: totalUsers = count(*) (randomuser.js:71,118)."""
+    return users_clean(spark, sf_dir).agg(
+        F.count("*").alias("total_users"))
+
+
+def _agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: uniqueCountries / uniqueCities via Set.size
+    (randomuser.js:93-94,119-120)."""
+    return users_clean(spark, sf_dir).agg(
+        F.countDistinct("country").alias("unique_countries"),
+        F.countDistinct("city").alias("unique_cities"),
+    )
+
+
+def _agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 at scale: HLL sketch instead of exact expand-shuffle.
+    Rows-only check (sketch estimates differ across engines)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def _agg_avg_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4: avgRegistrationYears = round(avg(currentYear - year(ts)), 2)
+    over valid dates (randomuser.js:95-115,121); year pinned to 2026."""
+    return users_clean(spark, sf_dir).agg(
+        F.round(F.avg(F.lit(CURRENT_YEAR) - F.year("registered_ts")), 2)
+         .alias("avg_registration_years"))
+
+
+def _agg_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: the vestigial gender-count reduce (randomuser.js:72-90),
+    realized over events.event_type as SURVEY.md §2.4 maps it."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def _dedup_removed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (REF-DECL): dedup_removed = rows_valid - rows_after_dedup
+    (etl.json:5 invariant rows_in - rows_out == dedup_removed)."""
+    valid = users_valid(spark, sf_dir).agg(
+        F.count("*").alias("rows_valid"))
+    deduped = users_clean(spark, sf_dir).agg(
+        F.count("*").alias("rows_out"))
+    return valid.crossJoin(deduped).select(
+        "rows_valid", "rows_out",
+        (F.col("rows_valid") - F.col("rows_out")).alias("dedup_removed"),
+    )
+
+
+def _agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: revenue rollup by (region, nation) with subtotals + grand
+    total — grouping-set expansion, single shuffle."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    orders = load(spark, sf_dir, "orders")
+    joined = (
+        orders
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation),
+              customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region"),
+                      F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("order_cnt"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def _agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8b: cube over (orderstatus, orderpriority) — all 4 grouping sets."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube(F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("order_cnt"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def _agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric aggregate battery on lineitem: min/max/sum/avg/stddev —
+    TPC-H Q1 shape (the canonical pricing-summary scan-agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))
+                          * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _agg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max over timestamps and strings (lexicographic) on events."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.min("event_type").alias("min_type"),
+        F.max("event_type").alias("max_type"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+QUERIES = {
+    "agg_count": _agg_count,
+    "agg_count_distinct": _agg_count_distinct,
+    "agg_approx_count_distinct": _agg_approx_count_distinct,
+    "agg_avg_years": _agg_avg_years,
+    "agg_group_count": _agg_group_count,
+    "dedup_removed_count": _dedup_removed_count,
+    "agg_rollup": _agg_rollup,
+    "agg_cube": _agg_cube,
+    "agg_stats": _agg_stats,
+    "agg_min_max": _agg_min_max,
+}
+
+ORACLES = {
+    "agg_count": USERS_CTE + """
+SELECT CAST(count(*) AS BIGINT) AS total_users FROM users_clean
+""",
+    "agg_count_distinct": USERS_CTE + """
+SELECT CAST(count(DISTINCT country) AS BIGINT) AS unique_countries,
+       CAST(count(DISTINCT city) AS BIGINT) AS unique_cities
+FROM users_clean
+""",
+    # agg_approx_count_distinct: rows-only (sketch estimate is
+    # engine-specific)
+    "agg_avg_years": USERS_CTE + """
+SELECT round(avg(2026 - year(registered_ts)), 2) AS avg_registration_years
+FROM users_clean
+""",
+    "agg_group_count": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+""",
+    "dedup_removed_count": USERS_CTE + """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM users_valid) AS rows_valid,
+  (SELECT CAST(count(*) AS BIGINT) FROM users_clean) AS rows_out,
+  (SELECT CAST(count(*) AS BIGINT) FROM users_valid)
+    - (SELECT CAST(count(*) AS BIGINT) FROM users_clean) AS dedup_removed
+""",
+    "agg_rollup": """
+SELECT r_name AS region, n_name AS nation,
+       CAST(count(*) AS BIGINT) AS order_cnt,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    "agg_cube": """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS order_cnt,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "agg_stats": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "agg_min_max": """
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+       min(event_type) AS min_type,
+       max(event_type) AS max_type,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+""",
+}

@@ -1,0 +1,184 @@
+"""Custom operators Spark lacks as built-ins (SURVEY.md §2.11 + §2.3):
+as-of join, a pandas-UDF scalar, and an applyInPandas grouped UDAF.
+
+Policy (SURVEY.md §2.11): built-ins first — the as-of join is a pure
+composition of union + partitioned window (no UDF at all); Python
+crosses the Arrow boundary only in the two demos that exist to prove
+the vectorized-UDF surface.
+
+Scale notes (100 TB):
+* As-of join via union+window is the shuffle-minimal pattern: ONE hash
+  shuffle on the join key, then a per-key sorted traversal (the same
+  plan a native as-of operator would pick; Flink/Pandas merge_asof
+  equivalents).  No range cross-join, no per-row probe.
+* pandas UDFs move Arrow batches, not rows; still JVM→Python→JVM — so
+  they appear ONLY where built-ins can't express the math (here: demo;
+  the cosine built-in in similarity.py is the production path).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..tables import load
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str, right_ts: str,
+              right_cols: list[str]) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts <= left_ts within the same key.  Composition: tag both
+    sides, union, per-key window ordered by (ts, tag) carrying
+    last(right payload) forward, keep left rows.
+
+    Equivalent to DuckDB/QuestDB ASOF JOIN and pandas merge_asof —
+    one shuffle on `key`, linear scan per partition."""
+    lt = left.select(
+        F.col(key).alias("_k"), F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"), "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in right_cols],
+    )
+    rt = right.select(
+        F.col(key).alias("_k"), F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(f.dataType).alias(f.name)
+          for f in left.schema.fields],
+        *right_cols,
+    )
+    merged = lt.unionByName(rt)
+    # right rows sort before left rows at equal ts (tag 0 < 1) so a
+    # same-timestamp right row IS visible to the left row (<= semantics)
+    w = (Window.partitionBy("_k")
+         .orderBy("_ts", "_is_left")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = merged.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+          for c in right_cols],
+    )
+    return (
+        carried.where(F.col("_is_left") == 1)
+        .select(*[f.name for f in left.schema.fields],
+                *[F.col(f"_asof_{c}").alias(c) for c in right_cols])
+    )
+
+
+def _asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each order picks the user's latest event at or
+    before the order date (events.user_id ≡ customer key space mod)."""
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        (F.col("o_custkey") % 500).alias("uid"),
+        F.col("o_orderdate"))
+    events = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 500).alias("uid"),
+        F.col("ts"), F.col("event_id"), F.col("event_type"))
+    # make the right side unique per (uid, ts) for determinism: keep
+    # max event_id among same-timestamp events
+    dedup_w = Window.partitionBy("uid", "ts").orderBy(
+        F.col("event_id").desc())
+    events_u = (events.withColumn("_rn", F.row_number().over(dedup_w))
+                .where(F.col("_rn") == 1).drop("_rn"))
+    joined = asof_join(
+        orders, events_u, key="uid",
+        left_ts="o_orderdate", right_ts="ts",
+        right_cols=["event_id", "event_type"],
+    )
+    return joined.select(
+        "o_orderkey", "uid",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
+        "event_id", "event_type",
+    )
+
+
+def _udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 pandas-UDF demo: cosine of each embedding against the
+    all-ones vector, vectorized over Arrow batches in numpy."""
+
+    @pandas_udf("double")
+    def cos_ones(v: pd.Series) -> pd.Series:
+        import numpy as np
+        m = np.stack(v.map(lambda a: np.asarray(a, dtype="float64")))
+        dot = m.sum(axis=1)
+        return pd.Series(
+            dot / (np.linalg.norm(m, axis=1) * np.sqrt(m.shape[1])))
+
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.round(cos_ones("embedding"), 6).alias("cos_to_ones"))
+
+
+MODE_SCHEMA = "user_id bigint, mode_type string, n_events bigint"
+
+
+def _udaf_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 applyInPandas grouped-UDAF demo: per-user modal event
+    type (ties → lexicographically smallest).  The oracle uses a
+    window-count argmax with the same tie rule."""
+
+    def mode_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = (pdf.groupby("event_type").size()
+                  .reset_index(name="n")
+                  .sort_values(["n", "event_type"],
+                               ascending=[False, True]))
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "mode_type": [counts["event_type"].iloc[0]],
+            "n_events": [len(pdf)],
+        })
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 10 == 1)
+    return (ev.select("user_id", "event_type")
+            .groupBy("user_id").applyInPandas(mode_fn, MODE_SCHEMA))
+
+
+QUERIES = {
+    "asof_join": _asof_query,
+    "udf_cosine": _udf_cosine,
+    "udaf_mode": _udaf_mode,
+}
+
+ORACLES = {
+    "asof_join": """
+WITH o AS (
+  SELECT o_orderkey, o_custkey % 500 AS uid, o_orderdate
+  FROM orders WHERE o_orderkey % 50 = 0
+), e AS (
+  SELECT uid, ts, event_id, event_type FROM (
+    SELECT user_id % 500 AS uid, ts, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id % 500, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1
+)
+SELECT o_orderkey, o.uid AS uid,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+       e.event_id, e.event_type
+FROM o ASOF LEFT JOIN e
+  ON o.uid = e.uid AND e.ts <= o.o_orderdate
+""",
+    "udf_cosine": """
+SELECT vec_id,
+       round(
+         list_sum(embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+          * sqrt(len(embedding))), 6) AS cos_to_ones
+FROM embeddings
+""",
+    "udaf_mode": """
+SELECT user_id, mode_type, n_events FROM (
+  SELECT user_id, event_type AS mode_type,
+         CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM (SELECT user_id, event_type, count(*) AS cnt
+        FROM events WHERE user_id % 10 = 1
+        GROUP BY user_id, event_type)
+) WHERE rn = 1
+""",
+}

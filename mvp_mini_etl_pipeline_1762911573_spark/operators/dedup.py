@@ -1,2 +1,358 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Deduplication operators (SURVEY.md §2.10 D1-D3 + EXT LLM-pipeline
+dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Reference parity: the declared-but-unimplemented `dedup_removed` metric
+(src/mock-data/etl.json:5) is the only dedup in the reference; the EXT
+family is the BASELINE.json north-star requirement for training-data
+pipelines at 100 TB.
+
+Scale notes (100 TB):
+* D1/D2 exact dedup = hash shuffle on the dedup key.  At 100 TB dedup
+  on a narrow key (id / content-hash) — never the full row; we dedup
+  documents by sha2(text) so the shuffle carries a 64-byte digest, not
+  the document.
+* D3 MinHash: per-doc signature is a narrow map-side computation
+  (shingle → 64-bit hashes → k mins).  LSH banding turns all-pairs
+  O(n²) into groupBy(band_hash) — only same-bucket pairs are compared.
+  Band width r=4, b=8 bands over k=32 minhashes targets Jaccard ≳ 0.6
+  (P(collide) = 1-(1-s^r)^b).  The candidate self-join is keyed on
+  (band_id, band_hash) — the bucket sizes, not n², bound the work.
+* SimHash: one 64-bit fingerprint per doc; near-dup = Hamming distance
+  ≤ 3, found by pigeonhole: split the fingerprint into 4 16-bit chunks,
+  any pair within distance 3 shares ≥1 exact chunk → equi-join per
+  chunk, then exact Hamming check.  All equi-joins, zero cross product.
+* All-pairs n-gram Jaccard is exposed for oracle-checkability at test
+  scale; its candidate generation (token → inverted index → pair
+  counts) is the scalable path (prefix filtering would prune further).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..oracles import USERS_CTE
+from ..tables import load, users_valid
+
+# MinHash parameters (see module docstring for the banding math).
+MINHASH_K = 32
+LSH_BANDS = 8
+LSH_ROWS = 4  # k = bands * rows
+SHINGLE_N = 5  # character shingles
+
+# Prime hash space for the affine minhash permutations — small enough
+# that (h*a + b) never overflows signed 64-bit under ANSI mode
+# (h < 2^30, a < 2^7, b < 2^27 → product < 2^37).
+_PRIME = 1_000_000_007
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: dropDuplicates(['id']) — realizes the reference's declared
+    dedup_removed semantics.  Duplicates are verbatim copies, so the
+    survivor is well-defined."""
+    return (
+        users_valid(spark, sf_dir)
+        .dropDuplicates(["id"])
+        .select("custkey", "id", "email", "country",
+                F.date_format("registered_ts", "yyyy-MM-dd HH:mm:ss")
+                 .alias("registered"))
+    )
+
+
+def _dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: full-row distinct on a narrow projection."""
+    return (
+        users_valid(spark, sf_dir)
+        .select("id", "email", "country", "city")
+        .distinct()
+    )
+
+
+def _dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup on documents: group by sha2(text) — the
+    narrow-digest shuffle pattern for 100 TB corpora.  Keeps the min
+    doc_id as survivor, counts the group."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("survivor_doc_id"),
+             F.count("*").alias("copies"))
+    )
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """Character n-gram shingle set per document (narrow, map-side)."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0),
+                           F.greatest(F.length("text") - SHINGLE_N,
+                                      F.lit(0))),
+                lambda i: F.col("text").substr(i + 1, F.lit(SHINGLE_N)),
+            )
+        ).alias("shingles"),
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k-minhash signature per doc via affine permutations
+    h_i(x) = (a_i * xxhash64(x) + b_i) mod M over shingle hashes.
+    Pure built-in HOFs — stays in codegen, no UDF."""
+    shingled = _shingled(docs)
+    hashed = shingled.select(
+        "doc_id",
+        F.transform("shingles",
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+         .alias("hs"),
+    )
+    def _perm(a: int, b: int):
+        # closure factory: a default-arg lambda would change the HOF
+        # arity pyspark infers
+        return lambda h: F.pmod(h * a + b, F.lit(_PRIME))
+
+    sig_cols = []
+    for i in range(k):
+        sig_cols.append(
+            F.array_min(
+                F.transform("hs", _perm(2 * i + 1, 1_000_003 * (i + 1)))
+            ).alias(f"mh_{i}")
+        )
+    return hashed.select("doc_id", F.array(*sig_cols).alias("sig"))
+
+
+def _dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: MinHash+LSH near-duplicate candidate pairs.  Bands of the
+    signature are hashed; docs sharing any band bucket become
+    candidates; estimated Jaccard = fraction of matching minhashes.
+    Rows-only check (hash-permutation specifics are engine-local)."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS))
+                     .alias("bucket"),
+                )
+                for b in range(LSH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    pairs = (
+        bands.alias("l")
+        .join(bands.alias("r"),
+              (F.col("l.band") == F.col("r.band"))
+              & (F.col("l.bucket") == F.col("r.bucket"))
+              & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sl = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sig").alias("sig_a"))
+    sr = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sl, "doc_a").join(sr, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                        lambda a, b: a == b),
+                             lambda x: x))
+             / F.lit(MINHASH_K)).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_BITS = 48  # 4 chunks × 12 bits; 48 keeps every shift/literal
+#                    well inside signed-64 under ANSI mode
+
+
+def simhash_fingerprints(docs: DataFrame,
+                         bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash per doc from word tokens: each token votes its hash bits
+    ±tf; fingerprint = sign vector packed into a long.  Built-ins only
+    (explode + groupBy + bit ops) — stays in codegen."""
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tok_hash = tokens.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf")).withColumn("h", F.xxhash64("tok"))
+    # per-bit vote: sum(tf * (bit ? +1 : -1)); fingerprint bit = vote > 0
+    bit_votes = tok_hash.select(
+        "doc_id",
+        *[
+            (F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                    F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    ).groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
+    fp = bit_votes.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i))
+              .otherwise(F.lit(0)).cast("long")
+             for i in range(bits)),
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return fp
+
+
+def _dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ 3 via the
+    4×12-bit-chunk pigeonhole equi-join (any pair within distance 3
+    matches exactly on ≥1 of 4 chunks).  Rows-only check."""
+    docs = load(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs)
+    chunks = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright("simhash", c * 12)
+                 .bitwiseAND(F.lit(0xFFF)).alias("chunk"),
+            )
+            for c in range(4)
+        ])).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk_id", "cc.chunk")
+
+    cand = (
+        chunks.alias("l")
+        .join(chunks.alias("r"),
+              (F.col("l.chunk_id") == F.col("r.chunk_id"))
+              & (F.col("l.chunk") == F.col("r.chunk"))
+              & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                F.col("l.simhash").alias("fp_a"),
+                F.col("r.simhash").alias("fp_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for doc pairs sharing ≥1
+    gram (inverted-index candidate generation — equi-join on gram, no
+    cross product).  Fully SQL-expressible → DuckDB oracle."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
+    # guard: docs with <3 tokens produce no grams (sequence(1,0) would
+    # be DESCENDING in Spark, and out-of-range element_at throws under
+    # ANSI — the when() sidesteps both; DuckDB's generate_series(1,n<1)
+    # is naturally empty)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 3,
+                F.array_distinct(F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ws", i),
+                        F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2)),
+                )),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    gram_counts = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"))
+    inter = (
+        grams.alias("l")
+        .join(grams.alias("r"),
+              (F.col("l.gram") == F.col("r.gram"))
+              & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("doc_a"),
+                 F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = gram_counts.select(F.col("doc_id").alias("doc_a"),
+                            F.col("n_grams").alias("na"))
+    cb = gram_counts.select(F.col("doc_id").alias("doc_b"),
+                            F.col("n_grams").alias("nb"))
+    return (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("inter")
+                    / (F.col("na") + F.col("nb") - F.col("inter")), 4)
+             .alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.2)
+    )
+
+
+QUERIES = {
+    "dedup_exact": _dedup_exact,
+    "dedup_distinct": _dedup_distinct,
+    "dedup_content_hash": _dedup_content_hash,
+    "dedup_near": _dedup_near_minhash,
+    "dedup_simhash": _dedup_near_simhash,
+    "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "dedup_exact": USERS_CTE + """
+SELECT custkey, id, email, country,
+       strftime(registered_ts, '%Y-%m-%d %H:%M:%S') AS registered
+FROM (SELECT *, row_number() OVER (PARTITION BY id
+                                   ORDER BY custkey) AS rn
+      FROM users_valid)
+WHERE rn = 1
+""",
+    "dedup_distinct": USERS_CTE + """
+SELECT DISTINCT id, email, country, city FROM users_valid
+""",
+    "dedup_content_hash": """
+SELECT sha256(text) AS content_hash,
+       min(doc_id) AS survivor_doc_id,
+       CAST(count(*) AS BIGINT) AS copies
+FROM documents
+GROUP BY sha256(text)
+""",
+    # dedup_near / dedup_simhash: rows-only (engine-local hash perms)
+    "dedup_ngram_jaccard": """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+  FROM documents WHERE doc_id < 100
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 1, 1)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+  FROM toks
+), gram_counts AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
+  FROM grams l JOIN grams r
+    ON l.gram = r.gram AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter / (ca.n_grams + cb.n_grams - inter), 4) AS jaccard
+FROM inter
+JOIN gram_counts ca ON ca.doc_id = doc_a
+JOIN gram_counts cb ON cb.doc_id = doc_b
+WHERE round(inter / (ca.n_grams + cb.n_grams - inter), 4) >= 0.2
+""",
+}

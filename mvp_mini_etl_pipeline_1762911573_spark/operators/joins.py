@@ -1,2 +1,185 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Join operators (SURVEY.md §2.3 J1-J4).
+
+The reference has no joins (single-entity pipeline, 651 LoC, none of
+hash/merge/broadcast appears); these realize its user⋈country semantics
+over the driver star schema, as SURVEY.md §2.3 mandates.
+
+Scale notes (100 TB):
+* J1/J2 — nation (25 rows) and region (5 rows) are always broadcast;
+  customer⋈orders is the real shuffle.  We broadcast explicitly so the
+  plan is stable even if stats are missing; Catalyst+AQE would pick the
+  same under CBO.
+* J3 left join keeps the big probe side un-shuffled when the build side
+  broadcasts.
+* J4 semi/anti joins never materialize the right side's payload columns
+  — at scale prefer them over `IN (subquery)`/`EXISTS` rewrites you'd
+  hand-roll; Catalyst plans them as BroadcastHashJoin(LeftSemi/LeftAnti)
+  when the right side is small after aggregation-pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tables import load
+
+
+def _join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: customer ⋈ nation ⋈ region, revenue per region-nation from
+    orders — a 3-way equi join ending in a grouped agg."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    orders = load(spark, sf_dir, "orders")
+    joined = (
+        orders
+        .join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .join(F.broadcast(nation),
+              customer.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey, "inner")
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"),
+                       F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("order_cnt"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def _join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: explicit broadcast of the small dim — supplier⋈nation with
+    per-nation supplier account balance."""
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation),
+                      supplier.s_nationkey == nation.n_nationkey, "inner")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("suppliers"),
+             F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+def _join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer — every customer with order count (0 for none)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("spent"))
+    return (
+        customer.join(per_cust,
+                      customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.coalesce("cnt", F.lit(0)).alias("order_cnt"),
+            F.coalesce("spent", F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+def _join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4a: left semi — customers having at least one 'F' order."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    f_orders = orders.where(F.col("o_orderstatus") == "F")
+    return (
+        customer.join(f_orders,
+                      customer.c_custkey == f_orders.o_custkey, "left_semi")
+        .select(F.col("c_custkey").alias("custkey"),
+                F.col("c_name").alias("name"))
+    )
+
+
+def _join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4b: left anti — customers with no orders at all."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders,
+                      customer.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"),
+                F.col("c_name").alias("name"),
+                F.col("c_mktsegment").alias("segment"))
+    )
+
+
+def _join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: bucket each part into a price band table.
+    Catalyst executes as BroadcastNestedLoopJoin (bands tiny == fine);
+    at scale, bin the probe side first to make it an equi join."""
+    part = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 500.0), ("mid", 500.0, 1200.0),
+         ("high", 1200.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        part.join(F.broadcast(bands),
+                  (part.p_retailprice >= bands.lo)
+                  & (part.p_retailprice < bands.hi), "inner")
+        .groupBy("band")
+        .agg(F.count("*").alias("parts"),
+             F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+    )
+
+
+QUERIES = {
+    "join_equi": _join_equi,
+    "join_broadcast": _join_broadcast,
+    "join_left": _join_left,
+    "join_semi": _join_semi,
+    "join_anti": _join_anti,
+    "join_range": _join_range,
+}
+
+ORACLES = {
+    "join_equi": """
+SELECT r_name AS region, n_name AS nation,
+       CAST(count(*) AS BIGINT) AS order_cnt,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    "join_broadcast": """
+SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS suppliers,
+       round(sum(s_acctbal), 2) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "join_left": """
+SELECT c_custkey AS custkey, c_mktsegment AS segment,
+       CAST(coalesce(cnt, 0) AS BIGINT) AS order_cnt,
+       coalesce(spent, 0.0) AS total_spent
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice), 2) AS spent
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+""",
+    "join_semi": """
+SELECT c_custkey AS custkey, c_name AS name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+""",
+    "join_anti": """
+SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    "join_range": """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 500.0), ('mid', 500.0, 1200.0), ('high', 1200.0, 1e9)
+)
+SELECT band, CAST(count(*) AS BIGINT) AS parts,
+       round(avg(p_retailprice), 2) AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+""",
+}

@@ -1,2 +1,197 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Similarity search over embeddings (SURVEY.md §2.3 J5, §2.10 D4 +
+EXT: ANN for training-data pipelines).
+
+No reference counterpart (the reference has no vector data); mandated
+by the BASELINE.json north star.  Works on the driver `embeddings`
+table: 64-dim float vectors + a label column.
+
+Scale notes (100 TB):
+* cosine on array<float> is built-in HOFs (zip_with + aggregate) —
+  JVM-side, codegen, no Python.
+* Brute-force top-k is the CORRECTNESS baseline: a broadcast of the
+  query set against the full corpus, per-partition top-k heap via
+  window row_number (quadratic in corpus size — test scale only).
+* The SCALE path is random-hyperplane LSH bucketing: 16 signed
+  projections → 16-bit bucket key; only same-bucket pairs are scored
+  (equi-join on bucket).  Recall is tunable by bands/rotations; at
+  100 TB you'd also IVF (k-means coarse quantizer) — the bucket-join
+  shape below is identical, the bucketer swaps.
+* `similarity_topk` (exact, deterministic) gets a full DuckDB oracle
+  via list_ functions; the LSH variants are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..tables import load
+
+LSH_PLANES = 8  # 256 buckets — sized so test-scale corpora collide;
+#                 at 100 TB raise planes (and band) to keep buckets small
+TOPK = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<float> columns — pure
+    built-in HOFs (zip_with dot product, aggregate norms).  Inputs are
+    cast to array<double> so both engines accumulate in f64 from the
+    first multiply (float×float would round-off differently)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    a, b = a.cast("array<double>"), b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def _array_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: pairwise cosine of consecutive vectors (vec_id, vec_id+1) —
+    a narrow, join-light demonstration of the HOF arithmetic with a
+    full DuckDB oracle (list_dot_product / list_norm)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = emb.select((F.col("vec_id") - 1).alias("id_a"),
+                   F.col("embedding").alias("vb"))
+    return (
+        a.join(b, "id_a")
+        .select("id_a",
+                F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+    )
+
+
+def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 baseline: exact brute-force cosine top-k neighbors for the
+    first N_QUERIES vectors (excluding self).  Deterministic: ties
+    broken by neighbor id.  Cross join is query-side-broadcast."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    corpus = emb.select(F.col("vec_id").alias("n_id"),
+                        F.col("embedding").alias("n_vec"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id",
+                F.round(cosine("q_vec", "n_vec"), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOPK)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    )
+
+
+def _rhp_buckets(emb: DataFrame, planes: int = LSH_PLANES) -> DataFrame:
+    """Random-hyperplane signature: bucket = bits of sign(v · h_p).
+    Hyperplanes are deterministic pseudo-random from (plane, dim) via
+    xxhash64 — reproducible across runs with zero data movement."""
+    dim = 64
+    sig = sum(
+        (
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(*[
+                            (F.pmod(F.xxhash64(F.lit(f"h-{p}-{d}")),
+                                    F.lit(2001)) - F.lit(1000))
+                            .cast("double") / F.lit(1000.0)
+                            for d in range(dim)
+                        ]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ) > 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(planes)
+        ),
+        F.lit(0),
+    )
+    return emb.select("vec_id", "embedding", sig.alias("bucket"))
+
+
+def _similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 scale path: LSH-bucketed candidate pairs + exact rescoring.
+    Only same-bucket pairs are scored — the equi-join on bucket replaces
+    the all-pairs cross join.  Rows-only check."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = _rhp_buckets(emb)
+    l = bucketed.select(F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("va"), "bucket")
+    r = bucketed.select(F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("vb"), "bucket")
+    return (
+        l.join(r, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("bucket", "id_a", "id_b",
+                F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.8)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: per-label centroid via posexplode + groupBy
+    (the coarse-quantizer training step, expressed relationally).
+    Full oracle via DuckDB unnest-with-ordinality."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        # slice BEFORE exploding — only the 8 needed dims are expanded
+        # (the 100 TB version explodes nothing extra)
+        emb.select("label",
+                   F.posexplode(F.slice(F.col("embedding")
+                                        .cast("array<double>"), 1, 8))
+                   .alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+    )
+
+
+QUERIES = {
+    "array_cosine": _array_cosine,
+    "similarity_topk": _similarity_topk,
+    "similarity_join": _similarity_lsh,
+    "embedding_centroids": _embedding_centroids,
+}
+
+ORACLES = {
+    "array_cosine": """
+SELECT a.vec_id AS id_a,
+       round(
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+         6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+""",
+    "similarity_topk": f"""
+WITH scored AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         round(
+           list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(n.embedding::DOUBLE[], n.embedding::DOUBLE[]))),
+           6) AS cos_sim
+  FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT q_id, n_id, cos_sim,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, n_id ASC) AS rnk FROM scored)
+WHERE rnk <= {TOPK}
+""",
+    # similarity_join: rows-only (hyperplane constants engine-local)
+    "embedding_centroids": """
+SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
+FROM embeddings, generate_series(1, 8) AS t(i)
+GROUP BY label, i
+""",
+}

@@ -1,2 +1,176 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Window-function operators (SURVEY.md §2.5 W1-W4, §2.6 L4).
+
+Reference parity: the `lastUser` metric (src/mock-data/etl.json:9,
+pages/index.js:56) is a latest-row computation; the staged run log
+(pages/index.js:63-80) is a positional running sequence.  The rest are
+the standard relational completions SURVEY.md mandates.
+
+Scale notes (100 TB):
+* Global-ordering windows (running total over everything) don't scale —
+  every window here partitions by a key (user_id / region / segment),
+  so each partition's window is computed after one hash shuffle and the
+  data stays distributed.  The one global top-1 (`window_last_user`) is
+  expressed as max_by — an aggregate, not a window — so it stays a
+  partial-agg + 1-row merge instead of a single-partition sort; the
+  sort flavor (`sort_limit1`) plans as TakeOrderedAndProject
+  (per-partition top-1 + driver merge), also scale-safe.
+* rank/lag/bounded frames stream over the sorted partition run — no
+  buffering beyond the frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..oracles import USERS_CTE
+from ..tables import load, users_clean
+
+
+def _window_last_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: lastUser = name at max(registered_ts), custkey tie-break —
+    via max_by aggregate (scales as partial agg + 1-row merge)."""
+    return users_clean(spark, sf_dir).agg(
+        F.max_by(F.concat_ws(" ", "name_first", "name_last"),
+                 F.struct("registered_ts", "custkey")).alias("last_user"),
+        F.date_format(F.max("registered_ts"), "yyyy-MM-dd HH:mm:ss")
+         .alias("last_ts"),
+    )
+
+
+def _sort_limit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: same lastUser via orderBy(desc).limit(1) — the sort-based
+    flavor (TakeOrderedAndProject)."""
+    return (
+        users_clean(spark, sf_dir)
+        .orderBy(F.col("registered_ts").desc(), F.col("custkey").desc())
+        .limit(1)
+        .select(
+            F.concat_ws(" ", "name_first", "name_last").alias("last_user"),
+            F.date_format("registered_ts", "yyyy-MM-dd HH:mm:ss")
+             .alias("last_ts"),
+        )
+    )
+
+
+def _window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: top-3 customers by account balance per region (row_number
+    with custkey tie-break for determinism)."""
+    users = users_clean(spark, sf_dir)
+    w = Window.partitionBy("region").orderBy(
+        F.col("acctbal").desc(), F.col("custkey").asc())
+    return (
+        users.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("region", "custkey", "acctbal", "rnk")
+    )
+
+
+def _window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: running total of event value per user over time (mirrors the
+    reference's cumulative staged log) — partitioned, so it scales."""
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        ev.where(F.col("user_id") % 100 == 7)
+        .select(
+            "user_id", "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+            F.count("*").over(w).alias("running_cnt"),
+        )
+    )
+
+
+def _window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: inter-event gap per user via lag(ts) — sessionization prep."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.where(F.col("user_id") % 100 == 7)
+        .select(
+            "user_id", "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            # micros, not seconds: cast-to-long truncates sub-second
+            # parts and would disagree with the oracle's epoch_us
+            (F.unix_micros("ts")
+             - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+    )
+
+
+def _window_ntile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-extra: ntile quartiles + sliding 3-row moving average per
+    segment — bounded frames stream in one pass."""
+    customer = load(spark, sf_dir, "customer")
+    w_order = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    w_frame = w_order.rowsBetween(-1, 1)
+    return customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.ntile(4).over(w_order).alias("quartile"),
+        F.round(F.avg("c_acctbal").over(w_frame), 2).alias("moving_avg3"),
+    )
+
+
+QUERIES = {
+    "window_last_user": _window_last_user,
+    "sort_limit1": _sort_limit1,
+    "window_rank": _window_rank,
+    "window_running_sum": _window_running_sum,
+    "window_lag": _window_lag,
+    "window_ntile_frame": _window_ntile_frame,
+}
+
+_LAST_USER_SQL = """
+SELECT name_first || ' ' || name_last AS last_user,
+       strftime(registered_ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM users_clean
+ORDER BY registered_ts DESC, custkey DESC LIMIT 1
+"""
+
+ORACLES = {
+    "window_last_user": USERS_CTE + _LAST_USER_SQL,
+    "sort_limit1": USERS_CTE + _LAST_USER_SQL,
+    "window_rank": USERS_CTE + """
+SELECT region, custkey, acctbal, rnk FROM (
+  SELECT region, custkey, acctbal,
+         CAST(row_number() OVER (PARTITION BY region
+              ORDER BY acctbal DESC, custkey ASC) AS INTEGER) AS rnk
+  FROM users_clean
+) WHERE rnk <= 3
+""",
+    "window_running_sum": """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       round(sum(value) OVER w, 2) AS running_value,
+       CAST(count(*) OVER w AS BIGINT) AS running_cnt
+FROM events
+WHERE user_id % 100 = 7
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    "window_lag": """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       lead(event_type) OVER w AS next_type
+FROM events
+WHERE user_id % 100 = 7
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    "window_ntile_frame": """
+SELECT c_custkey AS custkey, c_mktsegment AS segment,
+       CAST(ntile(4) OVER w_o AS INTEGER) AS quartile,
+       round(avg(c_acctbal) OVER w_f, 2) AS moving_avg3
+FROM customer
+WINDOW w_o AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC),
+       w_f AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC
+               ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+""",
+}

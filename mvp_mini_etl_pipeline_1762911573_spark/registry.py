@@ -15,13 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from .operators import (aggregates, dedup, joins, projections,
+    from .operators import (aggregates, custom, dedup, joins, projections,
                             setops, similarity, sorts, windows)
-    from .functions import scalars, text
+    from .functions import multimodal, scalars, text
     from . import core
     from .streaming import batch_equiv
     return [core, projections, joins, aggregates, windows, sorts, setops,
-            dedup, similarity, scalars, text, batch_equiv]
+            dedup, similarity, custom, scalars, text, multimodal,
+            batch_equiv]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

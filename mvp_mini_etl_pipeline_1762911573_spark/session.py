@@ -34,6 +34,9 @@ def get_spark(app_name: str = "mvp_mini_etl_pipeline_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
+        # has no native type for — read as long, convert in tables.load
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

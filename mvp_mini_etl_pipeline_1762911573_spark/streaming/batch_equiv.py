@@ -1,2 +1,148 @@
-QUERIES: dict = {}
-ORACLES: dict = {}
+"""Windowed event-time aggregations (SURVEY.md §2.9 ST1-ST3), exposed
+batch-first so the DuckDB oracle can check them; `streaming.jobs` wires
+the SAME logical transformations to readStream/writeStream.
+
+Reference parity: the UI's "real time" claim (pages/index.js:216-217)
+is simulated with setTimeout staging (:63-80); these are the honest
+Structured-Streaming semantics over the `events` table.
+
+Scale notes: tumbling/sliding windows shuffle on (window, key) — state
+per live window only; session windows merge overlapping gaps per key.
+With `withWatermark` state is bounded and late rows beyond the
+watermark drop — the batch flavors below are the watermark-free
+(complete) semantics the stream converges to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tables import load
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """ST1: 1-hour tumbling window × event_type counts."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+             .alias("window_start"),
+            "event_type", "cnt", "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """ST2: 1-hour window sliding every 15 minutes — each event lands
+    in 4 windows."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+             .alias("window_start"),
+            "cnt",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """ST3: session windows (30-min gap) per user — batch flavor via
+    the lag-gap-cumsum idiom so DuckDB can oracle it; the streaming
+    flavor uses session_window() (same semantics, merged state)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = events.select(
+        "user_id", "event_id", "ts", "value",
+        # micros precision (cast-to-long truncates sub-seconds and can
+        # flip boundary gaps vs the oracle's epoch_us)
+        F.when(
+            (F.unix_micros("ts")
+             - F.lag(F.unix_micros("ts")).over(w))
+            > gap_min * 60 * 1_000_000,
+            1).otherwise(0).alias("is_new_session"),
+    )
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = gapped.withColumn(
+        "session_id", F.sum("is_new_session").over(w_cum))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def _stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load(spark, sf_dir, "events"))
+
+
+def _stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(load(spark, sf_dir, "events"))
+
+
+def _stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 20 == 3)
+    return session_windows(ev)
+
+
+QUERIES = {
+    "stream_tumbling": _stream_tumbling,
+    "stream_sliding": _stream_sliding,
+    "stream_session": _stream_session,
+}
+
+ORACLES = {
+    "stream_tumbling": """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
+""",
+    "stream_sliding": """
+WITH offsets AS (SELECT unnest([0, 15, 30, 45]) AS off_min),
+     slid AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts - (off_min * INTERVAL 1 MINUTE))
+           + (off_min * INTERVAL 1 MINUTE) AS window_start
+  FROM events, offsets
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM slid
+GROUP BY window_start
+""",
+    "stream_session": """
+WITH gapped AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+  WHERE user_id % 20 = 3
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, sum(is_new_session) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       round(sum(value), 2) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+}

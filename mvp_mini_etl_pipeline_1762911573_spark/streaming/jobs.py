@@ -1,0 +1,91 @@
+"""Real Structured Streaming flavors (SURVEY.md §2.9 ST1-ST5).
+
+The logical transformations are shared with `batch_equiv` — a stream is
+the same DataFrame program bound to readStream instead of read, which
+is the whole point of Spark's unified model.  These run in tests with
+``Trigger.AvailableNow`` against the parquet `events` table as a file
+stream, writing to a memory sink, and must equal the batch results.
+
+Scale notes: file-source streams list+read incrementally
+(maxFilesPerTrigger); state stores (window aggs, dedup) are RocksDB-
+backed on a real cluster (`spark.sql.streaming.stateStore.providerClass`)
+— config, not code.  Watermarks bound state: 10-min late tolerance
+means state per key×window lives ~window+10min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .batch_equiv import tumbling_counts
+from ..tables import load
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from
+    the raw batch read — streaming sources require an explicit schema).
+    The raw `ts` arrives as nanos-long (see tables.load); the same
+    micros conversion is applied on the stream."""
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_stream(events: DataFrame) -> DataFrame:
+    """ST1 as a stream with ST4 watermark: 10-minute late tolerance."""
+    return tumbling_counts(events.withWatermark("ts", "10 minutes"))
+
+
+def sessionized_stream(events: DataFrame, gap_min: int = 30) -> DataFrame:
+    """ST3 native streaming flavor: session_window() merges overlapping
+    [ts, ts+gap) intervals per key in the state store."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"),
+                 "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+             .alias("session_start"),
+            "n_events", "session_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """ST5: stateful exact dedup on event_id within the watermark —
+    state holds only ids younger than the watermark."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str,
+                  output_mode: str = "complete",
+                  timeout_sec: int = 120) -> DataFrame:
+    """Execute a streaming DataFrame with Trigger.AvailableNow into a
+    memory sink; block until done; return the materialized result.
+    Aggregating streams use 'complete'; pass 'append' for stateless /
+    dedup streams."""
+    q = (
+        stream_df.writeStream
+        .format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)

@@ -44,7 +44,18 @@ CURRENT_YEAR = 2026
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # the driver writes `events.ts` as parquet TIMESTAMP(NANOS), which
+    # Spark reads (under spark.sql.legacy.parquet.nanosAsLong) as a
+    # nanos-since-epoch long; convert to a proper timestamp with the
+    # same micros truncation DuckDB applies
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            # integer `div`, NOT `/`: nanos ~1.7e18 exceeds double's
+            # exact-integer range, float division would corrupt micros
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

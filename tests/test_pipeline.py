@@ -1,0 +1,83 @@
+"""ETL pipeline invariants (SURVEY.md §5.2-§5.4): golden metric
+relationships, dedup idempotence, CSV round-trip with the reference's
+quoting semantics (pages/index.js:446-450), failure-path fallback."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mvp_mini_etl_pipeline_1762911573_spark.plans.pipeline import run_pipeline
+from mvp_mini_etl_pipeline_1762911573_spark.sources.sinks import (
+    flatten_for_csv, write_users_csv,
+)
+from mvp_mini_etl_pipeline_1762911573_spark.sources.synthetic import (
+    synthetic_users,
+)
+from mvp_mini_etl_pipeline_1762911573_spark.tables import (
+    users_clean, users_raw, users_valid,
+)
+
+
+def test_metrics_invariants(spark, sf_dir):
+    """The reference's mock metrics encode rows_in - rows_out ==
+    dedup_removed + invalid (etl.json:3-5) — ours must actually
+    satisfy it."""
+    out = run_pipeline(spark, sf_dir)
+    m = out["metrics"]
+    assert m["rows_in"] > m["rows_out"] > 0
+    assert m["dedup_removed"] > 0
+    assert 0 < m["countries"] <= 25
+    assert m["cities"] <= 3 * 25
+    assert m["rows_in"] - m["rows_out"] >= m["dedup_removed"]
+    assert len(out["log"]) == 3  # extract, transform, load
+    assert [e["stage"] for e in out["log"]] == \
+        ["extract", "transform", "load"]
+
+
+def test_dedup_idempotent(spark, sf_dir):
+    clean = users_clean(spark, sf_dir)
+    again = clean.dropDuplicates(["id"])
+    assert clean.count() == again.count()
+
+
+def test_union_count_additivity(spark, sf_dir):
+    raw = users_raw(spark, sf_dir)
+    synth = synthetic_users(spark, 50)
+    assert raw.count() + 50 == \
+        raw.select("id").unionAll(synth.select("mock_id")).count()
+
+
+def test_countries_bounded_by_rows(spark, sf_dir):
+    clean = users_clean(spark, sf_dir)
+    agg = clean.agg(
+        F.countDistinct("country").alias("c"),
+        F.count("*").alias("n")).first()
+    assert agg["c"] <= agg["n"]
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    """Write → read preserves values, including '"'-escaping and the
+    ISO timestamp format (reference CSV semantics)."""
+    users = users_clean(spark, sf_dir).limit(100)
+    flat = flatten_for_csv(users).withColumn(
+        "city", F.concat(F.lit('quo"ted '), F.col("city")))
+    path = str(tmp_path / "users_csv")
+    write_users_csv(flat, path)
+    back = (spark.read.option("header", True)
+            .option("escape", '"')
+            .csv(path))
+    assert sorted(back.columns) == sorted(flat.columns)
+    a = sorted(tuple(r) for r in flat.collect())
+    b = sorted(tuple(r) for r in back.fillna("").collect())
+    assert a == b
+
+
+def test_fallback_on_bad_source(spark):
+    """Failure path (randomuser.js:59-62): a failing extract yields the
+    50-row synthetic frame."""
+    from mvp_mini_etl_pipeline_1762911573_spark.sources.http_json import (
+        load_users_http,
+    )
+    df, prov = load_users_http(spark, "http://127.0.0.1:1/nope", timeout=1)
+    assert prov["fallbackUsed"]
+    assert df.count() == 50

@@ -1,0 +1,41 @@
+"""Structured Streaming vs batch equivalence (SURVEY.md §5.5):
+the same logical program bound to readStream must produce the batch
+answer once the stream drains (Trigger.AvailableNow)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mvp_mini_etl_pipeline_1762911573_spark.streaming import jobs
+from mvp_mini_etl_pipeline_1762911573_spark.streaming.batch_equiv import (
+    tumbling_counts,
+)
+from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    batch = tumbling_counts(load(spark, sf_dir, "events"))
+    stream = jobs.tumbling_stream(jobs.events_stream(spark, sf_dir))
+    got = jobs.run_to_memory(stream, "t_tumbling", "complete")
+    cols = ["window_start", "event_type", "cnt", "total_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_session_stream_runs(spark, sf_dir):
+    stream = jobs.sessionized_stream(jobs.events_stream(spark, sf_dir))
+    got = jobs.run_to_memory(stream, "t_session", "complete")
+    assert got.count() > 0
+    # session windows partition the events: totals must reconcile
+    n_events = got.agg(F.sum("n_events")).first()[0]
+    assert n_events == load(spark, sf_dir, "events").count()
+
+
+def test_dedup_stream_drops_dupes(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    stream = jobs.dedup_stream(jobs.events_stream(spark, sf_dir))
+    got = jobs.run_to_memory(stream, "t_dedup", "append")
+    assert got.count() == ev.select("event_id").distinct().count()
