@@ -151,8 +151,31 @@ def _agg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew pattern: two-phase salted aggregation over a 3-value key
+    (o_orderstatus — maximally skewed: ~n/3 rows per key).  Phase 1
+    pre-aggregates on (key, salt16) spreading each hot key over 16
+    reducers; phase 2 merges the 48 partials.  Equivalent to the plain
+    groupBy (the oracle proves it); at 100 TB this is the manual
+    fallback when AQE skew-split can't help (e.g. skewed agg, not
+    join)."""
+    orders = load(spark, sf_dir, "orders")
+    salted = orders.withColumn(
+        "_salt", F.pmod(F.col("o_orderkey"), F.lit(16)))
+    phase1 = salted.groupBy("o_orderstatus", "_salt").agg(
+        F.count("*").alias("pc"),
+        F.sum("o_totalprice").alias("ps"),
+    )
+    return (
+        phase1.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.sum("pc").alias("order_cnt"),
+             F.round(F.sum("ps"), 2).alias("revenue"))
+    )
+
+
 QUERIES = {
     "agg_count": _agg_count,
+    "agg_salted_twophase": _agg_salted_twophase,
     "agg_count_distinct": _agg_count_distinct,
     "agg_approx_count_distinct": _agg_approx_count_distinct,
     "agg_avg_years": _agg_avg_years,
@@ -165,6 +188,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_salted_twophase": """
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS order_cnt,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY o_orderstatus
+""",
     "agg_count": USERS_CTE + """
 SELECT CAST(count(*) AS BIGINT) AS total_users FROM users_clean
 """,

@@ -37,7 +37,9 @@ from ..tables import load, users_valid
 MINHASH_K = 32
 LSH_BANDS = 8
 LSH_ROWS = 4  # k = bands * rows
-SHINGLE_N = 5  # character shingles
+SHINGLE_N = 3  # word shingles (3-grams of tokens): ~4x fewer elements
+#               than char 5-grams at equal dup-detection power on word-
+#               level corpora, so ~4x less hashing in the hot map stage
 
 # Prime hash space for the affine minhash permutations — small enough
 # that (h*a + b) never overflows signed 64-bit under ANSI mode
@@ -80,17 +82,25 @@ def _dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingled(docs: DataFrame) -> DataFrame:
-    """Character n-gram shingle set per document (narrow, map-side)."""
-    return docs.select(
+    """Word n-gram shingle set per document (narrow, map-side).
+    Guards the <n-token edge (sequence(1,0) would be descending and
+    out-of-range element_at throws under ANSI)."""
+    toks = docs.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0),
-                           F.greatest(F.length("text") - SHINGLE_N,
-                                      F.lit(0))),
-                lambda i: F.col("text").substr(i + 1, F.lit(SHINGLE_N)),
-            )
-        ).alias("shingles"),
+        F.filter(F.split(F.lower("text"), r"\s+"),
+                 lambda t: t != "").alias("ws"),
+    )
+    return toks.select(
+        "doc_id",
+        F.when(
+            F.size("ws") >= SHINGLE_N,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (SHINGLE_N - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("ws", i + j)
+                           for j in range(SHINGLE_N)]),
+            )),
+        ).otherwise(F.array().cast("array<string>")).alias("shingles"),
     )
 
 
@@ -126,7 +136,11 @@ def _dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates; estimated Jaccard = fraction of matching minhashes.
     Rows-only check (hash-permutation specifics are engine-local)."""
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # the signature frame feeds candidate generation AND both sides of
+    # the rescoring join — persist so minhashing runs once, not 3x (at
+    # 100 TB you'd materialize signatures to storage for the same
+    # reason: they're the reusable index, the corpus scan is the cost)
+    sigs = minhash_signatures(docs).persist()
 
     bands = sigs.select(
         "doc_id",
@@ -251,7 +265,7 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for doc pairs sharing ≥1
     gram (inverted-index candidate generation — equi-join on gram, no
     cross product).  Fully SQL-expressible → DuckDB oracle."""
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
     # guard: docs with <3 tokens produce no grams (sequence(1,0) would
@@ -333,7 +347,7 @@ GROUP BY sha256(text)
     "dedup_ngram_jaccard": """
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
-  FROM documents WHERE doc_id < 100
+  FROM documents
 ), grams AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(

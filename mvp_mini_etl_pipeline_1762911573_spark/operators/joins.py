@@ -94,9 +94,12 @@ def _join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4b: left anti — customers with no orders at all."""
+    """J4b: left anti — customers with no URGENT order (every customer
+    has some order in the testdata, so the unfiltered anti is vacuous;
+    the predicate keeps the result non-degenerate at every sf)."""
     customer = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT")
     return (
         customer.join(orders,
                       customer.c_custkey == orders.o_custkey, "left_anti")
@@ -111,11 +114,14 @@ def _join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst executes as BroadcastNestedLoopJoin (bands tiny == fine);
     at scale, bin the probe side first to make it an equi join."""
     part = load(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
-        [("low", 0.0, 500.0), ("mid", 500.0, 1200.0),
-         ("high", 1200.0, 1e9)],
-        ["band", "lo", "hi"],
-    )
+    # SQL VALUES = JVM LocalRelation (createDataFrame would round-trip
+    # a Python RDD and spin up Python workers for a 3-row table)
+    bands = spark.sql("""
+        SELECT * FROM VALUES
+          ('low', 0.0D, 933.0D), ('mid', 933.0D, 966.0D),
+          ('high', 966.0D, 1e9D)
+        AS bands(band, lo, hi)
+    """)
     return (
         part.join(F.broadcast(bands),
                   (part.p_retailprice >= bands.lo)
@@ -171,11 +177,12 @@ WHERE EXISTS (SELECT 1 FROM orders
     "join_anti": """
 SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
 """,
     "join_range": """
 WITH bands(band, lo, hi) AS (
-  VALUES ('low', 0.0, 500.0), ('mid', 500.0, 1200.0), ('high', 1200.0, 1e9)
+  VALUES ('low', 0.0, 933.0), ('mid', 933.0, 966.0), ('high', 966.0, 1e9)
 )
 SELECT band, CAST(count(*) AS BIGINT) AS parts,
        round(avg(p_retailprice), 2) AS avg_price

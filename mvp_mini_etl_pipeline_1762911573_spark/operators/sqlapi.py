@@ -1,0 +1,132 @@
+"""SQL-API surface + pivot + percentiles (relational completeness
+beyond SURVEY.md §2's literal inventory).
+
+The engine's second front door: `spark.sql` over registered temp views
+— identical Catalyst plans to the DataFrame API, proven by running a
+TPC-H-Q3-shaped query through it.  Pivot is the classic wide-format
+report (conditional aggregation under the hood); percentiles cover the
+exact (sort-based) and approximate (t-digest/GK sketch) paths.
+
+Scale notes: pivot with an explicit value list is a single pass of
+conditional aggregates (no shuffle beyond the groupBy); exact
+percentile sorts per group — at 100 TB use approx_percentile (constant
+memory, mergeable sketches), shipped here as the rows-only variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tables import load
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through the spark.sql front door: top-10 urgent
+    un-shipped orders by revenue."""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS odate,
+               o_orderpriority
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderpriority = '1-URGENT'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """)
+
+
+def _pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type.  The
+    explicit value list keeps it a one-pass conditional agg (omitting
+    it would trigger a distinct-scan first)."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 25 == 3)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def _agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90 / p99) of order totals per
+    status — sort-based, linear-interpolated; oracle via DuckDB
+    quantile_cont."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+             .alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
+             .alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4)
+             .alias("p99"),
+        )
+    )
+
+
+def _agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB flavor: approx_percentile sketches (mergeable,
+    constant memory).  Rows-only (sketch values are engine-specific)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.approx_percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            10000).alias("approx_pcts"))
+    )
+
+
+QUERIES = {
+    "sql_q3": _sql_q3,
+    "pivot_events": _pivot_events,
+    "agg_percentiles": _agg_percentiles,
+    "agg_approx_percentiles": _agg_approx_percentiles,
+}
+
+ORACLES = {
+    "sql_q3": """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderpriority = '1-URGENT'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+    "pivot_events": """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+         AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS "view"
+FROM events
+WHERE user_id % 25 = 3
+GROUP BY user_id
+""",
+    "agg_percentiles": """
+SELECT o_orderstatus AS status,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderstatus
+""",
+}

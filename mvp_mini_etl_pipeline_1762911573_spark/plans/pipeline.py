@@ -30,39 +30,55 @@ from ..tables import CURRENT_YEAR, users_clean, users_raw, users_valid
 
 
 def flagship_metrics_row(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Two aggregate branches only (keeps the stage count low): the raw
-    # side counts rows_in/rows_valid in one pass; the clean side computes
-    # everything else in ONE agg (count + 2 countDistinct + avg + max_by
-    # with a (ts, custkey) struct tie-break for determinism).
+    # SINGLE-PASS plan: one scan of the join pipeline, one hash shuffle
+    # on id (collapsing verbatim duplicates while counting them), one
+    # final 1-row aggregate.  The naive plan (separate raw/valid/clean
+    # branches) re-runs the scan+join 4x; this shape is what survives
+    # 100 TB — the id-shuffle is the dedup shuffle you must pay anyway,
+    # and every dashboard metric falls out of the same pass.
     raw = users_raw(spark, sf_dir).withColumn(
+        "registered_ts", F.try_to_timestamp("registered_raw"),
+    ).withColumn(
         "is_valid",
-        F.col("email").isNotNull()
-        & F.try_to_timestamp("registered_raw").isNotNull(),
-    )
-    raw_agg = raw.agg(
-        F.count("*").alias("rows_in"),
-        F.count(F.when(F.col("is_valid"), 1)).alias("rows_valid"),
+        F.col("email").isNotNull() & F.col("id").isNotNull()
+        & F.col("registered_ts").isNotNull(),
     )
 
-    clean_agg = users_clean(spark, sf_dir).agg(
-        F.count("*").alias("rows_out"),
-        F.countDistinct("country").alias("countries"),
-        F.countDistinct("city").alias("cities"),
-        F.round(
-            F.avg(F.lit(CURRENT_YEAR) - F.year("registered_ts")), 2
-        ).alias("avg_registration_years"),
-        F.max_by(F.concat_ws(" ", "name_first", "name_last"),
-                 F.struct("registered_ts", "custkey")).alias("last_user"),
+    # duplicates are verbatim copies (tables.users_raw), so per-id
+    # first()s are exact, not arbitrary
+    per_id = raw.groupBy("id").agg(
+        F.count("*").alias("copies"),
+        F.first("is_valid").alias("valid"),
+        F.first("country").alias("country"),
+        F.first("city").alias("city"),
+        F.first("registered_ts").alias("registered_ts"),
+        F.first("custkey").alias("custkey"),
+        F.concat_ws(" ", F.first("name_first"), F.first("name_last"))
+         .alias("name"),
     )
 
-    return raw_agg.crossJoin(clean_agg).select(
-        "rows_in",
-        "rows_out",
-        (F.col("rows_valid") - F.col("rows_out")).alias("dedup_removed"),
-        "countries",
-        "cities",
-        "avg_registration_years",
-        "last_user",
+    v = F.col("valid")
+    # invalid rows get an epoch-min max_by key so they never win
+    # (max_by's null-key semantics are version-dependent; this isn't)
+    safe_key = F.struct(
+        F.coalesce(F.when(v, F.col("registered_ts")),
+                   F.lit("1900-01-01 00:00:00").cast("timestamp")),
+        F.coalesce(F.when(v, F.col("custkey")), F.lit(-1)),
+    )
+    return per_id.agg(
+        F.sum("copies").alias("rows_in"),
+        F.count(F.when(v, 1)).alias("rows_out"),
+        (F.sum(F.when(v, F.col("copies"))) - F.count(F.when(v, 1)))
+        .alias("dedup_removed"),
+        F.countDistinct(F.when(v, F.col("country"))).alias("countries"),
+        F.countDistinct(F.when(v, F.col("city"))).alias("cities"),
+        F.round(F.avg(F.when(
+            v, F.lit(CURRENT_YEAR) - F.year("registered_ts"))), 2)
+         .alias("avg_registration_years"),
+        F.max_by(F.when(v, F.col("name")), safe_key).alias("last_user"),
+    ).select(
+        "rows_in", "rows_out", "dedup_removed", "countries", "cities",
+        "avg_registration_years", "last_user",
     )
 
 

@@ -16,12 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from .operators import (aggregates, custom, dedup, joins, projections,
-                            setops, similarity, sorts, windows)
+                            setops, similarity, sorts, sqlapi, windows)
     from .functions import multimodal, scalars, text
     from . import core
     from .streaming import batch_equiv
     return [core, projections, joins, aggregates, windows, sorts, setops,
-            dedup, similarity, custom, scalars, text, multimodal,
+            dedup, similarity, custom, sqlapi, scalars, text, multimodal,
             batch_equiv]
 
 

@@ -37,6 +37,7 @@ def get_spark(app_name: str = "mvp_mini_etl_pipeline_spark",
         # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
         # has no native type for — read as long, convert in tables.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -45,6 +45,10 @@ def write_users_csv(users: DataFrame, path: str) -> None:
      .option("quoteAll", True)       # reference quotes every cell
      .option("escapeQuotes", True)   # '"' -> '""' (index.js:448)
      .option("escape", '"')
+     # the writer TRIMS cell whitespace by default; the reference's
+     # escapeCsv preserves values verbatim (index.js:446-450)
+     .option("ignoreLeadingWhiteSpace", False)
+     .option("ignoreTrailingWhiteSpace", False)
      .csv(path))
 
 

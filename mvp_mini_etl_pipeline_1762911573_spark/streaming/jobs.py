@@ -28,10 +28,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros conversion is applied on the stream."""
     path = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a DIRECTORY; point it at sf_dir and
+    # glob-filter down to the events file
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(path)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(

@@ -1,0 +1,73 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the optimizations we
+rely on at 100 TB must actually appear in the plans — pushdown, column
+pruning, broadcast joins, partial aggregation, no accidental cartesian
+products."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mvp_mini_etl_pipeline_1762911573_spark.plans.pipeline import (
+    flagship_metrics_row,
+)
+from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = (load(spark, sf_dir, "orders")
+          .where(F.col("o_orderstatus") == "F")
+          .select("o_orderkey", "o_totalprice"))
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    q = all_queries()["join_equi"](spark, sf_dir)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    q = all_queries()["agg_stats"](spark, sf_dir)
+    plan = _plan(q)
+    # map-side combine: a partial_ aggregate before the exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_flagship_no_cartesian_and_single_id_shuffle(spark, sf_dir):
+    plan = _plan(flagship_metrics_row(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    q = all_queries()["sort_limit1"](spark, sf_dir)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_scan_agg(spark, sf_dir):
+    q = all_queries()["agg_stats"](spark, sf_dir)
+    q.collect()  # AQE finalizes this plan only on ITS OWN execution
+    executed = q._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen spans; scan-side partial
+    # agg and final agg must both be inside one
+    assert "*(1) HashAggregate" in executed
+    assert "*(2) HashAggregate" in executed

@@ -1,0 +1,86 @@
+"""Property-based invariants (SURVEY.md §5.3) over small generated
+frames: dedup idempotence, union additivity, CSV quote-escape
+round-trip, timestamp parse-format round-trip."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# row strategy: ids with collisions (dedup interesting), strings with
+# quotes/commas/newlines-free (csv), occasional nulls
+_ids = st.integers(min_value=0, max_value=20)
+_text = st.text(
+    alphabet=st.characters(
+        codec="ascii", categories=("L", "N", "P", "Zs"),
+        exclude_characters="\r\n"),
+    max_size=12)
+_rows = st.lists(st.tuples(_ids, _text, st.one_of(st.none(), _text)),
+                 min_size=0, max_size=30)
+
+_SLOW = settings(max_examples=12, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(rows=_rows)
+@_SLOW
+def test_dedup_idempotent_and_bounded(spark, rows):
+    df = spark.createDataFrame(rows, "id int, a string, b string") \
+        if rows else spark.range(0).selectExpr(
+            "cast(id as int) id", "'x' a", "'y' b")
+    once = df.dropDuplicates(["id"])
+    twice = once.dropDuplicates(["id"])
+    n_once, n_twice = once.count(), twice.count()
+    assert n_once == n_twice
+    assert n_once <= df.count()
+    assert n_once == df.select("id").distinct().count()
+
+
+@given(rows=_rows, extra=_rows)
+@_SLOW
+def test_union_count_additive(spark, rows, extra):
+    schema = "id int, a string, b string"
+    d1 = spark.createDataFrame(rows, schema) if rows \
+        else spark.range(0).selectExpr("cast(id as int) id", "'' a", "'' b")
+    d2 = spark.createDataFrame(extra, schema) if extra \
+        else spark.range(0).selectExpr("cast(id as int) id", "'' a", "'' b")
+    assert d1.unionByName(d2).count() == d1.count() + d2.count()
+
+
+@given(vals=st.lists(
+    st.text(alphabet=st.characters(codec="ascii", min_codepoint=32,
+                                   max_codepoint=126),
+            max_size=15),
+    min_size=1, max_size=12))
+@_SLOW
+def test_csv_quote_roundtrip(spark, tmp_path_factory, vals):
+    """The reference's quoteAll + '""' escaping (pages/index.js:446-450)
+    must survive write->read for arbitrary printable values, including
+    embedded quotes and commas."""
+    path = str(tmp_path_factory.mktemp("csvprop") / "out")
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id int, v string")
+    (df.write.mode("overwrite").option("header", True)
+     .option("quoteAll", True).option("escape", '"')
+     .option("ignoreLeadingWhiteSpace", False)
+     .option("ignoreTrailingWhiteSpace", False).csv(path))
+    back = (spark.read.option("header", True).option("escape", '"')
+            .schema("id int, v string").csv(path))
+    got = {(r.id, r.v if r.v is not None else "") for r in back.collect()}
+    want = {(i, v) for i, v in enumerate(vals)}
+    assert got == want
+
+
+@given(secs=st.lists(st.integers(min_value=0, max_value=2_000_000_000),
+                     min_size=1, max_size=10))
+@_SLOW
+def test_timestamp_parse_format_roundtrip(spark, secs):
+    df = spark.createDataFrame([(s,) for s in secs], "s long")
+    iso = df.select(
+        "s",
+        F.date_format(F.timestamp_seconds("s"),
+                      "yyyy-MM-dd'T'HH:mm:ss").alias("iso"))
+    back = iso.select(
+        "s", F.unix_timestamp(F.to_timestamp("iso")).alias("s2"))
+    assert all(r.s == r.s2 for r in back.collect())

@@ -1,0 +1,80 @@
+"""Sink + storage-layout tests: JSON API payload (reference S6),
+partitioned parquet writes (the 100 TB layout), bucketed tables
+(shuffle-free co-located joins)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mvp_mini_etl_pipeline_1762911573_spark.sources.sinks import (
+    to_json_payload,
+)
+from mvp_mini_etl_pipeline_1762911573_spark.tables import load, users_clean
+
+
+def test_json_payload_shape(spark, sf_dir):
+    users = users_clean(spark, sf_dir)
+    payload = to_json_payload(
+        users, metrics={"rows_out": users.count()},
+        source_url="https://example.com/api", fallback_used=False,
+        fetched_at="2026-01-01T00:00:00Z", limit=10)
+    assert set(payload) == {"users", "metrics", "fallbackUsed",
+                            "sourceUrl", "fetchedAt"}
+    assert len(payload["users"]) == 10
+    assert payload["metrics"]["rows_out"] > 0
+    assert payload["fallbackUsed"] is False
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Write events partitioned by event_type; a type-filtered read
+    must prune to one partition directory (PartitionFilters, not a
+    full scan) — the layout that makes 100 TB date/type scans cheap."""
+    ev = load(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    exp = ev.where(F.col("event_type") == "click").count()
+    assert back.count() == exp
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucket both sides on the join key -> sort-merge join with NO
+    Exchange on either side (pre-shuffled storage, the classic
+    co-location win for repeated 100 TB joins)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    (orders.write.mode("overwrite")
+     .bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .saveAsTable("orders_b"))
+    (customer.write.mode("overwrite")
+     .bucketBy(8, "c_custkey").sortBy("c_custkey")
+     .saveAsTable("customer_b"))
+    try:
+        ob, cb = spark.table("orders_b"), spark.table("customer_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = ob.join(cb, ob.o_custkey == cb.c_custkey)
+            import contextlib
+            import io
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain()
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            assert j.count() == orders.join(
+                customer, orders.o_custkey == customer.c_custkey).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           str(32 * 1024 * 1024))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
