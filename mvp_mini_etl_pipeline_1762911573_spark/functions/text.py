@@ -144,8 +144,42 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 terms per document by tf·ln(N/df) — the classic
+    relevance weighting, fully relational (explode → two aggs → window
+    top-k), no ML-library dependency.  Ties broken lexicographically.
+
+    Scale: one shuffle on (doc_id, term) for tf, one on term for df
+    (broadcast back — the term dictionary is small relative to the
+    corpus), one window top-k on doc_id."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    n_docs = docs.count()  # tiny driver-side scalar, pinned for ln(N/df)
+    terms = docs.select(
+        "doc_id",
+        F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = (terms.select("doc_id", "term").distinct()
+           .groupBy("term").agg(F.count("*").alias("df")))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .select(
+            "doc_id", "term",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs))
+                                        / F.col("df")), 6)
+             .alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("doc_id", "term", "tfidf", "rnk"))
+
+
 QUERIES = {
     "token_count": _token_count,
+    "text_tfidf": _text_tfidf,
     "text_quality": _text_quality,
     "lang_id": _lang_id,
     "doc_fingerprint": _doc_fingerprint,
@@ -155,6 +189,27 @@ QUERIES = {
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 ORACLES = {
+    "text_tfidf": f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), terms AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM docs
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term
+                                    FROM terms) GROUP BY term
+), scored AS (
+  SELECT doc_id, tf.term AS term,
+         round(tf * ln((SELECT count(*) FROM docs)::DOUBLE / df), 6)
+           AS tfidf
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+           ORDER BY tfidf DESC, term ASC) AS rnk FROM scored)
+WHERE rnk <= 3
+""",
     "token_count": f"""
 SELECT doc_id,
        CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens,

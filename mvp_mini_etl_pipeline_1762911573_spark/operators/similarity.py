@@ -164,14 +164,45 @@ def _embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize embeddings (the standard pre-step that turns
+    cosine into dot product) — pure HOF arithmetic, narrow map.
+    Emits the norm and the first 4 normalized dims for the oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: x / norm)
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        *[F.round(F.element_at(unit, d + 1), 6).alias(f"u{d}")
+          for d in range(4)],
+    )
+
+
 QUERIES = {
     "array_cosine": _array_cosine,
+    "embedding_normalize": _embedding_normalize,
     "similarity_topk": _similarity_topk,
     "similarity_join": _similarity_lsh,
     "embedding_centroids": _embedding_centroids,
 }
 
 ORACLES = {
+    "embedding_normalize": """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])), 6) AS l2_norm,
+       round(embedding[1] / sqrt(list_dot_product(embedding::DOUBLE[],
+             embedding::DOUBLE[])), 6) AS u0,
+       round(embedding[2] / sqrt(list_dot_product(embedding::DOUBLE[],
+             embedding::DOUBLE[])), 6) AS u1,
+       round(embedding[3] / sqrt(list_dot_product(embedding::DOUBLE[],
+             embedding::DOUBLE[])), 6) AS u2,
+       round(embedding[4] / sqrt(list_dot_product(embedding::DOUBLE[],
+             embedding::DOUBLE[])), 6) AS u3
+FROM embeddings
+""",
     "array_cosine": """
 SELECT a.vec_id AS id_a,
        round(

@@ -87,14 +87,40 @@ def _agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): (status, priority),
+    (status), () — with grouping_id to disambiguate NULL-as-total from
+    NULL-as-value.  Single grouping-set expansion pass."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               grouping_id() AS gid,
+               count(*) AS order_cnt,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
+
+
 QUERIES = {
     "sql_q3": _sql_q3,
+    "agg_grouping_sets": _agg_grouping_sets,
     "pivot_events": _pivot_events,
     "agg_percentiles": _agg_percentiles,
     "agg_approx_percentiles": _agg_approx_percentiles,
 }
 
 ORACLES = {
+    "agg_grouping_sets": """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS order_cnt,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+""",
     "sql_q3": """
 SELECT o_orderkey,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

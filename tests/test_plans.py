@@ -63,6 +63,20 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_join_hints_respected(spark, sf_dir):
+    """SHUFFLE_HASH and MERGE hints must pick ShuffledHashJoin /
+    SortMergeJoin — the knobs for overriding Catalyst when cluster
+    stats are wrong at 100 TB."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    sh = orders.join(customer.hint("shuffle_hash"),
+                     orders.o_custkey == customer.c_custkey)
+    assert "ShuffledHashJoin" in _plan(sh)
+    sm = orders.join(customer.hint("merge"),
+                     orders.o_custkey == customer.c_custkey)
+    assert "SortMergeJoin" in _plan(sm)
+
+
 def test_whole_stage_codegen_covers_scan_agg(spark, sf_dir):
     q = all_queries()["agg_stats"](spark, sf_dir)
     q.collect()  # AQE finalizes this plan only on ITS OWN execution

@@ -1,0 +1,63 @@
+"""applyInPandasWithState: the custom stateful operator must converge
+to the batch answer once the stream drains, and corrupt-input handling
+must follow the PERMISSIVE/_corrupt_record contract (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mvp_mini_etl_pipeline_1762911573_spark.streaming import jobs
+from mvp_mini_etl_pipeline_1762911573_spark.streaming.stateful import (
+    running_totals_stream,
+)
+from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+
+def test_stateful_running_totals_converge(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 50 == 9)
+    stream_src = jobs.events_stream(spark, sf_dir).where(
+        F.col("user_id") % 50 == 9)
+    got = jobs.run_to_memory(
+        running_totals_stream(stream_src), "t_state", "update")
+    # update mode emits one row per user per batch — the LAST emission
+    # per user is the converged running total
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("events_seen").desc())
+    final = (got.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1))
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("events_seen"),
+        F.round(F.sum("value"), 2).alias("value_sum"))
+    a = sorted(tuple(r) for r in
+               final.select("user_id", "events_seen", "value_sum").collect())
+    b = sorted(tuple(r) for r in want.collect())
+    assert a == b
+
+
+def test_corrupt_json_permissive(spark, tmp_path):
+    """PERMISSIVE mode replaces the reference's optional-chaining
+    guards: bad records land in _corrupt_record and are countable,
+    good records parse (SURVEY.md §1.3)."""
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        'this is not json\n'
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": 3, broken\n'
+    )
+    df = (spark.read
+          .schema("id bigint, name string, _corrupt_record string")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(str(p)))
+    df = df.cache()  # corrupt-record counting requires materialization
+    try:
+        total = df.count()
+        bad = df.where(F.col("_corrupt_record").isNotNull()).count()
+        good = df.where(F.col("id").isNotNull()).count()
+        assert total == 4
+        assert bad == 2
+        assert good == 2
+    finally:
+        df.unpersist()

@@ -39,3 +39,25 @@ def test_dedup_stream_drops_dupes(spark, sf_dir):
     stream = jobs.dedup_stream(jobs.events_stream(spark, sf_dir))
     got = jobs.run_to_memory(stream, "t_dedup", "append")
     assert got.count() == ev.select("event_id").distinct().count()
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: the arbitrary-sink escape hatch — write each
+    micro-batch to parquet; drained output must equal the batch read."""
+    out = str(tmp_path / "fb_out")
+    stream = jobs.events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value")
+
+    def write_batch(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    q = (stream.writeStream.foreachBatch(write_batch)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+         .start())
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    ev = load(spark, sf_dir, "events")
+    assert back.count() == ev.count()
+    assert (back.agg(F.round(F.sum("value"), 2)).first()[0]
+            == ev.agg(F.round(F.sum("value"), 2)).first()[0])
