@@ -25,10 +25,13 @@ from mvp_mini_etl_pipeline_1762911573_spark.session import get_spark
 HEADLINE = [
     "metrics_row",          # flagship: scan→validate→dedup→join→agg
     "agg_stats",            # TPC-H Q1 shape scan-agg
+    "sql_q3",               # TPC-H Q3 shape via spark.sql
     "join_equi",            # 3-way join + group
+    "asof_join",            # union+window as-of join
     "window_rank",          # partitioned window
     "dedup_near",           # MinHash LSH near-dup
     "similarity_topk",      # brute-force cosine top-k
+    "similarity_join",      # multi-table LSH ANN join
     "text_stats",           # corpus stats
     "stream_tumbling",      # windowed event agg (batch flavor)
 ]

@@ -120,8 +120,23 @@ def _scalar_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT: parse_json once into the binary semi-structured
+    type, then typed variant_get extraction — the shredded-JSON path
+    that beats per-access string re-parsing at scale."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") % 10 == 0)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_typed"),
+        F.variant_get(v, "$.missing", "string").alias("absent"),
+        F.schema_of_variant(v).alias("var_schema"),
+    )
+
+
 QUERIES = {
     "scalar_string": _scalar_string,
+    "scalar_variant": _scalar_variant,
     "scalar_case": _scalar_case,
     "scalar_date": _scalar_date,
     "scalar_url": _scalar_url,
@@ -130,6 +145,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scalar_variant": """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+       CAST(NULL AS VARCHAR) AS absent,
+       'OBJECT<k: BIGINT>' AS var_schema
+FROM events WHERE event_id % 10 = 0
+""",
     "scalar_string": USERS_CTE + """
 SELECT custkey,
        lower(name_first) || '.' || lower(name_last) || '@example.com'

@@ -51,10 +51,21 @@ def _set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hi.intersect(lo)
 
 
+def _set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3b: INTERSECT ALL — multiset semantics (duplicate rows kept up
+    to the min multiplicity on each side); raw∩valid keeps the
+    duplicate-injected rows that survived validation."""
+    cols = ["custkey", "id", "country"]
+    raw = users_raw(spark, sf_dir).select(*cols)
+    valid = users_valid(spark, sf_dir).select(*cols)
+    return raw.intersectAll(valid)
+
+
 QUERIES = {
     "set_union": _set_union,
     "set_except": _set_except,
     "set_intersect": _set_intersect,
+    "set_intersect_all": _set_intersect_all,
 }
 
 ORACLES = {
@@ -78,5 +89,10 @@ SELECT custkey, id, email, country FROM users_valid
 SELECT country FROM users_clean WHERE acctbal > 5000
 INTERSECT
 SELECT country FROM users_clean WHERE acctbal < 0
+""",
+    "set_intersect_all": USERS_CTE + """
+SELECT custkey, id, country FROM users_raw
+INTERSECT ALL
+SELECT custkey, id, country FROM users_valid
 """,
 }

@@ -103,15 +103,45 @@ def _agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-status aggregate row → long
+    (status, metric, value) — the inverse of pivot, zero-shuffle
+    expand."""
+    orders = load(spark, sf_dir, "orders")
+    wide = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return wide.unpivot(
+        ["status"], ["revenue", "avg_price", "max_price"],
+        "metric", "value")
+
+
 QUERIES = {
     "sql_q3": _sql_q3,
     "agg_grouping_sets": _agg_grouping_sets,
+    "unpivot_metrics": _unpivot_metrics,
     "pivot_events": _pivot_events,
     "agg_percentiles": _agg_percentiles,
     "agg_approx_percentiles": _agg_approx_percentiles,
 }
 
 ORACLES = {
+    "unpivot_metrics": """
+WITH wide AS (
+  SELECT o_orderstatus AS status,
+         round(sum(o_totalprice), 2) AS revenue,
+         round(avg(o_totalprice), 2) AS avg_price,
+         round(max(o_totalprice), 2) AS max_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT status, 'revenue' AS metric, revenue AS value FROM wide
+UNION ALL
+SELECT status, 'avg_price', avg_price FROM wide
+UNION ALL
+SELECT status, 'max_price', max_price FROM wide
+""",
     "agg_grouping_sets": """
 SELECT o_orderstatus AS status, o_orderpriority AS priority,
        CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,

@@ -44,6 +44,12 @@ CURRENT_YEAR = 2026
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # defensively set here, not only in session.py: the round driver
+    # may hand us a SparkSession it built itself; without nanosAsLong
+    # the NANOS-timestamped events parquet fails to read at all, and a
+    # non-UTC session tz would shift every date_format vs the oracle
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # the driver writes `events.ts` as parquet TIMESTAMP(NANOS), which
     # Spark reads (under spark.sql.legacy.parquet.nanosAsLong) as a
