@@ -136,13 +136,78 @@ def _multimodal_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = ("media_id bigint, frame_idx int, frame_ms int, "
+                "frame_sig string")
+
+
+def sample_frames(media: DataFrame, fps: float = 1.0) -> DataFrame:
+    """Frame-sampling over video payloads via mapInPandas: one output
+    row per sampled frame (1 fps), each with a deterministic signature
+    derived from the payload hex + frame index.  The real decoder
+    (e.g. PyAV keyframe iteration) slots into the same loop; the
+    Spark-side contract — binary in, exploded typed frame rows out —
+    is exactly this."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "frame_ms": [],
+                   "frame_sig": []}
+            for mid, kind, payload, dur in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"],
+                    pdf["duration_ms"]):
+                if kind != "video" or pd.isna(dur):
+                    continue
+                hexs = bytes(payload).hex()
+                n_frames = max(int(math.ceil(dur / 1000.0 * fps)), 1)
+                for f in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["frame_ms"].append(int(f * 1000 / fps))
+                    out["frame_sig"].append(hashlib.sha256(
+                        f"{hexs}:{f}".encode()).hexdigest()[:16])
+            yield pd.DataFrame({
+                "media_id": pd.Series(out["media_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "frame_ms": pd.Series(out["frame_ms"], dtype="int32"),
+                "frame_sig": pd.Series(out["frame_sig"], dtype="object"),
+            })
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 frame-sample query: the mapInPandas decode loop is Python,
+    but every emitted value is a pure function of the deterministic
+    payload, so DuckDB can replay it string-side — a FULL oracle for a
+    binary-column pipeline."""
+    media = synthetic_media(spark, 200)
+    return sample_frames(media)
+
+
 QUERIES = {
     "multimodal_pipeline": _multimodal_pipeline,
     "multimodal_schema": _multimodal_schema,
+    "multimodal_frames": _multimodal_frames,
 }
 
 ORACLES = {
     # multimodal_pipeline: rows-only (mapInPandas stub decode)
+    "multimodal_frames": """
+WITH vids AS (
+  SELECT i, unnest(range(0, (i % 30) + 1)) AS f
+  FROM generate_series(0, 199) AS t(i)
+  WHERE i % 3 = 2
+)
+SELECT i AS media_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * 1000 AS INTEGER) AS frame_ms,
+       substr(sha256(repeat(sha256('media-' || i), 4)
+                     || ':' || f), 1, 16) AS frame_sig
+FROM vids
+""",
     "multimodal_schema": """
 SELECT i AS media_id,
        CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -118,16 +118,88 @@ def _unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric", "value")
 
 
+def _sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): a calendar spine — the canonical
+    gap-filling pattern — left-joined to daily order counts so days
+    with no orders appear as zeros."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_rc")
+    return spark.sql("""
+        WITH RECURSIVE days(d) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT d + INTERVAL 1 DAY FROM days
+          WHERE d < DATE '1995-01-31'
+        )
+        SELECT date_format(d, 'yyyy-MM-dd') AS day,
+               count(o_orderkey) AS order_cnt,
+               round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+        FROM days
+        LEFT JOIN v_orders_rc ON CAST(o_orderdate AS DATE) = d
+        GROUP BY d
+    """)
+
+
+def _agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/sort_array + array function battery, reduced to
+    deterministic scalars (size / first / last / contains / join) so
+    the cross-engine hash is stable regardless of array stringification."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lines"),
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.element_at("lines", -1).alias("last_line"),
+        F.array_contains("lines", 1).alias("has_line1"),
+        F.array_join("lines", ",").alias("lines_csv"),
+        F.array_join("flags", "|").alias("flags_bar"),
+    )
+
+
 QUERIES = {
     "sql_q3": _sql_q3,
     "agg_grouping_sets": _agg_grouping_sets,
     "unpivot_metrics": _unpivot_metrics,
+    "sql_recursive_cte": _sql_recursive_cte,
+    "agg_collect": _agg_collect,
     "pivot_events": _pivot_events,
     "agg_percentiles": _agg_percentiles,
     "agg_approx_percentiles": _agg_approx_percentiles,
 }
 
 ORACLES = {
+    "sql_recursive_cte": """
+WITH RECURSIVE days(d) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM days WHERE d < DATE '1995-01-31'
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(count(o_orderkey) AS BIGINT) AS order_cnt,
+       round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+FROM days
+LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+GROUP BY d
+""",
+    "agg_collect": """
+SELECT l_orderkey,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       lines[1] AS first_line,
+       lines[-1] AS last_line,
+       list_contains(lines, 1) AS has_line1,
+       array_to_string(lines, ',') AS lines_csv,
+       array_to_string(flags, '|') AS flags_bar
+FROM (
+  SELECT l_orderkey,
+         list_sort(list(l_linenumber)) AS lines,
+         list_sort(list(DISTINCT l_returnflag)) AS flags
+  FROM lineitem WHERE l_orderkey % 100 = 0
+  GROUP BY l_orderkey
+)
+""",
     "unpivot_metrics": """
 WITH wide AS (
   SELECT o_orderstatus AS status,

@@ -34,6 +34,19 @@ def test_metrics_invariants(spark, sf_dir):
         ["extract", "transform", "load"]
 
 
+def test_run_pipeline_csv_sink(spark, sf_dir, tmp_path):
+    """E3 end-to-end: the Load stage writes the reference-format CSV;
+    read-back row count equals rows_out."""
+    out = str(tmp_path / "users_out")
+    res = run_pipeline(spark, sf_dir, csv_out=out)
+    back = (spark.read.option("header", True)
+            .option("escape", '"').csv(out))
+    assert back.count() == res["metrics"]["rows_out"]
+    assert sorted(back.columns) == sorted(
+        ["id", "name_first", "name_last", "email", "phone",
+         "country", "city", "registered_date"])
+
+
 def test_dedup_idempotent(spark, sf_dir):
     clean = users_clean(spark, sf_dir)
     again = clean.dropDuplicates(["id"])
