@@ -159,12 +159,30 @@ def _agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling (sampleBy): downsample the dominant
+    event types, keep all rare ones — the corpus-balancing primitive
+    for training-data pipelines.  Rows-only check (Bernoulli draws are
+    engine-specific even when seeded); the test asserts per-stratum
+    rates rather than exact rows."""
+    ev = load(spark, sf_dir, "events")
+    sampled = ev.sampleBy(
+        "event_type",
+        {"view": 0.1, "click": 0.1, "error": 0.5,
+         "purchase": 1.0, "signup": 1.0},
+        seed=42)
+    return (sampled.groupBy("event_type")
+            .agg(F.count("*").alias("sampled_cnt"))
+            .orderBy("event_type"))
+
+
 QUERIES = {
     "sql_q3": _sql_q3,
     "agg_grouping_sets": _agg_grouping_sets,
     "unpivot_metrics": _unpivot_metrics,
     "sql_recursive_cte": _sql_recursive_cte,
     "agg_collect": _agg_collect,
+    "sample_stratified": _sample_stratified,
     "pivot_events": _pivot_events,
     "agg_percentiles": _agg_percentiles,
     "agg_approx_percentiles": _agg_approx_percentiles,

@@ -63,6 +63,22 @@ def test_topk_plans_as_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_asof_join_single_key_shuffle(spark, sf_dir):
+    """The as-of join must be union + ONE window over the key — no
+    range join, no cartesian/BNLJ blowup."""
+    plan = _plan(all_queries()["asof_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
+    assert "Union" in plan
+
+
+def test_sql_q3_joins_not_cartesian(spark, sf_dir):
+    plan = _plan(all_queries()["sql_q3"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan  # segment/priority reach the scans
+
+
 def test_join_hints_respected(spark, sf_dir):
     """SHUFFLE_HASH and MERGE hints must pick ShuffledHashJoin /
     SortMergeJoin — the knobs for overriding Catalyst when cluster
