@@ -9,6 +9,14 @@ rows to its state partition — the shuffle is on user_id, state reads
 are local.  GroupStateTimeout would bound state lifetime for keyed
 TTL; the running-total demo keeps state forever (bounded by key
 cardinality, not stream length).
+
+Spark 4's successor API, transformWithStateInPandas (typed value/list/
+map state, timers, TTL), is the upgrade path for richer state — it
+requires the python protobuf package for its driver-side runner, which
+this container lacks (ImportError: google.protobuf.descriptor), so the
+engine ships the applyInPandasWithState flavor which has no such
+dependency.  The operator shape (groupBy key → per-key generator →
+typed output rows) is identical; migration is mechanical.
 """
 
 from __future__ import annotations

@@ -85,6 +85,24 @@ def test_csv_roundtrip(spark, sf_dir, tmp_path):
     assert a == b
 
 
+def test_flagship_on_empty_input(spark, sf_dir, tmp_path):
+    """Reference parity: a run over no data yields one zeroed metrics
+    row, not a crash (pages/index.js:293-311 catch-all)."""
+    import pyspark.sql.functions as F  # noqa: F811
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+    for t in ["customer", "nation", "region", "orders"]:
+        load(spark, sf_dir, t).limit(0).write.mode("overwrite") \
+            .parquet(f"{tmp_path}/{t}.parquet")
+    from mvp_mini_etl_pipeline_1762911573_spark.plans.pipeline import (
+        flagship_metrics_row,
+    )
+    row = flagship_metrics_row(spark, str(tmp_path)).first().asDict()
+    assert row["rows_in"] in (0, None)
+    assert row["rows_out"] == 0
+    assert row["countries"] == 0
+    assert row["last_user"] is None
+
+
 def test_fallback_on_bad_source(spark):
     """Failure path (randomuser.js:59-62): a failing extract yields the
     50-row synthetic frame."""
