@@ -37,6 +37,16 @@ def flatten_for_csv(users: DataFrame) -> DataFrame:
     )
 
 
+def timestamped_path(base_dir: str, now=None) -> str:
+    """Reference filename convention (pages/index.js:127):
+    `users_export_<ISO-instant with ':'/'.' -> '-'>`.  Pass `now` for
+    determinism; defaults to wall-clock like the reference."""
+    from datetime import datetime, timezone
+    ts = (now or datetime.now(timezone.utc)).isoformat()
+    safe = ts.replace(":", "-").replace(".", "-").replace("+00-00", "Z")
+    return f"{base_dir}/users_export_{safe}"
+
+
 def write_users_csv(users: DataFrame, path: str) -> None:
     flat = users if set(CSV_COLUMNS) == set(users.columns) \
         else flatten_for_csv(users)
