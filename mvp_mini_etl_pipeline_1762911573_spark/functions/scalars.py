@@ -134,9 +134,45 @@ def _scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type battery: map_from_arrays / map_concat /
+    transform_values / map_filter / map_keys, reduced to deterministic
+    scalar outputs (the oracle recomputes the VALUES as plain
+    expressions — the map plumbing is the Spark-side subject under
+    test)."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0)
+    base = ev.select(
+        "event_id",
+        F.map_from_arrays(
+            F.array(F.lit("type"), F.lit("uid")),
+            F.array(F.col("event_type"),
+                    F.col("user_id").cast("string"))).alias("m"),
+    )
+    enriched = base.select(
+        "event_id",
+        F.map_concat(
+            "m", F.create_map(F.lit("src"), F.lit("events"))).alias("m2"),
+    )
+    upper = enriched.select(
+        "event_id",
+        F.transform_values("m2", lambda k, v: F.upper(v)).alias("m3"),
+        "m2",
+    )
+    return upper.select(
+        "event_id",
+        F.element_at("m2", "type").alias("type_val"),
+        F.element_at("m3", "type").alias("type_upper"),
+        F.size("m2").alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys("m2")), ",").alias("keys_csv"),
+        F.size(F.map_filter(
+            "m2", lambda k, v: k == F.lit("uid"))).alias("n_uid_entries"),
+    )
+
+
 QUERIES = {
     "scalar_string": _scalar_string,
     "scalar_variant": _scalar_variant,
+    "scalar_map_ops": _scalar_map_ops,
     "scalar_case": _scalar_case,
     "scalar_date": _scalar_date,
     "scalar_url": _scalar_url,
@@ -145,6 +181,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scalar_map_ops": """
+SELECT event_id,
+       event_type AS type_val,
+       upper(event_type) AS type_upper,
+       3 AS n_entries,
+       'src,type,uid' AS keys_csv,
+       1 AS n_uid_entries
+FROM events WHERE event_id % 20 = 0
+""",
     "scalar_variant": """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
