@@ -72,11 +72,13 @@ ORACLES = {
     "set_union": USERS_CTE + """
 SELECT id, name_first, name_last, country, 'live' AS src FROM users_clean
 UNION ALL
-SELECT substr(md5('mock-' || CAST(i AS VARCHAR)), 1, 9) AS id,
-       'User' || CAST(i AS VARCHAR) AS name_first,
-       'Mock' || CAST(i % 7 AS VARCHAR) AS name_last,
+SELECT 'mock-id-' || CAST(i AS VARCHAR) || '-'
+         || substr(md5('mock-' || CAST(i AS VARCHAR)), 1, 9) AS id,
+       (CASE WHEN i % 2 = 0 THEN 'John' ELSE 'Jane' END)
+         || CAST(i AS VARCHAR) AS name_first,
+       'Doe' || CAST(i AS VARCHAR) AS name_last,
        CASE i % 3 WHEN 0 THEN 'USA' WHEN 1 THEN 'Canada'
-                  ELSE 'Germany' END AS country,
+                  ELSE 'Mexico' END AS country,
        'fallback' AS src
 FROM generate_series(0, 49) AS t(i)
 """,

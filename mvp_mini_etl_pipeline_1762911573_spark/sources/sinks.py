@@ -39,12 +39,13 @@ def flatten_for_csv(users: DataFrame) -> DataFrame:
 
 def timestamped_path(base_dir: str, now=None) -> str:
     """Reference filename convention (pages/index.js:127):
-    `users_export_<ISO-instant with ':'/'.' -> '-'>`.  Pass `now` for
-    determinism; defaults to wall-clock like the reference."""
+    `mini-etl-users-${Date.now()}.csv` — epoch milliseconds.  Pass a
+    datetime `now` for determinism; defaults to wall-clock like the
+    reference.  (Spark writes a DIRECTORY of part files, so the `.csv`
+    suffix names the output dir; at 100 TB you never single-file.)"""
     from datetime import datetime, timezone
-    ts = (now or datetime.now(timezone.utc)).isoformat()
-    safe = ts.replace(":", "-").replace(".", "-").replace("+00-00", "Z")
-    return f"{base_dir}/users_export_{safe}"
+    epoch_ms = int((now or datetime.now(timezone.utc)).timestamp() * 1000)
+    return f"{base_dir}/mini-etl-users-{epoch_ms}.csv"
 
 
 def write_users_csv(users: DataFrame, path: str) -> None:
