@@ -151,21 +151,23 @@ def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on (doc_id, term) for tf, one on term for df
     (broadcast back — the term dictionary is small relative to the
-    corpus), one window top-k on doc_id."""
+    corpus), one window top-k on doc_id.  N for ln(N/df) is a 1-row agg
+    broadcast-cross-joined into the same DAG — no separate driver-side
+    count() action re-scanning the corpus."""
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    n_docs = docs.count()  # tiny driver-side scalar, pinned for ln(N/df)
+    n_docs_df = docs.agg(F.count("*").cast("double").alias("n_docs"))
     terms = docs.select(
         "doc_id",
         F.explode(_tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = (terms.select("doc_id", "term").distinct()
-           .groupBy("term").agg(F.count("*").alias("df")))
+           .groupBy("term").agg(F.count("*").alias("df"))
+           .crossJoin(F.broadcast(n_docs_df)))
     scored = (
         tf.join(F.broadcast(df_), "term")
         .select(
             "doc_id", "term",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs))
-                                        / F.col("df")), 6)
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
              .alias("tfidf"),
         )
     )

@@ -137,10 +137,15 @@ def _dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check (hash-permutation specifics are engine-local)."""
     docs = load(spark, sf_dir, "documents")
     # the signature frame feeds candidate generation AND both sides of
-    # the rescoring join — persist so minhashing runs once, not 3x (at
-    # 100 TB you'd materialize signatures to storage for the same
-    # reason: they're the reusable index, the corpus scan is the cost)
-    sigs = minhash_signatures(docs).persist()
+    # the rescoring join — materialize so minhashing runs once, not 3x
+    # (at 100 TB you'd write signatures to storage for the same reason:
+    # they're the reusable index, the corpus scan is the cost).
+    # localCheckpoint over persist(): cached plans pinned by persist()
+    # live in the CacheManager until the session dies (they leaked
+    # across driver sweeps / bench / pytest in round 1); checkpoint
+    # blocks are reference-tracked and freed when this DataFrame is
+    # garbage-collected.
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
 
     bands = sigs.select(
         "doc_id",
@@ -184,6 +189,12 @@ def _dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b")
     )
 
+
+# Hot-gram pruning thresholds for _dedup_ngram_jaccard: drop grams with
+# df > max(FLOOR, FRAC * n_docs).  FRAC=1% is the scale-invariant rule;
+# the floor keeps tiny corpora from over-pruning.
+NGRAM_DF_FLOOR = 5
+NGRAM_DF_FRAC = 0.01
 
 SIMHASH_BITS = 48  # 4 chunks × 12 bits; 48 keeps every shift/literal
 #                    well inside signed-64 under ANSI mode
@@ -264,7 +275,20 @@ def _dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for doc pairs sharing ≥1
     gram (inverted-index candidate generation — equi-join on gram, no
-    cross product).  Fully SQL-expressible → DuckDB oracle."""
+    cross product).  Fully SQL-expressible → DuckDB oracle.
+
+    Hot-gram pruning: a gram shared by k docs yields k² candidate rows
+    in the inverted-index self-join — stopword-like grams are a skew
+    bomb on a real corpus.  Grams with document frequency above
+    max(NGRAM_DF_FLOOR, NGRAM_DF_FRAC·n_docs) are dropped from the gram
+    universe (both intersection AND per-doc sizes, so Jaccard stays a
+    true Jaccard over the filtered universe).  Bound: a near-dup pair at
+    Jaccard ≥ 0.2 shares ≥ 0.2·max(|A|,|B|) grams; corpus-frequent
+    grams are by definition shared with ≥1% of ALL docs too, so they
+    carry no pair-specific signal — planted ~0.98-Jaccard dup pairs
+    lose at most the same few grams from numerator and denominator and
+    stay ≳0.97.  The hot list is tiny (heavy-hitter tail) → broadcast
+    anti-join, no extra shuffle of the gram index."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
@@ -288,6 +312,20 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
+    # prune corpus-frequent (stopword-like) grams before the self-join:
+    # df per gram, hot list = df > max(floor, frac*n_docs); n_docs is
+    # folded into the same DAG via a broadcast 1-row agg (no separate
+    # driver-side count action)
+    n_docs_df = docs.agg(F.count("*").alias("n_docs"))
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    hot = (
+        gram_df.crossJoin(F.broadcast(n_docs_df))
+        .where(F.col("df") > F.greatest(
+            F.lit(NGRAM_DF_FLOOR),
+            F.col("n_docs") * F.lit(NGRAM_DF_FRAC)))
+        .select("gram")
+    )
+    grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     gram_counts = grams.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"))
     inter = (
@@ -354,11 +392,17 @@ WITH toks AS (
            range(1, greatest(len(ws) - 1, 1)),
            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
   FROM toks
+), hot AS (
+  SELECT gram FROM (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
+  WHERE df > greatest(5, 0.01 * (SELECT count(*) FROM documents))
+), gramsf AS (
+  SELECT g.doc_id, g.gram FROM grams g
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.gram = g.gram)
 ), gram_counts AS (
-  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+  SELECT doc_id, count(*) AS n_grams FROM gramsf GROUP BY doc_id
 ), inter AS (
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
-  FROM grams l JOIN grams r
+  FROM gramsf l JOIN gramsf r
     ON l.gram = r.gram AND l.doc_id < r.doc_id
   GROUP BY l.doc_id, r.doc_id
 )

@@ -100,12 +100,16 @@ def lsh_buckets_udf(tables: int = LSH_TABLES, planes: int = LSH_PLANES,
     alternative) constant-folds poorly at 24×64 literals and blows up
     codegen — this is the case where the Arrow boundary wins."""
     from pyspark.sql.functions import pandas_udf
+    import numpy as np
+
+    # hoisted out of the UDF body: the hyperplane matrix is a seeded
+    # constant — generate once, capture in the closure (shipped to each
+    # executor with the serialized UDF), not per Arrow batch
+    h = np.random.default_rng(seed).standard_normal((dim, tables * planes))
 
     @pandas_udf("array<int>")
     def buckets(v: pd.Series) -> pd.Series:
         import numpy as np
-        rng = np.random.default_rng(seed)
-        h = rng.standard_normal((dim, tables * planes))
         m = np.stack(v.map(lambda a: np.asarray(a, dtype="float64")))
         bits = (m @ h) > 0                       # (batch, L*r)
         weights = (1 << np.arange(planes))
