@@ -12,6 +12,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .oracles import USERS_CTE
 from .plans.pipeline import METRICS_ROW_ORACLE, flagship_metrics_row
+from .sources.static_json import (FALLBACK_LOG_ORACLE,
+                                  FALLBACK_METRICS_ORACLE, fallback_log,
+                                  fallback_metrics)
 from .sources.synthetic import SYNTHETIC_USERS_ORACLE, synthetic_users
 from .sources.sinks import flatten_for_csv
 from .tables import users_raw, users_valid
@@ -40,11 +43,44 @@ def _validity_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _etl_fallback_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: the pinned fallback-metrics entity (etl.json:3-10 via
+    restart.js:12) loaded through the static-JSON engine source."""
+    return fallback_metrics(spark)
+
+
+def _etl_fallback_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4b: the staged run log (etl.json:11-15) parsed to typed cols."""
+    return fallback_log(spark)
+
+
+def _raw_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: the raw-payload modal — first 10 users rendered as JSON
+    (pages/index.js:262 `users.slice(0, 10)`).  Deterministic order by
+    custkey; the JSON rendering is a narrow projection so the limit
+    prunes everything else (TakeOrderedAndProject, no full sort)."""
+    users = users_valid(spark, sf_dir)
+    return (
+        users.orderBy("custkey").limit(10)
+        .select(
+            "custkey",
+            F.to_json(
+                F.struct("id", "name_first", "name_last", "email",
+                         "country", "city"),
+                {"ignoreNullFields": "false"},
+            ).alias("raw_json"),
+        )
+    )
+
+
 QUERIES = {
     "metrics_row": flagship_metrics_row,
     "synthetic_source": _synthetic_source,
     "csv_flatten": _csv_flatten,
     "validity_filter_counts": _validity_filter_counts,
+    "etl_fallback_metrics": _etl_fallback_metrics,
+    "etl_fallback_log": _etl_fallback_log,
+    "raw_modal": _raw_modal,
 }
 
 ORACLES = {
@@ -73,5 +109,16 @@ SELECT
               AND try_cast(registered_raw AS TIMESTAMP) IS NOT NULL)
         THEN 1 END) AS rows_invalid
 FROM users_raw
+""",
+    "etl_fallback_metrics": FALLBACK_METRICS_ORACLE,
+    "etl_fallback_log": FALLBACK_LOG_ORACLE,
+    "raw_modal": USERS_CTE + """
+SELECT custkey,
+       to_json(struct_pack(
+         id := id, name_first := name_first, name_last := name_last,
+         email := email, country := country, city := city)) AS raw_json
+FROM users_valid
+ORDER BY custkey
+LIMIT 10
 """,
 }

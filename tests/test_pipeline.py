@@ -112,3 +112,66 @@ def test_fallback_on_bad_source(spark):
     df, prov = load_users_http(spark, "http://127.0.0.1:1/nope", timeout=1)
     assert prov["fallbackUsed"]
     assert df.count() == 50
+
+
+def test_fallback_schema_matches_live_transform(spark):
+    """ADVICE r1: the fallback branch must produce EXACTLY the live
+    transform's schema (randomuser.js fallbackUsers feeds the same
+    mapping) — no extra idx/gender, thumbnail present."""
+    from mvp_mini_etl_pipeline_1762911573_spark.sources.http_json import (
+        RAW_USER_SCHEMA, transform_raw_users,
+    )
+    live_cols = transform_raw_users(
+        spark.createDataFrame([], schema=RAW_USER_SCHEMA)).columns
+    assert synthetic_users(spark, 5).columns == live_cols
+
+
+def test_run_pipeline_empty_source_uses_fallback_metrics(spark, sf_dir):
+    """restart.js:11-12: zero extracted users -> the pinned etl.json
+    fallback metrics, not a crash."""
+    empty = lambda s, d: users_raw(s, d).where(F.lit(False))  # noqa: E731
+    out = run_pipeline(spark, sf_dir, source=empty)
+    assert out["fallback_metrics_used"]
+    m = out["metrics"]
+    assert (m["rows_in"], m["rows_out"], m["dedup_removed"]) == \
+        (1240, 1210, 30)
+    assert m["last_user"] == "N/A"
+    assert out["log"][-1]["stage"] == "fallback"
+
+
+def test_run_pipeline_error_returns_zeroed_metrics(spark, sf_dir):
+    """pages/index.js:293-311: any pipeline error -> zeroed metrics row,
+    never a propagated exception."""
+    def boom(s, d):
+        raise RuntimeError("extract exploded")
+    out = run_pipeline(spark, sf_dir, source=boom)
+    assert out["fallback_metrics_used"]
+    assert out["error"] == "extract exploded"
+    m = out["metrics"]
+    assert m["rows_in"] == 0 and m["rows_out"] == 0
+    assert m["last_user"] == "N/A"
+    assert out["log"][-1]["stage"] == "error"
+
+
+def test_static_json_source_roundtrip(spark, tmp_path):
+    """S4: the static-JSON loader reads any file with the etl.json
+    shape — explicit schema, multiLine."""
+    import json
+    from mvp_mini_etl_pipeline_1762911573_spark.sources.static_json import (
+        fallback_log, fallback_metrics,
+    )
+    doc = {"pipeline": ["extract"],
+           "metrics": {"rows_in": 7, "rows_out": 6, "dedup_removed": 1,
+                       "countries": 2, "duration_sec": 3,
+                       "lastUser": "Zed"},
+           "logs": ["2025-01-01T00:00:00Z | Extract | seven rows"]}
+    p = str(tmp_path / "etl.json")
+    with open(p, "w") as f:
+        json.dump(doc, f, indent=2)
+    m = fallback_metrics(spark, p).first().asDict()
+    assert m == {"rows_in": 7, "rows_out": 6, "dedup_removed": 1,
+                 "countries": 2, "duration_sec": 3, "last_user": "Zed"}
+    log = fallback_log(spark, p).collect()
+    assert len(log) == 1
+    assert (log[0]["seq"], log[0]["stage"]) == (0, "Extract")
+    assert log[0]["message"] == "seven rows"
