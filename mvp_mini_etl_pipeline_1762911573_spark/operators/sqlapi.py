@@ -44,6 +44,85 @@ def _sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue by nation inside
+    one region/year, customer and supplier constrained to the SAME
+    nation.  The join-order stressor: Catalyst + AQE must broadcast the
+    tiny dims (nation/region) and keep the one big fact-fact join
+    (orders⋈lineitem) as the single large shuffle."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS revenue
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_supplier ON l_suppkey = s_suppkey
+                       AND c_nationkey = s_nationkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC
+    """)
+
+
+def _sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bidirectional trade volume
+    between two geographies by ship year.  Two self-referencing nation
+    dims (n1 supplier-side, n2 customer-side) — both broadcast; the
+    ship-date filter pushes to the lineitem scan."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS revenue
+        FROM v_supplier
+        JOIN v_lineitem ON s_suppkey = l_suppkey
+        JOIN v_orders ON o_orderkey = l_orderkey
+        JOIN v_customer ON c_custkey = o_custkey
+        JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN v_region r1 ON n1.n_regionkey = r1.r_regionkey
+        JOIN v_region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'
+          AND l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year
+    """)
+
+
+def _sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds a threshold, top-100 by price.  The HAVING
+    over a fact-fact join + TakeOrderedAndProject limit — at 100 TB the
+    per-order agg is the only full shuffle and the top-k never
+    materializes a global sort."""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT c_name, c_custkey, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS odate,
+               o_totalprice, sum(l_quantity) AS total_qty
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        HAVING sum(l_quantity) > 250
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """)
+
+
 def _pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event counts, one column per event type.  The
     explicit value list keeps it a one-pass conditional agg (omitting
@@ -178,6 +257,9 @@ def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sql_q3": _sql_q3,
+    "sql_q5": _sql_q5,
+    "sql_q7": _sql_q7,
+    "sql_q18": _sql_q18,
     "agg_grouping_sets": _agg_grouping_sets,
     "unpivot_metrics": _unpivot_metrics,
     "sql_recursive_cte": _sql_recursive_cte,
@@ -254,6 +336,51 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
+""",
+    "sql_q5": """
+SELECT n_name AS nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+""",
+    "sql_q7": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+WHERE r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'
+  AND l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    "sql_q18": """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS odate,
+       o_totalprice, sum(l_quantity) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 250
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
 """,
     "pivot_events": """
 SELECT user_id,
