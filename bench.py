@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
 from mvp_mini_etl_pipeline_1762911573_spark.session import get_spark
+from mvp_mini_etl_pipeline_1762911573_spark.tables import warm_users_cache
 
 HEADLINE = [
     "metrics_row",          # flagship: scan→validate→dedup→join→agg
@@ -47,6 +48,17 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+
+    # materialize the canonical users entity ONCE for the whole run —
+    # 5 of the headline queries re-derive it otherwise.  Timed as its
+    # own line item: the total stays honest (derivation paid once, not
+    # hidden), which is exactly the 100-TB shape (entity materialized
+    # per pipeline run, queries read the materialization).
+    t0 = time.monotonic()
+    warm_users_cache(spark, sf_dir)
+    timings["users_materialize"] = round(time.monotonic() - t0, 3)
+    print(f"# users_materialize: {timings['users_materialize']}s",
+          file=sys.stderr)
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.monotonic()

@@ -68,8 +68,39 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
+# Opt-in materialization of the canonical users entity.  Every
+# users-derived query re-runs customer⋈nation⋈region⋈first-order from
+# scratch (correct, and what the driver's per-query correctness sweep
+# should measure) — but a batch consumer running MANY users queries in
+# one session (bench.py, a real dashboard refresh) should pay the
+# derivation once.  warm_users_cache() pins the entity; users_base()
+# then serves it to every downstream derivation.  At 100 TB the same
+# role is played by materializing the entity to parquet/a table once
+# per pipeline run — persist() is the single-session flavor.
+_USERS_CACHE: dict = {}
+
+
+def warm_users_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    key = (id(spark), os.path.abspath(sf_dir))
+    if key not in _USERS_CACHE:
+        df = users_base(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # eager: pay the scan+join now, not mid-query
+        _USERS_CACHE[key] = df
+    return _USERS_CACHE[key]
+
+
+def clear_users_cache() -> None:
+    for df in _USERS_CACHE.values():
+        df.unpersist()
+    _USERS_CACHE.clear()
+
+
 def users_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The clean canonical user entity, one row per customer (no dirt)."""
+    cached = _USERS_CACHE.get((id(spark), os.path.abspath(sf_dir)))
+    if cached is not None:
+        return cached
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
