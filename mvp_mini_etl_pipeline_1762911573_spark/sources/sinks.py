@@ -63,6 +63,32 @@ def write_users_csv(users: DataFrame, path: str) -> None:
      .csv(path))
 
 
+def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
+                      dynamic: bool = True) -> None:
+    """Partitioned parquet sink with dynamic-partition-overwrite — the
+    one write pattern a 100 TB pipeline lives on: an incremental run
+    overwrites ONLY the partitions it produced (e.g. today's dates),
+    leaving the rest of the table untouched; readers prune scans by
+    partition column (PartitionFilters in the read plan, verified in
+    tests/test_sinks.py).
+
+    STATIC mode (dynamic=False) is the whole-table replace.  The
+    reference has no incremental sink (its export rewrites one CSV blob
+    per click, pages/index.js:107-133); this is the scale-path upgrade
+    of that sink."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                   "dynamic" if dynamic else "static")
+    try:
+        (df.write.mode("overwrite")
+         .partitionBy(*partition_by)
+         .parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def to_json_payload(users: DataFrame, metrics: dict,
                     source_url: str, fallback_used: bool,
                     fetched_at: str, limit: int = 500) -> dict:

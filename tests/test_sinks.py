@@ -78,3 +78,55 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_dynamic_partition_overwrite_and_pruning(spark, sf_dir, tmp_path):
+    """The 100-TB incremental-write pattern: a partitioned table where
+    a rerun overwrites ONLY the partitions it produces, and readers
+    prune the scan by partition column."""
+    import contextlib
+    import io
+
+    from mvp_mini_etl_pipeline_1762911573_spark.sources.sinks import (
+        write_partitioned,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import users_clean
+
+    path = str(tmp_path / "users_by_region")
+    users = users_clean(spark, sf_dir).select(
+        "custkey", "id", "country", "region", "acctbal")
+    write_partitioned(users, path, ["region"])
+    full = spark.read.parquet(path)
+    n_total = full.count()
+    regions = [r["region"] for r in full.select("region").distinct().collect()]
+    assert len(regions) >= 2
+
+    # rewrite ONE region with a sentinel value; other partitions must
+    # survive untouched (dynamic overwrite), and totals must hold
+    target = sorted(regions)[0]
+    patched = (users.where(F.col("region") == target)
+               .withColumn("acctbal", F.lit(0.0)))
+    write_partitioned(patched, path, ["region"])
+    back = spark.read.parquet(path)
+    assert back.count() == n_total
+    assert back.where(F.col("region") == target) \
+               .where(F.col("acctbal") != 0.0).count() == 0
+    assert back.where(F.col("region") != target).count() == \
+        users.where(F.col("region") != target).count()
+
+    # read-side partition pruning: a region filter must reach the scan
+    # as a PartitionFilter, not a post-scan Filter over all partitions
+    q = back.where(F.col("region") == target).select("custkey")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert f"region#" in plan
+
+    # static mode is the whole-table replace: only the written
+    # partition remains
+    write_partitioned(patched, path, ["region"], dynamic=False)
+    assert [r["region"] for r in
+            spark.read.parquet(path).select("region").distinct().collect()] \
+        == [target]
