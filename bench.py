@@ -27,11 +27,13 @@ HEADLINE = [
     "metrics_row",          # flagship: scan→validate→dedup→join→agg
     "agg_stats",            # TPC-H Q1 shape scan-agg
     "sql_q3",               # TPC-H Q3 shape via spark.sql
+    "sql_q18",              # TPC-H Q18 shape: HAVING over fact-fact join
     "join_equi",            # 3-way join + group
     "asof_join",            # union+window as-of join
     "window_rank",          # partitioned window
     "dedup_near",           # MinHash LSH near-dup
     "similarity_topk",      # brute-force cosine top-k
+    "similarity_ivf",       # IVF ANN top-k (coarse-quantized)
     "similarity_join",      # multi-table LSH ANN join
     "text_stats",           # corpus stats
     "stream_tumbling",      # windowed event agg (batch flavor)

@@ -131,24 +131,106 @@ def _similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     randomness is engine-local)."""
     emb = load(spark, sf_dir, "embeddings")
     buckets = lsh_buckets_udf()
+    # localCheckpoint: the bucketed frame feeds BOTH sides of the
+    # candidate self-join — without it the pandas-UDF bucketing (the
+    # Python-boundary cost) runs twice; blocks are freed on GC (same
+    # rationale as the minhash signatures in dedup.py)
     bucketed = (
         emb.withColumn("bks", buckets("embedding"))
         .select("vec_id", "embedding",
                 F.posexplode("bks").alias("tbl", "bucket"))
+    ).localCheckpoint(eager=True)
+    # candidate generation shuffles ONLY ids through the bucket
+    # self-join, and distinct() runs BEFORE rescoring — a pair landing
+    # in several tables' buckets is scored once, and the wide embedding
+    # arrays never ride the (tbl, bucket) shuffle
+    ids = bucketed.select("vec_id", "tbl", "bucket")
+    pairs = (
+        ids.alias("l")
+        .join(ids.alias("r"),
+              (F.col("l.tbl") == F.col("r.tbl"))
+              & (F.col("l.bucket") == F.col("r.bucket"))
+              & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select(F.col("l.vec_id").alias("id_a"),
+                F.col("r.vec_id").alias("id_b"))
+        .distinct()
     )
-    l = bucketed.select(F.col("vec_id").alias("id_a"),
-                        F.col("embedding").alias("va"), "tbl", "bucket")
-    r = bucketed.select(F.col("vec_id").alias("id_b"),
-                        F.col("embedding").alias("vb"), "tbl", "bucket")
+    vecs = bucketed.select("vec_id", "embedding").distinct()
+    va = vecs.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("id_b"),
+                     F.col("embedding").alias("vb"))
     return (
-        l.join(r, ["tbl", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
+        pairs.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b",
                 F.round(cosine("va", "vb"), 6).alias("cos_sim"))
-        .distinct()
         .where(F.col("cos_sim") >= SIM_THRESHOLD)
         .orderBy("id_a", "id_b")
     )
+
+
+IVF_STRIDE = 61  # coarse-centroid seeds: every 61st vector.  A real
+#                  deployment trains these with k-means; a fixed stride
+#                  keeps the quantizer deterministic so the WHOLE IVF
+#                  path is DuckDB-oracle-checkable (rare for ANN code).
+IVF_NPROBE = 2   # cells probed per query
+
+
+def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 scale path #2: IVF (inverted-file) ANN top-k with a FULL
+    oracle.  Structure:
+
+    1. coarse centroids = stride-seeded corpus vectors (broadcast);
+    2. assignment: each vector → argmax-cosine centroid — one narrow
+       broadcast-join pass over the corpus, no shuffle;
+    3. queries probe their IVF_NPROBE nearest cells; candidates = the
+       probed cells' members via equi-join on cell (probe side is tiny
+       → broadcast — the corpus never shuffles);
+    4. exact top-k rescoring inside candidates only.
+
+    At 100 TB this is the standard recipe (FAISS-style IVF flattened
+    into joins): assignment cost K·n narrow multiplies, search cost
+    |probed cells| ≪ n.  Ranking uses round(cos, 6) with id tiebreak so
+    both engines order identically."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("c_id").asc())
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select("vec_id", "embedding", "c_id",
+                F.round(cosine("embedding", "c_vec"), 6).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("cell"))
+    )
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("c_id").asc())
+    probes = (
+        queries.join(F.broadcast(cents))
+        .select("q_id", "q_vec", "c_id",
+                F.round(cosine("q_vec", "c_vec"), 6).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", "q_vec", F.col("c_id").alias("cell"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"),
+                F.round(cosine("q_vec", "embedding"), 6).alias("cos_sim"))
+    )
+    w_k = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w_k))
+            .where(F.col("rnk") <= TOPK)
+            .select("q_id", "n_id", "cos_sim", "rnk"))
 
 
 def _embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,9 +270,16 @@ QUERIES = {
     "array_cosine": _array_cosine,
     "embedding_normalize": _embedding_normalize,
     "similarity_topk": _similarity_topk,
+    "similarity_ivf": _similarity_ivf,
     "similarity_join": _similarity_lsh,
     "embedding_centroids": _embedding_centroids,
 }
+
+_DUCK_COS = (
+    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+)
 
 ORACLES = {
     "embedding_normalize": """
@@ -234,6 +323,39 @@ FROM (SELECT *, row_number() OVER (PARTITION BY q_id
 WHERE rnk <= {TOPK}
 """,
     # similarity_join: rows-only (hyperplane constants engine-local)
+    "similarity_ivf": f"""
+WITH cents AS (
+  SELECT vec_id AS c_id, embedding AS c_vec
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+), assigned AS (
+  SELECT vec_id, embedding, c_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.c_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_COS.format(a='e.embedding', b='c.c_vec')}
+                      DESC, c.c_id ASC) AS rn
+    FROM embeddings e, cents c)
+  WHERE rn = 1
+), probes AS (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.c_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DUCK_COS.format(a='q.embedding', b='c.c_vec')}
+                      DESC, c.c_id ASC) AS rn
+    FROM embeddings q, cents c WHERE q.vec_id < {N_QUERIES})
+  WHERE rn <= {IVF_NPROBE}
+), scored AS (
+  SELECT p.q_id, a.vec_id AS n_id,
+         {_DUCK_COS.format(a='p.q_vec', b='a.embedding')} AS cos_sim
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE a.vec_id != p.q_id
+)
+SELECT q_id, n_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, n_id ASC) AS rnk FROM scored)
+WHERE rnk <= {TOPK}
+""",
     "embedding_centroids": """
 SELECT label, CAST(i - 1 AS INTEGER) AS dim,
        round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val

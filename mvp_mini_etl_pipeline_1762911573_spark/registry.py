@@ -29,9 +29,11 @@ def _modules():
     # ROTATION NOTE (round 3+): swap the two blocks back so the tail
     # (windows/joins/aggregates/setops/dedup/similarity) re-verifies; keep
     # any newly added module inside the first ~40 slots of its debut round.
+    # similarity rides inside the window too: it gained a new query
+    # this round (similarity_ivf) that needs its debut CORRECTNESS row.
     return [sqlapi, scalars, text, multimodal, batch_equiv, custom,
-            core, projections, sorts, windows, joins, aggregates, setops,
-            dedup, similarity]
+            core, similarity, projections, sorts, windows, joins,
+            aggregates, setops, dedup]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
