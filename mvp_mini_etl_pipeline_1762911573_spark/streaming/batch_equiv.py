@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..tables import load
+from ..oracles import USERS_CTE
+from ..tables import load, users_clean
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:
@@ -82,6 +83,34 @@ def session_windows(events: DataFrame, gap_min: int = 30) -> DataFrame:
     )
 
 
+def enrich_counts(events: DataFrame, users: DataFrame) -> DataFrame:
+    """ST-EXT: stream-static enrichment — events joined to the users
+    dimension (country), 6-hour tumbling counts per country.  The dim
+    side of a stream-static join is re-read per micro-batch and must be
+    broadcast-sized (or pre-bucketed) — exactly this shape; rows whose
+    user never survived cleaning land in 'unknown' (left join, not
+    silent drop)."""
+    dim = users.select(F.col("custkey").alias("user_id"), "country")
+    return (
+        events.join(F.broadcast(dim), "user_id", "left")
+        .groupBy(
+            F.window("ts", "6 hours").alias("w"),
+            F.coalesce("country", F.lit("unknown")).alias("country"))
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+             .alias("window_start"),
+            "country", "cnt", "total_value",
+        )
+    )
+
+
+def _stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_counts(load(spark, sf_dir, "events"),
+                         users_clean(spark, sf_dir))
+
+
 def _stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(load(spark, sf_dir, "events"))
 
@@ -99,9 +128,20 @@ QUERIES = {
     "stream_tumbling": _stream_tumbling,
     "stream_sliding": _stream_sliding,
     "stream_session": _stream_session,
+    "stream_enrich": _stream_enrich,
 }
 
 ORACLES = {
+    "stream_enrich": USERS_CTE + """
+SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       coalesce(country, 'unknown') AS country,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS total_value
+FROM events
+LEFT JOIN users_clean ON user_id = custkey
+GROUP BY time_bucket(INTERVAL 6 HOUR, ts), coalesce(country, 'unknown')
+""",
     "stream_tumbling": """
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
          AS window_start,

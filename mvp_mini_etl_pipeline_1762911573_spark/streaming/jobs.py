@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .batch_equiv import tumbling_counts
+from .batch_equiv import enrich_counts, tumbling_counts
 from ..tables import load
 
 
@@ -63,6 +63,14 @@ def sessionized_stream(events: DataFrame, gap_min: int = 30) -> DataFrame:
             "n_events", "session_value",
         )
     )
+
+
+def enrich_stream(events: DataFrame, users: DataFrame) -> DataFrame:
+    """ST-EXT streaming flavor: stream-static join — the static users
+    dim is (re)resolved each micro-batch, so dimension updates are
+    picked up without restarting the query; broadcast keeps the join
+    map-side."""
+    return enrich_counts(events.withWatermark("ts", "10 minutes"), users)
 
 
 def dedup_stream(events: DataFrame) -> DataFrame:

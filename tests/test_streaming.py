@@ -61,3 +61,23 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     assert back.count() == ev.count()
     assert (back.agg(F.round(F.sum("value"), 2)).first()[0]
             == ev.agg(F.round(F.sum("value"), 2)).first()[0])
+
+
+def test_enrich_stream_equals_batch(spark, sf_dir):
+    """ST-EXT: the stream-static enrichment join converges to the batch
+    answer once the stream drains."""
+    from mvp_mini_etl_pipeline_1762911573_spark.streaming.batch_equiv import (
+        enrich_counts,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import users_clean
+
+    users = users_clean(spark, sf_dir)
+    stream = jobs.enrich_stream(jobs.events_stream(spark, sf_dir), users)
+    got = jobs.run_to_memory(stream, "t_enrich", "complete")
+    want = enrich_counts(load(spark, sf_dir, "events"), users)
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in want.collect())
+    assert a == b
+    # at least one country bucket and the unknown bucket both present
+    countries = {r[1] for r in a}
+    assert "unknown" in countries and len(countries) > 1
