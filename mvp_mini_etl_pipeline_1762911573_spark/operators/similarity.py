@@ -267,10 +267,12 @@ def _embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    # similarity_ivf leads: it debuts in round 2's verification window
+    # and must stay inside the driver's 50-query cap (see registry.py)
+    "similarity_ivf": _similarity_ivf,
     "array_cosine": _array_cosine,
     "embedding_normalize": _embedding_normalize,
     "similarity_topk": _similarity_topk,
-    "similarity_ivf": _similarity_ivf,
     "similarity_join": _similarity_lsh,
     "embedding_centroids": _embedding_centroids,
 }

@@ -123,6 +123,68 @@ def _sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): EXISTS correlated
+    subquery — Catalyst decorrelates it to a left-semi join on
+    l_orderkey, so the lineitem side never materializes per-row.  The
+    plan to want at 100×: semi-join build on the filtered orders, no
+    subquery re-execution."""
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS order_cnt
+        FROM v_orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-07-01'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+def _sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): left outer
+    join with a predicate INSIDE the join condition (not a post-filter
+    — a post-filter would silently turn the outer join inner), then a
+    two-level aggregation.  Zero-order customers land in c_count=0."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM v_customer LEFT JOIN v_orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """)
+
+
+def _sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (dormant high-balance customers): scalar
+    aggregate subquery (one 1-row broadcast) + NOT EXISTS anti-join.
+    The anti-join condition keeps only customers with no large order —
+    testdata gives every customer SOME order, so the plain Q22
+    no-orders predicate would be vacuous (FIXTURES note)."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT c_mktsegment AS segment, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM v_customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM v_orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 300000)
+        GROUP BY c_mktsegment
+        ORDER BY segment
+    """)
+
+
 def _pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event counts, one column per event type.  The
     explicit value list keeps it a one-pass conditional agg (omitting
@@ -257,9 +319,12 @@ def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sql_q3": _sql_q3,
+    "sql_q4": _sql_q4,
     "sql_q5": _sql_q5,
     "sql_q7": _sql_q7,
+    "sql_q13": _sql_q13,
     "sql_q18": _sql_q18,
+    "sql_q22": _sql_q22,
     "agg_grouping_sets": _agg_grouping_sets,
     "unpivot_metrics": _unpivot_metrics,
     "sql_recursive_cte": _sql_recursive_cte,
@@ -336,6 +401,36 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
+""",
+    "sql_q4": """
+SELECT o_orderpriority, count(*) AS order_cnt
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    "sql_q13": """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "sql_q22": """
+SELECT c_mktsegment AS segment, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_mktsegment
+ORDER BY segment
 """,
     "sql_q5": """
 SELECT n_name AS nation,

@@ -101,3 +101,34 @@ def test_whole_stage_codegen_covers_scan_agg(spark, sf_dir):
     # agg and final agg must both be inside one
     assert "*(1) HashAggregate" in executed
     assert "*(2) HashAggregate" in executed
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """EXISTS must become a (left-)semi join, not a per-row subquery."""
+    plan = _plan(all_queries()["sql_q4"](spark, sf_dir))
+    assert "LeftSemi" in plan or "Semi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    """NOT EXISTS must become an anti join; the scalar avg subquery is
+    a 1-row broadcast (Subquery), not a rescan per row."""
+    plan = _plan(all_queries()["sql_q22"](spark, sf_dir))
+    assert "LeftAnti" in plan or "Anti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_dims_broadcast_no_cartesian(spark, sf_dir):
+    """Q5's nation/region dims must broadcast; the only big join is
+    orders-lineitem."""
+    plan = _plan(all_queries()["sql_q5"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_join_is_broadcast(spark, sf_dir):
+    """IVF candidate generation must broadcast the tiny probe side —
+    the corpus never shuffles for the cell equi-join."""
+    plan = _plan(all_queries()["similarity_ivf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
