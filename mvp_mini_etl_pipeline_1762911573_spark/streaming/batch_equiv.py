@@ -111,6 +111,49 @@ def _stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                          users_clean(spark, sf_dir))
 
 
+def correlate_views_purchases(views: DataFrame,
+                              purchases: DataFrame) -> DataFrame:
+    """ST-EXT2: event correlation — each purchase matched to the views
+    by the same user in the preceding hour (the classic attribution
+    interval join).  Batch flavor: equi-join on user_id + time-range
+    predicate; streaming flavor (jobs.correlate_stream) is the SAME
+    condition as a watermarked stream-stream inner join, where the
+    range bound is what lets Spark expire join state.
+
+    Scale: the equi key (user_id) drives the shuffle; the range
+    predicate prunes within key groups.  Skewed users (bots) would
+    salt the key; state size in streaming is bounded by
+    watermark + 1 h."""
+    v = views.select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+    p = purchases.select(F.col("user_id").alias("p_user"),
+                         F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts")
+           - F.expr("INTERVAL 1 HOUR")))
+    return (
+        joined.groupBy(F.col("p_user").alias("user_id"), "purchase_id",
+                       "purchase_value")
+        .agg(F.count("*").alias("views_before"),
+             F.date_format(F.max("view_ts"), "yyyy-MM-dd HH:mm:ss")
+              .alias("last_view"))
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+def _stream_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return correlate_views_purchases(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"))
+
+
 def _stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(load(spark, sf_dir, "events"))
 
@@ -129,9 +172,23 @@ QUERIES = {
     "stream_sliding": _stream_sliding,
     "stream_session": _stream_session,
     "stream_enrich": _stream_enrich,
+    "stream_correlate": _stream_correlate,
 }
 
 ORACLES = {
+    "stream_correlate": """
+SELECT p.user_id, p.event_id AS purchase_id,
+       p.value AS purchase_value,
+       CAST(count(*) AS BIGINT) AS views_before,
+       strftime(max(v.ts), '%Y-%m-%d %H:%M:%S') AS last_view
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts < p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY p.user_id, p.event_id, p.value
+ORDER BY 1, 2
+""",
     "stream_enrich": USERS_CTE + """
 SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S')
          AS window_start,

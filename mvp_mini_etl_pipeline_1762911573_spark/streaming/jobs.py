@@ -73,6 +73,36 @@ def enrich_stream(events: DataFrame, users: DataFrame) -> DataFrame:
     return enrich_counts(events.withWatermark("ts", "10 minutes"), users)
 
 
+def correlate_stream(events: DataFrame) -> DataFrame:
+    """ST-EXT2 streaming flavor: watermarked stream-stream inner join —
+    views matched to purchases of the same user within the preceding
+    hour.  Both sides carry watermarks and the join condition bounds
+    view_ts in [purchase_ts - 1h, purchase_ts), so the state store can
+    expire views older than watermark + 1 h (unbounded-state joins are
+    rejected by Spark in append mode for exactly this reason).  Emits
+    matched pairs (append mode); the batch flavor's per-purchase rollup
+    runs downstream of the drain in the convergence test — a
+    post-stream-stream-join aggregation would need its own watermark
+    hop."""
+    v = (events.where(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("view_ts"))
+         .withWatermark("view_ts", "10 minutes"))
+    p = (events.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.col("value").alias("purchase_value"))
+         .withWatermark("purchase_ts", "10 minutes"))
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts")
+           - F.expr("INTERVAL 1 HOUR")))
+
+
 def dedup_stream(events: DataFrame) -> DataFrame:
     """ST5: stateful exact dedup on event_id within the watermark —
     state holds only ids younger than the watermark."""

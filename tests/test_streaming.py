@@ -81,3 +81,27 @@ def test_enrich_stream_equals_batch(spark, sf_dir):
     # at least one country bucket and the unknown bucket both present
     countries = {r[1] for r in a}
     assert "unknown" in countries and len(countries) > 1
+
+
+def test_correlate_stream_equals_batch(spark, sf_dir):
+    """ST-EXT2: the watermarked stream-stream join emits exactly the
+    batch interval-join's matched pairs once both streams drain."""
+    from mvp_mini_etl_pipeline_1762911573_spark.streaming.batch_equiv import (
+        correlate_views_purchases,
+    )
+    ev = load(spark, sf_dir, "events")
+    stream = jobs.correlate_stream(jobs.events_stream(spark, sf_dir))
+    got = jobs.run_to_memory(stream, "t_corr", "append")
+    # roll up the emitted pairs the same way the batch query does
+    rolled = (got.groupBy(F.col("p_user").alias("user_id"),
+                          "purchase_id", "purchase_value")
+              .agg(F.count("*").alias("views_before"),
+                   F.date_format(F.max("view_ts"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("last_view")))
+    want = correlate_views_purchases(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"))
+    a = sorted(tuple(r) for r in rolled.collect())
+    b = sorted(tuple(r) for r in want.collect())
+    assert a == b
+    assert len(a) > 0
