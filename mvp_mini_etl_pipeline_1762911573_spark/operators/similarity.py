@@ -233,6 +233,35 @@ def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "n_id", "cos_sim", "rnk"))
 
 
+def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: int8 scalar quantization per vector — the storage-side
+    primitive that cuts a 100 TB float32 embedding corpus 4× before
+    ANN indexing.  Per-vector affine codes q = floor((x-lo)/s + 0.5)
+    with s = (hi-lo)/255 (floor(+0.5) not round(): round() half-even vs
+    half-up differs across engines; floor is bit-identical).  Emits the
+    scale params, the first 4 codes, and the mean absolute
+    reconstruction error — all pure HOFs, narrow map, no shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    lo = F.array_min(v)
+    s = (F.array_max(v) - lo) / F.lit(255.0)
+    code = lambda x: F.when(s == 0, F.lit(0.0)) \
+        .otherwise(F.floor((x - lo) / s + F.lit(0.5)).cast("double"))  # noqa: E731
+    codes = F.transform(v, code)
+    dequant = F.zip_with(v, codes, lambda x, q: x - (lo + q * s))
+    mae = (F.aggregate(dequant, F.lit(0.0),
+                       lambda acc, d: acc + F.abs(d))
+           / F.size(v))
+    return emb.select(
+        "vec_id",
+        F.round(lo, 6).alias("lo"),
+        F.round(F.array_max(v), 6).alias("hi"),
+        *[F.element_at(codes, d + 1).cast("int").alias(f"q{d}")
+          for d in range(4)],
+        F.round(mae, 8).alias("mae"),
+    )
+
+
 def _embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF building block: per-label centroid via posexplode + groupBy
     (the coarse-quantizer training step, expressed relationally).
@@ -275,6 +304,7 @@ QUERIES = {
     "similarity_topk": _similarity_topk,
     "similarity_join": _similarity_lsh,
     "embedding_centroids": _embedding_centroids,
+    "embedding_quantize": _embedding_quantize,
 }
 
 _DUCK_COS = (
@@ -357,6 +387,31 @@ SELECT q_id, n_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id
             ORDER BY cos_sim DESC, n_id ASC) AS rnk FROM scored)
 WHERE rnk <= {TOPK}
+""",
+    "embedding_quantize": """
+WITH prep AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_aggregate(embedding::DOUBLE[], 'min') AS lo,
+         list_aggregate(embedding::DOUBLE[], 'max') AS hi_raw,
+         (list_aggregate(embedding::DOUBLE[], 'max')
+          - list_aggregate(embedding::DOUBLE[], 'min')) / 255.0 AS s
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, v, lo, hi_raw, s,
+         list_transform(v, x -> CASE WHEN s = 0 THEN 0.0
+                                ELSE floor((x - lo) / s + 0.5) END) AS codes
+  FROM prep
+)
+SELECT vec_id,
+       round(lo, 6) AS lo,
+       round(hi_raw, 6) AS hi,
+       CAST(codes[1] AS INTEGER) AS q0,
+       CAST(codes[2] AS INTEGER) AS q1,
+       CAST(codes[3] AS INTEGER) AS q2,
+       CAST(codes[4] AS INTEGER) AS q3,
+       round(list_sum(list_transform(range(1, len(v) + 1),
+               i -> abs(v[i] - (lo + codes[i] * s)))) / len(v), 8) AS mae
+FROM coded
 """,
     "embedding_centroids": """
 SELECT label, CAST(i - 1 AS INTEGER) AS dim,
