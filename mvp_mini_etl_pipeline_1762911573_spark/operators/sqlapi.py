@@ -103,21 +103,32 @@ def _sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): orders whose total
-    line quantity exceeds a threshold, top-100 by price.  The HAVING
-    over a fact-fact join + TakeOrderedAndProject limit — at 100 TB the
-    per-order agg is the only full shuffle and the top-k never
-    materializes a global sort."""
+    line quantity exceeds a threshold, top-100 by price.
+
+    Written in the push-agg-below-join form Catalyst does NOT derive
+    itself: lineitem pre-aggregates per l_orderkey (a narrow 2-column
+    shuffle) and the HAVING prunes ~99% of orders BEFORE any join —
+    the naive join-then-group form shuffles the full
+    customer⋈orders⋈lineitem output on a 5-column key.  Same result
+    set (l_orderkey is the join key AND the agg key), same oracle; at
+    100 TB this is the difference between one narrow shuffle and a
+    wide fact-fact shuffle.  Top-100 is TakeOrderedAndProject — no
+    global sort materializes."""
     for t in ("customer", "orders", "lineitem"):
         load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
     return spark.sql("""
+        WITH big AS (
+          SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM v_lineitem
+          GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250
+        )
         SELECT c_name, c_custkey, o_orderkey,
                date_format(o_orderdate, 'yyyy-MM-dd') AS odate,
-               o_totalprice, sum(l_quantity) AS total_qty
-        FROM v_customer
-        JOIN v_orders ON c_custkey = o_custkey
-        JOIN v_lineitem ON o_orderkey = l_orderkey
-        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
-        HAVING sum(l_quantity) > 250
+               o_totalprice, total_qty
+        FROM big
+        JOIN v_orders ON o_orderkey = l_orderkey
+        JOIN v_customer ON c_custkey = o_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100
     """)

@@ -34,6 +34,10 @@ def get_spark(app_name: str = "mvp_mini_etl_pipeline_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # filterless count/min/max aggregates answer from parquet
+        # footer statistics instead of scanning row groups (e.g. the
+        # corpus-count broadcast inside text_tfidf / ngram pruning)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
         # has no native type for — read as long, convert in tables.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -34,3 +34,38 @@ def test_reference_metric_invariant(spark):
     m = GOLDEN_SF0001
     assert m["rows_in"] - m["rows_out"] >= m["dedup_removed"]
     assert m["countries"] <= m["rows_out"]
+
+
+def test_new_query_goldens(spark):
+    """Round-2 additions pinned at sf0.001: TPC-H shapes through the
+    SQL front door, the IVF ANN path, int8 quantization, and the
+    stream-stream correlation — exact values, trips before the oracle
+    gate on any semantic drift."""
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    assert [tuple(r) for r in q["sql_q5"](spark, sf).collect()] == \
+        [("NATION_12", 49750.99)]
+    assert [tuple(r) for r in q["sql_q22"](spark, sf).collect()] == \
+        [("FURNITURE", 1, 7234.68)]
+    assert [tuple(r) for r in
+            q["similarity_ivf"](spark, sf).orderBy("q_id", "rnk")
+            .limit(3).collect()] == \
+        [(0, 17, 0.334456, 1), (0, 225, 0.315127, 2), (0, 12, 0.311027, 3)]
+    assert q["stream_correlate"](spark, sf).count() == 3
+    assert [tuple(r) for r in
+            q["embedding_quantize"](spark, sf).orderBy("vec_id")
+            .limit(1).collect()] == \
+        [(0, -0.302343, 0.256886, 67, 144, 96, 146, 0.00049694)]
+
+
+def test_fallback_metrics_golden(spark):
+    """The vendored etl.json fallback document must keep the
+    reference's exact metric values (restart.js:12 contract)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.sources.static_json import (
+        fallback_metrics,
+    )
+    assert fallback_metrics(spark).first().asDict() == {
+        "rows_in": 1240, "rows_out": 1210, "dedup_removed": 30,
+        "countries": 21, "duration_sec": 95, "last_user": "N/A"}
