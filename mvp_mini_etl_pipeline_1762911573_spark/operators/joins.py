@@ -132,7 +132,48 @@ def _join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) semantics without a table format: full-outer
+    join on the key + coalesce picks the update when matched, the
+    target otherwise, and keeps unmatched inserts.  The exact pattern a
+    lakehouse MERGE compiles to; with Delta/Iceberg available you'd
+    write `MERGE INTO` and the format would also skip untouched files.
+    Updates = +100 acctbal for custkey%7==0; inserts = synthetic new
+    customers (custkey+1000000, segment NEW).  Output is the per-segment
+    post-merge rollup so the result is deterministic and hashable.
+
+    Scale: one shuffle on the merge key for both sides; the rollup
+    reuses nothing wider than (segment, acctbal)."""
+    customer = load(spark, sf_dir, "customer")
+    updates = (
+        customer.where(F.col("c_custkey") % 7 == 0)
+        .select(F.col("c_custkey").alias("u_key"),
+                (F.col("c_acctbal") + 100).alias("u_acctbal"))
+        .unionByName(
+            customer.where(F.col("c_custkey") % 97 == 0)
+            .select((F.col("c_custkey") + 1000000).alias("u_key"),
+                    F.lit(50.0).alias("u_acctbal")))
+    )
+    merged = (
+        customer.join(updates,
+                      customer.c_custkey == updates.u_key, "full_outer")
+        .select(
+            F.coalesce(F.col("u_key"), F.col("c_custkey")).alias("custkey"),
+            F.coalesce(F.col("u_acctbal"), F.col("c_acctbal"))
+             .alias("acctbal"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("NEW")).alias("segment"),
+        )
+    )
+    return (
+        merged.groupBy("segment")
+        .agg(F.count("*").alias("rows"),
+             F.round(F.sum("acctbal"), 2).alias("total_acctbal"))
+        .orderBy("segment")
+    )
+
+
 QUERIES = {
+    "merge_upsert": _merge_upsert,
     "join_equi": _join_equi,
     "join_broadcast": _join_broadcast,
     "join_left": _join_left,
@@ -142,6 +183,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "merge_upsert": """
+WITH updates AS (
+  SELECT c_custkey AS u_key, c_acctbal + 100 AS u_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 50.0
+  FROM customer WHERE c_custkey % 97 = 0
+), merged AS (
+  SELECT coalesce(u.u_key, t.c_custkey) AS custkey,
+         coalesce(u.u_acctbal, t.c_acctbal) AS acctbal,
+         coalesce(t.c_mktsegment, 'NEW') AS segment
+  FROM customer t FULL OUTER JOIN updates u ON t.c_custkey = u.u_key
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS rows,
+       round(sum(acctbal), 2) AS total_acctbal
+FROM merged GROUP BY segment ORDER BY segment
+""",
     "join_equi": """
 SELECT r_name AS region, n_name AS nation,
        CAST(count(*) AS BIGINT) AS order_cnt,

@@ -84,3 +84,19 @@ def test_timestamp_parse_format_roundtrip(spark, secs):
     back = iso.select(
         "s", F.unix_timestamp(F.to_timestamp("iso")).alias("s2"))
     assert all(r.s == r.s2 for r in back.collect())
+
+
+def test_quantization_error_bound(spark):
+    """int8 affine quantization property: per-dim reconstruction error
+    is at most s/2 = (hi-lo)/510, so mae <= (hi-lo)/510 for every
+    vector (equality only in degenerate cases)."""
+    import pyspark.sql.functions as F
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+    df = all_queries()["embedding_quantize"](
+        spark, "/root/testdata/sf0.001")
+    bad = df.where(
+        F.col("mae") > (F.col("hi") - F.col("lo")) / 510 + 1e-12)
+    assert bad.count() == 0
+    # codes are valid int8 range
+    for c in ("q0", "q1", "q2", "q3"):
+        assert df.where((F.col(c) < 0) | (F.col(c) > 255)).count() == 0
