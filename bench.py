@@ -36,6 +36,7 @@ HEADLINE = [
     "similarity_ivf",       # IVF ANN top-k (coarse-quantized)
     "similarity_join",      # multi-table LSH ANN join
     "text_stats",           # corpus stats
+    "corpus_curate",        # end-to-end curation (filter+dedup+stats)
     "stream_tumbling",      # windowed event agg (batch flavor)
 ]
 

@@ -179,7 +179,50 @@ def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "term", "tfidf", "rnk"))
 
 
+def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT end-to-end curation job — the LLM-pipeline stages composed
+    into ONE lazy DAG the way a real training-data run chains them:
+
+      quality gates (token count ≥ 20, mean word length 3–10)
+      → language filter (lang = 'en')
+      → exact dedup (sha2 digest, min-doc_id survivor via min_by)
+      → per-source corpus stats.
+
+    Everything stays columnar/built-in: the only shuffles are the
+    64-byte digest groupBy and the tiny per-source rollup — the
+    filters run map-side ahead of both, so at 100 TB the shuffle
+    carries only survivors.  Full DuckDB oracle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_toks = F.size(toks)
+    scored = docs.select(
+        "doc_id", "source", "lang", "text",
+        n_toks.alias("n_tokens"),
+        (F.length("text") / F.greatest(n_toks, F.lit(1)))
+        .alias("avg_word_len"),
+    )
+    kept = scored.where(
+        (F.col("lang") == "en")
+        & (F.col("n_tokens") >= 20)
+        & (F.col("avg_word_len") >= 3)
+        & (F.col("avg_word_len") <= 10))
+    survivors = (
+        kept.groupBy(F.sha2(F.col("text"), 256).alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.min_by("source", "doc_id").alias("source"),
+             F.min_by("n_tokens", "doc_id").alias("n_tokens"))
+    )
+    return (
+        survivors.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.round(F.avg("n_tokens"), 2).alias("avg_tokens"))
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "corpus_curate": _corpus_curate,
     "token_count": _token_count,
     "text_tfidf": _text_tfidf,
     "text_quality": _text_quality,
@@ -191,6 +234,30 @@ QUERIES = {
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 ORACLES = {
+    "corpus_curate": f"""
+WITH scored AS (
+  SELECT doc_id, source, lang, text,
+         len({_DUCK_TOKS}) AS n_tokens,
+         CAST(len(text) AS DOUBLE)
+           / greatest(len({_DUCK_TOKS}), 1) AS avg_word_len
+  FROM documents
+), kept AS (
+  SELECT * FROM scored
+  WHERE lang = 'en' AND n_tokens >= 20
+    AND avg_word_len >= 3 AND avg_word_len <= 10
+), survivors AS (
+  SELECT sha256(text) AS digest,
+         min(doc_id) AS doc_id,
+         arg_min(source, doc_id) AS source,
+         arg_min(n_tokens, doc_id) AS n_tokens
+  FROM kept GROUP BY sha256(text)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 2) AS avg_tokens
+FROM survivors GROUP BY source ORDER BY source
+""",
     "text_tfidf": f"""
 WITH docs AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 100
