@@ -113,12 +113,19 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     prime, base = 1_000_000_007, 31
+    # per-token hash = first 8 hex chars of sha256 — a PUBLIC hash both
+    # engines implement identically (xxhash64 would be Spark-local and
+    # forfeit the oracle); stays in [0, 2^32) so acc*31 + h is safe
+    # under ANSI long arithmetic
+    def tok_hash(t):
+        return F.pmod(
+            F.conv(F.substring(F.sha2(t, 256), 1, 8), 16, 10)
+             .cast("long"),
+            F.lit(prime))
     rolling = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * base + F.pmod(F.xxhash64(t),
-                                                  F.lit(prime)),
-                              F.lit(prime)),
+        lambda acc, t: F.pmod(acc * base + tok_hash(t), F.lit(prime)),
     )
     return docs.select(
         "doc_id",
@@ -328,7 +335,17 @@ SELECT doc_id, lang AS true_lang,
          WHEN s_fr THEN 'fr' ELSE 'zh' END) = lang AS correct
 FROM s
 """,
-    # doc_fingerprint rolling hash uses xxhash64 (no DuckDB equivalent)
+    "doc_fingerprint": f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_DUCK_TOKS},
+             t -> CAST(concat('0x', substr(sha256(t), 1, 8)) AS BIGINT)
+                  % 1000000007)),
+         (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_hash,
+       sha256(trim(lower(text))) AS content_sha
+FROM documents
+""",
     # → rows-only for the hash; content_sha IS checkable but the one
     # query returns both, so it stays rows-only.
     "text_stats": f"""

@@ -39,3 +39,31 @@ def test_lsh_ann_candidates_are_truly_similar(spark, sf_dir):
 def test_simhash_pairs_low_hamming(spark, sf_dir):
     got = all_queries()["dedup_simhash"](spark, sf_dir).collect()
     assert all(r.hamming <= 3 for r in got)
+
+
+def test_ivf_recall_beats_random_probe(spark, sf_dir):
+    """IVF semantic quality: recall@5 vs the exact brute-force top-k.
+    The fixture embeddings are near-worst-case for IVF (random gaussian,
+    no cluster structure), so the defensible bar is 'probing nprobe of
+    K cells via the quantizer recovers MORE than nprobe/K of the true
+    neighbors' — i.e. the coarse quantizer routes queries better than
+    random cell choice.  Deterministic (stride seeding): measured
+    recall is 0.50 at sf0.001 and 0.34 at sf0.01 vs a ~0.22 random-
+    probe baseline."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        IVF_NPROBE, IVF_STRIDE,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    q = all_queries()
+    exact = {(r.q_id, r.n_id)
+             for r in q["similarity_topk"](spark, sf_dir).collect()}
+    ivf = {(r.q_id, r.n_id)
+           for r in q["similarity_ivf"](spark, sf_dir).collect()}
+    recall = len(exact & ivf) / len(exact)
+    n_cells = (load(spark, sf_dir, "embeddings")
+               .where(F.col("vec_id") % IVF_STRIDE == 0).count())
+    random_probe_baseline = IVF_NPROBE / max(n_cells, IVF_NPROBE)
+    assert recall > random_probe_baseline + 0.05
+    assert recall >= 0.3
