@@ -311,6 +311,32 @@ def _agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod stratified sampling: keep a row iff
+    sha256(event_id) mod 10000 falls under its stratum's rate — the
+    production-reproducible alternative to RNG sampling (same rows on
+    every rerun, every engine, any partitioning; a seeded Bernoulli
+    draw is none of those — see `sample_stratified` for that flavor).
+    Fully oracle-checked because the hash is public.  Per-stratum
+    rates: downsample the dominant types, keep the rare ones."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.sha2(F.col("event_id").cast("string"), 256), 1, 8), 16, 10)
+         .cast("long"),
+        F.lit(10000))
+    rate = (F.when(F.col("event_type").isin("view", "click"), 1000)
+            .when(F.col("event_type") == "error", 5000)
+            .otherwise(10000))
+    return (
+        ev.where(bucket < rate)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("sampled_cnt"),
+             F.round(F.sum("value"), 2).alias("sampled_value"))
+        .orderBy("event_type")
+    )
+
+
 def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling (sampleBy): downsample the dominant
     event types, keep all rare ones — the corpus-balancing primitive
@@ -341,6 +367,7 @@ QUERIES = {
     "sql_recursive_cte": _sql_recursive_cte,
     "agg_collect": _agg_collect,
     "sample_stratified": _sample_stratified,
+    "sample_hash": _sample_hash,
     "pivot_events": _pivot_events,
     "agg_percentiles": _agg_percentiles,
     "agg_approx_percentiles": _agg_approx_percentiles,
@@ -412,6 +439,19 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
+""",
+    "sample_hash": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS sampled_cnt,
+       round(sum(value), 2) AS sampled_value
+FROM events
+WHERE CAST(concat('0x', substr(sha256(CAST(event_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 10000
+      < CASE WHEN event_type IN ('view', 'click') THEN 1000
+             WHEN event_type = 'error' THEN 5000
+             ELSE 10000 END
+GROUP BY event_type
+ORDER BY event_type
 """,
     "sql_q4": """
 SELECT o_orderpriority, count(*) AS order_cnt
