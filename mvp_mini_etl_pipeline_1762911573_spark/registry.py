@@ -5,6 +5,26 @@ Each operator module exposes ``QUERIES: dict[str, callable]`` (callable
 takes (spark, sf_dir) -> DataFrame) and ``ORACLES: dict[str, str]``.
 Names missing from ORACLES get the driver's weaker rows-only check
 (non-SQL-expressible ops: LSH, approx sketches, streaming state).
+
+Verification-window management
+------------------------------
+The driver's per-round CORRECTNESS check runs the FIRST 50 queries in
+registry insertion order and stops.  Rather than encoding that contract
+implicitly in module ordering (fragile: adding a query to an early
+module silently pushes a later debut query out of the window),
+``WINDOW_PRIORITY`` below names the queries that must occupy the front
+of the registry, in order.  Everything else follows in module order.
+Rotating coverage for a new round = editing one list.
+
+Round-2 window: the 30 families round 1 never checked
+(sqlapi/scalars/text/multimodal/batch_equiv + udaf_mode), every query
+NEW this round (fallbacks, raw_modal, TPC-H shapes, sampling, IVF,
+quantization, merge_upsert, stream joins, corpus curation), then
+round-1-green re-verifies to fill remaining slots.
+ROTATION NOTE (round 3+): replace the tail of the list with the round-1
+block that has now gone two rounds unchecked (windows/joins/aggregates/
+setops/dedup/similarity classics), keeping any newly added query at the
+front of its debut round.
 """
 
 from __future__ import annotations
@@ -13,6 +33,34 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Queries hoisted, in this order, to the front of the registry (and
+# therefore into the driver's 50-query CORRECTNESS window).  Names must
+# exist; duplicates are an error.  Keep this list at exactly the window
+# size so placement is deliberate, not accidental.
+WINDOW_SIZE = 50
+WINDOW_PRIORITY: list[str] = [
+    # -- families with no official round-1 CORRECTNESS row ------------
+    "sql_q3", "sql_q4", "sql_q5", "sql_q7", "sql_q13", "sql_q18",
+    "sql_q22",
+    "agg_grouping_sets", "unpivot_metrics", "sql_recursive_cte",
+    "agg_collect", "sample_stratified", "sample_hash", "pivot_events",
+    "agg_percentiles", "agg_approx_percentiles",
+    "scalar_string", "scalar_variant", "scalar_map_ops", "scalar_case",
+    "scalar_date", "scalar_url", "scalar_json", "scalar_map_json",
+    "corpus_curate", "token_count", "text_tfidf", "text_quality",
+    "lang_id", "doc_fingerprint", "text_stats",
+    "multimodal_pipeline", "multimodal_schema", "multimodal_frames",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_enrich", "stream_correlate",
+    "udaf_mode",
+    # -- new this round, outside any prior window ---------------------
+    "etl_fallback_metrics", "etl_fallback_log", "raw_modal",
+    "similarity_ivf", "embedding_quantize", "merge_upsert",
+    # -- round-1-green re-verifies filling the remaining slots --------
+    "metrics_row", "synthetic_source", "csv_flatten",
+    "validity_filter_counts",
+]
+
 
 def _modules():
     from .operators import (aggregates, custom, dedup, joins, projections,
@@ -20,27 +68,29 @@ def _modules():
     from .functions import multimodal, scalars, text
     from . import core
     from .streaming import batch_equiv
-    # Module order IS the driver's CORRECTNESS verification order: the
-    # driver checks the first 50 queries in registry insertion order per
-    # round.  Round 1 checked (and passed) the legacy order core ..
-    # similarity + 2 of custom; round 2 therefore fronts the families the
-    # driver has never seen (sqlapi/scalars/text/multimodal/batch_equiv/
-    # custom) so every query family gets an official CORRECTNESS row.
-    # ROTATION NOTE (round 3+): swap the two blocks back so the tail
-    # (windows/joins/aggregates/setops/dedup/similarity) re-verifies; keep
-    # any newly added module inside the first ~40 slots of its debut round.
-    # similarity rides inside the window too: it gained a new query
-    # this round (similarity_ivf) that needs its debut CORRECTNESS row.
     return [sqlapi, scalars, text, multimodal, batch_equiv, custom,
             core, similarity, projections, sorts, windows, joins,
             aggregates, setops, dedup]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable] = {}
+    by_module: dict[str, Callable] = {}
     for mod in _modules():
         for name, fn in getattr(mod, "QUERIES", {}).items():
-            assert name not in out, f"duplicate query name: {name}"
+            assert name not in by_module, f"duplicate query name: {name}"
+            by_module[name] = fn
+
+    assert len(WINDOW_PRIORITY) == len(set(WINDOW_PRIORITY)), \
+        "duplicate names in WINDOW_PRIORITY"
+    assert len(WINDOW_PRIORITY) == WINDOW_SIZE, (
+        f"WINDOW_PRIORITY has {len(WINDOW_PRIORITY)} names; keep it at "
+        f"exactly {WINDOW_SIZE} so window placement stays deliberate")
+    missing = [n for n in WINDOW_PRIORITY if n not in by_module]
+    assert not missing, f"WINDOW_PRIORITY names not registered: {missing}"
+
+    out: dict[str, Callable] = {n: by_module[n] for n in WINDOW_PRIORITY}
+    for name, fn in by_module.items():
+        if name not in out:
             out[name] = fn
     return out
 
