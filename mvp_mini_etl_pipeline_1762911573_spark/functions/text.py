@@ -36,16 +36,27 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
 
 
+# GPT-2-style pre-tokenizer split (public pattern family): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+# No lookarounds, so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+# Real BPE would further split these pieces against a merges table —
+# the PIECE COUNT is the standard cheap upper-ish bound used for corpus
+# token budgeting.
+_BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
 def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + a BPE-ish subword estimate
-    (ceil(chars/4) — the public rule-of-thumb bytes→tokens ratio) +
-    distinct-token count."""
+    """Token counting, three estimators a corpus budget actually uses:
+    whitespace tokens (+ distinct), a BPE-ish pre-tokenizer regex piece
+    count (_BPE_SPLIT), and the ceil(chars/4) rule-of-thumb.  All
+    narrow per-row expressions — JVM regex, no shuffle, no UDF."""
     docs = load(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.regexp_count("text", F.lit(_BPE_SPLIT)).alias("bpe_pieces"),
         F.ceil(F.length("text") / 4).cast("bigint").alias("est_bpe_tokens"),
         F.length("text").alias("n_chars"),
     )
@@ -291,6 +302,9 @@ SELECT doc_id,
        CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens,
        CAST(len(list_distinct({_DUCK_TOKS})) AS INTEGER)
          AS n_distinct_tokens,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+'))
+         AS INTEGER) AS bpe_pieces,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
        CAST(length(text) AS INTEGER) AS n_chars
 FROM documents

@@ -353,7 +353,129 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs (keep_id < dup_id) whose embedding cosine
+    (rounded to 6dp so both engines threshold identical values) reaches
+    similarity.SIM_THRESHOLD.  Shared candidate source for
+    dedup_embedding (best-antecedent policy) and dedup_clusters
+    (transitive closure).  All-pairs scoring = exact CORRECTNESS
+    baseline; see _dedup_embedding's docstring for the scale path."""
+    from .similarity import SIM_THRESHOLD, cosine
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = (docs.join(emb, docs.doc_id == emb.vec_id)
+            .select("doc_id", "embedding"))
+    a = vecs.select(F.col("doc_id").alias("keep_id"),
+                    F.col("embedding").alias("va"))
+    b = vecs.select(F.col("doc_id").alias("dup_id"),
+                    F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("keep_id") < F.col("dup_id"))
+        .select("keep_id", "dup_id",
+                F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= SIM_THRESHOLD)
+    )
+
+
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT D3: embedding-cosine near-dup (SemDeDup-style semantic
+    dedup) — the embedding-space member of the dedup family.  A
+    document is a duplicate of the lowest-id earlier document whose
+    embedding cosine-similarity (rounded to 6dp, so both engines
+    threshold the identical value) reaches SIM_THRESHOLD; emits each
+    removed doc with its kept antecedent and the similarity, best
+    (highest-cosine, then lowest keep id) antecedent per dup.
+
+    The all-pairs scoring below is the exact CORRECTNESS baseline (n²
+    — test scale only, same stance as similarity_topk); at 100 TB the
+    candidate pairs come from the LSH bucket equi-join
+    (similarity.similarity_join) or deterministic IVF cells
+    (similarity.similarity_ivf) and feed this identical
+    rescore + keep-lowest-id policy — only the candidate generator
+    swaps, never the dedup decision."""
+    from pyspark.sql import Window
+
+    pairs = _embedding_pair_edges(spark, sf_dir)
+    w = Window.partitionBy("dup_id").orderBy(
+        F.col("cos_sim").desc(), F.col("keep_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("dup_id", F.col("keep_id").alias("dup_of"), "cos_sim")
+    )
+
+
+CC_MAX_ITERS = 20  # safety bound; min-label propagation converges in
+#                    O(component diameter) rounds — planted near-dup
+#                    clusters are tiny, real corpora's dup clusters too.
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT D3: duplicate CLUSTERS via connected components — the real
+    dedup decision at corpus scale, where near-dup is transitive in
+    practice (A≈B, B≈C ⇒ keep one of {A,B,C}).  Pairwise keep-lowest-id
+    (dedup_embedding) under-removes on chains; clustering is what
+    production pipelines run on the candidate-pair graph.
+
+    Implementation: iterative min-label propagation as pure DataFrame
+    ops — each round joins current labels onto the (undirected) edge
+    list, takes min(neighbor label, own label) per node, and stops at
+    fixpoint (distributed count of changed labels; bounded by
+    CC_MAX_ITERS).  localCheckpoint per round cuts the growing lineage
+    — the classic iterative-algorithm footgun on Spark.  At 100 TB
+    you'd switch to the large-star/small-star formulation (same
+    join+agg primitives, provably O(log n) rounds) and checkpoint to
+    object storage; the loop shape is identical.
+
+    Output: every doc belonging to a >1-member cluster, its cluster id
+    (= min doc_id reachable) and the cluster size.  Full oracle: DuckDB
+    recursive-CTE transitive closure over the same 6dp-rounded edges.
+    """
+    edges = (_embedding_pair_edges(spark, sf_dir)
+             .select(F.col("keep_id").alias("src"),
+                     F.col("dup_id").alias("dst")))
+    # undirected: propagate labels both ways
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(CC_MAX_ITERS):
+        neigh_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "node", "left")
+            .select("node",
+                    F.least("label", F.coalesce("nlabel", "label"))
+                     .alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .where(F.col("cluster_size") > 1)
+        .select(F.col("node").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+                "cluster_size")
+    )
+
+
 QUERIES = {
+    "dedup_clusters": _dedup_clusters,
+    "dedup_embedding": _dedup_embedding,
     "dedup_exact": _dedup_exact,
     "dedup_distinct": _dedup_distinct,
     "dedup_content_hash": _dedup_content_hash,
@@ -363,6 +485,58 @@ QUERIES = {
 }
 
 ORACLES = {
+    # transitive closure of the same 6dp-rounded edge set via
+    # recursive CTE; component label = min reachable doc_id (incl self)
+    "dedup_clusters": """
+WITH RECURSIVE vecs AS (
+  SELECT d.doc_id, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+  WHERE round(
+          list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+          6) >= 0.4
+), edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT node, min(r) AS cluster_id FROM (
+    SELECT src AS node, dst AS r FROM reach
+    UNION ALL
+    SELECT DISTINCT src AS node, src AS r FROM edges
+  ) GROUP BY node
+)
+SELECT l.node AS doc_id, l.cluster_id, s.cluster_size
+FROM labels l
+JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY cluster_id) s USING (cluster_id)
+WHERE s.cluster_size > 1
+""",
+    "dedup_embedding": """
+WITH vecs AS (
+  SELECT d.doc_id, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+), pairs AS (
+  SELECT a.doc_id AS keep_id, b.doc_id AS dup_id,
+         round(
+           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+           6) AS cos_sim
+  FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+)
+SELECT dup_id, keep_id AS dup_of, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY dup_id
+            ORDER BY cos_sim DESC, keep_id ASC) AS rn
+      FROM pairs WHERE cos_sim >= 0.4)
+WHERE rn = 1
+""",
     "dedup_exact": USERS_CTE + """
 SELECT custkey, id, email, country,
        strftime(registered_ts, '%Y-%m-%d %H:%M:%S') AS registered

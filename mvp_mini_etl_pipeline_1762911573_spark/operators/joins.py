@@ -132,6 +132,44 @@ def _join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SALT_BUCKETS = 8  # fan-out for the salted join below.  Size to the
+#                   observed skew: hot-key rows / target-partition-rows.
+
+
+def _join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: skew-mitigated (salted) equi join — the manual remedy when
+    one join key dominates (a 100 TB fact table where a handful of
+    customers hold 1% of all orders each would stall its sort-merge
+    reducers).  AQE's skewJoin handles detected skew automatically at
+    runtime; the explicit salt is for skew known a priori, for
+    broadcast-ineligible build sides, or when AQE is off.
+
+    Shape: the fact side tags each row with a deterministic salt
+    pmod(hash(orderkey), S); the dim side replicates S× (explode of a
+    0..S-1 sequence); the join key widens to (custkey, salt) so one hot
+    custkey's rows spread across S reducers instead of one.  The
+    replicated dim carries only the columns the query needs (S× a
+    narrow projection, not S× the table).  Results are provably
+    salt-invariant — the oracle is the PLAIN join, which is exactly the
+    point."""
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders")
+    salted_orders = orders.withColumn(
+        "salt", F.pmod(F.hash("o_orderkey"), F.lit(SALT_BUCKETS)))
+    salted_customer = customer.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))))
+    return (
+        salted_orders.join(
+            salted_customer,
+            (salted_orders.o_custkey == salted_customer.c_custkey)
+            & (salted_orders.salt == salted_customer.salt))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("order_cnt"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
 def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO (upsert) semantics without a table format: full-outer
     join on the key + coalesce picks the update when matched, the
@@ -173,6 +211,7 @@ def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "join_salted": _join_salted,
     "merge_upsert": _merge_upsert,
     "join_equi": _join_equi,
     "join_broadcast": _join_broadcast,
@@ -183,6 +222,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the salted plan must produce the PLAIN join's result — the oracle
+    # is deliberately salt-free
+    "join_salted": """
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS order_cnt,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
     "merge_upsert": """
 WITH updates AS (
   SELECT c_custkey AS u_key, c_acctbal + 100 AS u_acctbal

@@ -56,9 +56,9 @@ WINDOW_PRIORITY: list[str] = [
     # -- new this round, outside any prior window ---------------------
     "etl_fallback_metrics", "etl_fallback_log", "raw_modal",
     "similarity_ivf", "embedding_quantize", "merge_upsert",
-    # -- round-1-green re-verifies filling the remaining slots --------
-    "metrics_row", "synthetic_source", "csv_flatten",
-    "validity_filter_counts",
+    "dedup_embedding", "join_salted", "dedup_clusters",
+    # -- round-1-green re-verify filling the remaining slot -----------
+    "metrics_row",
 ]
 
 
