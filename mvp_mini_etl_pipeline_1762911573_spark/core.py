@@ -17,7 +17,7 @@ from .sources.static_json import (FALLBACK_LOG_ORACLE,
                                   fallback_metrics)
 from .sources.synthetic import SYNTHETIC_USERS_ORACLE, synthetic_users
 from .sources.sinks import flatten_for_csv
-from .tables import users_raw, users_valid
+from .tables import load, users_raw, users_valid
 
 
 def _synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +73,55 @@ def _raw_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: declarative data-quality audit (dbt-test / Deequ-style) —
+    the constraint sweep a training-data pipeline runs before accepting
+    a batch: PK null/duplicate checks, referential integrity, value
+    ranges, and the known-dirty user feed's defect counts.  One row per
+    check, so downstream alerting is a trivial filter(violations > 0).
+
+    Scale shape: one aggregate pass per table (all counts are map-side
+    partials — conditional counts share the scan), plus one anti-join
+    for referential integrity (plans as a shuffle/broadcast semi join,
+    never materializing the dim payload).  The 1-row aggregates
+    cross-join into a single row and unpivot to (check, count) — no
+    per-check re-scans."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    events = load(spark, sf_dir, "events")
+    raw = users_raw(spark, sf_dir)
+
+    cust = customer.agg(
+        F.count(F.when(F.col("c_custkey").isNull(), 1))
+         .alias("customer_null_pk"),
+        (F.count("*") - F.countDistinct("c_custkey"))
+         .alias("customer_dup_pk"))
+    ordr = orders.agg(
+        F.count(F.when(F.col("o_totalprice") <= 0, 1))
+         .alias("orders_nonpositive_total"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1))
+         .alias("orders_null_custkey"))
+    orphan = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey,
+                    "left_anti")
+        .agg(F.count("*").alias("orders_orphan_custkey")))
+    ev = events.agg(
+        F.count(F.when(F.col("ts").isNull(), 1)).alias("events_null_ts"))
+    usr = raw.agg(
+        F.count(F.when(F.col("email").isNull(), 1))
+         .alias("users_null_email"),
+        F.count(F.when(F.try_to_timestamp("registered_raw").isNull(), 1))
+         .alias("users_bad_date"),
+        (F.count("id") - F.countDistinct("id")).alias("users_dup_id"))
+
+    row = (cust.crossJoin(ordr).crossJoin(orphan)
+           .crossJoin(ev).crossJoin(usr))
+    return row.unpivot(
+        [], row.columns, "check_name", "violations")
+
+
 QUERIES = {
+    "quality_audit": _quality_audit,
     "metrics_row": flagship_metrics_row,
     "synthetic_source": _synthetic_source,
     "csv_flatten": _csv_flatten,
@@ -84,6 +132,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_audit": USERS_CTE + """
+SELECT 'customer_null_pk' AS check_name,
+       CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT) AS violations
+FROM customer
+UNION ALL
+SELECT 'customer_dup_pk',
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+UNION ALL
+SELECT 'orders_nonpositive_total',
+       CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders_null_custkey',
+       CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT)
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey IS NULL
+UNION ALL
+SELECT 'events_null_ts',
+       CAST(count(*) FILTER (ts IS NULL) AS BIGINT) FROM events
+UNION ALL
+SELECT 'users_null_email',
+       CAST(count(*) FILTER (email IS NULL) AS BIGINT) FROM users_raw
+UNION ALL
+SELECT 'users_bad_date',
+       CAST(count(*) FILTER (try_cast(registered_raw AS TIMESTAMP)
+                             IS NULL) AS BIGINT) FROM users_raw
+UNION ALL
+SELECT 'users_dup_id',
+       CAST(count(id) - count(DISTINCT id) AS BIGINT) FROM users_raw
+""",
     "metrics_row": USERS_CTE + METRICS_ROW_ORACLE,
     "synthetic_source": SYNTHETIC_USERS_ORACLE,
     "csv_flatten": USERS_CTE + """

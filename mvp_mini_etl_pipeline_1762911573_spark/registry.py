@@ -56,9 +56,9 @@ WINDOW_PRIORITY: list[str] = [
     # -- new this round, outside any prior window ---------------------
     "etl_fallback_metrics", "etl_fallback_log", "raw_modal",
     "similarity_ivf", "embedding_quantize", "merge_upsert",
-    "dedup_embedding", "join_salted", "dedup_clusters",
-    # -- round-1-green re-verify filling the remaining slot -----------
-    "metrics_row",
+    "dedup_embedding", "join_salted", "dedup_clusters", "quality_audit",
+    # every slot is a debut: with round 1's 50 rows, every registered
+    # query has an official CORRECTNESS row after this round
 ]
 
 

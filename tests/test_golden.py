@@ -60,6 +60,45 @@ def test_new_query_goldens(spark):
         [(0, -0.302343, 0.256886, 67, 144, 96, 146, 0.00049694)]
 
 
+def test_dedup_family_goldens(spark):
+    """The round-2 dedup/quality additions pinned at sf0.001: the
+    embedding near-dup pairs, their transitive clusters, the
+    salt-invariant join, and the constraint audit (whose nonzero rows
+    are exactly the injected user-feed dirt: 15 dups, 7 null emails,
+    6 bad dates)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+    from pyspark.sql import functions as F
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    de = q["dedup_embedding"](spark, sf)
+    assert de.count() == 62
+    assert [tuple(r) for r in de.orderBy("dup_id").limit(2).collect()] == \
+        [(56, 41, 0.403644), (73, 50, 0.403168)]
+
+    dc = q["dedup_clusters"](spark, sf)
+    assert dc.count() == 112
+    assert tuple(dc.orderBy(F.desc("cluster_size"), "cluster_id",
+                            "doc_id").first()) == (23, 23, 6)
+
+    assert sorted(tuple(r) for r in
+                  q["join_salted"](spark, sf).collect()) == [
+        ("AUTOMOBILE", 226, 56846345.81), ("BUILDING", 342, 80389802.88),
+        ("FURNITURE", 403, 101849260.91), ("HOUSEHOLD", 224, 60582938.79),
+        ("MACHINERY", 305, 74778443.22)]
+
+    assert sorted(tuple(r) for r in
+                  q["quality_audit"](spark, sf).collect()) == [
+        ("customer_dup_pk", 0), ("customer_null_pk", 0),
+        ("events_null_ts", 0), ("orders_nonpositive_total", 0),
+        ("orders_null_custkey", 0), ("orders_orphan_custkey", 0),
+        ("users_bad_date", 6), ("users_dup_id", 15),
+        ("users_null_email", 7)]
+
+    assert tuple(q["token_count"](spark, sf).orderBy("doc_id")
+                 .first()) == (0, 23, 17, 23, 32, 128)
+
+
 def test_fallback_metrics_golden(spark):
     """The vendored etl.json fallback document must keep the
     reference's exact metric values (restart.js:12 contract)."""
