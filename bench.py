@@ -25,8 +25,10 @@ from mvp_mini_etl_pipeline_1762911573_spark.tables import warm_users_cache
 
 HEADLINE = [
     "metrics_row",          # flagship: scan→validate→dedup→join→agg
-    "agg_stats",            # TPC-H Q1 shape scan-agg
+    "agg_stats",            # multi-stat scan-agg
+    "sql_q1",               # TPC-H Q1: the canonical pricing summary
     "sql_q3",               # TPC-H Q3 shape via spark.sql
+    "sql_q10",              # TPC-H Q10: decimal revenue top-20
     "sql_q18",              # TPC-H Q18 shape: HAVING over fact-fact join
     "join_equi",            # 3-way join + group
     "asof_join",            # union+window as-of join
@@ -37,6 +39,7 @@ HEADLINE = [
     "similarity_join",      # multi-table LSH ANN join
     "text_stats",           # corpus stats
     "corpus_curate",        # end-to-end curation (filter+dedup+stats)
+    "quality_audit",        # constraint sweep (1 agg pass per table)
     "stream_tumbling",      # windowed event agg (batch flavor)
 ]
 

@@ -354,8 +354,72 @@ def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary report): THE canonical
+    scan-heavy aggregate — one full lineitem pass, 8 aggregates over 2
+    grouping columns, filter pushed to the parquet scan.  The plan to
+    want at 100 TB: partial (map-side) aggregation on ~6 groups means
+    the shuffle carries a handful of rows per task regardless of input
+    size; whole-stage codegen covers scan→project→partial-agg."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)           AS sum_qty,
+               round(sum(l_extendedprice), 2)      AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                                                   AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         * (1 + l_tax)), 2)        AS sum_charge,
+               round(avg(l_quantity), 4)           AS avg_qty,
+               round(avg(l_extendedprice), 4)      AS avg_price,
+               round(avg(l_discount), 4)           AS avg_disc,
+               count(*)                            AS count_order
+        FROM v_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+
+def _sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    lost revenue from returned lineitems in one quarter.  Date filter
+    prunes orders BEFORE the fact-fact join; nation broadcasts; the
+    final top-20 is TakeOrderedAndProject, never a global sort.
+
+    Revenue accumulates in DECIMAL, not DOUBLE: this query's sf0.01 sum
+    lands within 1e-9 of a half-cent boundary, where double summation
+    ORDER (engine-dependent) flips round(x, 2).  Decimal sums are exact
+    and order-independent — also simply the right type for money at
+    100 TB; the final CAST back to DOUBLE keeps the emitted schema
+    uniform with the other revenue queries."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT c_custkey, c_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))),
+                          2) AS DOUBLE)
+                 AS revenue,
+               round(c_acctbal, 2) AS acctbal,
+               n_name AS nation
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """)
+
+
 QUERIES = {
+    "sql_q1": _sql_q1,
     "sql_q3": _sql_q3,
+    "sql_q10": _sql_q10,
     "sql_q4": _sql_q4,
     "sql_q5": _sql_q5,
     "sql_q7": _sql_q7,
@@ -374,6 +438,41 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)           AS sum_qty,
+       round(sum(l_extendedprice), 2)      AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                                           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                           AS sum_charge,
+       round(avg(l_quantity), 4)           AS avg_qty,
+       round(avg(l_extendedprice), 4)      AS avg_price,
+       round(avg(l_discount), 4)           AS avg_disc,
+       CAST(count(*) AS BIGINT)            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    "sql_q10": """
+SELECT c_custkey, c_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))),
+                  2) AS DOUBLE) AS revenue,
+       round(c_acctbal, 2) AS acctbal,
+       n_name AS nation
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
     "sql_recursive_cte": """
 WITH RECURSIVE days(d) AS (
   SELECT DATE '1995-01-01'
