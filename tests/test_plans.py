@@ -132,3 +132,36 @@ def test_ivf_probe_join_is_broadcast(spark, sf_dir):
     plan = _plan(all_queries()["similarity_ivf"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """The co-located join: two tables bucketed (and sorted) on the
+    join key by the SAME bucket count sort-merge-join with ZERO
+    Exchange — the at-scale answer to 'this fact-fact join shuffles
+    100 TB every run': pay the shuffle once at write time, then every
+    subsequent join is map-side.  Asserts the executed plan contains a
+    SortMergeJoin and no Exchange on either input."""
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice")
+    (customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+     .option("path", str(tmp_path / "b_customer"))
+     .mode("overwrite").saveAsTable("b_customer"))
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .option("path", str(tmp_path / "b_orders"))
+     .mode("overwrite").saveAsTable("b_orders"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"))
+        joined.collect()
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in executed
+        assert "Exchange" not in executed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
