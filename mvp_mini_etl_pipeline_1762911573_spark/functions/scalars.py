@@ -169,7 +169,27 @@ def _scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: PII scrubbing — the redaction pass a training corpus runs
+    before release: mask the email local part, star out phone digits,
+    replace the natural id with a salted-hash pseudonym (sha2 hex,
+    identical lowercase output on both engines).  All narrow per-row
+    JVM regex/hash expressions — no shuffle, no UDF; at 100 TB this is
+    a pure map stage that runs at scan speed.  Patterns avoid
+    lookarounds so Java regex (Spark) and RE2 (DuckDB) agree."""
+    from ..tables import users_valid
+    users = users_valid(spark, sf_dir)
+    return users.select(
+        "custkey",
+        F.regexp_replace("email", r"^[^@]+", "***").alias("email_masked"),
+        F.regexp_replace("phone", r"[0-9]", "*").alias("phone_masked"),
+        F.sha2(F.concat(F.lit("pepper:"), F.col("id")), 256)
+         .alias("id_pseudo"),
+    )
+
+
 QUERIES = {
+    "scrub_pii": _scrub_pii,
     "scalar_string": _scalar_string,
     "scalar_variant": _scalar_variant,
     "scalar_map_ops": _scalar_map_ops,
@@ -181,6 +201,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scrub_pii": USERS_CTE + """
+SELECT custkey,
+       regexp_replace(email, '^[^@]+', '***') AS email_masked,
+       regexp_replace(phone, '[0-9]', '*', 'g') AS phone_masked,
+       sha256('pepper:' || id) AS id_pseudo
+FROM users_valid
+""",
     "scalar_map_ops": """
 SELECT event_id,
        event_type AS type_val,

@@ -173,7 +173,38 @@ def _agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BINS = 8
+
+
+def _agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: equi-width histogram of o_totalprice — the distribution
+    profile every data-quality dashboard draws.  min/max come from a
+    1-row aggregate CROSS JOINED back (broadcast of one row), so the
+    whole histogram is two passes over one scan lineage and one
+    tiny shuffle of HIST_BINS rows — never a collect-then-requery.
+    Bucket arithmetic (floor of the scaled offset, clamped to the last
+    bin) is identical IEEE-754 on both engines."""
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(F.min("o_totalprice").alias("lo"),
+                        F.max("o_totalprice").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / step),
+        F.lit(HIST_BINS - 1)).cast("int")
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"),
+                (F.col("lo") + bucket * step).alias("edge_lo"),
+                (F.col("lo") + (bucket + 1) * step).alias("edge_hi"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.first("edge_lo"), 2).alias("edge_lo"),
+             F.round(F.first("edge_hi"), 2).alias("edge_hi"))
+    )
+
+
 QUERIES = {
+    "agg_histogram": _agg_histogram,
     "agg_count": _agg_count,
     "agg_salted_twophase": _agg_salted_twophase,
     "agg_count_distinct": _agg_count_distinct,
@@ -188,6 +219,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_histogram": """
+WITH bounds AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+), bucketed AS (
+  SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 8.0))
+               AS INTEGER), 7) AS bucket,
+         lo, hi
+  FROM orders CROSS JOIN bounds
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
+       round(min(lo + bucket * ((hi - lo) / 8.0)), 2) AS edge_lo,
+       round(min(lo + (bucket + 1) * ((hi - lo) / 8.0)), 2) AS edge_hi
+FROM bucketed
+GROUP BY bucket
+""",
     "agg_salted_twophase": """
 SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS order_cnt,
        round(sum(o_totalprice), 2) AS revenue

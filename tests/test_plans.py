@@ -165,3 +165,61 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_customer")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join: a hot join key must be SPLIT at runtime —
+    SortMergeJoin(skew=true) / 'AQEShuffleRead ... skewed' in the final
+    plan.  This is the automatic counterpart to the explicit
+    join_salted operator.
+
+    Two preconditions discovered the hard way, both worth pinning:
+    * the skewed side's shuffle needs MULTIPLE map tasks — AQE splits a
+      reduce partition by map-index ranges, so a single-file scan (one
+      mapper, the test-scale default) is unsplittable; hence the
+      repartition(8) upstream.  At 100 TB mappers number in the
+      thousands — never a constraint.
+    * the join output must have no downstream requirement on the join
+      key (a groupBy on the same key right after suppresses the split,
+      because duplicating the dim side's rows would break the required
+      hash distribution).
+    Detection thresholds are lowered to test-data sizes; the defaults
+    (256 MB) are for real clusters."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load(spark, sf_dir, "orders")
+        # fold every 10th orderkey onto hot key 0, then fan it out
+        # 2000x: one reduce partition dwarfs the median
+        fact = (
+            orders
+            .withColumn("k", F.when(F.col("o_orderkey") % 10 == 0,
+                                    F.lit(0))
+                              .otherwise(F.col("o_orderkey") % 1000))
+            .withColumn("_x", F.explode(
+                F.when(F.col("k") == 0, F.sequence(F.lit(1), F.lit(2000)))
+                 .otherwise(F.array(F.lit(1)))))
+            .select("k", "o_totalprice")
+            .repartition(8)
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+        j = (fact.join(dim, "k")
+             # predicate spans both sides so it cannot push below the
+             # join; result is empty but the shuffle still carries the
+             # full skew
+             .where(F.col("o_totalprice") + F.col("v") < 0))
+        assert j.collect() == []
+        executed = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed, executed
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
