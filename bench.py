@@ -29,6 +29,7 @@ HEADLINE = [
     "sql_q1",               # TPC-H Q1: the canonical pricing summary
     "sql_q3",               # TPC-H Q3 shape via spark.sql
     "sql_q10",              # TPC-H Q10: decimal revenue top-20
+    "sql_q9",               # TPC-H Q9: deepest join tree (6 tables)
     "sql_q18",              # TPC-H Q18 shape: HAVING over fact-fact join
     "join_equi",            # 3-way join + group
     "asof_join",            # union+window as-of join

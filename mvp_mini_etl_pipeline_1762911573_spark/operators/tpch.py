@@ -1,0 +1,304 @@
+"""The remaining TPC-H query shapes (Q2/6/8/9/11/12/14/15/16/17/19/20/21)
+— completing all 22 through the spark.sql front door (Q1/3/10 live in
+sqlapi.py alongside Q4/5/7/13/18/22).
+
+No reference counterpart (the reference is a single-entity ETL);
+these exist because the 100 TB target is an ANALYTICS engine and the
+TPC-H suite is the public yardstick for whether Catalyst gets the
+plans right: correlated-subquery decorrelation (Q2/17/20), scalar
+subquery broadcasts (Q11/15), OR-of-ANDs pushdown (Q19), multi-EXISTS
+(Q21), conditional-aggregate ratios (Q12/14), and deep join trees with
+two roles for one dim (Q8/9).
+
+Adaptations to the driver testdata (documented per query):
+* there is NO partsupp table — queries that need per-(part,supplier)
+  supply data (Q2/9/11/16/20) derive it from lineitem:
+  ``ps(partkey, suppkey, unit_cost=min(extendedprice/quantity),
+  qty=sum(quantity))`` — same grain, same join role, deterministic.
+* lineitem has no shipmode/shipinstruct/commitdate/receiptdate and
+  part has no container — predicates that used them run on the
+  closest available column (returnflag, orderpriority, p_size,
+  p_brand); the plan SHAPE (what the suite actually stresses) is
+  unchanged.
+
+Engine parity: each query is ONE ANSI-SQL string executed verbatim by
+BOTH Spark (over unprefixed temp views) and the DuckDB oracle — zero
+translation surface.  Money sums accumulate in DECIMAL (exact,
+summation-order-independent; see sqlapi._sql_q10) and are CAST back to
+DOUBLE after round(); every ORDER BY carries a total tiebreak.
+
+Scale notes: all queries are pure Catalyst — dims broadcast, facts
+shuffle once per join key, partial aggregation everywhere; the derived
+``ps`` CTE is itself a narrow two-key aggregate that at 100 TB you
+would materialize (bucketed on partkey) instead of recomputing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import TABLE_NAMES, load
+
+# revenue term used throughout; decimal keeps cross-engine round() exact
+_REV = ("CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* (1 - CAST(l_discount AS DECIMAL(18,2)))")
+
+# derived partsupp stand-in (see module docstring).  The unit cost is
+# quantized to 4dp via floor(x*1e4 + 0.5) — NOT round(double, 4): Spark
+# rounds the double's exact decimal expansion half-up while DuckDB
+# multiplies-rounds-divides, and the two disagree 1 ulp at 4dp
+# boundaries (observed: four Q9 groups off by 0.01).  floor over
+# identical IEEE-754 products is bit-identical; the DECIMAL(18,4) ×
+# DECIMAL(5,4) rescale is exact on both engines.
+_PS_CTE = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(floor(min(l_extendedprice / l_quantity) * 10000 + 0.5)
+              AS DECIMAL(18,4)) * CAST(0.0001 AS DECIMAL(5,4))
+           AS ps_unit_cost,
+         CAST(round(sum(l_quantity), 0) AS BIGINT) AS ps_qty
+  FROM lineitem
+  WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+)
+"""
+
+TPCH_SQL: dict[str, str] = {
+    # Q2: min-cost supplier per part (correlated scalar subquery that
+    # must decorrelate into a per-part min aggregate + rejoin)
+    "sql_q2": _PS_CTE + f"""
+SELECT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey, p.p_name
+FROM part p
+JOIN ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'LARGE'
+  AND r.r_name = 'ASIA'
+  AND ps.ps_unit_cost = (
+    SELECT min(ps2.ps_unit_cost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+""",
+    # Q6: the forecast-revenue-change filter-aggregate — pure pushdown
+    "sql_q6": f"""
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))), 2)
+       AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+    # Q8: national market share inside one region's market by year —
+    # nation joins TWICE (customer side and supplier side)
+    "sql_q8": f"""
+SELECT o_year,
+       CAST(round(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                           ELSE CAST(0.00 AS DECIMAL(18,2)) END)
+                  / sum(volume), 4) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(round({_REV}, 2) AS DECIMAL(18,2)) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= DATE '1995-01-01'
+    AND o.o_orderdate < DATE '1997-01-01'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+    # Q9: product-type profit by nation and year; supply cost comes
+    # from the derived ps (p_retailprice-free so the profit varies)
+    "sql_q9": _PS_CTE + f"""
+SELECT nation, o_year,
+       CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         {_REV} - CAST(ps.ps_unit_cost AS DECIMAL(18,4))
+                  * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN ps ON ps.ps_partkey = l.l_partkey
+         AND ps.ps_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    # Q11: important-stock value per part vs a global-fraction
+    # threshold (uncorrelated scalar subquery → 1-row broadcast)
+    "sql_q11": _PS_CTE + """
+SELECT ps_partkey,
+       CAST(round(sum(CAST(ps_unit_cost AS DECIMAL(18,4)) * ps_qty), 2)
+       AS DOUBLE) AS value
+FROM ps
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+GROUP BY ps_partkey
+HAVING sum(CAST(ps_unit_cost AS DECIMAL(18,4)) * ps_qty) > (
+  SELECT sum(CAST(ps_unit_cost AS DECIMAL(18,4)) * ps_qty) * 0.003
+  FROM ps
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3')
+ORDER BY value DESC, ps_partkey
+""",
+    # Q12: dual conditional counts after an orders⋈lineitem join
+    # (shipmode → returnflag: the slim lineitem has no shipmode)
+    "sql_q12": """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    # Q14: promo-revenue ratio — two conditional decimal sums, one join
+    "sql_q14": f"""
+SELECT CAST(round(
+         100.00 * sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(round({_REV}, 2) AS DECIMAL(18,2))
+                           ELSE CAST(0.00 AS DECIMAL(18,2)) END)
+         / sum(CAST(round({_REV}, 2) AS DECIMAL(18,2))), 4)
+       AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-09-01'
+  AND l_shipdate < DATE '1996-10-01'
+""",
+    # Q15: top supplier(s) — revenue view + scalar max subquery
+    "sql_q15": f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(round(sum({_REV}), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    # Q16: supplier count per part attribute group, minus suppliers
+    # excluded by a NOT IN subquery (complaints → negative acctbal)
+    "sql_q16": _PS_CTE + """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#15'
+  AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    # Q17: small-quantity-order revenue — correlated scalar avg per
+    # part that must decorrelate to one aggregate pass
+    "sql_q17": """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
+       AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey)
+""",
+    # Q19: disjunction of conjunctive band predicates — Catalyst must
+    # push the common join key and evaluate the OR post-join without a
+    # cartesian (container → p_size bands in the slim schema)
+    "sql_q19": f"""
+SELECT CAST(round(sum({_REV}), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+    # Q20: suppliers able to supply surplus stock — IN over a
+    # correlated half-of-shipped-quantity threshold
+    "sql_q20": _PS_CTE + """
+SELECT s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    WHERE ps_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps_qty > (
+        SELECT 0.3 * sum(l_quantity) FROM lineitem
+        WHERE l_partkey = ps_partkey
+          AND l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'))
+ORDER BY s_name
+""",
+    # Q21: suppliers who kept multi-supplier 'F' orders waiting —
+    # EXISTS + NOT EXISTS correlated self-joins on the fact table
+    # (receipt/commit lateness → returnflag in the slim schema)
+    "sql_q21": """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n_name = 'NATION_3'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""",
+}
+
+
+def _make_query(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in TABLE_NAMES:
+            load(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+    return run
+
+
+QUERIES = {name: _make_query(sql) for name, sql in TPCH_SQL.items()}
+# the oracle runs the IDENTICAL SQL text — no translation surface
+ORACLES = dict(TPCH_SQL)

@@ -223,3 +223,35 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_q2_min_cost_subquery_decorrelates(spark, sf_dir):
+    """Q2's correlated min-cost scalar subquery must decorrelate into
+    a per-part aggregate + rejoin — never a per-row rescan."""
+    plan = _plan(all_queries()["sql_q2"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_correlated_avg_decorrelates(spark, sf_dir):
+    """Q17's 0.5*avg(quantity)-per-part subquery: one aggregate pass,
+    joined back — the correlation key becomes a join key."""
+    plan = _plan(all_queries()["sql_q17"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_nested_in_becomes_semi_joins(spark, sf_dir):
+    """Q20's nested IN subqueries must plan as (left-)semi joins."""
+    plan = _plan(all_queries()["sql_q20"](spark, sf_dir))
+    assert "Semi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_or_of_ands_no_cartesian(spark, sf_dir):
+    """Q19's OR-of-ANDs spans both join inputs; Catalyst must still
+    join on the common key and evaluate the disjunction post-join —
+    the naive plan is a filtered cartesian."""
+    plan = _plan(all_queries()["sql_q19"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
