@@ -239,7 +239,82 @@ def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 40   # tokens per chunk window
+CHUNK_OVERLAP = 10  # tokens shared between consecutive chunks
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def _doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: document chunking — the sliding-token-window split every
+    embedding/RAG ingestion pipeline runs before vectorizing.  Chunk i
+    covers tokens [i*stride, i*stride + CHUNK_TOKENS); the tail chunk
+    may be short.  One narrow map + one explode per doc — the 100 TB
+    shape is scan-bound, no shuffle at all (chunk rows inherit the
+    input partitioning).  Guarded sequence: ANSI sequence(0, -1) is
+    DESCENDING, so n_chunks is clamped to >= 1."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil(n / F.lit(CHUNK_STRIDE)).cast("int"), F.lit(1))
+    with_chunks = (
+        docs.select("doc_id", toks.alias("toks"), n.alias("n_tokens"),
+                    F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+                     .alias("chunk_id", "_i"))
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE
+    chunk_len = F.least(F.lit(CHUNK_TOKENS), F.col("n_tokens") - start)
+    return (
+        with_chunks
+        .where(start < F.col("n_tokens"))
+        .select(
+            "doc_id", "chunk_id",
+            start.cast("int").alias("chunk_start"),
+            chunk_len.cast("int").alias("chunk_len"),
+            F.array_join(F.slice("toks", start + 1, chunk_len), " ")
+             .alias("chunk_text"),
+        )
+    )
+
+
+PACK_TOKENS = 256  # context-window budget per pack
+
+
+def _seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: sequence packing — assign documents to fixed-token-budget
+    training packs (offset packing: doc d goes to pack
+    floor(tokens_before_d / budget), computed from a running token
+    cumsum).  Packing is per SOURCE shard, which is the point at
+    100 TB: the window partitions by shard, so the cumsum is a
+    parallel per-partition scan, never a global single-partition sort
+    (the classic unpartitioned-window scale killer).  Integer-valued
+    double division keeps floor() identical across engines (exact
+    below 2^52).  Emits per-pack occupancy stats."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(_tokens(F.col("text")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (
+        docs.select("source", "doc_id", toks.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("pack_id",
+                    F.floor((F.col("cum") - F.col("n_tokens"))
+                            / F.lit(float(PACK_TOKENS))).cast("int"))
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("pack_tokens"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+    )
+
+
 QUERIES = {
+    "doc_chunk": _doc_chunk,
+    "seq_pack": _seq_pack,
     "corpus_curate": _corpus_curate,
     "token_count": _token_count,
     "text_tfidf": _text_tfidf,
@@ -252,6 +327,52 @@ QUERIES = {
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 ORACLES = {
+    "doc_chunk": f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks,
+         CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens
+  FROM documents
+), exploded AS (
+  SELECT doc_id, toks, n_tokens,
+         unnest(list_transform(
+           range(greatest(CAST(ceil(n_tokens / {CHUNK_STRIDE}.0)
+                          AS INTEGER), 1)),
+           i -> CAST(i AS INTEGER))) AS chunk_id
+  FROM base
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} AS INTEGER) AS chunk_start,
+       CAST(least({CHUNK_TOKENS}, n_tokens - chunk_id * {CHUNK_STRIDE})
+            AS INTEGER) AS chunk_len,
+       array_to_string(list_slice(
+         toks, chunk_id * {CHUNK_STRIDE} + 1,
+         chunk_id * {CHUNK_STRIDE}
+           + least({CHUNK_TOKENS},
+                   n_tokens - chunk_id * {CHUNK_STRIDE})), ' ')
+         AS chunk_text
+FROM exploded
+WHERE chunk_id * {CHUNK_STRIDE} < n_tokens
+""",
+    "seq_pack": f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len({_DUCK_TOKS}) AS INTEGER) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source,
+       CAST(floor((cum - n_tokens) / {PACK_TOKENS}.0) AS INTEGER)
+         AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c
+GROUP BY source, pack_id
+""",
     "corpus_curate": f"""
 WITH scored AS (
   SELECT doc_id, source, lang, text,

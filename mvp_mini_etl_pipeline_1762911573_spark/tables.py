@@ -81,18 +81,22 @@ _USERS_CACHE: dict = {}
 
 
 def warm_users_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
     key = (id(spark), os.path.abspath(sf_dir))
     if key not in _USERS_CACHE:
-        df = users_base(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()  # eager: pay the scan+join now, not mid-query
-        _USERS_CACHE[key] = df
+        # localCheckpoint over persist(MEMORY_AND_DISK): the columnar
+        # cache encode made persist+count ~3.5s at sf0.1 where the bare
+        # computation is ~0.6s; checkpointed blocks materialize in
+        # ~1.3s and re-serve in ~0.1s.  Lineage truncation is fine for
+        # this opt-in single-session cache (blocks freed on GC); a
+        # long-lived cluster entity would persist or write a table.
+        _USERS_CACHE[key] = users_base(spark, sf_dir) \
+            .localCheckpoint(eager=True)
     return _USERS_CACHE[key]
 
 
 def clear_users_cache() -> None:
-    for df in _USERS_CACHE.values():
-        df.unpersist()
+    # checkpointed blocks are freed when the DataFrames are GC'd;
+    # dropping the refs is the cleanup
     _USERS_CACHE.clear()
 
 

@@ -255,3 +255,17 @@ def test_q19_or_of_ands_no_cartesian(spark, sf_dir):
     plan = _plan(all_queries()["sql_q19"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+import pytest as _pytest
+
+_TPCH_ALL = [f"sql_q{i}" for i in range(1, 23)]
+
+
+@_pytest.mark.parametrize("name", _TPCH_ALL)
+def test_tpch_plans_never_cartesian(spark, sf_dir, name):
+    """Every one of the 22 TPC-H shapes must plan without a cartesian
+    product — the one failure mode that silently works at test scale
+    and detonates at 100 TB."""
+    plan = _plan(all_queries()[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan
