@@ -114,6 +114,32 @@ def _agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: bivariate statistics battery — Pearson correlation and
+    sample/population covariance of quantity vs extended price per
+    return flag, plus the univariate stddev.  Single-pass mergeable
+    co-moments (the same partial-aggregation shape as sum/avg: each
+    partition keeps (n, Σx, Σy, Σxy…) and merges — constant memory at
+    100 TB).  Covariance is rounded to integer dollars: its co-moment
+    sums run ~1e9 per term, where double summation noise reaches
+    ~1e-2 absolute — 0dp absorbs it on both engines; corr is
+    scale-free and stddev error is ~1e-7, so 6/4dp are safe."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+             .alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 0)
+             .alias("qty_price_covar"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 0)
+             .alias("qty_price_covar_pop"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def _agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric aggregate battery on lineitem: min/max/sum/avg/stddev —
     TPC-H Q1 shape (the canonical pricing-summary scan-agg)."""
@@ -205,6 +231,7 @@ def _agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "agg_histogram": _agg_histogram,
+    "agg_corr": _agg_corr,
     "agg_count": _agg_count,
     "agg_salted_twophase": _agg_salted_twophase,
     "agg_count_distinct": _agg_count_distinct,
@@ -219,6 +246,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_corr": """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 0)
+         AS qty_price_covar,
+       round(covar_pop(l_quantity, l_extendedprice), 0)
+         AS qty_price_covar_pop,
+       round(stddev_samp(l_quantity), 4) AS qty_stddev,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
     "agg_histogram": """
 WITH bounds AS (
   SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders

@@ -131,20 +131,20 @@ def _similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     randomness is engine-local)."""
     emb = load(spark, sf_dir, "embeddings")
     buckets = lsh_buckets_udf()
-    # localCheckpoint: the bucketed frame feeds BOTH sides of the
+    # localCheckpoint: the signature frame feeds BOTH sides of the
     # candidate self-join — without it the pandas-UDF bucketing (the
-    # Python-boundary cost) runs twice; blocks are freed on GC (same
-    # rationale as the minhash signatures in dedup.py)
-    bucketed = (
-        emb.withColumn("bks", buckets("embedding"))
-        .select("vec_id", "embedding",
-                F.posexplode("bks").alias("tbl", "bucket"))
-    ).localCheckpoint(eager=True)
+    # Python-boundary cost) runs twice.  Checkpoint BEFORE exploding
+    # and WITHOUT the embedding payload: (vec_id, 4 ints) per row, not
+    # L copies of a 64-float array — at 100 TB the materialized
+    # signatures are ~64x smaller than the naive bucketed+embedding
+    # frame, and rescoring re-reads vectors from the (column-pruned)
+    # source scan instead of a distinct() over exploded copies.
+    sigs = (emb.withColumn("bks", buckets("embedding"))
+            .select("vec_id", "bks")).localCheckpoint(eager=True)
     # candidate generation shuffles ONLY ids through the bucket
     # self-join, and distinct() runs BEFORE rescoring — a pair landing
-    # in several tables' buckets is scored once, and the wide embedding
-    # arrays never ride the (tbl, bucket) shuffle
-    ids = bucketed.select("vec_id", "tbl", "bucket")
+    # in several tables' buckets is scored once
+    ids = sigs.select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
     pairs = (
         ids.alias("l")
         .join(ids.alias("r"),
@@ -155,11 +155,10 @@ def _similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("r.vec_id").alias("id_b"))
         .distinct()
     )
-    vecs = bucketed.select("vec_id", "embedding").distinct()
-    va = vecs.select(F.col("vec_id").alias("id_a"),
-                     F.col("embedding").alias("va"))
-    vb = vecs.select(F.col("vec_id").alias("id_b"),
-                     F.col("embedding").alias("vb"))
+    va = emb.select(F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"),
+                    F.col("embedding").alias("vb"))
     return (
         pairs.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b",
