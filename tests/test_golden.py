@@ -99,6 +99,44 @@ def test_dedup_family_goldens(spark):
                  .first()) == (0, 23, 17, 23, 32, 128)
 
 
+def test_tpch_and_pipeline_goldens(spark):
+    """Late round-2 additions pinned at sf0.001: TPC-H scalar results,
+    chunking/packing invariants, and the statistics battery."""
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+    from pyspark.sql import functions as F
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    assert q["sql_q6"](spark, sf).first()[0] == 659204.11
+    assert q["sql_q14"](spark, sf).first()[0] == 34.6313
+    assert [tuple(r) for r in q["sql_q12"](spark, sf).collect()] == \
+        [("A", 107, 193), ("N", 139, 195), ("R", 108, 187)]
+
+    dc = q["doc_chunk"](spark, sf)
+    assert dc.count() == 1168
+    # doc 0 has 23 tokens -> exactly one (short) chunk
+    assert [tuple(r) for r in
+            dc.where("doc_id = 0")
+              .select("chunk_id", "chunk_start", "chunk_len")
+              .collect()] == [(0, 0, 23)]
+
+    sp = q["seq_pack"](spark, sf)
+    totals = sp.agg(F.sum("pack_tokens"), F.sum("n_docs")).first()
+    # packing is a partition of the corpus: token and doc totals are
+    # conserved exactly
+    assert tuple(totals) == (27939, 500)
+    assert sp.count() == 116
+
+    assert tuple(q["agg_corr"](spark, sf)
+                 .where("l_returnflag = 'A'").first()) == \
+        ("A", -0.020151, -8879.0, -8874.0, 14.4432, 1962)
+
+    hist = sorted(tuple(r) for r in
+                  q["agg_histogram"](spark, sf).collect())
+    assert hist[0] == (0, 200, 1320.51, 63618.58)
+    assert sum(h[1] for h in hist) == 1500  # every order lands in a bin
+
+
 def test_fallback_metrics_golden(spark):
     """The vendored etl.json fallback document must keep the
     reference's exact metric values (restart.js:12 contract)."""

@@ -269,3 +269,27 @@ def test_tpch_plans_never_cartesian(spark, sf_dir, name):
     and detonates at 100 TB."""
     plan = _plan(all_queries()[name](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_doc_chunk_is_shuffle_free(spark, sf_dir):
+    """Chunking is a per-row explode — the plan must contain no
+    Exchange at all (chunk rows inherit the scan partitioning)."""
+    plan = _plan(all_queries()["doc_chunk"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_no_query_uses_row_at_a_time_python(spark, sf_dir):
+    """Engine-wide invariant: Python appears in plans ONLY as
+    Arrow-vectorized evaluation (ArrowEvalPython / mapInPandas /
+    applyInPandas) — never BatchEvalPython, the row-at-a-time UDF
+    marker that is 10-100x slower and the #1 PySpark scale killer."""
+    offenders = []
+    for name, fn in all_queries().items():
+        try:
+            plan = _plan(fn(spark, sf_dir))
+        except Exception as e:  # pragma: no cover - surface the name
+            offenders.append((name, f"plan failed: {e}"))
+            continue
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+    assert not offenders, offenders
