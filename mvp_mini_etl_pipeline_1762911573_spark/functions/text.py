@@ -13,7 +13,7 @@ few aggregate states per (lang, source).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..tables import load
 
@@ -312,7 +312,47 @@ def _seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_K = 40  # vocabulary entries reported
+
+
+def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: tokenizer vocabulary build — global token frequency top-K
+    with per-token corpus share and cumulative coverage (the curve a
+    tokenizer team reads to size a vocab).
+
+    100 TB shape: explode + groupBy(token) is the one shuffle (partial
+    agg collapses each map partition's counts first, so the shuffle
+    carries the per-partition vocab, not the token stream).  The top-K
+    is orderBy+limit → TakeOrderedAndProject (per-partition heap +
+    driver merge of K rows), never a global sort.  The corpus total is
+    a broadcast 1-row aggregate folded into the same DAG, and the
+    cumulative window — though formally global — runs over exactly K
+    rows post-limit, so the single-partition window is O(K), not
+    O(vocab)."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").alias("total"))
+    top = counts.orderBy(F.col("freq").desc(), F.col("tok").asc()) \
+                .limit(VOCAB_K)
+    w_o = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    w_cum = w_o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w_o).alias("rnk"),
+            "tok", "freq",
+            F.round(F.col("freq") / F.col("total"), 6).alias("share"),
+            F.round(F.sum("freq").over(w_cum) / F.col("total"), 6)
+             .alias("cum_share"),
+        )
+    )
+
+
 QUERIES = {
+    "vocab_topk": _vocab_topk,
     "doc_chunk": _doc_chunk,
     "seq_pack": _seq_pack,
     "corpus_curate": _corpus_curate,
@@ -327,6 +367,25 @@ QUERIES = {
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 ORACLES = {
+    "vocab_topk": f"""
+WITH tok AS (
+  SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY tok
+), total AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts
+), top AS (
+  SELECT tok, freq FROM counts
+  ORDER BY freq DESC, tok ASC LIMIT {VOCAB_K}
+)
+SELECT CAST(row_number() OVER wo AS INTEGER) AS rnk, tok, freq,
+       round(freq / total, 6) AS share,
+       round(CAST(sum(freq) OVER (ORDER BY freq DESC, tok ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) / total, 6) AS cum_share
+FROM top, total
+WINDOW wo AS (ORDER BY freq DESC, tok ASC)
+""",
     "doc_chunk": f"""
 WITH base AS (
   SELECT doc_id, {_DUCK_TOKS} AS toks,

@@ -473,7 +473,74 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decontamination parameters: gram width (long grams ≈ verbatim
+# overlap, the standard benchmark-contamination signal) and the
+# reported-overlap floor.
+DECON_N = 5
+DECON_MIN_OVERLAP = 0.10
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: benchmark decontamination — the pass every LLM training-
+    data pipeline runs before training: find training documents that
+    contain verbatim n-gram overlap with a held-out benchmark/eval set,
+    so they can be dropped (test-set leakage).  Here the benchmark
+    split is doc_id % 10 == 0 and the train split is the rest; overlap
+    is the fraction of a benchmark doc's distinct word-5-grams that
+    appear in a given training doc.
+
+    100 TB shape: the benchmark side is SMALL at any corpus scale
+    (eval suites are MBs) → its gram index is broadcast, so the
+    train-corpus gram stream is scanned map-side with NO shuffle of
+    the corpus; the only shuffle is the partial-aggregated
+    (train_doc, bench_doc) pair counts, bounded by actual collisions.
+    Skew is bounded too: a hot gram contributes at most
+    (its benchmark df) rows per train occurrence, and benchmark df is
+    capped by the tiny benchmark corpus."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
+    # guarded sequence as in _dedup_ngram_jaccard (ANSI: descending
+    # sequence / out-of-range element_at both throw)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= DECON_N,
+                F.array_distinct(F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (DECON_N - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("ws", i + j)
+                               for j in range(DECON_N)]),
+                )),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    bench = grams.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_doc"), "gram")
+    train = grams.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("train_doc"), "gram")
+    bench_sizes = bench.groupBy("bench_doc").agg(
+        F.count("*").alias("bench_grams"))
+    shared = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(bench_sizes), "bench_doc")
+        .select(
+            "train_doc", "bench_doc", "n_shared", "bench_grams",
+            F.round(F.col("n_shared") / F.col("bench_grams"), 4)
+             .alias("overlap"),
+        )
+        .where(F.col("overlap") >= DECON_MIN_OVERLAP)
+        .orderBy("train_doc", "bench_doc")
+    )
+
+
 QUERIES = {
+    "decontaminate": _decontaminate,
     "dedup_clusters": _dedup_clusters,
     "dedup_embedding": _dedup_embedding,
     "dedup_exact": _dedup_exact,
@@ -485,6 +552,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - {DECON_N - 2}, 1)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                || ws[i+3] || ' ' || ws[i+4]))) AS gram
+  FROM toks
+), bench AS (
+  SELECT doc_id AS bench_doc, gram FROM grams WHERE doc_id % 10 = 0
+), train AS (
+  SELECT doc_id AS train_doc, gram FROM grams WHERE doc_id % 10 != 0
+), bench_sizes AS (
+  SELECT bench_doc, count(*) AS bench_grams FROM bench GROUP BY bench_doc
+), shared AS (
+  SELECT t.train_doc, b.bench_doc, count(*) AS n_shared
+  FROM train t JOIN bench b ON t.gram = b.gram
+  GROUP BY t.train_doc, b.bench_doc
+)
+SELECT s.train_doc, s.bench_doc, s.n_shared, z.bench_grams,
+       round(s.n_shared / z.bench_grams, 4) AS overlap
+FROM shared s JOIN bench_sizes z ON z.bench_doc = s.bench_doc
+WHERE round(s.n_shared / z.bench_grams, 4) >= {DECON_MIN_OVERLAP}
+""",
     # transitive closure of the same 6dp-rounded edge set via
     # recursive CTE; component label = min reachable doc_id (incl self)
     "dedup_clusters": """

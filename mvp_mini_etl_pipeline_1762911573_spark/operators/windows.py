@@ -116,7 +116,47 @@ def _window_ntile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: SCD type-2 dimension build from an event log — the
+    standard warehouse pattern for "what was this entity's state over
+    time".  Gaps-and-islands: flag rows where the state (event_type)
+    differs from the previous row per user, running-sum the flags into
+    a version number, then collapse each run to one interval row with
+    valid_from / valid_to (lead of the next version's start) and
+    is_current on the open interval.
+
+    100 TB shape: every window partitions by user_id, so the whole
+    job is ONE hash shuffle on user_id — the islands window, the
+    version collapse (groupBy user_id+version preserves the
+    partitioning) and the lead() window all reuse it; no global sort
+    anywhere.  Micros (unix_micros/epoch_us) for cross-engine ts
+    equality — cast-to-long truncates sub-second parts."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("user_id") % 100 == 7)
+          .select("user_id", "event_id", "ts", "event_type"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn(
+        "chg",
+        F.when(F.lag("event_type").over(w)
+                .eqNullSafe(F.col("event_type")), 0).otherwise(1))
+    islands = flagged.withColumn(
+        "version", F.sum("chg").over(wrun).cast("int"))
+    grouped = islands.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("vf"), F.count("*").alias("n_events"))
+    wv = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("vf").over(wv)
+    return grouped.select(
+        "user_id", "version", "event_type",
+        F.unix_micros("vf").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
 QUERIES = {
+    "scd2_intervals": _scd2_intervals,
     "window_last_user": _window_last_user,
     "sort_limit1": _sort_limit1,
     "window_rank": _window_rank,
@@ -133,6 +173,32 @@ ORDER BY registered_ts DESC, custkey DESC LIMIT 1
 """
 
 ORACLES = {
+    "scd2_intervals": """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM events WHERE user_id % 100 = 7
+), flagged AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS INTEGER) AS version
+  FROM flagged
+), grouped AS (
+  SELECT user_id, version, event_type, min(ts) AS vf,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM islands GROUP BY user_id, version, event_type
+)
+SELECT user_id, version, event_type,
+       epoch_us(vf) AS valid_from_us,
+       epoch_us(lead(vf) OVER wv) AS valid_to_us,
+       n_events,
+       lead(vf) OVER wv IS NULL AS is_current
+FROM grouped WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+""",
     "window_last_user": USERS_CTE + _LAST_USER_SQL,
     "sort_limit1": USERS_CTE + _LAST_USER_SQL,
     "window_rank": USERS_CTE + """
