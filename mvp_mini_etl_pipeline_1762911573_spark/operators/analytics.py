@@ -1,0 +1,200 @@
+"""Event-analytics operators (EXT): funnel analysis, cohort retention,
+and statistical outlier detection over the `events` table.
+
+No reference counterpart (the reference's only event surface is the
+staged run log, pages/index.js:63-80); these are the standard product-
+analytics queries any engine claiming "same query capabilities at
+100 TB" must run, and they exercise plan shapes the rest of the suite
+doesn't: sequential conditional aggregation (funnel), self-alignment on
+a derived key (cohorts), and aggregate-then-rejoin standardization
+(z-score).
+
+Scale notes (100 TB):
+* funnel: every stage keys on user_id — one hash partitioning reused
+  by all three conditional aggs, and each stage's output shrinks
+  monotonically (survivors only), so stages 2..k are broadcast-join
+  candidates under AQE.  No windows over the raw stream.
+* retention: the cohort assignment (min ts per user) and the activity
+  matrix (distinct user×week) both reduce on user_id before the join,
+  so the join inputs are per-user rows, not raw events.  The final
+  rollup is per (cohort, offset) — tiny.
+* z-score: per-group moments via ONE partial-aggregated groupBy on a
+  5-value key, broadcast back over the stream — never a whole-partition
+  window (an unbounded window over event_type would buffer 20 TB per
+  group on a real corpus; the broadcast join is the correct shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..tables import load
+
+# Ordered funnel definition: each step must happen strictly after the
+# previous step's completion and within FUNNEL_WINDOW_H hours of it.
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+FUNNEL_WINDOW_H = 24
+
+ZSCORE_CUT = 3.0  # |z| at or above this is an outlier
+
+
+def _funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: ordered conversion funnel signup → view → purchase with a
+    24 h step deadline.  Stage k keeps users whose earliest step-k
+    event lands in (t_{k-1}, t_{k-1} + 24 h]; emits one row per step
+    with step-over-step and overall conversion rates.  The 3-row
+    result window is driver-trivial; the heavy lifting is the chained
+    conditional min-aggregations, all keyed on user_id."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    deadline = F.expr(f"INTERVAL {FUNNEL_WINDOW_H} HOURS")
+
+    prev = (ev.where(F.col("event_type") == FUNNEL_STEPS[0])
+            .groupBy("user_id").agg(F.min("ts").alias("t")))
+    stages = [prev]
+    for step in FUNNEL_STEPS[1:]:
+        nxt = (
+            ev.where(F.col("event_type") == step)
+            .join(prev.select("user_id", F.col("t").alias("t_prev")),
+                  "user_id")
+            .where((F.col("ts") > F.col("t_prev"))
+                   & (F.col("ts") <= F.col("t_prev") + deadline))
+            .groupBy("user_id").agg(F.min("ts").alias("t"))
+        )
+        stages.append(nxt)
+        prev = nxt
+
+    rows = None
+    for i, (step, df) in enumerate(zip(FUNNEL_STEPS, stages), start=1):
+        one = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(step).alias("event_type"),
+            "n_users")
+        rows = one if rows is None else rows.unionByName(one)
+
+    w = Window.orderBy("step")  # 3 rows — single-partition is fine
+    first_n = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return rows.select(
+        "step", "event_type", "n_users",
+        F.round(F.col("n_users")
+                / F.coalesce(F.lag("n_users").over(w), F.col("n_users")),
+                4).alias("conv_rate"),
+        F.round(F.col("n_users") / first_n, 4).alias("overall_rate"),
+    )
+
+
+def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: weekly cohort retention — users grouped by first-activity
+    week (Monday-truncated), activity counted as distinct user×week,
+    offset in whole weeks, retention as a share of the cohort's week-0
+    size (window over the tiny per-cohort rollup)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week"),
+    ).distinct()
+    counts = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int").alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week")
+    size = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))) \
+            .over(w)
+    return counts.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset", "n_active",
+        F.round(F.col("n_active") / size, 4).alias("retention"),
+    )
+
+
+def _events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: per-event-type z-score outliers — group moments (mean,
+    sample stddev) aggregated once and broadcast back over the event
+    stream; rows at |z| ≥ 3 survive.  The rejoin-not-window shape is
+    the 100 TB point (see module docstring)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"),
+        F.stddev_samp("value").alias("sd"))
+    z = F.round((F.col("value") - F.col("m")) / F.col("sd"), 4)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_type", "event_id", "user_id", "value",
+                z.alias("z"))
+        .where(F.abs(F.col("z")) >= ZSCORE_CUT)
+    )
+
+
+QUERIES = {
+    "funnel_steps": _funnel_steps,
+    "retention_cohorts": _retention_cohorts,
+    "events_zscore": _events_zscore,
+}
+
+ORACLES = {
+    "funnel_steps": f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+   AND e.ts > t1.t AND e.ts <= t1.t + INTERVAL {FUNNEL_WINDOW_H} HOURS
+  WHERE e.event_type = 'view' GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+   AND e.ts > t2.t AND e.ts <= t2.t + INTERVAL {FUNNEL_WINDOW_H} HOURS
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), rows_ AS (
+  SELECT 1 AS step, 'signup' AS event_type,
+         CAST(count(*) AS BIGINT) AS n_users FROM t1
+  UNION ALL SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM t2
+  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM t3
+)
+SELECT step, event_type, n_users,
+       round(n_users / coalesce(lag(n_users) OVER (ORDER BY step),
+                                n_users), 4) AS conv_rate,
+       round(n_users / first_value(n_users) OVER (ORDER BY step
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             4) AS overall_rate
+FROM rows_
+""",
+    "retention_cohorts": """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+  FROM events
+), counts AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, a.active_week) / 7
+              AS INTEGER) AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM active a JOIN firsts f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+       n_active,
+       round(n_active / max(CASE WHEN week_offset = 0 THEN n_active END)
+               OVER (PARTITION BY cohort_week), 4) AS retention
+FROM counts
+""",
+    "events_zscore": f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.event_id, e.user_id, e.value,
+       round((e.value - s.m) / s.sd, 4) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs(round((e.value - s.m) / s.sd, 4)) >= {ZSCORE_CUT}
+""",
+}

@@ -67,15 +67,15 @@ WINDOW_PRIORITY: list[str] = [
 
 
 def _modules():
-    from .operators import (aggregates, custom, dedup, joins, projections,
-                            setops, similarity, sorts, sqlapi, tpch,
-                            windows)
+    from .operators import (aggregates, analytics, custom, dedup, joins,
+                            projections, setops, similarity, sorts,
+                            sqlapi, tpch, windows)
     from .functions import multimodal, scalars, text
     from . import core
     from .streaming import batch_equiv
     return [sqlapi, scalars, text, multimodal, batch_equiv, custom,
             core, similarity, projections, sorts, windows, joins,
-            aggregates, setops, dedup, tpch]
+            aggregates, setops, dedup, tpch, analytics]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

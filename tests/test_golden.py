@@ -137,6 +137,52 @@ def test_tpch_and_pipeline_goldens(spark):
     assert sum(h[1] for h in hist) == 1500  # every order lands in a bin
 
 
+def test_analytics_and_curation_goldens(spark):
+    """Session-3 additions pinned at sf0.001: funnel conversion,
+    decontamination hits, SCD2 interval invariants, vocab head,
+    z-score outliers, cohort retention."""
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+    from pyspark.sql import functions as F
+    q = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    assert [tuple(r) for r in q["funnel_steps"](spark, sf).collect()] == [
+        (1, "signup", 15, 1.0, 1.0),
+        (2, "view", 8, 0.5333, 0.5333),
+        (3, "purchase", 2, 0.25, 0.1333),
+    ]
+
+    decon = {(r.train_doc, r.bench_doc): r.overlap
+             for r in q["decontaminate"](spark, sf).collect()}
+    assert len(decon) == 10
+    # the planted near-dup pairs that straddle the %10 benchmark split
+    # must surface as contamination with near-total gram overlap
+    assert decon[(5, 450)] == 1.0 and decon[(467, 110)] == 1.0
+    assert min(decon.values()) >= 0.98
+
+    scd = q["scd2_intervals"](spark, sf)
+    assert scd.count() == 59
+    # exactly one open (current) interval per user in the slice
+    assert scd.where("is_current").count() == 1
+    # intervals tile the slice: n_events sums to the event count
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+    n_ev = (load(spark, sf, "events")
+            .where("user_id % 100 = 7").count())
+    assert scd.agg(F.sum("n_events")).first()[0] == n_ev
+
+    v = q["vocab_topk"](spark, sf).collect()
+    assert (v[0].rnk, v[0].tok, v[0].freq) == (1, "scan", 984)
+    assert len(v) == 31
+    # cumulative coverage is monotone and ends at the full top-31 share
+    shares = [r.cum_share for r in v]
+    assert shares == sorted(shares)
+
+    assert q["events_zscore"](spark, sf).count() == 18
+    assert sorted(tuple(r) for r in
+                  q["retention_cohorts"](spark, sf).collect()) == [
+        ("2024-01-01", off, 15, 1.0) for off in range(5)]
+
+
 def test_fallback_metrics_golden(spark):
     """The vendored etl.json fallback document must keep the
     reference's exact metric values (restart.js:12 contract)."""

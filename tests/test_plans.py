@@ -278,6 +278,24 @@ def test_doc_chunk_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark gram index is tiny at any corpus scale — the
+    candidate join must be a BroadcastHashJoin (train corpus never
+    shuffles for the join) and never a cartesian."""
+    plan = _plan(all_queries()["decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_broadcasts_group_moments(spark, sf_dir):
+    """Standardization must be agg-then-broadcast-rejoin, not an
+    unbounded window over event_type (which would buffer whole groups
+    on one task at scale)."""
+    plan = _plan(all_queries()["events_zscore"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
 def test_no_query_uses_row_at_a_time_python(spark, sf_dir):
     """Engine-wide invariant: Python appears in plans ONLY as
     Arrow-vectorized evaluation (ArrowEvalPython / mapInPandas /
