@@ -351,7 +351,55 @@ def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: unigram language-model scoring — the cheap stand-in for
+    the KenLM-style perplexity filter every LLM data pipeline runs
+    (docs with high negative log-likelihood under a corpus LM are
+    boilerplate/garbage candidates).  p(tok) = freq/total over the
+    corpus itself; score = mean -ln p per doc, plus perplexity.
+
+    Cross-engine determinism: per-token -ln p is quantized to integer
+    MICRO-NATS (floor(x*1e6 + 0.5)) before summing, so the per-doc
+    reduction is an exact integer sum — immune to the fp-addition-
+    order differences a parallel double sum has (same trick as the
+    TPC-H unit-cost quantization).  1-ulp libm ln() skew moves a
+    token by at most one micro-nat, invisible at the 4dp report.
+
+    100 TB shape: the vocab table (token, freq) is heavy-hitter
+    shaped; the token→prob join shuffles the token stream once on the
+    token key, then reduces per doc.  (On a real corpus the top-K
+    vocab covering 99%+ of mass is broadcast and the long tail gets a
+    default smoothed prob — the plan here is the general shuffle
+    form.)"""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    total = counts.agg(F.sum("freq").alias("total"))
+    nll_u = F.floor(
+        -F.log(F.col("freq") / F.col("total")) * 1e6 + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nll_u.alias("nll_u"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum("nll_u").alias("sum_nll_u"))
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.col("sum_nll_u") / (F.col("n_tokens") * 1e6), 4)
+             .alias("avg_nll"),
+            F.round(F.exp(F.col("sum_nll_u")
+                          / (F.col("n_tokens") * 1e6)), 2).alias("ppl"),
+        )
+    )
+
+
 QUERIES = {
+    "lm_score": _lm_score,
     "vocab_topk": _vocab_topk,
     "doc_chunk": _doc_chunk,
     "seq_pack": _seq_pack,
@@ -367,6 +415,26 @@ QUERIES = {
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 ORACLES = {
+    "lm_score": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts
+), scored AS (
+  SELECT t.doc_id,
+         CAST(floor(-ln(c.freq / total.total) * 1e6 + 0.5) AS BIGINT)
+           AS nll_u
+  FROM toks t JOIN counts c ON t.tok = c.tok, total
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(nll_u) AS BIGINT) / (count(*) * 1e6), 4)
+         AS avg_nll,
+       round(exp(CAST(sum(nll_u) AS BIGINT) / (count(*) * 1e6)), 2)
+         AS ppl
+FROM scored GROUP BY doc_id
+""",
     "vocab_topk": f"""
 WITH tok AS (
   SELECT unnest({_DUCK_TOKS}) AS tok FROM documents

@@ -229,7 +229,35 @@ def _agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 at 100 TB, the MERGEABLE form: per-group Apache DataSketches
+    HLL sketches (hll_sketch_agg) estimated per event_type, PLUS an
+    'ALL' row built by hll_union_agg over the per-group sketch BINARIES
+    — never re-reading the raw stream.  Mergeability is the whole
+    scale story: sketches reduce map-side, union at any rollup level,
+    and can be persisted as bytes for incremental daily refresh.
+    Rows-only check (DataSketches binaries have no DuckDB analogue);
+    tests/test_quality.py bounds the estimates against exact counts."""
+    ev = load(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"))
+    per_group = sketches.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users")
+    overall = sketches.agg(
+        F.hll_union_agg("sk").alias("u"),
+        F.sum("exact_users").alias("_ignore"),
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("u").alias("est_users"),
+        F.lit(None).cast("long").alias("exact_users"))
+    return per_group.unionByName(overall)
+
+
 QUERIES = {
+    "agg_hll_sketch": _agg_hll_sketch,
     "agg_histogram": _agg_histogram,
     "agg_corr": _agg_corr,
     "agg_count": _agg_count,

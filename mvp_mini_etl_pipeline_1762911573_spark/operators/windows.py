@@ -155,7 +155,32 @@ def _scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_FRAME_US = 3_600_000_000  # trailing 1 hour, in microseconds
+
+
+def _window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-extra: TIME-range frame — trailing 1-hour event count and
+    value sum per user, via rangeBetween over unix_micros (Spark range
+    frames need a numeric ORDER BY; micros keeps sub-second order and
+    matches the oracle's epoch_us exactly).  RANGE semantics (peers by
+    value, not by row) are identical in both engines.  Partitioned by
+    user_id — the frame streams over each user's sorted run with a
+    sliding two-pointer buffer, never the whole partition."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("user_id") % 100 == 7)
+          .select("user_id", "event_id", "value",
+                  F.unix_micros("ts").alias("ts_us")))
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-RANGE_FRAME_US, 0))
+    return ev.select(
+        "user_id", "event_id", "ts_us",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("val_1h"),
+    )
+
+
 QUERIES = {
+    "window_range_frame": _window_range_frame,
     "scd2_intervals": _scd2_intervals,
     "window_last_user": _window_last_user,
     "sort_limit1": _sort_limit1,
@@ -173,6 +198,15 @@ ORDER BY registered_ts DESC, custkey DESC LIMIT 1
 """
 
 ORACLES = {
+    "window_range_frame": f"""
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       round(sum(value) OVER w, 2) AS val_1h
+FROM events
+WHERE user_id % 100 = 7
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW)
+""",
     "scd2_intervals": """
 WITH ev AS (
   SELECT user_id, event_id, ts, event_type

@@ -67,3 +67,27 @@ def test_ivf_recall_beats_random_probe(spark, sf_dir):
     random_probe_baseline = IVF_NPROBE / max(n_cells, IVF_NPROBE)
     assert recall > random_probe_baseline + 0.05
     assert recall >= 0.3
+
+
+def test_hll_sketch_estimates_near_exact(spark, sf_dir):
+    """Sketch quality: per-group DataSketches HLL estimates (lgK=14)
+    must sit within 2% of exact distinct counts at test scale, and the
+    sketch-union 'ALL' row must estimate the GLOBAL distinct count
+    (users appear under several event types — the union must not
+    double-count them the way sum-of-groups would)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    rows = {r.event_type: r
+            for r in all_queries()["agg_hll_sketch"](spark, sf_dir).collect()}
+    for et, r in rows.items():
+        if et == "ALL":
+            continue
+        assert abs(r.est_users - r.exact_users) <= max(0.02 * r.exact_users, 1)
+    exact_all = (load(spark, sf_dir, "events")
+                 .select("user_id").distinct().count())
+    est_all = rows["ALL"].est_users
+    assert abs(est_all - exact_all) <= max(0.02 * exact_all, 1)
+    # union != sum of per-group counts (overlap collapses)
+    assert est_all < sum(r.exact_users for et, r in rows.items()
+                         if et != "ALL")
