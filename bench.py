@@ -42,6 +42,10 @@ HEADLINE = [
     "corpus_curate",        # end-to-end curation (filter+dedup+stats)
     "quality_audit",        # constraint sweep (1 agg pass per table)
     "stream_tumbling",      # windowed event agg (batch flavor)
+    "decontaminate",        # train/benchmark n-gram overlap (broadcast)
+    "lm_score",             # unigram-LM doc scoring (vocab join)
+    "funnel_steps",         # sequential conditional aggregation
+    "scd2_intervals",       # gaps-and-islands SCD2 build
 ]
 
 
