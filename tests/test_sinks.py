@@ -130,3 +130,38 @@ def test_dynamic_partition_overwrite_and_pruning(spark, sf_dir, tmp_path):
     assert [r["region"] for r in
             spark.read.parquet(path).select("region").distinct().collect()] \
         == [target]
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """DPP — the optimization that makes star-schema joins over
+    partitioned 100-TB facts viable: when the fact is partitioned on
+    the join key and the dim side carries the selective filter, the
+    fact scan must be pruned AT RUNTIME by a dynamicpruning subquery
+    fed from the dim broadcast — not scan every partition and filter
+    after the join."""
+    out = str(tmp_path / "ev_by_type")
+    ev = load(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    fact = spark.read.parquet(out)
+    # the dim must be a FILE relation: a VALUES LocalRelation gets its
+    # filter constant-folded away before the PartitionPruning rule
+    # looks for a selective predicate, so DPP would (correctly) not
+    # fire — exactly as on a real cluster, where dims are tables
+    dim_path = str(tmp_path / "dim_team")
+    spark.sql("""
+        SELECT * FROM VALUES ('purchase', 'revenue'), ('signup', 'growth'),
+                             ('error', 'ops'), ('view', 'traffic'),
+                             ('click', 'traffic')
+        AS dim(event_type, team)
+    """).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    joined = (fact.join(F.broadcast(dim), "event_type")
+              .where(F.col("team") == "revenue")
+              .groupBy("event_type").agg(F.count("*").alias("n")))
+    plan = joined._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
+    # and the answer is right: only purchase events survive
+    got = joined.collect()
+    want = ev.where("event_type = 'purchase'").count()
+    assert [(r.event_type, r.n) for r in got] == [("purchase", want)]
