@@ -131,13 +131,67 @@ def _events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: time-series densification — per-user weekly event counts
+    with MISSING weeks zero-filled against the corpus-wide week spine,
+    so downstream window math (moving averages, week-over-week deltas)
+    sees a dense series.  The spine is generated per user by exploding
+    a sequence() between the global min/max week (a broadcast 1-row
+    aggregate) — never a cross join of two large relations; spine rows
+    are n_users × n_weeks, partitioned by user like everything else.
+    The left join back to actual counts is user+week keyed."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week"))
+    counts = ev.groupBy("user_id", "week").agg(
+        F.count("*").alias("n_events"))
+    bounds = ev.agg(F.min("week").alias("wmin"),
+                    F.max("week").alias("wmax"))
+    spine = (
+        ev.select("user_id").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id",
+                F.explode(F.sequence(
+                    "wmin", "wmax", F.expr("INTERVAL 7 DAYS")))
+                 .alias("week"))
+    )
+    return (
+        spine.join(counts, ["user_id", "week"], "left")
+        .select(
+            "user_id",
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+    )
+
+
 QUERIES = {
+    "gap_fill": _gap_fill,
     "funnel_steps": _funnel_steps,
     "retention_cohorts": _retention_cohorts,
     "events_zscore": _events_zscore,
 }
 
 ORACLES = {
+    "gap_fill": """
+WITH ev AS (
+  SELECT user_id, date_trunc('week', ts) AS week FROM events
+), counts AS (
+  SELECT user_id, week, CAST(count(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY user_id, week
+), bounds AS (
+  SELECT min(week) AS wmin, max(week) AS wmax FROM ev
+), spine AS (
+  SELECT u.user_id, unnest(generate_series(
+           b.wmin, b.wmax, INTERVAL 7 DAY)) AS week
+  FROM (SELECT DISTINCT user_id FROM ev) u, bounds b
+)
+SELECT s.user_id, strftime(s.week, '%Y-%m-%d') AS week,
+       coalesce(c.n_events, 0) AS n_events,
+       c.n_events IS NULL AS is_gap
+FROM spine s LEFT JOIN counts c
+  ON c.user_id = s.user_id AND c.week = s.week
+""",
     "funnel_steps": f"""
 WITH t1 AS (
   SELECT user_id, min(ts) AS t FROM events

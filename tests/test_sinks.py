@@ -165,3 +165,30 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
     got = joined.collect()
     want = ev.where("event_type = 'purchase'").count()
     assert [(r.event_type, r.n) for r in got] == [("purchase", want)]
+
+
+def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
+    """Schema drift — at 100 TB a table accretes columns over months of
+    writers.  Old files must stay readable next to new ones: mergeSchema
+    unions the file schemas, old rows surface NULL for columns they
+    predate, and filters on the new column still push to the scan."""
+    out = str(tmp_path / "evolving")
+    ev = load(spark, sf_dir, "events")
+    # epoch 1: original schema
+    ev.select("event_id", "event_type", "value") \
+      .write.mode("append").parquet(out)
+    # epoch 2: a writer adds a quality-score column
+    ev.select("event_id", "event_type", "value",
+              F.round(F.col("value") / 100.0, 4).alias("score")) \
+      .write.mode("append").parquet(out)
+
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(back.columns) == {"event_id", "event_type", "value", "score"}
+    n = ev.count()
+    assert back.count() == 2 * n
+    # epoch-1 rows carry NULL scores; epoch-2 rows all have one
+    assert back.where(F.col("score").isNull()).count() == n
+    # predicates on the late-added column still reach the scan
+    plan = (back.where(F.col("score") > 0.5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(score), GreaterThan(score,0.5)]" in plan
