@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..oracles import USERS_CTE
 from ..tables import load, users_valid
+from .similarity import DUCK_CELLS_CTE
 
 # MinHash parameters (see module docstring for the banding math).
 MINHASH_K = 32
@@ -354,24 +355,35 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All document pairs (keep_id < dup_id) whose embedding cosine
+    """Document pairs (keep_id < dup_id) whose embedding cosine
     (rounded to 6dp so both engines threshold identical values) reaches
-    similarity.SIM_THRESHOLD.  Shared candidate source for
-    dedup_embedding (best-antecedent policy) and dedup_clusters
-    (transitive closure).  All-pairs scoring = exact CORRECTNESS
-    baseline; see _dedup_embedding's docstring for the scale path."""
-    from .similarity import SIM_THRESHOLD, cosine
+    similarity.SIM_THRESHOLD — candidates restricted to pairs sharing a
+    deterministic coarse-quantizer cell (similarity.assign_cells), i.e.
+    SemDeDup proper: cluster the embedding space, score pairwise ONLY
+    within clusters.  Shared candidate source for dedup_embedding
+    (best-antecedent policy) and dedup_clusters (transitive closure).
+
+    100 TB shape: the pairwise join is an EQUI-join on cell (no
+    cartesian anywhere — the quantizer bounds candidate counts by
+    Σ|cell|², exactly the SemDeDup paper's k-means trade-off: near-dup
+    pairs straddling a cell boundary are missed by design, tuned via
+    centroid count).  The quantizer is the stride-seeded argmax-cosine
+    assignment — deterministic, so the WHOLE family keeps full DuckDB
+    oracles (rare for semantic dedup)."""
+    from .similarity import SIM_THRESHOLD, assign_cells, cosine
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     emb = load(spark, sf_dir, "embeddings")
     vecs = (docs.join(emb, docs.doc_id == emb.vec_id)
-            .select("doc_id", "embedding"))
-    a = vecs.select(F.col("doc_id").alias("keep_id"),
-                    F.col("embedding").alias("va"))
-    b = vecs.select(F.col("doc_id").alias("dup_id"),
-                    F.col("embedding").alias("vb"))
+            .select("vec_id", "embedding"))
+    celled = assign_cells(emb, vecs)
+    a = celled.select(F.col("vec_id").alias("keep_id"),
+                      F.col("embedding").alias("va"), "cell")
+    b = celled.select(F.col("vec_id").alias("dup_id"),
+                      F.col("embedding").alias("vb"), "cell")
     return (
-        a.join(b, F.col("keep_id") < F.col("dup_id"))
+        a.join(b, ["cell"])
+        .where(F.col("keep_id") < F.col("dup_id"))
         .select("keep_id", "dup_id",
                 F.round(cosine("va", "vb"), 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= SIM_THRESHOLD)
@@ -387,13 +399,12 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed doc with its kept antecedent and the similarity, best
     (highest-cosine, then lowest keep id) antecedent per dup.
 
-    The all-pairs scoring below is the exact CORRECTNESS baseline (n²
-    — test scale only, same stance as similarity_topk); at 100 TB the
-    candidate pairs come from the LSH bucket equi-join
-    (similarity.similarity_join) or deterministic IVF cells
-    (similarity.similarity_ivf) and feed this identical
-    rescore + keep-lowest-id policy — only the candidate generator
-    swaps, never the dedup decision."""
+    Candidate pairs come from the deterministic coarse-quantizer
+    cells (see _embedding_pair_edges) — the SemDeDup cluster-then-
+    pairwise structure, an equi-join on cell with no cartesian, which
+    is the same plan shape a 1000-executor run would use (swap the
+    stride quantizer for trained k-means centroids; the dedup decision
+    below never changes)."""
     from pyspark.sql import Window
 
     pairs = _embedding_pair_edges(spark, sf_dir)
@@ -579,15 +590,18 @@ SELECT s.train_doc, s.bench_doc, s.n_shared, z.bench_grams,
 FROM shared s JOIN bench_sizes z ON z.bench_doc = s.bench_doc
 WHERE round(s.n_shared / z.bench_grams, 4) >= {DECON_MIN_OVERLAP}
 """,
-    # transitive closure of the same 6dp-rounded edge set via
-    # recursive CTE; component label = min reachable doc_id (incl self)
-    "dedup_clusters": """
-WITH RECURSIVE vecs AS (
-  SELECT d.doc_id, e.embedding
-  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    # transitive closure of the same 6dp-rounded within-cell edge set
+    # via recursive CTE; component label = min reachable doc_id
+    "dedup_clusters": f"""
+WITH RECURSIVE {DUCK_CELLS_CTE}, vecs AS (
+  SELECT d.doc_id, e.embedding, c.cell
+  FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  JOIN cells c ON c.vec_id = d.doc_id
 ), pairs AS (
   SELECT a.doc_id AS src, b.doc_id AS dst
-  FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+  FROM vecs a JOIN vecs b
+    ON a.cell = b.cell AND a.doc_id < b.doc_id
   WHERE round(
           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
@@ -612,10 +626,12 @@ JOIN (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
       FROM labels GROUP BY cluster_id) s USING (cluster_id)
 WHERE s.cluster_size > 1
 """,
-    "dedup_embedding": """
-WITH vecs AS (
-  SELECT d.doc_id, e.embedding
-  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    "dedup_embedding": f"""
+WITH {DUCK_CELLS_CTE}, vecs AS (
+  SELECT d.doc_id, e.embedding, c.cell
+  FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  JOIN cells c ON c.vec_id = d.doc_id
 ), pairs AS (
   SELECT a.doc_id AS keep_id, b.doc_id AS dup_id,
          round(
@@ -623,7 +639,8 @@ WITH vecs AS (
            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
            6) AS cos_sim
-  FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+  FROM vecs a JOIN vecs b
+    ON a.cell = b.cell AND a.doc_id < b.doc_id
 )
 SELECT dup_id, keep_id AS dup_of, cos_sim
 FROM (SELECT *, row_number() OVER (PARTITION BY dup_id

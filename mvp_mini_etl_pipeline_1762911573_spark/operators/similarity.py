@@ -175,6 +175,31 @@ IVF_STRIDE = 61  # coarse-centroid seeds: every 61st vector.  A real
 IVF_NPROBE = 2   # cells probed per query
 
 
+def assign_cells(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
+    """Deterministic coarse quantizer shared by IVF search and
+    SemDeDup-style dedup: assign each vector in ``vecs`` (default: the
+    whole ``emb`` table) to its argmax-cosine stride-seeded centroid
+    (vec_id % IVF_STRIDE == 0 over ``emb``).  One broadcast-join pass,
+    no shuffle of the corpus; 6dp rounding + c_id tiebreak keep the
+    assignment identical across engines, which is what makes every
+    consumer DuckDB-oracle-checkable.  Returns (vec_id, embedding,
+    cell)."""
+    if vecs is None:
+        vecs = emb
+    cents = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("c_id").asc())
+    return (
+        vecs.join(F.broadcast(cents))
+        .select("vec_id", "embedding", "c_id",
+                F.round(cosine("embedding", "c_vec"), 6).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("cell"))
+    )
+
+
 def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 scale path #2: IVF (inverted-file) ANN top-k with a FULL
     oracle.  Structure:
@@ -194,17 +219,7 @@ def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cents = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("c_id").asc())
-    assigned = (
-        emb.join(F.broadcast(cents))
-        .select("vec_id", "embedding", "c_id",
-                F.round(cosine("embedding", "c_vec"), 6).alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("c_id").alias("cell"))
-    )
+    assigned = assign_cells(emb)
 
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -311,6 +326,22 @@ _DUCK_COS = (
     "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
     "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
 )
+
+# DuckDB mirror of assign_cells(): cents + cells CTEs, shared by the
+# dedup oracles (SemDeDup = pairwise within quantizer cells).
+DUCK_CELLS_CTE = f"""cents AS (
+  SELECT vec_id AS c_id, embedding AS c_vec
+  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+), cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.c_id AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_COS.format(a='e.embedding', b='c.c_vec')}
+                      DESC, c.c_id ASC) AS rn
+    FROM embeddings e, cents c)
+  WHERE rn = 1
+)"""
 
 ORACLES = {
     "embedding_normalize": """

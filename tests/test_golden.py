@@ -71,15 +71,17 @@ def test_dedup_family_goldens(spark):
     q = all_queries()
     sf = "/root/testdata/sf0.001"
 
+    # SemDeDup form: pairwise within deterministic quantizer cells
+    # (cross-cell pairs are out of candidate scope by design)
     de = q["dedup_embedding"](spark, sf)
-    assert de.count() == 62
+    assert de.count() == 17
     assert [tuple(r) for r in de.orderBy("dup_id").limit(2).collect()] == \
-        [(56, 41, 0.403644), (73, 50, 0.403168)]
+        [(172, 23, 0.419052), (173, 172, 0.447646)]
 
     dc = q["dedup_clusters"](spark, sf)
-    assert dc.count() == 112
+    assert dc.count() == 33
     assert tuple(dc.orderBy(F.desc("cluster_size"), "cluster_id",
-                            "doc_id").first()) == (23, 23, 6)
+                            "doc_id").first()) == (23, 23, 3)
 
     assert sorted(tuple(r) for r in
                   q["join_salted"](spark, sf).collect()) == [

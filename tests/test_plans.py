@@ -296,6 +296,23 @@ def test_zscore_broadcasts_group_moments(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Engine-wide invariant: NO registered query may plan a
+    CartesianProduct — at 100 TB an n² cross join is a detonation, not
+    a plan.  (Broadcast nested-loop joins against tiny literal tables
+    are a different node and remain allowed where documented.)"""
+    offenders = []
+    for name, fn in all_queries().items():
+        try:
+            plan = _plan(fn(spark, sf_dir))
+        except Exception as e:  # pragma: no cover - surface the name
+            offenders.append((name, f"plan failed: {e}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+    assert not offenders, offenders
+
+
 def test_no_query_uses_row_at_a_time_python(spark, sf_dir):
     """Engine-wide invariant: Python appears in plans ONLY as
     Arrow-vectorized evaluation (ArrowEvalPython / mapInPandas /
