@@ -46,6 +46,8 @@ HEADLINE = [
     "lm_score",             # unigram-LM doc scoring (vocab join)
     "funnel_steps",         # sequential conditional aggregation
     "scd2_intervals",       # gaps-and-islands SCD2 build
+    "dedup_clusters",       # iterative CC over within-cell dup edges
+    "gap_fill",             # spine densification (sequence explode)
 ]
 
 
