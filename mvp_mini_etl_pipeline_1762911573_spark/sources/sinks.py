@@ -89,6 +89,38 @@ def write_partitioned(df: DataFrame, path: str, partition_by: list[str],
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def compact_parquet(spark, path: str, target_rows_per_file: int) -> int:
+    """Small-file compaction — the maintenance job every long-lived
+    100 TB table needs: streaming/incremental writers leave thousands
+    of KB-sized files per partition, and scan cost becomes dominated by
+    file-open overhead and footer reads instead of data.  Rewrites the
+    table at ``path`` into ⌈rows / target_rows_per_file⌉ files via a
+    staging directory + atomic swap (write _next, move old to _prev,
+    move _next in — readers never see a half-written table; on a real
+    lakehouse this is table-format commit protocol territory, e.g.
+    Iceberg rewrite_data_files).  Row-count equality is the caller's
+    invariant (asserted in tests).  Returns the new file count.
+
+    repartition (round-robin shuffle), not coalesce: coalesce(n) caps
+    parallelism of everything UPSTREAM of the write and can produce
+    skewed files from skewed input partitions; compaction wants evenly
+    sized output files, which is worth the one shuffle — this job runs
+    off the hot path."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    staged = path.rstrip("/") + "_next"
+    backup = path.rstrip("/") + "_prev"
+    df.repartition(n_files).write.mode("overwrite").parquet(staged)
+    shutil.rmtree(backup, ignore_errors=True)
+    shutil.move(path, backup)
+    shutil.move(staged, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return n_files
+
+
 def to_json_payload(users: DataFrame, metrics: dict,
                     source_url: str, fallback_used: bool,
                     fetched_at: str, limit: int = 500) -> dict:

@@ -83,6 +83,32 @@ def fallback_log(spark: SparkSession, path: str | None = None) -> DataFrame:
     )
 
 
+def read_jsonl_quarantine(spark: SparkSession, path: str,
+                          schema: T.StructType):
+    """S2 at scale: line-delimited JSON ingestion with a QUARANTINE
+    split — the production replacement for the reference's per-field
+    optional chaining (pages/index.js:36-57).  PERMISSIVE parse routes
+    unparseable lines to _corrupt_record; returns (good, quarantine)
+    as two lazy views of ONE cached parse (corrupt-record bookkeeping
+    requires materialization — Spark documents this; the cache also
+    means the file is read once, not twice).  At 100 TB the quarantine
+    side is written next to the table and replayed after the upstream
+    fix — bad rows are data, not exceptions."""
+    # copy, don't schema.add(): StructType.add mutates the receiver
+    full = T.StructType(list(schema.fields)
+                        + [T.StructField("_corrupt_record", T.StringType())])
+    df = (spark.read.schema(full)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path)
+          .cache())
+    good = (df.where(F.col("_corrupt_record").isNull())
+            .drop("_corrupt_record"))
+    quarantine = (df.where(F.col("_corrupt_record").isNotNull())
+                  .select("_corrupt_record"))
+    return good, quarantine
+
+
 FALLBACK_METRICS_ORACLE = f"""
 SELECT metrics.rows_in AS rows_in,
        metrics.rows_out AS rows_out,

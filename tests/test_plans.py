@@ -328,3 +328,21 @@ def test_no_query_uses_row_at_a_time_python(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython"))
     assert not offenders, offenders
+
+
+def test_aqe_coalesces_overpartitioned_shuffle(spark, sf_dir):
+    """AQE must shrink a massively over-provisioned shuffle at runtime
+    (AQEShuffleRead coalesced) — the mechanism that makes one static
+    spark.sql.shuffle.partitions setting survive 100TB-vs-100MB stage
+    variance without per-job tuning."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "512")
+    try:
+        df = (load(spark, sf_dir, "events")
+              .groupBy("event_type")
+              .agg(F.count("*").alias("n")))
+        df.collect()  # AQE final plan exists only after execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead coalesced" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

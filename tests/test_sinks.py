@@ -192,3 +192,28 @@ def test_schema_evolution_merge_on_read(spark, sf_dir, tmp_path):
     plan = (back.where(F.col("score") > 0.5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [IsNotNull(score), GreaterThan(score,0.5)]" in plan
+
+
+def test_compaction_rewrites_small_files(spark, sf_dir, tmp_path):
+    """Small-file compaction: a fragmented table (200 files) collapses
+    to the target layout with identical contents, and the table stays
+    readable at the same path (staging + swap, no in-place clobber)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.sources.sinks import (
+        compact_parquet,
+    )
+
+    out = str(tmp_path / "fragmented")
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    ev.repartition(200).write.parquet(out)  # simulate drip ingestion
+    import glob
+    assert len(glob.glob(f"{out}/*.parquet")) == 200
+
+    before = ev.agg(F.count("*"), F.round(F.sum("value"), 2)).first()
+    n_rows = before[0]
+    n_files = compact_parquet(spark, out, target_rows_per_file=500)
+    assert n_files == -(-n_rows // 500)
+    assert len(glob.glob(f"{out}/*.parquet")) == n_files
+    after = (spark.read.parquet(out)
+             .agg(F.count("*"), F.round(F.sum("value"), 2)).first())
+    assert tuple(after) == tuple(before)
+    assert not glob.glob(f"{out}_next") and not glob.glob(f"{out}_prev")

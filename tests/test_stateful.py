@@ -61,3 +61,35 @@ def test_corrupt_json_permissive(spark, tmp_path):
         assert good == 2
     finally:
         df.unpersist()
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """The engine-side quarantine loader: good rows parse clean, bad
+    lines are preserved VERBATIM for replay, one file read serves both
+    sides, and the caller's schema object is not mutated."""
+    from pyspark.sql import types as T
+
+    from mvp_mini_etl_pipeline_1762911573_spark.sources.static_json import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        'this is not json\n'
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": 3, broken\n'
+    )
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("name", T.StringType())])
+    n_fields = len(schema.fields)
+    good, quarantine = read_jsonl_quarantine(spark, str(p), schema)
+    try:
+        assert sorted(tuple(r) for r in good.collect()) == \
+            [(1, "ok"), (2, "also ok")]
+        assert good.columns == ["id", "name"]
+        bad = sorted(r[0] for r in quarantine.collect())
+        assert bad == ["this is not json", '{"id": 3, broken']
+        assert len(schema.fields) == n_fields
+    finally:
+        spark.catalog.clearCache()
