@@ -398,7 +398,55 @@ def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_BUDGET_FRAC = 0.5  # token budget = this share of the corpus
+
+
+def _mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: dataset-mixture planning — the step that turns "web 50%,
+    books 20%, ..." domain weights into per-source sampling fractions
+    for a fixed training-token budget.  Weights here are a
+    deterministic function of the source name (idx % 4 + 1) so the
+    whole plan is oracle-checkable; production swaps in a weights
+    table, same DAG.  Emits per source: inventory (docs, tokens),
+    weight, the token target (floor(x+0.5)-quantized so both engines
+    agree), the sampling fraction to apply, and whether the source is
+    OVERSUBSCRIBED (target > inventory — the signal to re-normalize or
+    up-epoch that domain).
+
+    One groupBy(source) over the corpus (partial-agg shrinks it to the
+    source cardinality) + a broadcast 1-row totals join: the 100 TB
+    cost is the single token-count scan."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source", F.size(_tokens(F.col("text")))
+                    .alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("avail_tokens"))
+        .withColumn("weight",
+                    (F.regexp_extract("source", r"(\d+)", 1)
+                     .cast("int") % 4 + 1).cast("bigint"))
+    )
+    totals = per_src.agg(F.sum("avail_tokens").alias("corpus_tokens"),
+                         F.sum("weight").alias("w_sum"))
+    target = F.floor(
+        F.col("corpus_tokens") * MIX_BUDGET_FRAC
+        * F.col("weight") / F.col("w_sum") + F.lit(0.5)).cast("bigint")
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_docs", "avail_tokens", "weight",
+            target.alias("target_tokens"),
+            F.round(F.least(F.lit(1.0),
+                            target / F.col("avail_tokens")), 4)
+             .alias("sample_frac"),
+            (target > F.col("avail_tokens")).alias("oversubscribed"),
+        )
+    )
+
+
 QUERIES = {
+    "mix_sources": _mix_sources,
     "lm_score": _lm_score,
     "vocab_topk": _vocab_topk,
     "doc_chunk": _doc_chunk,
@@ -415,6 +463,28 @@ QUERIES = {
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 ORACLES = {
+    "mix_sources": f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS avail_tokens,
+         CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 4
+              + 1 AS BIGINT) AS weight
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT CAST(sum(avail_tokens) AS BIGINT) AS corpus_tokens,
+         CAST(sum(weight) AS BIGINT) AS w_sum
+  FROM per_src
+)
+SELECT source, n_docs, avail_tokens, weight,
+       CAST(floor(corpus_tokens * {MIX_BUDGET_FRAC} * weight / w_sum
+                  + 0.5) AS BIGINT) AS target_tokens,
+       round(least(1.0,
+         floor(corpus_tokens * {MIX_BUDGET_FRAC} * weight / w_sum + 0.5)
+         / avail_tokens), 4) AS sample_frac,
+       floor(corpus_tokens * {MIX_BUDGET_FRAC} * weight / w_sum + 0.5)
+         > avail_tokens AS oversubscribed
+FROM per_src, totals
+""",
     "lm_score": f"""
 WITH toks AS (
   SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
