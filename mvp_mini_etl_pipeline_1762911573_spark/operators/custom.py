@@ -137,10 +137,43 @@ def _udaf_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id").applyInPandas(mode_fn, MODE_SCHEMA))
 
 
+def _udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 Python UDTF demo (completes the UDF/UDAF/UDTF triad): a
+    table function exploding each document into (pos, token) rows,
+    consumed via a correlated LATERAL join.  Arrow-optimized
+    (useArrow=True) so the exec node is ArrowEvalPythonUDTF — batches,
+    not rows, cross the Python boundary (the engine-wide plan test
+    bans BatchEvalPython).
+
+    A UDTF is the right shape when one input row yields a variable
+    number of output rows AND the expansion logic needs Python; for
+    plain whitespace tokens the built-in posexplode(split()) is the
+    production path — this demo exists to prove the surface, like
+    udf_cosine.  Scale: the lateral expansion is map-side (no
+    shuffle); output partitioning inherits the input's."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string", useArrow=True)
+    class TokenizeUDTF:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(text.split()):
+                    yield i + 1, tok
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    return spark.sql("""
+        SELECT d.doc_id, t.pos, t.token
+        FROM udtf_docs d, LATERAL tokenize_udtf(d.text) t
+    """)
+
+
 QUERIES = {
     "asof_join": _asof_query,
     "udf_cosine": _udf_cosine,
     "udaf_mode": _udaf_mode,
+    "udtf_tokens": _udtf_tokens,
 }
 
 ORACLES = {
@@ -180,5 +213,19 @@ SELECT user_id, mode_type, n_events FROM (
         FROM events WHERE user_id % 10 = 1
         GROUP BY user_id, event_type)
 ) WHERE rn = 1
+""",
+    # Python str.split() ≡ split-on-whitespace-runs with no empty
+    # tokens; the list_filter drops the empties DuckDB's regex split
+    # keeps at string edges
+    "udtf_tokens": r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 20 = 0)
+SELECT doc_id,
+       CAST(unnest(range(1, len(toks)+1)) AS INT) AS pos,
+       unnest(toks) AS token
+FROM d
 """,
 }

@@ -132,6 +132,66 @@ def _join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIN_WIDTH = 50.0  # price units per bin for the binned range join.
+#                   Size so a typical band spans O(1..100) bins: the
+#                   replicated side grows by (band_width / BIN_WIDTH)
+#                   rows per band, the probe side never replicates.
+
+
+def _join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale rewrite `_join_range`'s docstring promises: turn the
+    non-equi band join into an EQUI join on an integer price bin.
+
+    BroadcastNestedLoopJoin evaluates bands × parts predicates — fine
+    for 3 bands, quadratic death if the bands table grows (think 10^5
+    dynamic pricing tiers × 10^10 parts).  Instead:
+
+      1. probe side: bin = floor(price / W)  (narrow map, no shuffle)
+      2. build side: explode each band into the bins it overlaps —
+         sequence(floor(lo/W), floor((hi-ε)/W)), with `hi` clamped to
+         the observed domain max (a 1-row broadcast agg, folded into
+         the same DAG — no driver-side action) so an open-ended band
+         like [966, 1e9) replicates to ~25 bins, not 2×10^7
+      3. equi-join on bin (hash/broadcast — Catalyst's choice),
+         re-check the exact lo/hi predicate to trim bin-edge spill
+
+    Result provably equals the BNLJ plan — the oracle is the plain
+    range join, same as `join_range`'s.
+    """
+    part = load(spark, sf_dir, "part")
+    bands = spark.sql("""
+        SELECT * FROM VALUES
+          ('low', 0.0D, 933.0D), ('mid', 933.0D, 966.0D),
+          ('high', 966.0D, 1e9D)
+        AS bands(band, lo, hi)
+    """)
+    # domain max as a 1-row DF: crossJoin(broadcast) keeps it in the
+    # DAG (one extra scan of one column, map-side min/max — cheap) vs
+    # a driver-side .collect() that would serialize the pipeline
+    maxp = part.agg(F.max("p_retailprice").alias("max_price"))
+    binned_bands = (
+        bands.crossJoin(F.broadcast(maxp))
+        .withColumn(
+            "bin",
+            F.explode(F.sequence(
+                F.floor(F.col("lo") / BIN_WIDTH).cast("int"),
+                F.floor(F.least(F.col("hi") - F.lit(1e-9),
+                                F.col("max_price")) / BIN_WIDTH)
+                 .cast("int"))))
+        .select("band", "lo", "hi", "bin")
+    )
+    binned_part = part.withColumn(
+        "bin", F.floor(F.col("p_retailprice") / BIN_WIDTH).cast("int"))
+    return (
+        binned_part.join(F.broadcast(binned_bands), "bin")
+        .where((F.col("p_retailprice") >= F.col("lo"))
+               & (F.col("p_retailprice") < F.col("hi")))
+        .groupBy("band")
+        .agg(F.count("*").alias("parts"),
+             F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+    )
+
+
 SALT_BUCKETS = 8  # fan-out for the salted join below.  Size to the
 #                   observed skew: hot-key rows / target-partition-rows.
 
@@ -219,6 +279,7 @@ QUERIES = {
     "join_semi": _join_semi,
     "join_anti": _join_anti,
     "join_range": _join_range,
+    "join_range_binned": _join_range_binned,
 }
 
 ORACLES = {
@@ -287,6 +348,17 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderpriority = '1-URGENT')
 """,
     "join_range": """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 933.0), ('mid', 933.0, 966.0), ('high', 966.0, 1e9)
+)
+SELECT band, CAST(count(*) AS BIGINT) AS parts,
+       round(avg(p_retailprice), 2) AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+""",
+    # the binned equi-join rewrite must produce the PLAIN range join's
+    # result — the oracle is deliberately bin-free (same as join_range)
+    "join_range_binned": """
 WITH bands(band, lo, hi) AS (
   VALUES ('low', 0.0, 933.0), ('mid', 933.0, 966.0), ('high', 966.0, 1e9)
 )

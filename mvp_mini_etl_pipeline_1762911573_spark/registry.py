@@ -21,11 +21,12 @@ Round-2 window: the 30 families round 1 never checked
 NEW this round (fallbacks, raw_modal, TPC-H shapes, sampling, IVF,
 quantization, merge_upsert, stream joins, corpus curation), then
 round-1-green re-verifies to fill remaining slots.
-ROTATION NOTE (round 3+): 19 queries landed after this round's window
+ROTATION NOTE (round 3+): 21 queries landed after this round's window
 froze and have NO official row yet — they go FIRST next round:
   sql_q1, sql_q10, sql_q2, sql_q6, sql_q8, sql_q9, sql_q11, sql_q12,
   sql_q14, sql_q15, sql_q16, sql_q17, sql_q19, sql_q20, sql_q21,
-  scrub_pii, agg_histogram, doc_chunk, seq_pack
+  scrub_pii, agg_histogram, doc_chunk, seq_pack, join_range_binned,
+  udtf_tokens
 Fill the remaining ~31 slots with the round-1 block that will then have
 gone two rounds unchecked (projections/sorts/windows/joins/aggregates/
 setops/dedup/similarity classics).

@@ -39,6 +39,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # mirror tables.load: NTZ parquet micros → instant under UTC
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

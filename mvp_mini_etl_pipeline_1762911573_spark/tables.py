@@ -61,6 +61,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # exact-integer range, float division would corrupt micros
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.dataType.simpleString() == "timestamp_ntz":
+            # driver testdata may also carry TIMESTAMP(MICROS,
+            # isAdjustedToUTC=false), which Spark infers as
+            # TIMESTAMP_NTZ.  Normalize to TIMESTAMP: with the session
+            # tz pinned UTC above, the cast keeps the same wall-clock
+            # values (matching DuckDB's naive read) while restoring
+            # the instant semantics the engine relies on
+            # (unix_micros range frames, watermarks, window()).
+            df = df.withColumn(f.name,
+                               F.col(f.name).cast("timestamp"))
     return df
 
 
