@@ -153,11 +153,17 @@ def _udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); output partitioning inherits the input's."""
     from pyspark.sql.functions import udtf
 
+    import re
+
     @udtf(returnType="pos int, token string", useArrow=True)
     class TokenizeUDTF:
+        # ASCII whitespace only, matching the DuckDB oracle's RE2
+        # '\s+' — Python str.split() would also split on NBSP/U+2009
+        # etc. and silently diverge on Unicode-whitespace documents
         def eval(self, text: str):
             if text:
-                for i, tok in enumerate(text.split()):
+                for i, tok in enumerate(
+                        t for t in re.split(r"[ \t\n\r\f\v]+", text) if t):
                     yield i + 1, tok
 
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)

@@ -169,15 +169,19 @@ def _join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DAG (one extra scan of one column, map-side min/max — cheap) vs
     # a driver-side .collect() that would serialize the pipeline
     maxp = part.agg(F.max("p_retailprice").alias("max_price"))
+    start_bin = F.floor(F.col("lo") / BIN_WIDTH).cast("int")
+    stop_bin = (F.floor(F.least(F.col("hi") - F.lit(1e-9),
+                                F.col("max_price")) / BIN_WIDTH)
+                .cast("int"))
     binned_bands = (
         bands.crossJoin(F.broadcast(maxp))
-        .withColumn(
-            "bin",
-            F.explode(F.sequence(
-                F.floor(F.col("lo") / BIN_WIDTH).cast("int"),
-                F.floor(F.least(F.col("hi") - F.lit(1e-9),
-                                F.col("max_price")) / BIN_WIDTH)
-                 .cast("int"))))
+        # drop bands whose lo exceeds the clamped stop BEFORE exploding:
+        # sequence(start, stop) with start > stop generates a DESCENDING
+        # range, silently replicating an impossible band into bins below
+        # its own lo (the exact re-check keeps results correct, but the
+        # replication bound this rewrite exists for would be violated)
+        .where(start_bin <= stop_bin)
+        .withColumn("bin", F.explode(F.sequence(start_bin, stop_bin)))
         .select("band", "lo", "hi", "bin")
     )
     binned_part = part.withColumn(

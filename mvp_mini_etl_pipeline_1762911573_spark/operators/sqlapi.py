@@ -229,13 +229,23 @@ def _agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB flavor: approx_percentile sketches (mergeable,
-    constant memory).  Rows-only (sketch values are engine-specific)."""
+    constant memory).  Rows-only (sketch values are engine-specific),
+    but emitted as SCALAR p50/p90/p99 columns — the driver's rows-only
+    canonicalizer sorts values with pandas and chokes on array cells
+    (round-2 red row: TypeError unhashable 'list')."""
     orders = load(spark, sf_dir, "orders")
+    pcts = F.approx_percentile(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        10000)
     return (
         orders.groupBy(F.col("o_orderstatus").alias("status"))
-        .agg(F.approx_percentile(
-            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
-            10000).alias("approx_pcts"))
+        .agg(pcts.alias("pcts"))
+        .select(
+            "status",
+            F.element_at("pcts", 1).alias("p50"),
+            F.element_at("pcts", 2).alias("p90"),
+            F.element_at("pcts", 3).alias("p99"),
+        )
     )
 
 

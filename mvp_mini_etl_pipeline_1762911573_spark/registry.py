@@ -16,20 +16,28 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-2 window: the 30 families round 1 never checked
-(sqlapi/scalars/text/multimodal/batch_equiv + udaf_mode), every query
-NEW this round (fallbacks, raw_modal, TPC-H shapes, sampling, IVF,
-quantization, merge_upsert, stream joins, corpus curation), then
-round-1-green re-verifies to fill remaining slots.
-ROTATION NOTE (round 3+): 21 queries landed after this round's window
-froze and have NO official row yet — they go FIRST next round:
-  sql_q1, sql_q10, sql_q2, sql_q6, sql_q8, sql_q9, sql_q11, sql_q12,
-  sql_q14, sql_q15, sql_q16, sql_q17, sql_q19, sql_q20, sql_q21,
-  scrub_pii, agg_histogram, doc_chunk, seq_pack, join_range_binned,
-  udtf_tokens
-Fill the remaining ~31 slots with the round-1 block that will then have
-gone two rounds unchecked (projections/sorts/windows/joins/aggregates/
-setops/dedup/similarity classics).
+Round-3 window (current): the FULL 33-query backlog with no official
+row after rounds 1-2 (round 2's rotation note undercounted it at 21 —
+it missed agg_corr, agg_hll_sketch, decontaminate, events_zscore,
+funnel_steps, gap_fill, lm_score, mix_sources, retention_cohorts,
+scd2_intervals, vocab_topk, window_range_frame), plus
+agg_approx_percentiles (round 2's only red row, re-verified after the
+scalar-output fix), plus the 16 OLDEST round-1 greens (two rounds
+stale).
+
+ROTATION SCHEDULE (standing, documented per round-2 verdict #6): with
+~134 registered queries and a 50-row window, a 3-round cycle keeps
+every query's official row at most 2 rounds old:
+  cycle slot A (this round): debut backlog + oldest round-1 classics
+    (projections/filters/joins/aggs basics).
+  cycle slot B (next round): the remaining round-1 greens not taken in
+    slot A (windows/sorts/setops/dedup/similarity/metrics_row/asof/
+    udf_cosine/rollup-cube-stats family, ~34 names) + any new debuts.
+  cycle slot C (round after): the round-2 greens (sqlapi shapes,
+    scalars, text, multimodal, streaming, fallbacks, sampling, IVF/
+    quantize/merge/clusters) + any new debuts.
+Every round: new queries land at the FRONT of next round's window;
+then fill with the stalest greens (oldest official row first).
 """
 
 from __future__ import annotations
@@ -44,26 +52,26 @@ from pyspark.sql import DataFrame, SparkSession
 # size so placement is deliberate, not accidental.
 WINDOW_SIZE = 50
 WINDOW_PRIORITY: list[str] = [
-    # -- families with no official round-1 CORRECTNESS row ------------
-    "sql_q3", "sql_q4", "sql_q5", "sql_q7", "sql_q13", "sql_q18",
-    "sql_q22",
-    "agg_grouping_sets", "unpivot_metrics", "sql_recursive_cte",
-    "agg_collect", "sample_stratified", "sample_hash", "pivot_events",
-    "agg_percentiles", "agg_approx_percentiles",
-    "scalar_string", "scalar_variant", "scalar_map_ops", "scalar_case",
-    "scalar_date", "scalar_url", "scalar_json", "scalar_map_json",
-    "corpus_curate", "token_count", "text_tfidf", "text_quality",
-    "lang_id", "doc_fingerprint", "text_stats",
-    "multimodal_pipeline", "multimodal_schema", "multimodal_frames",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_enrich", "stream_correlate",
-    "udaf_mode",
-    # -- new this round, outside any prior window ---------------------
-    "etl_fallback_metrics", "etl_fallback_log", "raw_modal",
-    "similarity_ivf", "embedding_quantize", "merge_upsert",
-    "dedup_embedding", "join_salted", "dedup_clusters", "quality_audit",
-    # every slot is a debut: with round 1's 50 rows, every registered
-    # query has an official CORRECTNESS row after this round
+    # -- the 33-query backlog: landed after round 2's window froze ----
+    # TPC-H shapes (15)
+    "sql_q1", "sql_q2", "sql_q6", "sql_q8", "sql_q9", "sql_q10",
+    "sql_q11", "sql_q12", "sql_q14", "sql_q15", "sql_q16", "sql_q17",
+    "sql_q19", "sql_q20", "sql_q21",
+    # event analytics E1-E6 (6)
+    "funnel_steps", "retention_cohorts", "events_zscore",
+    "scd2_intervals", "gap_fill", "window_range_frame",
+    # EXT text/dedup/misc debuts (12)
+    "decontaminate", "lm_score", "vocab_topk", "mix_sources",
+    "doc_chunk", "seq_pack", "scrub_pii", "agg_corr", "agg_histogram",
+    "agg_hll_sketch", "join_range_binned", "udtf_tokens",
+    # -- round 2's only red row, re-verify after scalar-output fix ----
+    "agg_approx_percentiles",
+    # -- 16 oldest round-1 greens (two rounds stale) ------------------
+    "synthetic_source", "project_nested", "coalesce_id", "csv_flatten",
+    "filter_nonnull", "filter_valid_date", "validity_filter_counts",
+    "join_equi", "join_broadcast", "join_left", "join_semi",
+    "join_anti", "agg_count", "agg_count_distinct", "agg_avg_years",
+    "agg_group_count",
 ]
 
 

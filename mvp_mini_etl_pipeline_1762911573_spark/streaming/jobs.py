@@ -27,6 +27,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw `ts` arrives as nanos-long (see tables.load); the same
     micros conversion is applied on the stream."""
     path = f"{sf_dir}/events.parquet"
+    # mirror tables.load's defensive confs: the driver may hand us its
+    # own session, and the NTZ->timestamp cast below is only
+    # instant-preserving when the session timezone is UTC (nanosAsLong
+    # is likewise required to read the NANOS-timestamped parquet)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(path).schema
     # FileStreamSource requires a DIRECTORY; point it at sf_dir and
     # glob-filter down to the events file
