@@ -202,24 +202,45 @@ def assign_cells(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
     """Deterministic coarse quantizer shared by IVF search and
     SemDeDup-style dedup: assign each vector in ``vecs`` (default: the
     whole ``emb`` table) to its argmax-cosine stride-seeded centroid
-    (vec_id % IVF_STRIDE == 0 over ``emb``).  One broadcast-join pass,
-    no shuffle of the corpus; 6dp rounding + c_id tiebreak keep the
-    assignment identical across engines, which is what makes every
-    consumer DuckDB-oracle-checkable.  Returns (vec_id, embedding,
-    cell)."""
+    (vec_id % IVF_STRIDE == 0 over ``emb``).
+
+    ZERO corpus shuffle, by construction: the centroids are collapsed
+    into ONE broadcast row (collect_list agg — the only exchange in the
+    plan, carrying K centroid structs), and the argmax is a map-side
+    HOF fold per vector — transform() scores every centroid once,
+    aggregate() keeps the (sim desc, c_id asc) winner.  Earlier rounds
+    exploded corpus×K rows and ranked them with a row_number window,
+    which hash-partitioned the WHOLE corpus (embedding payloads
+    included) by vec_id — a full-corpus shuffle the docstring claimed
+    not to pay; tests/test_profiler.py now pins n_shuffles for this
+    plan.  The fold's strict-greater/smaller-id update is argmax over
+    round(cos,6) regardless of centroid array order, so the assignment
+    stays identical across engines (DuckDB-oracle-checkable consumers).
+    Returns (vec_id, embedding, cell)."""
     if vecs is None:
         vecs = emb
     cents = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("c_id").asc())
+        F.col("vec_id").cast("bigint").alias("c_id"),
+        F.col("embedding").alias("c_vec"))
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("c_id", "c_vec")).alias("cents"))
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(cosine(F.col("embedding"), c["c_vec"]), 6)
+             .alias("sim"),
+            c["c_id"].alias("cell")))
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-2.0).alias("sim"),
+                 F.lit(2 ** 63 - 1).cast("bigint").alias("cell")),
+        lambda acc, s: F.when(
+            (s["sim"] > acc["sim"])
+            | ((s["sim"] == acc["sim"]) & (s["cell"] < acc["cell"])),
+            s).otherwise(acc))
     return (
-        vecs.join(F.broadcast(cents))
-        .select("vec_id", "embedding", "c_id",
-                F.round(cosine("embedding", "c_vec"), 6).alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("c_id").alias("cell"))
+        vecs.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "embedding", best["cell"].alias("cell"))
     )
 
 

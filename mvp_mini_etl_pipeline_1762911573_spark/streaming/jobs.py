@@ -56,6 +56,14 @@ def tumbling_stream(events: DataFrame) -> DataFrame:
     return tumbling_counts(events.withWatermark("ts", "10 minutes"))
 
 
+def sliding_stream(events: DataFrame) -> DataFrame:
+    """ST2 streaming flavor: the same sliding-window count bound to a
+    watermarked stream — each event contributes to 4 overlapping
+    windows; state per live window only."""
+    from .batch_equiv import sliding_counts
+    return sliding_counts(events.withWatermark("ts", "10 minutes"))
+
+
 def sessionized_stream(events: DataFrame, gap_min: int = 30) -> DataFrame:
     """ST3 native streaming flavor: session_window() merges overlapping
     [ts, ts+gap) intervals per key in the state store."""

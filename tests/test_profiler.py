@@ -38,6 +38,50 @@ def test_broadcast_join_shuffles_only_group_states(spark, sf_dir):
     assert s["shuffle_records"] < s["scan_rows"]
 
 
+def test_decontaminate_never_shuffles_the_corpus(spark, sf_dir):
+    """decontaminate's scale claim measured: the benchmark gram index
+    is broadcast, so the training corpus' gram stream is consumed
+    map-side — the shuffles carry only partial-aggregated pair counts
+    and tiny bench/sort rows, never the exploded gram stream.  If the
+    gram join ever degraded to shuffle-hash/sort-merge, shuffle_records
+    would jump to >= the total gram-occurrence count asserted against
+    here."""
+    docs = load(spark, sf_dir, "documents")
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import DECON_N
+    total_grams = docs.select(
+        F.greatest(
+            F.size(F.split(F.lower("text"), r"\s+")) - (DECON_N - 1),
+            F.lit(0)).alias("g")).agg(F.sum("g")).first()[0]
+    corpus_bytes = docs.agg(F.sum(F.length("text"))).first()[0]
+    got = profile(all_queries()["decontaminate"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_broadcasts"] >= 2        # bench gram index + bench sizes
+    assert s["shuffle_records"] < total_grams
+    assert s["shuffle_bytes"] < corpus_bytes / 2
+
+
+def test_ivf_cell_assignment_never_shuffles_the_corpus(spark, sf_dir):
+    """assign_cells' scale claim measured (shared by similarity_ivf and
+    the SemDeDup dedup family): the corpus is scored against a
+    broadcast centroid array with a map-side HOF argmax.  The ONLY
+    exchange in the plan is the centroid collect_list agg — its record
+    count is bounded by partial-agg states (<= #partitions + 1), never
+    the corpus row count; every corpus row reaches the output without
+    being exchanged."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        assign_cells,
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    got = profile(assign_cells(emb).select("vec_id", "cell"))
+    s = got["summary"]
+    assert s["output_rows"] == n
+    assert s["n_broadcasts"] == 1
+    assert s["n_shuffles"] <= 1          # centroid-array global agg only
+    assert s["shuffle_records"] <= 33    # partial states, not the corpus
+    assert s["shuffle_records"] < n
+
+
 def test_exact_dedup_shuffles_digests_not_documents(spark, sf_dir):
     """dedup_content_hash's scale claim measured: the shuffle carries
     one 64-byte-digest record per INPUT DOC (map-side partial agg over

@@ -34,6 +34,39 @@ def test_session_stream_runs(spark, sf_dir):
     assert n_events == load(spark, sf_dir, "events").count()
 
 
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    """ST2 parity: the watermarked sliding-window stream converges to
+    the batch sliding_counts answer once the stream drains."""
+    from mvp_mini_etl_pipeline_1762911573_spark.streaming.batch_equiv import (
+        sliding_counts,
+    )
+    batch = sliding_counts(load(spark, sf_dir, "events"))
+    stream = jobs.sliding_stream(jobs.events_stream(spark, sf_dir))
+    got = jobs.run_to_memory(stream, "t_sliding", "complete")
+    cols = ["window_start", "cnt"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_session_stream_equals_batch(spark, sf_dir):
+    """ST3 parity: session_window() streaming state merge produces the
+    same sessions as the batch lag-gap-cumsum idiom.  Compared on the
+    columns both flavors emit: a session is identified by its owner and
+    first-event timestamp; n_events/session_value pin its content.
+    Boundary note: session_window splits when the inter-event gap is
+    >= gap (half-open [ts, ts+gap)); the batch idiom splits on strict
+    > gap.  They diverge only for a gap of exactly 30:00.000000 —
+    absent from the fixtures at micros precision, and this test is the
+    tripwire if that ever changes."""
+    from mvp_mini_etl_pipeline_1762911573_spark.streaming.batch_equiv import (
+        session_windows,
+    )
+    batch = session_windows(load(spark, sf_dir, "events"))
+    stream = jobs.sessionized_stream(jobs.events_stream(spark, sf_dir))
+    got = jobs.run_to_memory(stream, "t_session_eq", "complete")
+    cols = ["user_id", "session_start", "n_events", "session_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
 def test_dedup_stream_drops_dupes(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     stream = jobs.dedup_stream(jobs.events_stream(spark, sf_dir))
