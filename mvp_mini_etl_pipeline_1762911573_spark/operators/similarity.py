@@ -204,44 +204,79 @@ def assign_cells(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
     whole ``emb`` table) to its argmax-cosine stride-seeded centroid
     (vec_id % IVF_STRIDE == 0 over ``emb``).
 
-    ZERO corpus shuffle, by construction: the centroids are collapsed
-    into ONE broadcast row (collect_list agg — the only exchange in the
-    plan, carrying K centroid structs), and the argmax is a map-side
-    HOF fold per vector — transform() scores every centroid once,
-    aggregate() keeps the (sim desc, c_id asc) winner.  Earlier rounds
-    exploded corpus×K rows and ranked them with a row_number window,
-    which hash-partitioned the WHOLE corpus (embedding payloads
-    included) by vec_id — a full-corpus shuffle the docstring claimed
-    not to pay; tests/test_profiler.py now pins n_shuffles for this
-    plan.  The fold's strict-greater/smaller-id update is argmax over
-    round(cos,6) regardless of centroid array order, so the assignment
-    stays identical across engines (DuckDB-oracle-checkable consumers).
+    ZERO corpus shuffle, by construction: the centroids are model
+    parameters — K×dim floats, bounded by the quantizer design, not by
+    corpus size — resolved once driver-side (the FAISS/production-ANN
+    pattern: centroids are trained offline and shipped to searchers)
+    and captured in the closure of an Arrow-vectorized pandas UDF.
+    Assignment is then one map-side pass over the corpus: no join, no
+    exchange of any kind (tests/test_profiler.py pins n_shuffles == 0).
+    Earlier rounds exploded corpus×K rows and ranked them with a
+    row_number window, which hash-partitioned the WHOLE corpus
+    (embedding payloads included) by vec_id — a full-corpus shuffle
+    the docstring claimed not to pay; an intermediate HOF-fold rewrite
+    was shuffle-free but ~2× slower than this (interpreted
+    lambda-per-element vs one numpy pass per Arrow batch — the same
+    measured trade as lsh_buckets_udf / pairwise_cosine_udf).
+
+    Bit-reproducibility (the oracle-checked-consumer contract) is
+    preserved EXACTLY, not approximately:
+    * dot and both norms accumulate left-to-right over dimensions
+      (one vectorized += per dimension), the same f64 operation order
+      as the HOF cosine and DuckDB's list_ functions;
+    * a/(b*c) keeps the same association;
+    * rounding replicates Spark's round(col, 6) to the bit:
+      Decimal(repr(x)) is BigDecimal.valueOf(double) (shortest
+      round-trip representation — Python repr == Double.toString),
+      quantized with ROUND_HALF_UP;
+    * ties on the rounded sim break to the lowest c_id: centroid
+      columns are sorted by c_id and np.argmax takes the first max.
     Returns (vec_id, embedding, cell)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     if vecs is None:
         vecs = emb
-    cents = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
-        F.col("vec_id").cast("bigint").alias("c_id"),
-        F.col("embedding").alias("c_vec"))
-    cent_arr = cents.agg(
-        F.collect_list(F.struct("c_id", "c_vec")).alias("cents"))
-    scored = F.transform(
-        F.col("cents"),
-        lambda c: F.struct(
-            F.round(cosine(F.col("embedding"), c["c_vec"]), 6)
-             .alias("sim"),
-            c["c_id"].alias("cell")))
-    best = F.aggregate(
-        scored,
-        F.struct(F.lit(-2.0).alias("sim"),
-                 F.lit(2 ** 63 - 1).cast("bigint").alias("cell")),
-        lambda acc, s: F.when(
-            (s["sim"] > acc["sim"])
-            | ((s["sim"] == acc["sim"]) & (s["cell"] < acc["cell"])),
-            s).otherwise(acc))
-    return (
-        vecs.crossJoin(F.broadcast(cent_arr))
-        .select("vec_id", "embedding", best["cell"].alias("cell"))
-    )
+    cent_rows = (
+        emb.where(F.col("vec_id") % IVF_STRIDE == 0)
+        .select(F.col("vec_id").cast("bigint").alias("c_id"), "embedding")
+        .orderBy("c_id").collect())
+    c_ids = np.array([r.c_id for r in cent_rows], dtype="int64")
+    cmat = np.array([r.embedding for r in cent_rows], dtype="float64")
+    dim = cmat.shape[1]
+    cn2 = np.zeros(len(c_ids))
+    for d in range(dim):                       # left-to-right, like HOF
+        cn2 += cmat[:, d] * cmat[:, d]
+    c_norm = np.sqrt(cn2)
+
+    quantum = Decimal("1E-6")
+
+    def _round6(x: float) -> float:
+        if not np.isfinite(x):
+            return -2.0                        # zero-vector guard
+        return float(Decimal(repr(float(x)))
+                     .quantize(quantum, ROUND_HALF_UP))
+
+    _round6v = np.vectorize(_round6, otypes=["float64"])
+
+    @pandas_udf("bigint")
+    def best_cell(embs: pd.Series) -> pd.Series:
+        emat = np.stack(
+            embs.map(lambda a: np.asarray(a, dtype="float64")))
+        n = emat.shape[0]
+        dots = np.zeros((n, len(c_ids)))
+        vn2 = np.zeros(n)
+        for d in range(dim):                   # left-to-right, like HOF
+            dots += np.outer(emat[:, d], cmat[:, d])
+            vn2 += emat[:, d] * emat[:, d]
+        sims = dots / (np.sqrt(vn2)[:, None] * c_norm[None, :])
+        r6 = _round6v(sims)
+        return pd.Series(c_ids[np.argmax(r6, axis=1)])
+
+    return vecs.select("vec_id", "embedding",
+                       best_cell("embedding").alias("cell"))
 
 
 def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
