@@ -47,6 +47,7 @@ HEADLINE = [
     "funnel_steps",         # sequential conditional aggregation
     "scd2_intervals",       # gaps-and-islands SCD2 build
     "dedup_clusters",       # iterative CC over within-cell dup edges
+    "dedup_clusters_star",  # same clusters, large-star/small-star CC
     "gap_fill",             # spine densification (sequence explode)
 ]
 

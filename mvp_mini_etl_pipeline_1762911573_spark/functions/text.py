@@ -445,7 +445,34 @@ def _mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: deterministic train/val/test split (90/5/5) — the step
+    after curation in every training-data pipeline.  The split is a
+    pure function of the document id (sha256 bucket mod 100), so it is
+    partition-, engine-, and rerun-invariant: a document never migrates
+    between splits when the corpus is re-sharded or a source is
+    re-crawled — the property seeded randomSplit() does NOT have.
+    Same public-hash idiom as sample_hash, so fully oracle-checked.
+    Output: per (source, split) doc and char totals — narrow map +
+    one small-key shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+         .cast("long"),
+        F.lit(100))
+    split = (F.when(bucket < 90, "train")
+             .when(bucket < 95, "val")
+             .otherwise("test"))
+    return (
+        docs.groupBy(F.col("source"), split.alias("split"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
 QUERIES = {
+    "split_assign": _split_assign,
     "mix_sources": _mix_sources,
     "lm_score": _lm_score,
     "vocab_topk": _vocab_topk,
@@ -463,6 +490,20 @@ QUERIES = {
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 ORACLES = {
+    "split_assign": """
+SELECT source,
+       CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT source, n_chars,
+         CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS b
+  FROM documents)
+GROUP BY 1, 2
+""",
     "mix_sources": f"""
 WITH per_src AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

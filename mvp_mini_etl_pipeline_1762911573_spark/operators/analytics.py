@@ -165,14 +165,66 @@ def _gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 1.4826  # normal-consistency constant: MAD * 1.4826 ≈ sigma
+
+
+def _events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: robust (median/MAD) outlier detection — the z-score's
+    production-grade sibling: mean and stddev are themselves dragged by
+    the outliers they're meant to find, median and MAD are not.  Two
+    grouped exact-percentile passes (median of value, then median of
+    |value - median|), both tiny per-type aggregates broadcast back
+    over the stream; rows beyond 3 robust sigmas survive.  Same
+    rejoin-not-window scale shape as events_zscore; at 100 TB swap
+    percentile() for approx_percentile sketches (same plan)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", "event_id", "user_id", "value", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    rz = F.round((F.col("value") - F.col("med"))
+                 / (F.lit(MAD_K) * F.col("mad")), 4)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select("event_type", "event_id", "user_id", "value",
+                F.round("med", 4).alias("med"),
+                F.round("mad", 4).alias("mad"),
+                rz.alias("robust_z"))
+        .where(F.abs(F.col("robust_z")) >= 3.0)
+    )
+
+
 QUERIES = {
     "gap_fill": _gap_fill,
     "funnel_steps": _funnel_steps,
     "retention_cohorts": _retention_cohorts,
     "events_zscore": _events_zscore,
+    "events_anomaly_mad": _events_anomaly_mad,
 }
 
 ORACLES = {
+    "events_anomaly_mad": f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.event_id, e.user_id, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.user_id, d.value,
+       round(d.med, 4) AS med, round(x.mad, 4) AS mad,
+       round((d.value - d.med) / ({MAD_K} * x.mad), 4) AS robust_z
+FROM dev d JOIN mad x ON d.event_type = x.event_type
+WHERE abs(round((d.value - d.med) / ({MAD_K} * x.mad), 4)) >= 3.0
+""",
     "gap_fill": """
 WITH ev AS (
   SELECT user_id, date_trunc('week', ts) AS week FROM events

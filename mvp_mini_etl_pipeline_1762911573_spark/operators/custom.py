@@ -28,14 +28,17 @@ from ..tables import load
 
 def asof_join(left: DataFrame, right: DataFrame, key: str,
               left_ts: str, right_ts: str,
-              right_cols: list[str]) -> DataFrame:
+              right_cols: list[str],
+              direction: str = "backward") -> DataFrame:
     """For each left row, attach the latest right row with
-    right_ts <= left_ts within the same key.  Composition: tag both
-    sides, union, per-key window ordered by (ts, tag) carrying
-    last(right payload) forward, keep left rows.
+    right_ts <= left_ts (direction='backward') or the earliest right
+    row with right_ts >= left_ts (direction='forward') within the same
+    key.  Composition: tag both sides, union, per-key window ordered by
+    (ts, tag) carrying the right payload across, keep left rows.
 
-    Equivalent to DuckDB/QuestDB ASOF JOIN and pandas merge_asof —
-    one shuffle on `key`, linear scan per partition."""
+    Equivalent to DuckDB/QuestDB ASOF JOIN (either inequality
+    direction) and pandas merge_asof — one shuffle on `key`, linear
+    scan per partition."""
     lt = left.select(
         F.col(key).alias("_k"), F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"), "*",
@@ -50,14 +53,23 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         *right_cols,
     )
     merged = lt.unionByName(rt)
-    # right rows sort before left rows at equal ts (tag 0 < 1) so a
-    # same-timestamp right row IS visible to the left row (<= semantics)
-    w = (Window.partitionBy("_k")
-         .orderBy("_ts", "_is_left")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if direction == "backward":
+        # right rows sort before left rows at equal ts (tag 0 < 1) so a
+        # same-timestamp right row IS visible to the left row (<=)
+        w = (Window.partitionBy("_k")
+             .orderBy("_ts", "_is_left")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pick = F.last
+    else:
+        # forward: left rows sort before right rows at equal ts (tag
+        # desc) so a same-timestamp right row is visible looking ahead
+        w = (Window.partitionBy("_k")
+             .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        pick = F.first
     carried = merged.select(
         "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
+        *[pick(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
           for c in right_cols],
     )
     return (
@@ -93,6 +105,45 @@ def _asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "uid",
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
         "event_id", "event_type",
+    )
+
+
+def _asof_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with a 30-day tolerance cap: each order picks the
+    user's EARLIEST event at or after the order date; matches farther
+    than 30 days out are nulled (tolerance semantics, like pandas
+    merge_asof(tolerance=...)).  Same union+window single-shuffle plan
+    as the backward flavor — the cap is a post-join null-out, not a
+    range join."""
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        (F.col("o_custkey") % 500).alias("uid"),
+        F.col("o_orderdate"))
+    events = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 500).alias("uid"),
+        F.col("ts"), F.col("event_id"), F.col("event_type"))
+    # unique per (uid, ts) for determinism: the forward pick is the
+    # earliest ts, tie broken to max event_id (same rule as backward)
+    dedup_w = Window.partitionBy("uid", "ts").orderBy(
+        F.col("event_id").desc())
+    events_u = (events.withColumn("_rn", F.row_number().over(dedup_w))
+                .where(F.col("_rn") == 1).drop("_rn"))
+    joined = asof_join(
+        orders, events_u, key="uid",
+        left_ts="o_orderdate", right_ts="ts",
+        right_cols=["ts", "event_id", "event_type"],
+        direction="forward",
+    )
+    in_tol = F.col("ts") <= F.col("o_orderdate") + F.expr(
+        "INTERVAL 30 DAYS")
+    return joined.select(
+        "o_orderkey", "uid",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("odate"),
+        F.when(in_tol, F.col("event_id")).alias("event_id"),
+        F.when(in_tol, F.col("event_type")).alias("event_type"),
+        F.when(in_tol, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+         .alias("evt_ts"),
     )
 
 
@@ -177,6 +228,7 @@ def _udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "asof_join": _asof_query,
+    "asof_forward": _asof_forward_query,
     "udf_cosine": _udf_cosine,
     "udaf_mode": _udaf_mode,
     "udtf_tokens": _udtf_tokens,
@@ -219,6 +271,29 @@ SELECT user_id, mode_type, n_events FROM (
         FROM events WHERE user_id % 10 = 1
         GROUP BY user_id, event_type)
 ) WHERE rn = 1
+""",
+    "asof_forward": """
+WITH o AS (
+  SELECT o_orderkey, o_custkey % 500 AS uid, o_orderdate
+  FROM orders WHERE o_orderkey % 50 = 0
+), e AS (
+  SELECT uid, ts, event_id, event_type FROM (
+    SELECT user_id % 500 AS uid, ts, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id % 500, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1
+)
+SELECT o_orderkey, o.uid AS uid,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+       CASE WHEN e.ts <= o.o_orderdate + INTERVAL 30 DAY
+            THEN e.event_id END AS event_id,
+       CASE WHEN e.ts <= o.o_orderdate + INTERVAL 30 DAY
+            THEN e.event_type END AS event_type,
+       CASE WHEN e.ts <= o.o_orderdate + INTERVAL 30 DAY
+            THEN strftime(e.ts, '%Y-%m-%d %H:%M:%S') END AS evt_ts
+FROM o ASOF LEFT JOIN e
+  ON o.uid = e.uid AND e.ts >= o.o_orderdate
 """,
     # Python str.split() ≡ split-on-whitespace-runs with no empty
     # tokens; the list_filter drops the empties DuckDB's regex split

@@ -489,6 +489,87 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT D3 (scale flavor): the SAME duplicate-cluster output as
+    dedup_clusters, computed with alternating large-star/small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — provably O(log n) rounds on any graph, vs min-label
+    propagation's O(diameter).  dedup_clusters' docstring has named
+    this as the 100 TB form since round 2; this IS that form, checked
+    against the identical recursive-CTE oracle.
+
+    Per round (pure join-free groupBy/agg + explode — no join at all
+    inside a star operation):
+      large-star: for every node u, attach each neighbor v > u to
+        m(u) = min(N(u) ∪ {u});
+      small-star: attach each neighbor v <= u (and u itself) to m(u).
+    Edges live as (src, dst) rows; each star is one groupBy(src) with
+    min + collect_list, then an explode — shuffle keyed on node id,
+    record width constant.  Fixpoint detection: (count,
+    sum(xxhash64(src, dst))) signature of the canonicalized edge set —
+    one cheap agg action per round over a localCheckpoint'ed frame
+    (collision odds ~2^-64; a false convergence would be caught by the
+    oracle hash-match).  At 100 TB: replace localCheckpoint with
+    storage checkpoints; the loop shape is unchanged.
+    """
+    pairs = (_embedding_pair_edges(spark, sf_dir)
+             .select(F.col("keep_id").alias("src"),
+                     F.col("dup_id").alias("dst")))
+    nodes = (pairs.select(F.col("src").alias("node"))
+             .union(pairs.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+
+    def star(edges: DataFrame, large: bool) -> DataFrame:
+        # symmetric neighborhood view, self-edges dropped
+        sym = (edges.union(edges.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+               .where(F.col("src") != F.col("dst")))
+        grouped = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.col("src")).alias("m"),
+            F.collect_set("dst").alias("nbrs"))
+        keep = (lambda v: v > F.col("src")) if large \
+            else (lambda v: v <= F.col("src"))
+        arr = F.filter("nbrs", keep)
+        if not large:
+            # small-star also re-links u itself to the min
+            arr = F.array_union(arr, F.array(F.col("src")))
+        out = grouped.select(F.explode(arr).alias("v"), F.col("m"))
+        return (out.where(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+                .distinct())
+
+    edges = pairs.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(CC_MAX_ITERS):
+        edges = star(star(edges, large=True), large=False) \
+            .localCheckpoint(eager=True)
+        # bit_xor, not sum: xxhash64 values span the full long range
+        # and an ANSI-mode sum overflows; xor is order-independent and
+        # safe on the distinct()-ed edge set (no duplicate rows to
+        # self-cancel)
+        sig = tuple(edges.agg(
+            F.count("*"),
+            F.expr("bit_xor(xxhash64(src, dst))")).first())
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # converged star graph: every non-root points at its component min
+    labels = edges.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("cluster_id"))
+    roots = (nodes.join(labels, "node", "left_anti")
+             .select("node", F.col("node").alias("cluster_id")))
+    all_labels = labels.union(roots)
+    sizes = all_labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (
+        all_labels.join(sizes, "cluster_id")
+        .where(F.col("cluster_size") > 1)
+        .select(F.col("node").alias("doc_id"), "cluster_id",
+                "cluster_size")
+    )
+
+
 # Decontamination parameters: gram width (long grams ≈ verbatim
 # overlap, the standard benchmark-contamination signal) and the
 # reported-overlap floor.
@@ -555,9 +636,31 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the decontamination pass applied — the clean training
+    corpus after dropping every train doc flagged by _decontaminate
+    (any benchmark 5-gram overlap >= the floor).  The flagged set is
+    bounded by bench collisions (tiny at any corpus scale), so it
+    broadcasts and the anti-join is map-side: the training corpus is
+    scanned once and never shuffled; the only shuffle carries the
+    per-source rollup states."""
+    docs = load(spark, sf_dir, "documents")
+    flagged = (_decontaminate(spark, sf_dir)
+               .select(F.col("train_doc").alias("doc_id")).distinct())
+    return (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("clean_docs"),
+             F.sum("n_chars").alias("clean_chars"))
+    )
+
+
 QUERIES = {
     "decontaminate": _decontaminate,
+    "decontaminate_filter": _decontaminate_filter,
     "dedup_clusters": _dedup_clusters,
+    "dedup_clusters_star": _dedup_clusters_star,
     "dedup_embedding": _dedup_embedding,
     "dedup_exact": _dedup_exact,
     "dedup_distinct": _dedup_distinct,
@@ -704,3 +807,41 @@ JOIN gram_counts cb ON cb.doc_id = doc_b
 WHERE round(inter / (ca.n_grams + cb.n_grams - inter), 4) >= 0.2
 """,
 }
+
+# the star-CC flavor computes the SAME clusters from the SAME edge set
+# — one oracle, two distributed algorithms checked against it
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+ORACLES["decontaminate_filter"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - {DECON_N - 2}, 1)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                || ws[i+3] || ' ' || ws[i+4]))) AS gram
+  FROM toks
+), bench AS (
+  SELECT doc_id AS bench_doc, gram FROM grams WHERE doc_id % 10 = 0
+), train AS (
+  SELECT doc_id AS train_doc, gram FROM grams WHERE doc_id % 10 != 0
+), bench_sizes AS (
+  SELECT bench_doc, count(*) AS bench_grams FROM bench GROUP BY bench_doc
+), shared AS (
+  SELECT t.train_doc, b.bench_doc, count(*) AS n_shared
+  FROM train t JOIN bench b ON t.gram = b.gram
+  GROUP BY t.train_doc, b.bench_doc
+), flagged AS (
+  SELECT DISTINCT s.train_doc
+  FROM shared s JOIN bench_sizes z ON z.bench_doc = s.bench_doc
+  WHERE round(s.n_shared / z.bench_grams, 4) >= {DECON_MIN_OVERLAP}
+)
+SELECT source, CAST(count(*) AS BIGINT) AS clean_docs,
+       CAST(sum(n_chars) AS BIGINT) AS clean_chars
+FROM documents
+WHERE doc_id % 10 != 0
+  AND doc_id NOT IN (SELECT train_doc FROM flagged)
+GROUP BY source
+"""

@@ -274,9 +274,34 @@ def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): two per-key
+    aggregates of the events table joined on a key that is NULL for
+    'error' rows — a plain = join would silently drop the NULL group
+    from both sides; <=> matches NULL with NULL and stays a hash join
+    (the null-safe comparator is still an equi key, so Catalyst keeps
+    broadcast/sort-merge eligibility — no fallback to BNLJ)."""
+    ev = load(spark, sf_dir, "events")
+    key = F.when(F.col("event_type") != "error", F.col("event_type"))
+    a = (ev.where(F.col("event_id") % 7 == 0)
+         .groupBy(key.alias("k"))
+         .agg(F.count("*").alias("cnt_a"),
+              F.round(F.sum("value"), 2).alias("val_a")))
+    b = (ev.where(F.col("event_id") % 5 == 0)
+         .groupBy(key.alias("k"))
+         .agg(F.count("*").alias("cnt_b"),
+              F.round(F.sum("value"), 2).alias("val_b")))
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]), "full_outer")
+        .select(F.coalesce(a["k"], b["k"]).alias("key_type"),
+                "cnt_a", "val_a", "cnt_b", "val_b")
+    )
+
+
 QUERIES = {
     "join_salted": _join_salted,
     "merge_upsert": _merge_upsert,
+    "join_null_safe": _join_null_safe,
     "join_equi": _join_equi,
     "join_broadcast": _join_broadcast,
     "join_left": _join_left,
@@ -287,6 +312,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_null_safe": """
+WITH a AS (
+  SELECT CASE WHEN event_type != 'error' THEN event_type END AS k,
+         CAST(count(*) AS BIGINT) AS cnt_a,
+         round(sum(value), 2) AS val_a
+  FROM events WHERE event_id % 7 = 0 GROUP BY 1
+), b AS (
+  SELECT CASE WHEN event_type != 'error' THEN event_type END AS k,
+         CAST(count(*) AS BIGINT) AS cnt_b,
+         round(sum(value), 2) AS val_b
+  FROM events WHERE event_id % 5 = 0 GROUP BY 1
+)
+SELECT coalesce(a.k, b.k) AS key_type, cnt_a, val_a, cnt_b, val_b
+FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
     # the salted plan must produce the PLAIN join's result — the oracle
     # is deliberately salt-free
     "join_salted": """

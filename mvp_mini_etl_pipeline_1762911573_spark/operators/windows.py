@@ -179,7 +179,26 @@ def _window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-extra: relative-standing window battery — percent_rank and
+    cume_dist of each customer's account balance within its market
+    segment.  Rank-based (tie rows share values), so deterministic
+    without a unique ORDER BY; both functions are single-pass over the
+    segment-partitioned sort, same shuffle as any ranking window."""
+    cust = (load(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 20 == 0))
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 QUERIES = {
+    "window_cume_dist": _window_cume_dist,
     "window_range_frame": _window_range_frame,
     "scd2_intervals": _scd2_intervals,
     "window_last_user": _window_last_user,
@@ -198,6 +217,14 @@ ORDER BY registered_ts DESC, custkey DESC LIMIT 1
 """
 
 ORACLES = {
+    "window_cume_dist": """
+SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WHERE c_custkey % 20 = 0
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+""",
     "window_range_frame": f"""
 SELECT user_id, event_id, epoch_us(ts) AS ts_us,
        CAST(count(*) OVER w AS BIGINT) AS n_1h,
