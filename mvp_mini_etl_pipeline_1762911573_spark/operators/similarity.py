@@ -123,6 +123,54 @@ def lsh_buckets_udf(tables: int = LSH_TABLES, planes: int = LSH_PLANES,
     return buckets
 
 
+def _spark_round6(x: float) -> float:
+    """Bit-exact replica of Spark's round(col, 6) on a double:
+    BigDecimal.valueOf(double) takes the SHORTEST round-trip decimal
+    representation (== Python repr), then setScale(6, HALF_UP).  Used
+    by the Arrow paths that must hash identically to the HOF/DuckDB
+    expression round(x, 6)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    if not np.isfinite(x):
+        return -2.0                            # zero-vector guard
+    return float(Decimal(repr(float(x)))
+                 .quantize(Decimal("1E-6"), ROUND_HALF_UP))
+
+
+def pairwise_cosine_exact_udf():
+    """Arrow pairwise cosine for ORACLE-CHECKED bulk scoring — unlike
+    pairwise_cosine_udf (free-order numpy, rows-only paths), this one
+    reproduces round(cosine(a, b), 6) BIT-EXACTLY: dot and both norms
+    accumulate left-to-right over dimensions (one vectorized += per
+    dim — the HOF fold's and DuckDB list_dot_product's f64 op order),
+    a/(na*nb) keeps its association, and rounding goes through
+    _spark_round6.  Same ~2.5x-over-HOF throughput as the free-order
+    flavor (the loop is over the 64 dims, not the rows)."""
+    from pyspark.sql.functions import pandas_udf
+    import numpy as np
+
+    _round6v = np.vectorize(_spark_round6, otypes=["float64"])
+
+    @pandas_udf("double")
+    def pcos6(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.map(lambda x: np.asarray(x, dtype="float64")))
+        mb = np.stack(b.map(lambda x: np.asarray(x, dtype="float64")))
+        n, dim = ma.shape
+        dot = np.zeros(n)
+        na2 = np.zeros(n)
+        nb2 = np.zeros(n)
+        for d in range(dim):                   # left-to-right, like HOF
+            dot += ma[:, d] * mb[:, d]
+            na2 += ma[:, d] * ma[:, d]
+            nb2 += mb[:, d] * mb[:, d]
+        sims = dot / (np.sqrt(na2) * np.sqrt(nb2))
+        return pd.Series(_round6v(sims))
+
+    return pcos6
+
+
 def pairwise_cosine_udf():
     """Arrow-vectorized pairwise cosine for BULK rescoring: one numpy
     batch op per Arrow batch.  Same 2.5x-over-HOF story as the
@@ -232,8 +280,6 @@ def assign_cells(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
     * ties on the rounded sim break to the lowest c_id: centroid
       columns are sorted by c_id and np.argmax takes the first max.
     Returns (vec_id, embedding, cell)."""
-    from decimal import ROUND_HALF_UP, Decimal
-
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -251,15 +297,7 @@ def assign_cells(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
         cn2 += cmat[:, d] * cmat[:, d]
     c_norm = np.sqrt(cn2)
 
-    quantum = Decimal("1E-6")
-
-    def _round6(x: float) -> float:
-        if not np.isfinite(x):
-            return -2.0                        # zero-vector guard
-        return float(Decimal(repr(float(x)))
-                     .quantize(quantum, ROUND_HALF_UP))
-
-    _round6v = np.vectorize(_round6, otypes=["float64"])
+    _round6v = np.vectorize(_spark_round6, otypes=["float64"])
 
     @pandas_udf("bigint")
     def best_cell(embs: pd.Series) -> pd.Series:
@@ -313,11 +351,12 @@ def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "q_vec", F.col("c_id").alias("cell"))
     )
 
+    pcos6 = pairwise_cosine_exact_udf()
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .where(F.col("q_id") != F.col("vec_id"))
         .select("q_id", F.col("vec_id").alias("n_id"),
-                F.round(cosine("q_vec", "embedding"), 6).alias("cos_sim"))
+                pcos6("q_vec", "embedding").alias("cos_sim"))
     )
     w_k = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc())
