@@ -649,6 +649,39 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT D3 policy layer: given the duplicate clusters, keep the
+    HIGHEST-QUALITY member (longest text, ties to lowest doc_id) and
+    drop the rest — the policy production dedup actually applies
+    (keep-lowest-id is a determinism convention, not a data decision:
+    the canonical crawl of a page usually isn't its first-seen copy).
+    One row per cluster: the survivor, the member count, and the chars
+    reclaimed by dropping the rest.
+
+    Plan: cluster labels (min-label propagation) joined to the narrow
+    (doc_id, n_chars) projection, one window argmax per cluster —
+    adds a single label-keyed shuffle over rows ALREADY bounded by
+    cluster membership (never the corpus)."""
+    from pyspark.sql import Window
+
+    clusters = _dedup_clusters(spark, sf_dir)
+    quality = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+             .alias("keep_doc"),
+            F.count("*").alias("cluster_size"),
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars"))
+                  .otherwise(F.lit(0))).alias("chars_dropped"),
+        )
+    )
+
+
 def _decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: the decontamination pass applied — the clean training
     corpus after dropping every train doc flagged by _decontaminate
@@ -672,6 +705,7 @@ def _decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "decontaminate": _decontaminate,
     "decontaminate_filter": _decontaminate_filter,
+    "dedup_keep_best": _dedup_keep_best,
     "dedup_clusters": _dedup_clusters,
     "dedup_clusters_star": _dedup_clusters_star,
     "dedup_embedding": _dedup_embedding,
@@ -824,6 +858,25 @@ WHERE round(inter / (ca.n_grams + cb.n_grams - inter), 4) >= 0.2
 # the star-CC flavor computes the SAME clusters from the SAME edge set
 # — one oracle, two distributed algorithms checked against it
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+# keep-best policy over those clusters: wrap the cluster oracle and
+# pick the (n_chars desc, doc_id asc) survivor per cluster
+ORACLES["dedup_keep_best"] = f"""
+WITH clusters AS ({ORACLES["dedup_clusters"]}),
+members AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_dropped
+FROM members
+GROUP BY cluster_id
+"""
 
 ORACLES["decontaminate_filter"] = f"""
 WITH toks AS (
