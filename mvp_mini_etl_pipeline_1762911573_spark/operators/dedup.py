@@ -547,9 +547,14 @@ def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             # small-star also re-links u itself to the min
             arr = F.array_union(arr, F.array(F.col("src")))
         out = grouped.select(F.explode(arr).alias("v"), F.col("m"))
-        return (out.where(F.col("v") != F.col("m"))
-                .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-                .distinct())
+        out = (out.where(F.col("v") != F.col("m"))
+               .select(F.col("v").alias("src"), F.col("m").alias("dst")))
+        # dedup only after the small star (once per iteration): the
+        # large star's duplicate emissions collapse inside the next
+        # groupBy/collect_set anyway, and the signature check needs a
+        # canonical set only at iteration boundaries — this drops one
+        # shuffle per round
+        return out if large else out.distinct()
 
     edges = pairs.localCheckpoint(eager=True)
     prev_sig = None
