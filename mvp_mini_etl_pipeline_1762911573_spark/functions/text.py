@@ -445,6 +445,34 @@ def _mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: the BPE-training primitive — corpus-wide adjacent
+    character-pair frequencies (every merge step of byte-pair-encoding
+    training is 'count adjacent pairs, merge the most frequent').  One
+    explode per token occurrence into its len-1 overlapping 2-grams,
+    then a plain count + deterministic top-15 (freq desc, pair asc).
+
+    Scale: pair extraction is a narrow map (no UDF — Column.substr
+    with a lambda index); the shuffle carries (pair, partial count)
+    states whose cardinality is bounded by the alphabet², not the
+    corpus.  A full BPE trainer iterates this exact query against a
+    shrinking symbol sequence — the per-iteration plan is this one."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    pairs = toks.select(F.explode(
+        F.when(
+            F.length("tok") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2))),
+        ).otherwise(F.array().cast("array<string>"))).alias("pair"))
+    return (
+        pairs.groupBy("pair").agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair").asc())
+        .limit(15)
+    )
+
+
 def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: deterministic train/val/test split (90/5/5) — the step
     after curation in every training-data pipeline.  The split is a
@@ -472,6 +500,7 @@ def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "bpe_pair_stats": _bpe_pair_stats,
     "split_assign": _split_assign,
     "mix_sources": _mix_sources,
     "lm_score": _lm_score,
@@ -490,6 +519,19 @@ QUERIES = {
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 ORACLES = {
+    "bpe_pair_stats": f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(tok)),
+                               i -> substr(tok, i, 2))) AS pair
+  FROM toks WHERE length(tok) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS freq
+FROM pairs GROUP BY pair
+ORDER BY freq DESC, pair ASC
+LIMIT 15
+""",
     "split_assign": """
 SELECT source,
        CASE WHEN b < 90 THEN 'train'

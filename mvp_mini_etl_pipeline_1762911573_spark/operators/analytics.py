@@ -198,7 +198,41 @@ def _events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: rolling 7-day active users per day — the canonical
+    "COUNT(DISTINCT) over a sliding window" metric, which no engine's
+    window frame can express directly (distinct doesn't decompose over
+    frames).  The scalable rewrite: dedup to (user, day) FIRST (the
+    big cardinality cut, map-side partial), then equi-join each
+    activity day to the ≤7 calendar days it contributes to via a
+    compact explode, then a plain count-distinct per day.  Work is
+    bounded by 7 × |user-days|, never |events| × window; the naive
+    per-day self-join over raw events is |events|-squared-ish.  At
+    100 TB the (user, day) dedup is the same digest-style shuffle as
+    exact dedup, and the 7× fan-out happens AFTER it."""
+    ev = load(spark, sf_dir, "events")
+    user_days = (ev.select("user_id",
+                           F.date_trunc("day", "ts").alias("day"))
+                 .distinct())
+    contributes = user_days.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.col("day") + F.expr("INTERVAL 6 DAYS"),
+            F.expr("INTERVAL 1 DAY"))).alias("obs_day"))
+    # clamp to days that actually occur in the data (no trailing pad)
+    days = user_days.select(F.col("day").alias("obs_day")).distinct()
+    return (
+        contributes.join(days, "obs_day")
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("mau_7d"))
+        .select(F.date_format("obs_day", "yyyy-MM-dd").alias("day"),
+                "mau_7d")
+    )
+
+
 QUERIES = {
+    "rolling_mau": _rolling_mau,
     "gap_fill": _gap_fill,
     "funnel_steps": _funnel_steps,
     "retention_cohorts": _retention_cohorts,
@@ -207,6 +241,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rolling_mau": """
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), days AS (
+  SELECT DISTINCT day AS obs_day FROM user_days
+)
+SELECT strftime(d.obs_day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau_7d
+FROM days d
+JOIN user_days u
+  ON u.day <= d.obs_day AND u.day > d.obs_day - INTERVAL 7 DAY
+GROUP BY d.obs_day
+""",
     "events_anomaly_mad": f"""
 WITH med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
