@@ -79,6 +79,24 @@ def test_ivf_cell_assignment_never_shuffles_the_corpus(spark, sf_dir):
     assert s["shuffle_records"] == 0
 
 
+def test_rolling_mau_work_bounded_by_user_days(spark, sf_dir):
+    """rolling_mau's scale claim measured: after the (user, day) dedup,
+    the 7x fan-out and the per-day distinct shuffle records scale with
+    USER-DAYS, never with events x window — the naive per-day
+    self-join over raw events would put >= |events| records through
+    the exchanges."""
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    user_days = (ev.select("user_id", F.date_trunc("day", "ts"))
+                 .distinct().count())
+    got = profile(all_queries()["rolling_mau"](spark, sf_dir))
+    s = got["summary"]
+    # dedup partials + 7x exploded contributions + distinct partials:
+    # a small multiple of user-days (fixtures: user-days << events)
+    assert s["shuffle_records"] <= 10 * user_days
+    assert s["spill_disk_bytes"] == 0
+
+
 def test_exact_dedup_shuffles_digests_not_documents(spark, sf_dir):
     """dedup_content_hash's scale claim measured: the shuffle carries
     one 64-byte-digest record per INPUT DOC (map-side partial agg over
