@@ -179,6 +179,30 @@ def _window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-extra: forward fill (last-observation-carried-forward) — the
+    sensor/telemetry gap-repair idiom: carry each user's last non-null
+    reading across the nulls that follow it.  Nulls are planted
+    deterministically (event_id % 3 == 1) so both engines fill the
+    same holes.  last(ignorenulls) over an unbounded-preceding row
+    frame streams each user's sorted run once — same single key
+    shuffle as any partitioned window; no self-join, no as-of probe."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("user_id") % 50 == 11)
+          .select("user_id", "event_id", "ts",
+                  F.when(F.col("event_id") % 3 != 1, F.col("value"))
+                   .alias("reading")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "user_id", "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "reading",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
 def _window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-extra: relative-standing window battery — percent_rank and
     cume_dist of each customer's account balance within its market
@@ -198,6 +222,7 @@ def _window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "window_fill_forward": _window_fill_forward,
     "window_cume_dist": _window_cume_dist,
     "window_range_frame": _window_range_frame,
     "scd2_intervals": _scd2_intervals,
@@ -217,6 +242,17 @@ ORDER BY registered_ts DESC, custkey DESC LIMIT 1
 """
 
 ORACLES = {
+    "window_fill_forward": """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CASE WHEN event_id % 3 != 1 THEN value END AS reading,
+       last_value(CASE WHEN event_id % 3 != 1 THEN value END
+                  IGNORE NULLS) OVER w AS filled
+FROM events
+WHERE user_id % 50 = 11
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
     "window_cume_dist": """
 SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
        round(percent_rank() OVER w, 6) AS pct_rank,
