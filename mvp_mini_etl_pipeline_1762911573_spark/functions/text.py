@@ -445,6 +445,52 @@ def _mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: repetition signals from the Gopher-style quality filter
+    family — fraction of a document's tokens consumed by its single
+    most frequent token, and of its token-bigrams by the most frequent
+    bigram.  High values mark degenerate/boilerplate text that length
+    and stopword checks (text_quality) miss.  (The line-based Gopher
+    rules are omitted deliberately: the fixture corpus has no
+    newlines, so they would be vacuously zero — see bench corpus
+    shape.)
+
+    Plan: explode + two-level aggregate, everything keyed on doc_id —
+    one doc-keyed shuffle, per-doc state is (count, max), never the
+    token list."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 5)
+    ws = _tokens(F.col("text"))
+    toks = docs.select("doc_id", F.explode(ws).alias("tok"))
+    tok_stats = (toks.groupBy("doc_id", "tok").count()
+                 .groupBy("doc_id")
+                 .agg(F.sum("count").alias("n_tok"),
+                      F.max("count").alias("mx_tok")))
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(ws, i), F.element_at(ws, i + 1))),
+            ).otherwise(F.array().cast("array<string>"))).alias("bg"))
+    bg_stats = (bigrams.groupBy("doc_id", "bg").count()
+                .groupBy("doc_id")
+                .agg(F.sum("count").alias("n_bg"),
+                     F.max("count").alias("mx_bg")))
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.col("mx_tok") / F.col("n_tok"), 4)
+             .alias("top_token_frac"),
+            F.round(F.col("mx_bg") / F.col("n_bg"), 4)
+             .alias("top_bigram_frac"),
+        )
+    )
+
+
 def _bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: the BPE-training primitive — corpus-wide adjacent
     character-pair frequencies (every merge step of byte-pair-encoding
@@ -500,6 +546,7 @@ def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_repetition": _text_repetition,
     "bpe_pair_stats": _bpe_pair_stats,
     "split_assign": _split_assign,
     "mix_sources": _mix_sources,
@@ -519,6 +566,34 @@ QUERIES = {
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 ORACLES = {
+    "text_repetition": f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_TOKS} AS ws FROM documents WHERE doc_id % 10 = 5
+), toks AS (
+  SELECT doc_id, unnest(ws) AS tok FROM d
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), tok_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(max(c) AS BIGINT) AS mx_tok
+  FROM tc GROUP BY doc_id
+), bgs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM d WHERE len(ws) >= 2
+), bc AS (
+  SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY doc_id, bg
+), bg_stats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+         CAST(max(c) AS BIGINT) AS mx_bg
+  FROM bc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       round(t.mx_tok / t.n_tok, 4) AS top_token_frac,
+       round(b.mx_bg / b.n_bg, 4) AS top_bigram_frac
+FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)
+""",
     "bpe_pair_stats": f"""
 WITH toks AS (
   SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
