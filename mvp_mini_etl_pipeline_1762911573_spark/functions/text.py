@@ -398,6 +398,55 @@ def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: bigram LM scoring — one order up from lm_score's unigram
+    stand-in and the shape of an actual KenLM-style filter: per-doc
+    mean -ln P(w2|w1) under the corpus MLE bigram model
+    (P = c(w1,w2) / c(w1,·)).  Same integer micro-nat quantization as
+    lm_score so the per-doc reduction is an exact integer sum.  Docs
+    with fewer than two tokens have no bigrams and drop out (inner
+    semantics, mirrored by the oracle).
+
+    100 TB shape: bigram extraction is a narrow map (lockstep zip of
+    two array slices); the model join shuffles the bigram stream on
+    (w1, w2) then (w1) — Zipf-headed keys, same heavy-hitter caveat
+    (and broadcast-top-K remedy) as lm_score's docstring."""
+    docs = load(spark, sf_dir, "documents")
+    ws = _tokens(F.col("text"))
+    pairs = (
+        docs.where(F.size(ws) >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.arrays_zip(
+                F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
+                F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+            )).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"))
+    )
+    cbg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cw1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    nll_u = F.floor(
+        -F.log(F.col("c2") / F.col("c1")) * 1e6 + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        pairs.join(cbg, ["w1", "w2"]).join(cw1, ["w1"])
+        .select("doc_id", nll_u.alias("nll_u"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.sum("nll_u").alias("sum_nll_u"))
+        .select(
+            "doc_id", "n_bigrams",
+            F.round(F.col("sum_nll_u") / (F.col("n_bigrams") * 1e6), 4)
+             .alias("avg_nll2"),
+            F.round(F.exp(F.col("sum_nll_u")
+                          / (F.col("n_bigrams") * 1e6)), 2).alias("ppl2"),
+        )
+    )
+
+
 MIX_BUDGET_FRAC = 0.5  # token budget = this share of the corpus
 
 
@@ -546,6 +595,7 @@ def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "lm_score_bigram": _lm_score_bigram,
     "text_repetition": _text_repetition,
     "bpe_pair_stats": _bpe_pair_stats,
     "split_assign": _split_assign,
@@ -566,6 +616,32 @@ QUERIES = {
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 ORACLES = {
+    "lm_score_bigram": f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_TOKS} AS ws FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(ws[1:len(ws)-1]) AS w1,
+         unnest(ws[2:len(ws)]) AS w2
+  FROM d WHERE len(ws) >= 2
+), cbg AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+), cw1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), scored AS (
+  SELECT b.doc_id,
+         CAST(floor(-ln(cbg.c2 / cw1.c1) * 1e6 + 0.5) AS BIGINT)
+           AS nll_u
+  FROM bg b
+  JOIN cbg ON cbg.w1 = b.w1 AND cbg.w2 = b.w2
+  JOIN cw1 ON cw1.w1 = b.w1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(nll_u) / (count(*) * 1e6), 4) AS avg_nll2,
+       round(exp(sum(nll_u) / (count(*) * 1e6)), 2) AS ppl2
+FROM scored
+GROUP BY doc_id
+""",
     "text_repetition": f"""
 WITH d AS (
   SELECT doc_id, {_DUCK_TOKS} AS ws FROM documents WHERE doc_id % 10 = 5

@@ -22,17 +22,17 @@ it missed agg_corr, agg_hll_sketch, decontaminate, events_zscore,
 funnel_steps, gap_fill, lm_score, mix_sources, retention_cohorts,
 scd2_intervals, vocab_topk, window_range_frame), plus
 agg_approx_percentiles (round 2's only red row, re-verified after the
-scalar-output fix), plus ALL 12 round-3 debut queries (breaking the
+scalar-output fix), plus ALL 13 round-3 debut queries (breaking the
 lands-after-the-window-freezes cycle both verdicts flagged: debuts now
 displace stale greens, not the other way around), plus the 9 OLDEST
 round-1 greens (two rounds stale).
 ROTATION NOTE (round 4): no unverified backlog this time — every
 registered query has an official row after round 3.  Fill round 4's
 window with (a) any round-4 debuts FIRST, then (b) the stalest greens:
-the 12 round-1 classics displaced this round (filter_nonnull,
-filter_valid_date, validity_filter_counts, join_equi, join_broadcast,
-join_left, join_semi, join_anti, agg_count, agg_count_distinct,
-agg_avg_years, agg_group_count) and the rest of the round-1 block (windows/sorts/
+the 13 round-1 classics displaced this round (csv_flatten,
+filter_nonnull, filter_valid_date, validity_filter_counts, join_equi,
+join_broadcast, join_left, join_semi, join_anti, agg_count,
+agg_count_distinct, agg_avg_years, agg_group_count) and the rest of the round-1 block (windows/sorts/
 setops/dedup/similarity/metrics_row/asof/udf_cosine/rollup-cube-stats,
 last verified in CORRECTNESS_r01).
 
@@ -82,8 +82,9 @@ WINDOW_PRIORITY: list[str] = [
     "split_assign", "decontaminate_filter", "window_cume_dist",
     "events_anomaly_mad", "dedup_keep_best", "rolling_mau",
     "bpe_pair_stats", "window_fill_forward", "text_repetition",
-    # -- 4 oldest round-1 greens (two rounds stale) -------------------
-    "synthetic_source", "project_nested", "coalesce_id", "csv_flatten",
+    "lm_score_bigram",
+    # -- 3 oldest round-1 greens (two rounds stale) -------------------
+    "synthetic_source", "project_nested", "coalesce_id",
 ]
 
 
