@@ -186,8 +186,15 @@ def _events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.abs(F.col("value") - F.col("med")).alias("adev")))
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(adev, 0.5)").alias("mad"))
-    rz = F.round((F.col("value") - F.col("med"))
-                 / (F.lit(MAD_K) * F.col("mad")), 4)
+    # zero-MAD guard: a type where >=50% of values equal the median
+    # (constant-valued telemetry is common) has mad = 0 and the
+    # division would throw DIVIDE_BY_ZERO under ANSI mode — such a
+    # group has no robust scale, so its rows are excluded (null z,
+    # filtered by the threshold predicate; oracle mirrors)
+    rz = F.when(
+        F.col("mad") != 0,
+        F.round((F.col("value") - F.col("med"))
+                / (F.lit(MAD_K) * F.col("mad")), 4))
     return (
         dev.join(F.broadcast(mad), "event_type")
         .select("event_type", "event_id", "user_id", "value",
@@ -270,7 +277,8 @@ SELECT d.event_type, d.event_id, d.user_id, d.value,
        round(d.med, 4) AS med, round(x.mad, 4) AS mad,
        round((d.value - d.med) / ({MAD_K} * x.mad), 4) AS robust_z
 FROM dev d JOIN mad x ON d.event_type = x.event_type
-WHERE abs(round((d.value - d.med) / ({MAD_K} * x.mad), 4)) >= 3.0
+WHERE x.mad != 0
+  AND abs(round((d.value - d.med) / ({MAD_K} * x.mad), 4)) >= 3.0
 """,
     "gap_fill": """
 WITH ev AS (

@@ -38,19 +38,31 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
 
     Equivalent to DuckDB/QuestDB ASOF JOIN (either inequality
     direction) and pandas merge_asof — one shuffle on `key`, linear
-    scan per partition."""
+    scan per partition.
+
+    The right payload travels as ONE struct column, not per-column
+    last(ignorenulls) carries: carrying columns independently would
+    let a NULL in one payload field of the matched row be filled from
+    a DIFFERENT (farther) right row, stitching together a row that
+    never existed."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got "
+            f"{direction!r}")
+    payload_t = ", ".join(
+        f"{c}: {right.schema[c].dataType.simpleString()}"
+        for c in right_cols)
     lt = left.select(
         F.col(key).alias("_k"), F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"), "*",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
-          for c in right_cols],
+        F.lit(None).cast(f"struct<{payload_t}>").alias("_payload"),
     )
     rt = right.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(f.dataType).alias(f.name)
           for f in left.schema.fields],
-        *right_cols,
+        F.struct(*right_cols).alias("_payload"),
     )
     merged = lt.unionByName(rt)
     if direction == "backward":
@@ -69,19 +81,21 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         pick = F.first
     carried = merged.select(
         "*",
-        *[pick(c, ignorenulls=True).over(w).alias(f"_asof_{c}")
-          for c in right_cols],
+        pick("_payload", ignorenulls=True).over(w).alias("_asof"),
     )
     return (
         carried.where(F.col("_is_left") == 1)
         .select(*[f.name for f in left.schema.fields],
-                *[F.col(f"_asof_{c}").alias(c) for c in right_cols])
+                *[F.col("_asof")[c].alias(c) for c in right_cols])
     )
 
 
-def _asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each order picks the user's latest event at or
-    before the order date (events.user_id ≡ customer key space mod)."""
+def _asof_inputs(spark: SparkSession, sf_dir: str):
+    """Shared inputs for both as-of query flavors: the order subset,
+    and the event stream made unique per (uid, ts) for determinism
+    (keep max event_id among same-timestamp events) — one definition
+    so backward and forward can never disagree about which events
+    exist."""
     orders = load(spark, sf_dir, "orders").where(
         F.col("o_orderkey") % 50 == 0).select(
         "o_orderkey",
@@ -90,12 +104,17 @@ def _asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").select(
         (F.col("user_id") % 500).alias("uid"),
         F.col("ts"), F.col("event_id"), F.col("event_type"))
-    # make the right side unique per (uid, ts) for determinism: keep
-    # max event_id among same-timestamp events
     dedup_w = Window.partitionBy("uid", "ts").orderBy(
         F.col("event_id").desc())
     events_u = (events.withColumn("_rn", F.row_number().over(dedup_w))
                 .where(F.col("_rn") == 1).drop("_rn"))
+    return orders, events_u
+
+
+def _asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each order picks the user's latest event at or
+    before the order date (events.user_id ≡ customer key space mod)."""
+    orders, events_u = _asof_inputs(spark, sf_dir)
     joined = asof_join(
         orders, events_u, key="uid",
         left_ts="o_orderdate", right_ts="ts",
@@ -115,20 +134,7 @@ def _asof_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_asof(tolerance=...)).  Same union+window single-shuffle plan
     as the backward flavor — the cap is a post-join null-out, not a
     range join."""
-    orders = load(spark, sf_dir, "orders").where(
-        F.col("o_orderkey") % 50 == 0).select(
-        "o_orderkey",
-        (F.col("o_custkey") % 500).alias("uid"),
-        F.col("o_orderdate"))
-    events = load(spark, sf_dir, "events").select(
-        (F.col("user_id") % 500).alias("uid"),
-        F.col("ts"), F.col("event_id"), F.col("event_type"))
-    # unique per (uid, ts) for determinism: the forward pick is the
-    # earliest ts, tie broken to max event_id (same rule as backward)
-    dedup_w = Window.partitionBy("uid", "ts").orderBy(
-        F.col("event_id").desc())
-    events_u = (events.withColumn("_rn", F.row_number().over(dedup_w))
-                .where(F.col("_rn") == 1).drop("_rn"))
+    orders, events_u = _asof_inputs(spark, sf_dir)
     joined = asof_join(
         orders, events_u, key="uid",
         left_ts="o_orderdate", right_ts="ts",

@@ -517,9 +517,11 @@ def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         m(u) = min(N(u) ∪ {u});
       small-star: attach each neighbor v <= u (and u itself) to m(u).
     Edges live as (src, dst) rows; each star is one groupBy(src) with
-    min + collect_list, then an explode — shuffle keyed on node id,
+    min + collect_set, then an explode — shuffle keyed on node id,
     record width constant.  Fixpoint detection: (count,
-    sum(xxhash64(src, dst))) signature of the canonicalized edge set —
+    bit_xor(xxhash64(src, dst))) signature of the canonicalized edge
+    set (xor, not sum: xxhash64 spans the full long range and an
+    ANSI-mode sum overflows) —
     one cheap agg action per round over a localCheckpoint'ed frame
     (collision odds ~2^-64; a false convergence would be caught by the
     oracle hash-match).  At 100 TB: replace localCheckpoint with
@@ -883,31 +885,11 @@ FROM members
 GROUP BY cluster_id
 """
 
+# wraps the decontaminate oracle verbatim (one source of truth for the
+# tokenize/gram/overlap semantics) and anti-joins the flagged set
 ORACLES["decontaminate_filter"] = f"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
-  FROM documents
-), grams AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           range(1, greatest(len(ws) - {DECON_N - 2}, 1)),
-           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
-                || ws[i+3] || ' ' || ws[i+4]))) AS gram
-  FROM toks
-), bench AS (
-  SELECT doc_id AS bench_doc, gram FROM grams WHERE doc_id % 10 = 0
-), train AS (
-  SELECT doc_id AS train_doc, gram FROM grams WHERE doc_id % 10 != 0
-), bench_sizes AS (
-  SELECT bench_doc, count(*) AS bench_grams FROM bench GROUP BY bench_doc
-), shared AS (
-  SELECT t.train_doc, b.bench_doc, count(*) AS n_shared
-  FROM train t JOIN bench b ON t.gram = b.gram
-  GROUP BY t.train_doc, b.bench_doc
-), flagged AS (
-  SELECT DISTINCT s.train_doc
-  FROM shared s JOIN bench_sizes z ON z.bench_doc = s.bench_doc
-  WHERE round(s.n_shared / z.bench_grams, 4) >= {DECON_MIN_OVERLAP}
+WITH flagged AS (
+  SELECT DISTINCT train_doc FROM ({ORACLES["decontaminate"]})
 )
 SELECT source, CAST(count(*) AS BIGINT) AS clean_docs,
        CAST(sum(n_chars) AS BIGINT) AS clean_chars
