@@ -110,15 +110,26 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
 def _multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5 query: generate media, extract features via mapInPandas,
     then aggregate per kind — JVM→Arrow→Python→Arrow→JVM round trip
-    ending in a relational agg.  Rows-only check (binary + stub)."""
+    ending in a relational agg.
+
+    Fully DuckDB-oracled (was rows-only through round 3): every emitted
+    value is a pure function of the deterministic payload bytes, which
+    the oracle replays string-side from the same sha256 hex.  The
+    feature aggregate is quantized to exact milli-unit integers BEFORE
+    summing — float f0 values round-trip Python round(x,3) → float32 →
+    ×1000 to an exact integer, so the sum is order-independent and
+    engine-invariant (same trick as lm_score's micro-nat sums).  The
+    oracle reproduces Python's banker's rounding with round_even():
+    mean_byte = s/32 is an exact binary fraction, so the only half-way
+    cases are exact and round-half-even on both sides."""
     media = synthetic_media(spark, 200)
     feats = extract_features(media)
+    f0_milli = F.round(F.element_at("feature", 1) * 1000, 0).cast("bigint")
     return (
         feats.groupBy("kind")
         .agg(F.count("*").alias("n"),
              F.sum("n_bytes").alias("total_bytes"),
-             F.round(F.avg(F.element_at("feature", 1)), 3)
-              .alias("avg_f0"))
+             F.sum(f0_milli).alias("sum_f0_milli"))
         .orderBy("kind")
     )
 
@@ -194,7 +205,38 @@ QUERIES = {
 }
 
 ORACLES = {
-    # multimodal_pipeline: rows-only (mapInPandas stub decode)
+    # multimodal_pipeline: the payload is 4 repeats of the 32-byte
+    # sha256 digest, so mean_byte = s32/32 (s32 = digest byte sum,
+    # decoded here from the hex chars) and
+    # f0 = pyround((s32/32) % 251, 3).  f0*1000 = 125*r/4 with
+    # r = s32 % 8032, an exact quarter-integer — banker's rounding
+    # (round_even) at the integer level is exactly Python's
+    # round-half-even at the 3rd decimal of the exact binary fraction.
+    "multimodal_pipeline": """
+WITH m AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         sha256('media-' || i) AS h
+  FROM generate_series(0, 199) AS t(i)
+), bytes AS (
+  SELECT i, kind,
+         SUM((strpos('0123456789abcdef', substr(h, 2*j+1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2*j+2, 1)) - 1))
+           AS s32
+  FROM m, (SELECT unnest(range(0, 32)) AS j)
+  GROUP BY i, kind
+), f0 AS (
+  SELECT kind,
+         CAST(round_even(125.0 * (s32 % 8032) / 4, 0) AS BIGINT)
+           AS f0_milli
+  FROM bytes
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * 128 AS BIGINT) AS total_bytes,
+       CAST(SUM(f0_milli) AS BIGINT) AS sum_f0_milli
+FROM f0 GROUP BY kind ORDER BY kind
+""",
     "multimodal_frames": """
 WITH vids AS (
   SELECT i, unnest(range(0, (i % 30) + 1)) AS f
