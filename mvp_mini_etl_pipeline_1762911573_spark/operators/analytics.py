@@ -238,7 +238,77 @@ def _rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 30  # inactivity gap that closes a session
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round-4 debut): gaps-and-islands sessionization — assign
+    each event to a per-user session that closes after 30 min of
+    inactivity, then aggregate per session.  The batch sibling of
+    ST3's session_window(): same semantics, expressed as the classic
+    lag-flag + running-sum island id so the whole thing is one window
+    spec.
+
+    Scale: everything — lag, cumulative sum, and the final groupBy —
+    keys on user_id, so Catalyst reuses ONE hash partitioning for the
+    entire plan (window + agg, no second exchange).  No
+    whole-partition window frames: state per user is a single row of
+    lag memory.  Tie-break on event_id makes the order total, so the
+    island ids are deterministic under any partitioning."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(prev_ts.isNull() | (prev_ts < F.col("ts") - gap),
+                   F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "session_idx",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"),
+             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+              .alias("session_start"),
+             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+              .alias("session_end"),
+             (F.unix_timestamp(F.max("ts"))
+              - F.unix_timestamp(F.min("ts"))).alias("duration_sec"))
+    )
+
+
+def _events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (round-4 debut): user-journey transition matrix — count
+    consecutive (prev event type → next event type) pairs per user
+    ordered by time, then row-normalize into an empirical Markov
+    transition probability per source type.
+
+    Scale: the lag keys on user_id (one hash partitioning, same reuse
+    as sessionize); the groupBy reduces to a k×k matrix (k = distinct
+    event types, single digits) so the normalization window runs over
+    a driver-trivial relation.  The raw stream is touched exactly
+    once."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("prev_type", F.lag("event_type").over(w))
+             .where(F.col("prev_type").isNotNull()))
+    matrix = (pairs.groupBy("prev_type",
+                            F.col("event_type").alias("next_type"))
+              .agg(F.count("*").alias("n_transitions"),
+                   F.countDistinct("user_id").alias("n_users")))
+    wp = Window.partitionBy("prev_type")
+    return matrix.select(
+        "prev_type", "next_type", "n_transitions", "n_users",
+        F.round(F.col("n_transitions")
+                / F.sum("n_transitions").over(wp), 4).alias("p_next"),
+    )
+
+
 QUERIES = {
+    "events_sessionize": _events_sessionize,
+    "events_path_transitions": _events_path_transitions,
     "rolling_mau": _rolling_mau,
     "gap_fill": _gap_fill,
     "funnel_steps": _funnel_steps,
@@ -248,6 +318,46 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_sessionize": f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR lag(ts) OVER w < ts - INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       date_diff('second', min(ts), max(ts)) AS duration_sec
+FROM sess GROUP BY user_id, session_idx
+""",
+    "events_path_transitions": """
+WITH pairs AS (
+  SELECT user_id, event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), matrix AS (
+  SELECT prev_type, next_type,
+         CAST(count(*) AS BIGINT) AS n_transitions,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions, n_users,
+       round(n_transitions / SUM(n_transitions)
+               OVER (PARTITION BY prev_type), 4) AS p_next
+FROM matrix
+""",
     "rolling_mau": """
 WITH user_days AS (
   SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
