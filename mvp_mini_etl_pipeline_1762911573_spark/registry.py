@@ -16,39 +16,29 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-3 window (current): the FULL 33-query backlog with no official
-row after rounds 1-2 (round 2's rotation note undercounted it at 21 —
-it missed agg_corr, agg_hll_sketch, decontaminate, events_zscore,
-funnel_steps, gap_fill, lm_score, mix_sources, retention_cohorts,
-scd2_intervals, vocab_topk, window_range_frame), plus
-agg_approx_percentiles (round 2's only red row, re-verified after the
-scalar-output fix), plus ALL 13 round-3 debut queries (breaking the
-lands-after-the-window-freezes cycle both verdicts flagged: debuts now
-displace stale greens, not the other way around), plus the 9 OLDEST
-round-1 greens (two rounds stale).
-ROTATION NOTE (round 4): no unverified backlog this time — every
-registered query has an official row after round 3.  Fill round 4's
-window with (a) any round-4 debuts FIRST, then (b) the stalest greens:
-the 13 round-1 classics displaced this round (csv_flatten,
-filter_nonnull, filter_valid_date, validity_filter_counts, join_equi,
-join_broadcast, join_left, join_semi, join_anti, agg_count,
-agg_count_distinct, agg_avg_years, agg_group_count) and the rest of the round-1 block (windows/sorts/
-setops/dedup/similarity/metrics_row/asof/udf_cosine/rollup-cube-stats,
-last verified in CORRECTNESS_r01).
+Round-4 window (current): the 2 round-4 debuts (events_sessionize,
+events_path_transitions — verified the round they land), then
+multimodal_pipeline (oracle-ified this round: rows-only → hash tier,
+needs a fresh official row under the new contract), then ALL 47
+queries whose latest official row is round-1 vintage — the full
+round-1-stale block the round-3 verdict's top ask names.  2 + 1 + 47
+= 50: the window is exactly full and after this round no official row
+is older than round 3.
 
-ROTATION SCHEDULE (standing, documented per round-2 verdict #6): with
-~134 registered queries and a 50-row window, a 3-round cycle keeps
-every query's official row at most 2 rounds old:
-  cycle slot A (this round): debut backlog + oldest round-1 classics
-    (projections/filters/joins/aggs basics).
-  cycle slot B (next round): the remaining round-1 greens not taken in
-    slot A (windows/sorts/setops/dedup/similarity/metrics_row/asof/
-    udf_cosine/rollup-cube-stats family, ~34 names) + any new debuts.
-  cycle slot C (round after): the round-2 greens (sqlapi shapes,
-    scalars, text, multimodal, streaming, fallbacks, sampling, IVF/
-    quantize/merge/clusters) + any new debuts.
-Every round: new queries land at the FRONT of next round's window;
-then fill with the stalest greens (oldest official row first).
+ROTATION NOTE (round 5): the stalest rows will then be the 48
+round-2 greens (the 49 CORRECTNESS_r02 names minus
+multimodal_pipeline, refreshed here) — put any round-5 debuts first,
+then those 48.  Do NOT hand-count: run
+`python scripts/rotation_report.py`, which derives each query's
+latest official row from the CORRECTNESS_r*.json files and prints the
+stalest-first candidate list sized to the window (round 2's and
+round 3's bookkeeping slips were both hand-count drift).
+
+ROTATION SCHEDULE (standing, documented per round-2 verdict #6): 148
+registered queries / 50-row window → a 3-round cycle keeps every
+query's official row at most 2 rounds old.  Every round: new queries
+land at the FRONT of the window; then fill with the stalest greens
+(oldest official row first, per rotation_report.py).
 """
 
 from __future__ import annotations
@@ -63,28 +53,34 @@ from pyspark.sql import DataFrame, SparkSession
 # size so placement is deliberate, not accidental.
 WINDOW_SIZE = 50
 WINDOW_PRIORITY: list[str] = [
-    # -- the 33-query backlog: landed after round 2's window froze ----
-    # TPC-H shapes (15)
-    "sql_q1", "sql_q2", "sql_q6", "sql_q8", "sql_q9", "sql_q10",
-    "sql_q11", "sql_q12", "sql_q14", "sql_q15", "sql_q16", "sql_q17",
-    "sql_q19", "sql_q20", "sql_q21",
-    # event analytics E1-E6 (6)
-    "funnel_steps", "retention_cohorts", "events_zscore",
-    "scd2_intervals", "gap_fill", "window_range_frame",
-    # EXT text/dedup/misc debuts (12)
-    "decontaminate", "lm_score", "vocab_topk", "mix_sources",
-    "doc_chunk", "seq_pack", "scrub_pii", "agg_corr", "agg_histogram",
-    "agg_hll_sketch", "join_range_binned", "udtf_tokens",
-    # -- round 2's only red row, re-verify after scalar-output fix ----
-    "agg_approx_percentiles",
-    # -- round-3 debuts: verified the round they land, no new backlog -
-    "dedup_clusters_star", "asof_forward", "join_null_safe",
-    "split_assign", "decontaminate_filter", "window_cume_dist",
-    "events_anomaly_mad", "dedup_keep_best", "rolling_mau",
-    "bpe_pair_stats", "window_fill_forward", "text_repetition",
-    "lm_score_bigram",
-    # -- 3 oldest round-1 greens (two rounds stale) -------------------
-    "synthetic_source", "project_nested", "coalesce_id",
+    # -- round-4 debuts: verified the round they land ------------------
+    "events_sessionize", "events_path_transitions",
+    # -- oracle-ified this round (rows-only -> hash tier) --------------
+    "multimodal_pipeline",
+    # -- the 47 round-1-stale greens (latest official row = r1) --------
+    # projections / filters / flagship
+    "csv_flatten", "filter_nonnull", "filter_valid_date",
+    "validity_filter_counts", "metrics_row",
+    # joins
+    "join_equi", "join_broadcast", "join_left", "join_semi",
+    "join_anti", "join_range", "asof_join",
+    # aggregates
+    "agg_count", "agg_count_distinct", "agg_approx_count_distinct",
+    "agg_avg_years", "agg_group_count", "agg_min_max", "agg_stats",
+    "agg_rollup", "agg_cube", "agg_salted_twophase",
+    "dedup_removed_count",
+    # windows / sorts / limits
+    "window_last_user", "window_rank", "window_running_sum",
+    "window_lag", "window_ntile_frame", "sort_limit1", "sort_multi",
+    "limit_topn",
+    # set ops
+    "set_union", "set_except", "set_intersect", "set_intersect_all",
+    # dedup family
+    "dedup_exact", "dedup_distinct", "dedup_content_hash",
+    "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
+    # similarity / embeddings / UDF
+    "array_cosine", "similarity_topk", "similarity_join",
+    "embedding_normalize", "embedding_centroids", "udf_cosine",
 ]
 
 
