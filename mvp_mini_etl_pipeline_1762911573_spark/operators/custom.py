@@ -214,13 +214,15 @@ def _udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udtf(returnType="pos int, token string", useArrow=True)
     class TokenizeUDTF:
-        # ASCII whitespace only, matching the DuckDB oracle's RE2
-        # '\s+' — Python str.split() would also split on NBSP/U+2009
-        # etc. and silently diverge on Unicode-whitespace documents
+        # EXACTLY RE2's \s class [\t\n\f\r ], matching the DuckDB
+        # oracle's '\s+' — Python str.split() would also split on
+        # NBSP/U+2009 etc., and Python's \s (or an ASCII class with
+        # \v) splits on vertical tab where RE2 does not.  Pinned by
+        # tests/test_latents.py on NBSP/thin-space/VT documents.
         def eval(self, text: str):
             if text:
                 for i, tok in enumerate(
-                        t for t in re.split(r"[ \t\n\r\f\v]+", text) if t):
+                        t for t in re.split(r"[ \t\n\r\f]+", text) if t):
                     yield i + 1, tok
 
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)

@@ -28,6 +28,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..oracles import USERS_CTE
@@ -131,6 +133,39 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return hashed.select("doc_id", F.array(*sig_cols).alias("sig"))
 
 
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """The LSH candidate-generation stage: band the signatures, hash
+    each band, equi-join on (band, bucket).  Exposed as its own step so
+    candidate VOLUME is testable — the classic LSH regression is a
+    banding bug that floods candidates (precision collapse) while
+    recall stays perfect; tests/test_quality.py bounds the candidate
+    count against the true-pair count."""
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS))
+                     .alias("bucket"),
+                )
+                for b in range(LSH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    return (
+        bands.alias("l")
+        .join(bands.alias("r"),
+              (F.col("l.band") == F.col("r.band"))
+              & (F.col("l.bucket") == F.col("r.bucket"))
+              & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def _dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: MinHash+LSH near-duplicate candidate pairs.  Bands of the
     signature are hashed; docs sharing any band bucket become
@@ -148,30 +183,7 @@ def _dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # garbage-collected.
     sigs = minhash_signatures(docs).localCheckpoint(eager=True)
 
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS))
-                     .alias("bucket"),
-                )
-                for b in range(LSH_BANDS)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-
-    pairs = (
-        bands.alias("l")
-        .join(bands.alias("r"),
-              (F.col("l.band") == F.col("r.band"))
-              & (F.col("l.bucket") == F.col("r.bucket"))
-              & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(F.col("l.doc_id").alias("doc_a"),
-                F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = lsh_candidate_pairs(sigs)
 
     sl = sigs.select(F.col("doc_id").alias("doc_a"),
                      F.col("sig").alias("sig_a"))
@@ -483,6 +495,16 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    else:
+        # ADVICE r3: exhausting the cap without a fixpoint means some
+        # component is deeper than CC_MAX_ITERS — labels are only
+        # partially converged.  Loud, not silent: the oracle would be
+        # the only other thing to catch it.
+        warnings.warn(
+            f"_dedup_clusters hit CC_MAX_ITERS={CC_MAX_ITERS} without "
+            "converging; emitted clusters may be under-merged "
+            "(component diameter exceeds the iteration cap)",
+            RuntimeWarning, stacklevel=2)
 
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
@@ -573,6 +595,12 @@ def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        warnings.warn(
+            f"_dedup_clusters_star hit CC_MAX_ITERS={CC_MAX_ITERS} "
+            "without the edge-set signature reaching a fixpoint; "
+            "emitted clusters may be under-merged",
+            RuntimeWarning, stacklevel=2)
 
     # converged star graph: every non-root points at its component min
     labels = edges.groupBy(F.col("src").alias("node")).agg(

@@ -159,21 +159,29 @@ def _join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     range join, same as `join_range`'s.
     """
     part = load(spark, sf_dir, "part")
-    bands = spark.sql("""
+    return range_binned_join(part, _price_bands(spark))
+
+
+def _price_bands(spark: SparkSession) -> DataFrame:
+    return spark.sql("""
         SELECT * FROM VALUES
           ('low', 0.0D, 933.0D), ('mid', 933.0D, 966.0D),
           ('high', 966.0D, 1e9D)
         AS bands(band, lo, hi)
     """)
-    # domain max as a 1-row DF: crossJoin(broadcast) keeps it in the
-    # DAG (one extra scan of one column, map-side min/max — cheap) vs
-    # a driver-side .collect() that would serialize the pipeline
-    maxp = part.agg(F.max("p_retailprice").alias("max_price"))
+
+
+def binned_bands(bands: DataFrame, maxp: DataFrame) -> DataFrame:
+    """Explode each [lo, hi) band into the integer price bins it
+    overlaps, with ``hi`` clamped to the observed domain max (``maxp``
+    is a 1-row max_price aggregate kept in the DAG via broadcast
+    crossJoin).  Factored out of the query so the impossible-band guard
+    is testable in isolation (tests/test_latents.py)."""
     start_bin = F.floor(F.col("lo") / BIN_WIDTH).cast("int")
     stop_bin = (F.floor(F.least(F.col("hi") - F.lit(1e-9),
                                 F.col("max_price")) / BIN_WIDTH)
                 .cast("int"))
-    binned_bands = (
+    return (
         bands.crossJoin(F.broadcast(maxp))
         # drop bands whose lo exceeds the clamped stop BEFORE exploding:
         # sequence(start, stop) with start > stop generates a DESCENDING
@@ -184,10 +192,19 @@ def _join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bin", F.explode(F.sequence(start_bin, stop_bin)))
         .select("band", "lo", "hi", "bin")
     )
+
+
+def range_binned_join(part: DataFrame, bands: DataFrame) -> DataFrame:
+    """The bin-explode equi-join rewrite over an arbitrary bands table
+    (see _join_range_binned for the full rationale)."""
+    # domain max as a 1-row DF: crossJoin(broadcast) keeps it in the
+    # DAG (one extra scan of one column, map-side min/max — cheap) vs
+    # a driver-side .collect() that would serialize the pipeline
+    maxp = part.agg(F.max("p_retailprice").alias("max_price"))
     binned_part = part.withColumn(
         "bin", F.floor(F.col("p_retailprice") / BIN_WIDTH).cast("int"))
     return (
-        binned_part.join(F.broadcast(binned_bands), "bin")
+        binned_part.join(F.broadcast(binned_bands(bands, maxp)), "bin")
         .where((F.col("p_retailprice") >= F.col("lo"))
                & (F.col("p_retailprice") < F.col("hi")))
         .groupBy("band")

@@ -22,6 +22,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -226,14 +228,40 @@ def pairwise_cosine_udf():
     return pcos
 
 
+#: adaptive LSH sizing: target mean bucket occupancy.  With b buckets
+#: and n vectors, expected candidate volume is ~n^2/(2b) per table —
+#: FIXED bucket count is quadratic in n.  Sizing planes so that
+#: 2^planes ≈ n / occupancy keeps per-bucket pair work ~constant and
+#: total candidate volume ~linear in n (and the sf1 scale test,
+#: tests/test_scale.py, pins exactly that).  Tables rise with planes
+#: (one extra table per 2 extra planes) to claw back per-pair recall —
+#: the "raise r and L together" note on the base constants, made code.
+LSH_TARGET_OCC = 32
+
+
+def _lsh_size(n: int) -> tuple[int, int]:
+    import math
+    planes = max(LSH_PLANES,
+                 math.ceil(math.log2(max(n, 1) / LSH_TARGET_OCC))
+                 if n > LSH_TARGET_OCC else LSH_PLANES)
+    tables = LSH_TABLES + max(0, (planes - LSH_PLANES) // 2)
+    return tables, planes
+
+
 def _similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 scale path: multi-table random-hyperplane LSH candidate
     generation + exact rescoring.  Each vector lands in L buckets (one
     per table); only same-(table, bucket) pairs are scored — equi-joins
-    replace the all-pairs cross join.  Rows-only check (hyperplane
+    replace the all-pairs cross join.  Index parameters (L tables, r
+    planes) are sized to the corpus cardinality via _lsh_size — the
+    FAISS pattern of training index geometry to the collection; the
+    count() it needs is a metadata-only parquet row-count job.  At the
+    fixture sizes (<= 2048 vectors) the sizing reproduces the original
+    fixed 4x6 geometry exactly.  Rows-only check (hyperplane
     randomness is engine-local)."""
     emb = load(spark, sf_dir, "embeddings")
-    buckets = lsh_buckets_udf()
+    tables, planes = _lsh_size(emb.count())
+    buckets = lsh_buckets_udf(tables=tables, planes=planes)
     # localCheckpoint: the signature frame feeds BOTH sides of the
     # candidate self-join — without it the pandas-UDF bucketing (the
     # Python-boundary cost) runs twice.  Checkpoint BEFORE exploding
@@ -271,8 +299,29 @@ def _similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: memoized centroid matrices keyed on (session id, source plan hash)
+#: memoized centroid matrices keyed on (Spark application id, source
+#: plan hash, input files + mtimes).  The application id (stable per
+#: SparkContext, never recycled the way Python's id() can be after a
+#: stopped session is GC'd) scopes entries to the owning context; the
+#: file fingerprint invalidates the cache when the parquet at an
+#: unchanged path is rewritten — the two stale-serve paths ADVICE r3
+#: flagged for the earlier (id(session), semanticHash) key.
 _CENT_CACHE: dict = {}
+
+
+def _cent_cache_key(emb: DataFrame) -> tuple:
+    try:
+        files = tuple(sorted(emb.inputFiles()))
+        # local file URIs are stat-able; remote stores (s3://, hdfs://)
+        # fall back to path-only fingerprinting (object stores are
+        # immutable-by-convention; a rewrite changes the file list)
+        stamps = tuple(
+            os.stat(f.removeprefix("file:")).st_mtime_ns
+            for f in files if f.startswith("file:"))
+    except OSError:
+        files, stamps = (), ()
+    return (emb.sparkSession.sparkContext.applicationId,
+            emb.semanticHash(), files, stamps)
 
 IVF_STRIDE = 61  # coarse-centroid seeds: every 61st vector.  A real
 #                  deployment trains these with k-means; a fixed stride
@@ -325,7 +374,7 @@ def assign_cells(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
     # CC flavors, repeated bench runs) resolves the identical model
     # parameters, and query CONSTRUCTION should not re-run the scan
     # job each time
-    key = (id(emb.sparkSession), emb.semanticHash())
+    key = _cent_cache_key(emb)
     if key not in _CENT_CACHE:
         cent_rows = (
             emb.where(F.col("vec_id") % IVF_STRIDE == 0)

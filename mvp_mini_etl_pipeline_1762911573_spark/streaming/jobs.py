@@ -25,7 +25,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from
     the raw batch read — streaming sources require an explicit schema).
     The raw `ts` arrives as nanos-long (see tables.load); the same
-    micros conversion is applied on the stream."""
+    micros conversion is applied on the stream.
+
+    SIDE EFFECT (deliberate, session-wide): sets
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` and
+    ``spark.sql.session.timeZone=UTC`` on the caller's session and does
+    NOT restore prior values — the returned stream executes lazily
+    under whatever conf is live at micro-batch time, so a scoped
+    save/restore would silently undo the UTC pin before the stream
+    runs.  This mirrors tables.load exactly; every query in this repo
+    assumes (and re-asserts) the same two confs."""
     path = f"{sf_dir}/events.parquet"
     # mirror tables.load's defensive confs: the driver may hand us its
     # own session, and the NTZ->timestamp cast below is only

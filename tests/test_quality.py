@@ -25,6 +25,30 @@ def test_minhash_recall_on_near_dups(spark, sf_dir):
     assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(truth)} pairs"
 
 
+def test_minhash_candidate_volume_bounded(spark, sf_dir):
+    """Precision companion to the recall test (round-3 verdict #7):
+    the classic LSH regression is a banding bug that floods candidates
+    (e.g. hashing a constant slice puts every doc in one bucket) —
+    recall stays perfect, so only a VOLUME bound catches it.  Measured
+    candidate:true ratios are ~1.2 (33:28 at sf0.001, 31:25 at
+    sf0.01); 3x leaves noise headroom while a bucketing collapse
+    (~n^2/2 pairs ≈ 125k) overshoots it by orders of magnitude."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_cand = lsh_candidate_pairs(minhash_signatures(docs)).count()
+    n_true = all_queries()["dedup_ngram_jaccard"](spark, sf_dir).count()
+    assert n_true > 0, "testdata should contain planted near-dup docs"
+    assert n_cand <= 3 * n_true, \
+        f"LSH produced {n_cand} candidates for {n_true} true pairs"
+    # absolute flood guard, independent of the truth set
+    assert n_cand < 0.005 * n_docs * (n_docs - 1) / 2
+
+
 def test_lsh_ann_candidates_are_truly_similar(spark, sf_dir):
     """Every pair the LSH join emits must genuinely clear the cosine
     threshold (precision == 1.0 by construction — candidates are
