@@ -97,6 +97,34 @@ def test_rolling_mau_work_bounded_by_user_days(spark, sf_dir):
     assert s["spill_disk_bytes"] == 0
 
 
+def test_sessionize_reuses_one_partitioning(spark, sf_dir):
+    """events_sessionize's scale claim measured: the lag window, the
+    cumulative-sum window, and the per-session aggregation all key on
+    user_id, and HashPartitioning(user_id) satisfies the groupBy's
+    (user_id, session_idx) clustering — so the WHOLE query runs on ONE
+    exchange of the event stream."""
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    got = profile(all_queries()["events_sessionize"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_shuffles"] == 1
+    # the one exchange carries the event stream once, nothing more
+    assert s["shuffle_records"] == n_events
+
+
+def test_path_transitions_shuffle_raw_stream_once(spark, sf_dir):
+    """events_path_transitions' scale claim measured: the raw stream
+    crosses an exchange exactly once (the user_id window); everything
+    after the lag is the k x k matrix — the later exchanges carry a
+    driver-trivial number of records."""
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    got = profile(all_queries()["events_path_transitions"](spark, sf_dir))
+    s = got["summary"]
+    # stream exchange + matrix-agg exchange + normalization window
+    assert s["shuffle_records"] <= n_events + 2 * 32 * 32
+
+
 def test_exact_dedup_shuffles_digests_not_documents(spark, sf_dir):
     """dedup_content_hash's scale claim measured: the shuffle carries
     one 64-byte-digest record per INPUT DOC (map-side partial agg over
