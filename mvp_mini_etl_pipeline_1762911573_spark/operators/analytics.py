@@ -241,6 +241,29 @@ def _rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_MIN = 30  # inactivity gap that closes a session
 
 
+def _sessions(ev: DataFrame) -> DataFrame:
+    """Per-session rows (user_id, session_idx, s_start, s_end) via the
+    gaps-and-islands idiom — shared by the sessionize query and the
+    concurrency (interval-overlap) query."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+    prev_ts = F.lag("ts").over(w)
+    new_s = F.when(prev_ts.isNull() | (prev_ts < F.col("ts") - gap),
+                   F.lit(1)).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_s", new_s)
+        .withColumn(
+            "session_idx",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ts").alias("s_start"),
+             F.max("ts").alias("s_end"))
+    )
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT (round-4 debut): gaps-and-islands sessionization — assign
     each event to a per-user session that closes after 30 min of
@@ -251,30 +274,72 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: everything — lag, cumulative sum, and the final groupBy —
     keys on user_id, so Catalyst reuses ONE hash partitioning for the
-    entire plan (window + agg, no second exchange).  No
-    whole-partition window frames: state per user is a single row of
-    lag memory.  Tie-break on event_id makes the order total, so the
-    island ids are deterministic under any partitioning."""
+    entire plan (window + agg, no second exchange;
+    tests/test_profiler.py pins n_shuffles == 1).  No whole-partition
+    window frames: state per user is a single row of lag memory.
+    Tie-break on event_id makes the order total, so the island ids are
+    deterministic under any partitioning."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _sessions(ev).select(
+        "user_id", "session_idx", "n_events",
+        F.date_format("s_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("session_start"),
+        F.date_format("s_end", "yyyy-MM-dd HH:mm:ss")
+         .alias("session_end"),
+        (F.unix_timestamp("s_end")
+         - F.unix_timestamp("s_start")).alias("duration_sec"),
+    )
+
+
+def _session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (registered for the round-5 window): session concurrency —
+    for every session, count the OTHER users' sessions live at the
+    same time, where a session stays live until its inactivity gap
+    expires ([s_start, s_end + gap)).  The load-profile question
+    ("how many users am I serving concurrently?") as an interval
+    self-overlap join.
+
+    Scale: the overlap join is the binned-equi-join rewrite of the
+    quadratic interval predicate (same move as join_range_binned, on
+    the time axis): sessions replicate to the HOUR bins they span
+    (bounded fan-out: interval length / bin width, ~2 here), candidates
+    equi-join on bin, and the exact half-open-overlap predicate trims
+    bin-edge spill.  A naive theta-join is a BroadcastNestedLoop over
+    all session pairs — quadratic death at 100 TB; the oracle runs
+    exactly that quadratic semantics to certify the rewrite."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 5 == 0) \
+        .select("user_id", "ts", "event_id")
     gap = F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
-    prev_ts = F.lag("ts").over(w)
-    new_s = F.when(prev_ts.isNull() | (prev_ts < F.col("ts") - gap),
-                   F.lit(1)).otherwise(F.lit(0))
-    sess = ev.withColumn("new_s", new_s).withColumn(
-        "session_idx",
-        F.sum("new_s").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess = (_sessions(ev)
+            .select("user_id", "session_idx", "s_start",
+                    (F.col("s_end") + gap).alias("s_live")))
+    binned = sess.withColumn(
+        "bin", F.explode(F.sequence(
+            F.date_trunc("hour", "s_start"),
+            F.date_trunc("hour", "s_live"),
+            F.expr("INTERVAL 1 HOUR"))))
+    l, r = binned.alias("l"), binned.alias("r")
+    overlaps = (
+        l.join(r, (F.col("l.bin") == F.col("r.bin"))
+               & (F.col("l.user_id") != F.col("r.user_id"))
+               & (F.col("l.s_start") < F.col("r.s_live"))
+               & (F.col("r.s_start") < F.col("l.s_live")))
+        .select(F.col("l.user_id").alias("user_id"),
+                F.col("l.session_idx").alias("session_idx"),
+                F.col("r.user_id").alias("o_user"),
+                F.col("r.session_idx").alias("o_session"))
+        .distinct()  # a pair straddling 2 shared bins counts once
+        .groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_concurrent"))
+    )
     return (
-        sess.groupBy("user_id", "session_idx")
-        .agg(F.count("*").alias("n_events"),
-             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
-              .alias("session_start"),
-             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
-              .alias("session_end"),
-             (F.unix_timestamp(F.max("ts"))
-              - F.unix_timestamp(F.min("ts"))).alias("duration_sec"))
+        sess.join(overlaps, ["user_id", "session_idx"], "left")
+        .select("user_id", "session_idx",
+                F.date_format("s_start", "yyyy-MM-dd HH:mm:ss")
+                 .alias("session_start"),
+                F.coalesce("n_concurrent", F.lit(0))
+                 .alias("n_concurrent"))
     )
 
 
@@ -309,6 +374,7 @@ def _events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_sessionize": _events_sessionize,
     "events_path_transitions": _events_path_transitions,
+    "session_overlap": _session_overlap,
     "rolling_mau": _rolling_mau,
     "gap_fill": _gap_fill,
     "funnel_steps": _funnel_steps,
@@ -318,6 +384,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    "session_overlap": f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR lag(ts) OVER w < ts - INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id % 5 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS session_idx
+  FROM flagged
+), sess AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         min(ts) AS s_start,
+         max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS s_live
+  FROM numbered GROUP BY user_id, session_idx
+), ov AS (
+  SELECT l.user_id, l.session_idx,
+         CAST(count(*) AS BIGINT) AS n_concurrent
+  FROM sess l JOIN sess r
+    ON l.user_id != r.user_id
+   AND l.s_start < r.s_live AND r.s_start < l.s_live
+  GROUP BY l.user_id, l.session_idx
+)
+SELECT s.user_id, s.session_idx,
+       strftime(s.s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       coalesce(o.n_concurrent, 0) AS n_concurrent
+FROM sess s LEFT JOIN ov o
+  ON o.user_id = s.user_id AND o.session_idx = s.session_idx
+""",
     "events_sessionize": f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id,

@@ -366,7 +366,8 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embedding_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _embedding_pair_edges(spark: SparkSession, sf_dir: str,
+                          threshold: float | None = None) -> DataFrame:
     """Document pairs (keep_id < dup_id) whose embedding cosine
     (rounded to 6dp so both engines threshold identical values) reaches
     similarity.SIM_THRESHOLD — candidates restricted to pairs sharing a
@@ -385,6 +386,8 @@ def _embedding_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import (SIM_THRESHOLD, assign_cells,
                              pairwise_cosine_exact_udf)
 
+    if threshold is None:
+        threshold = SIM_THRESHOLD
     docs = load(spark, sf_dir, "documents").select("doc_id")
     emb = load(spark, sf_dir, "embeddings")
     vecs = (docs.join(emb, docs.doc_id == emb.vec_id)
@@ -403,7 +406,7 @@ def _embedding_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("keep_id") < F.col("dup_id"))
         .select("keep_id", "dup_id",
                 pcos6("va", "vb").alias("cos_sim"))
-        .where(F.col("cos_sim") >= SIM_THRESHOLD)
+        .where(F.col("cos_sim") >= threshold)
     )
 
 
@@ -737,7 +740,49 @@ def _decontaminate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIANGLE_THRESHOLD = 0.25  # affinity-graph cosine cutoff (see below)
+
+
+def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (registered for the round-5 window): triangle enumeration
+    over the SemDeDup candidate-edge graph — the standard graph-mining
+    primitive (clustering coefficient, dense-dup-blob detection: a
+    near-dup CLUSTER whose members are all pairwise-similar is a
+    mirror farm; a sparse chain is drift).
+
+    Implementation: the id-ordered two-path + closing-edge join.
+    Edges arrive oriented low->high (keep_id < dup_id), so each
+    triangle a<b<c is found exactly once as (a,b)+(b,c) closed by
+    (a,c) — no symmetry factor, no post-dedup.  At 100 TB you'd orient
+    edges by DEGREE instead of id (bounds two-path fan-out by the
+    squared degrees of low-degree endpoints — the classic MapReduce
+    triangle trick); id-orientation keeps the oracle exact here and
+    the join shape is identical.
+
+    Scale: two shuffles (join on b, join on (a, c)) over the EDGE
+    list — corpus embeddings never re-shuffle; the edge list is the
+    SemDeDup candidate output, already Σ|cell|²-bounded, and is
+    checkpointed once to feed all three join sides.
+
+    Threshold: the AFFINITY graph (0.25) is deliberately denser than
+    the dedup cutoff (0.4) — at the dedup threshold the fixture graph
+    is triangle-free (components are pairs/stars), which is exactly
+    why clustering-coefficient analysis runs on a softer graph."""
+    edges = (_embedding_pair_edges(spark, sf_dir,
+                                   threshold=TRIANGLE_THRESHOLD)
+             .select("keep_id", "dup_id").localCheckpoint(eager=True))
+    e1 = edges.select(F.col("keep_id").alias("a"),
+                      F.col("dup_id").alias("b"))
+    e2 = edges.select(F.col("keep_id").alias("b"),
+                      F.col("dup_id").alias("c"))
+    e3 = edges.select(F.col("keep_id").alias("a"),
+                      F.col("dup_id").alias("c"))
+    return (e1.join(e2, "b").join(e3, ["a", "c"])
+            .select("a", "b", "c").orderBy("a", "b", "c"))
+
+
 QUERIES = {
+    "graph_triangles": _graph_triangles,
     "decontaminate": _decontaminate,
     "decontaminate_filter": _decontaminate_filter,
     "dedup_keep_best": _dedup_keep_best,
@@ -782,6 +827,28 @@ WHERE round(s.n_shared / z.bench_grams, 4) >= {DECON_MIN_OVERLAP}
 """,
     # transitive closure of the same 6dp-rounded within-cell edge set
     # via recursive CTE; component label = min reachable doc_id
+    "graph_triangles": f"""
+WITH {DUCK_CELLS_CTE}, vecs AS (
+  SELECT d.doc_id, e.embedding, c.cell
+  FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  JOIN cells c ON c.vec_id = d.doc_id
+), pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM vecs a JOIN vecs b
+    ON a.cell = b.cell AND a.doc_id < b.doc_id
+  WHERE round(
+          list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+          6) >= {TRIANGLE_THRESHOLD}
+)
+SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM pairs e1
+JOIN pairs e2 ON e2.src = e1.dst
+JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+ORDER BY 1, 2, 3
+""",
     "dedup_clusters": f"""
 WITH RECURSIVE {DUCK_CELLS_CTE}, vecs AS (
   SELECT d.doc_id, e.embedding, c.cell

@@ -25,16 +25,18 @@ round-1-stale block the round-3 verdict's top ask names.  2 + 1 + 47
 = 50: the window is exactly full and after this round no official row
 is older than round 3.
 
-ROTATION NOTE (round 5): the stalest rows will then be the 48
-round-2 greens (the 49 CORRECTNESS_r02 names minus
-multimodal_pipeline, refreshed here) — put any round-5 debuts first,
-then those 48.  Do NOT hand-count: run
-`python scripts/rotation_report.py`, which derives each query's
-latest official row from the CORRECTNESS_r*.json files and prints the
-stalest-first candidate list sized to the window (round 2's and
-round 3's bookkeeping slips were both hand-count drift).
+ROTATION NOTE (round 5): exactly 50 slots' worth is already queued —
+the 2 round-4-built debuts with no official row yet (session_overlap,
+graph_triangles — both pass the oracle locally, see
+tests/test_oracle.py) FIRST, then the 48 round-2 greens (the 49
+CORRECTNESS_r02 names minus multimodal_pipeline, refreshed in round
+4).  Do NOT hand-count: run `python scripts/rotation_report.py`,
+which derives each query's latest official row from the
+CORRECTNESS_r*.json files and prints the stalest-first candidate list
+sized to the window (round 2's and round 3's bookkeeping slips were
+both hand-count drift).
 
-ROTATION SCHEDULE (standing, documented per round-2 verdict #6): 148
+ROTATION SCHEDULE (standing, documented per round-2 verdict #6): 150
 registered queries / 50-row window → a 3-round cycle keeps every
 query's official row at most 2 rounds old.  Every round: new queries
 land at the FRONT of the window; then fill with the stalest greens

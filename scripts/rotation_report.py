@@ -29,10 +29,13 @@ from mvp_mini_etl_pipeline_1762911573_spark.registry import (  # noqa: E402
     WINDOW_SIZE, all_queries)
 
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 def latest_rows() -> dict[str, int]:
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)", path).group(1))
+    for path in sorted(glob.glob(f"{REPO_ROOT}/CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         for name in json.load(open(path)):
             latest[name] = max(latest.get(name, 0), rnd)
     return latest
