@@ -129,6 +129,39 @@ def correlate_stream(events: DataFrame) -> DataFrame:
            - F.expr("INTERVAL 1 HOUR")))
 
 
+def correlate_outer_stream(events: DataFrame) -> DataFrame:
+    """ST-EXT4: watermarked stream-stream LEFT OUTER join — the
+    attribution query where EVERY purchase emits, matched to its
+    preceding-hour views or with null view columns if none arrived.
+
+    Outer stream-stream joins are the capability inner joins don't
+    exercise: an unmatched left row can only emit once the watermark
+    proves no matching right row can still arrive (state eviction
+    time), so null emissions lag the data by watermark + the join's
+    time bound — purchases younger than that at stream end stay
+    unemitted, which the convergence test accounts for.  Same state
+    expiry as correlate_stream: the range bound lets Spark drop views
+    older than watermark + 1 h."""
+    v = (events.where(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("view_ts"))
+         .withWatermark("view_ts", "10 minutes"))
+    p = (events.where(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.col("value").alias("purchase_value"))
+         .withWatermark("purchase_ts", "10 minutes"))
+    return p.join(
+        v,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") < F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts")
+           - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter")
+
+
 def dedup_stream(events: DataFrame) -> DataFrame:
     """ST5: stateful exact dedup on event_id within the watermark —
     state holds only ids younger than the watermark."""
