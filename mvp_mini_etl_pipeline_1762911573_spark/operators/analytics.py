@@ -311,9 +311,14 @@ def _session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").where(F.col("user_id") % 5 == 0) \
         .select("user_id", "ts", "event_id")
     gap = F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+    # the session table feeds BOTH sides of the overlap self-join AND
+    # the final left join — materialize it once (same move as the LSH
+    # signature frame; at 100 TB the session table is written to
+    # storage once per run for the same reason)
     sess = (_sessions(ev)
             .select("user_id", "session_idx", "s_start",
-                    (F.col("s_end") + gap).alias("s_live")))
+                    (F.col("s_end") + gap).alias("s_live"))
+            .localCheckpoint(eager=True))
     binned = sess.withColumn(
         "bin", F.explode(F.sequence(
             F.date_trunc("hour", "s_start"),
