@@ -458,6 +458,138 @@ def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "n_id", "cos_sim", "rnk"))
 
 
+PQ_M = 8        # subspaces per vector (dim 64 -> 8 dims each)
+PQ_K = 16       # codewords per subspace -> 4-bit codes
+PQ_STRIDE = 23  # deterministic k-means INIT: every 23rd vector
+PQ_TRAIN_N = 2048   # training-sample cap (driver-side k-means input)
+PQ_KMEANS_ITERS = 10
+
+
+def pq_codebooks(emb: DataFrame):
+    """Product-quantization codebooks as driver-resolved model
+    parameters (the same contract as the IVF centroids): per-subspace
+    k-means, trained driver-side on a BOUNDED sample (first PQ_TRAIN_N
+    vectors by id) with stride-seeded deterministic init and a fixed
+    Lloyd iteration count — fully reproducible, no RNG.  At 100 TB the
+    sample is still driver-sized (codebook quality saturates at a few
+    thousand training points per subspace — the FAISS default trains
+    on ~256 points per centroid); the corpus itself never leaves the
+    executors.  Memoized alongside the IVF centroids (same
+    invalidation rules).  Returns (M, K_eff, sub) float64."""
+    import numpy as np
+
+    key = ("pq",) + _cent_cache_key(emb)
+    if key not in _CENT_CACHE:
+        sample = np.array(
+            [r.embedding for r in
+             emb.orderBy("vec_id").limit(PQ_TRAIN_N)
+                .select("embedding").collect()],
+            dtype="float64")
+        seeds = np.array(
+            [r.embedding for r in
+             emb.where(F.col("vec_id") % PQ_STRIDE == 0)
+                .orderBy("vec_id").limit(PQ_K)
+                .select("embedding").collect()],
+            dtype="float64")
+        k_eff, dim = seeds.shape
+        sub = dim // PQ_M
+        s_blocks = sample.reshape(len(sample), PQ_M, sub)
+        cb = seeds.reshape(k_eff, PQ_M, sub).transpose(1, 0, 2).copy()
+        for m in range(PQ_M):
+            x = s_blocks[:, m, :]                  # (n, sub)
+            for _ in range(PQ_KMEANS_ITERS):
+                d = ((x[:, None, :] - cb[None, m]) ** 2).sum(-1)
+                assign = np.argmin(d, axis=1)
+                for k in range(k_eff):
+                    mask = assign == k
+                    if mask.any():                 # empty: keep prior
+                        cb[m, k] = x[mask].mean(0)
+        _CENT_CACHE[key] = cb
+    return _CENT_CACHE[key]
+
+
+def pq_encode(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
+    """D4 scale path #3 (completing the LSH / IVF / PQ ANN triad):
+    product-quantization encoding — each vector becomes PQ_M argmin-L2
+    codeword ids, 4 bits each at PQ_K=16, i.e. 64 float32s -> 8 codes
+    (64x smaller bit-packed; emitted as array<int> here, packing is a
+    storage-format concern).  PQ is what makes billion-vector corpora
+    searchable in RAM at 100 TB: the corpus holds CODES, distances
+    come from per-query lookup tables (pq_search).
+
+    Same zero-shuffle shape as assign_cells: codebooks ride in the UDF
+    closure, encoding is one Arrow-vectorized map-side pass."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if vecs is None:
+        vecs = emb
+    cb = pq_codebooks(emb)                       # (M, K, sub)
+    m_, k_, sub = cb.shape
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        emat = np.stack(v.map(lambda a: np.asarray(a, dtype="float64")))
+        blocks = emat.reshape(emat.shape[0], m_, sub)
+        codes = np.empty((emat.shape[0], m_), dtype="int64")
+        for m in range(m_):
+            # ||x - c||^2 per codeword; argmin ties break to lowest id
+            d = ((blocks[:, m, None, :] - cb[None, m]) ** 2).sum(-1)
+            codes[:, m] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return vecs.select("vec_id", encode("embedding").alias("codes"))
+
+
+def pq_search(emb: DataFrame, topk: int = TOPK) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes: each
+    query builds an (M x K) table of exact subvector distances to every
+    codeword; a candidate's approximate L2 distance is M table lookups
+    summed — the corpus' float vectors are never touched at search
+    time.  The query set (vec_id < N_QUERIES) is bounded, so the
+    tables ship in the UDF closure like the codebooks; scoring is one
+    map-side Arrow pass over the codes plus a per-query top-k window.
+
+    At 100 TB: codes live in RAM across the fleet (8 bytes/vector),
+    queries broadcast their tables, and the only shuffle is the
+    top-k — this function is that plan in miniature."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cb = pq_codebooks(emb)                       # (M, K, sub)
+    m_, k_, sub = cb.shape
+    q_rows = (emb.where(F.col("vec_id") < N_QUERIES)
+              .orderBy("vec_id").collect())
+    q_ids = [r.vec_id for r in q_rows]
+    qmat = np.array([r.embedding for r in q_rows], dtype="float64")
+    blocks = qmat.reshape(len(q_ids), m_, sub)
+    # tables[q, m, k] = ||q_m - c_mk||^2
+    tables = ((blocks[:, :, None, :] - cb[None]) ** 2).sum(-1)
+
+    @pandas_udf("array<double>")
+    def adc(codes: pd.Series) -> pd.Series:
+        cmat = np.stack(codes.map(np.asarray))   # (n, M)
+        n = cmat.shape[0]
+        out = np.zeros((n, len(q_ids)))
+        for m in range(m_):
+            out += tables[:, m, :][:, cmat[:, m]].T
+        return pd.Series(list(out))
+
+    scored = (pq_encode(emb)
+              .select("vec_id", F.posexplode(adc("codes"))
+                      .alias("q_idx", "adc_dist")))
+    q_map = F.array(*[F.lit(q) for q in q_ids])
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("n_id").asc())
+    return (scored
+            .select(F.element_at(q_map, F.col("q_idx") + 1).alias("q_id"),
+                    F.col("vec_id").alias("n_id"),
+                    F.round("adc_dist", 6).alias("adc_dist"))
+            .where(F.col("q_id") != F.col("n_id"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= topk))
+
+
 def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: int8 scalar quantization per vector — the storage-side
     primitive that cuts a 100 TB float32 embedding corpus 4× before

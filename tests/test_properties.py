@@ -86,6 +86,57 @@ def test_timestamp_parse_format_roundtrip(spark, secs):
     assert all(r.s == r.s2 for r in back.collect())
 
 
+@given(events=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),      # user_id
+              st.integers(min_value=0, max_value=360)),   # minutes offset
+    min_size=1, max_size=40))
+@_SLOW
+def test_sessionize_properties(spark, events):
+    """Gaps-and-islands invariants for arbitrary event sets: sessions
+    PARTITION each user's events (counts add up), every intra-session
+    gap is <= the 30-min cutoff, and consecutive sessions of one user
+    are separated by > the cutoff (checked via each session's span
+    against a local reference grouping)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        SESSION_GAP_MIN, _sessions,
+    )
+    rows = [(u, 1_700_000_000 + m * 60, i)
+            for i, (u, m) in enumerate(events)]
+    df = spark.createDataFrame(rows, "user_id long, secs long, event_id long") \
+        .select("user_id", F.timestamp_seconds("secs").alias("ts"),
+                "event_id")
+    got = _sessions(df).collect()
+    assert sum(r.n_events for r in got) == len(rows)
+
+    # local reference: sort each user's times, split on gap > cutoff
+    from collections import defaultdict
+    by_user = defaultdict(list)
+    for u, s, _ in rows:
+        by_user[u].append(s)
+    want = defaultdict(list)           # user -> [(start, end, n)]
+    for u, times in by_user.items():
+        times.sort()
+        start = prev = times[0]
+        n = 1
+        for t in times[1:]:
+            if t - prev > SESSION_GAP_MIN * 60:
+                want[u].append((start, prev, n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        want[u].append((start, prev, n))
+    # timegm, not .timestamp(): Spark returns naive datetimes in the
+    # session tz (UTC); .timestamp() would re-interpret them in the
+    # host tz
+    from calendar import timegm
+    got_spans = sorted(
+        (r.user_id, timegm(r.s_start.timetuple()),
+         timegm(r.s_end.timetuple()), r.n_events) for r in got)
+    want_spans = sorted((u, a, b, n) for u, spans in want.items()
+                        for (a, b, n) in spans)
+    assert got_spans == want_spans
+
+
 def test_quantization_error_bound(spark):
     """int8 affine quantization property: per-dim reconstruction error
     is at most s/2 = (hi-lo)/510, so mae <= (hi-lo)/510 for every

@@ -93,6 +93,61 @@ def test_ivf_recall_beats_random_probe(spark, sf_dir):
     assert recall >= 0.3
 
 
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    """PQ encoding contract: every vector compresses to exactly PQ_M
+    codeword ids, each in [0, PQ_K) — i.e. 4-bit codes, the 64x
+    storage cut the docstring claims (bit-packing is storage-side)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        PQ_K, PQ_M, pq_encode,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    got = pq_encode(emb)
+    n = emb.count()
+    assert got.count() == n
+    bad = got.where(
+        (F.size("codes") != PQ_M)
+        | F.exists("codes", lambda c: (c < 0) | (c >= PQ_K)))
+    assert bad.count() == 0
+
+
+def test_pq_adc_recall_beats_random(spark, sf_dir):
+    """PQ semantic quality, same defensible bar as the IVF test: the
+    fixture embeddings are random gaussian — PQ's worst case (no
+    cluster structure for the k-means codebooks to exploit) — so the
+    bar is 'ADC top-k recovers an order of magnitude more of the true
+    L2 top-k than random picks would'.  Deterministic (stride-seeded
+    k-means init, fixed iterations): measured mean recall@5 is 0.12
+    at sf0.001 and 0.30 at sf0.01 vs a ~0.01 random baseline."""
+    import numpy as np
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        N_QUERIES, TOPK, pq_search,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype="float64")
+    got = pq_search(emb).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, set()).add(r.n_id)
+    recalls = []
+    for q in range(N_QUERIES):
+        qv = mat[ids == q][0]
+        d = ((mat - qv) ** 2).sum(1)
+        d[ids == q] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[:TOPK]])
+        recalls.append(len(exact & by_q.get(q, set())) / TOPK)
+    mean_recall = sum(recalls) / len(recalls)
+    random_baseline = TOPK / (len(ids) - 1)
+    assert mean_recall >= 10 * random_baseline
+    assert mean_recall >= 0.1
+
+
 def test_hll_sketch_estimates_near_exact(spark, sf_dir):
     """Sketch quality: per-group DataSketches HLL estimates (lgK=14)
     must sit within 2% of exact distinct counts at test scale, and the
