@@ -590,6 +590,72 @@ def pq_search(emb: DataFrame, topk: int = TOPK) -> DataFrame:
             .where(F.col("rnk") <= topk))
 
 
+def ivfpq_search(emb: DataFrame, topk: int = TOPK) -> DataFrame:
+    """IVF+PQ composed — the production billion-vector index (FAISS
+    IVFADC) built from this module's own primitives: the IVF coarse
+    quantizer prunes the corpus to IVF_NPROBE cells per query, then
+    ADC scores ONLY those candidates from their 4-bit PQ codes.
+
+    Plan shape at 100 TB: cell assignment and PQ encoding are both
+    zero-shuffle map-side passes (closure-shipped model parameters);
+    the probe list is a broadcast; the only exchange is the per-query
+    top-k — and the scored payload is (ids + one double), never
+    vectors.  Search cost drops from O(n) table lookups (pq_search)
+    to O(n_probed); recall is bounded by the IVF routing, same as
+    similarity_ivf."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cb = pq_codebooks(emb)
+    m_, k_, sub = cb.shape
+    q_rows = (emb.where(F.col("vec_id") < N_QUERIES)
+              .orderBy("vec_id").collect())
+    q_ids = [r.vec_id for r in q_rows]
+    qmat = np.array([r.embedding for r in q_rows], dtype="float64")
+    tables = ((qmat.reshape(len(q_ids), m_, sub)[:, :, None, :]
+               - cb[None]) ** 2).sum(-1)
+    q_pos = {q: i for i, q in enumerate(q_ids)}
+
+    # IVF probe: each query's IVF_NPROBE best cells (tiny, broadcast)
+    cents = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("c_id").asc())
+    probes = (
+        queries.join(F.broadcast(cents))
+        .select("q_id", "c_id",
+                F.round(cosine("q_vec", "c_vec"), 6).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select("q_id", F.col("c_id").alias("cell"))
+    )
+
+    @pandas_udf("double")
+    def adc_one(codes: pd.Series, qid: pd.Series) -> pd.Series:
+        cmat = np.stack(codes.map(np.asarray))      # (n, M)
+        qidx = qid.map(q_pos).to_numpy()
+        out = np.zeros(len(qidx))
+        for m in range(m_):
+            out += tables[qidx, m, cmat[:, m]]
+        return pd.Series(out)
+
+    coded = (assign_cells(emb)
+             .join(pq_encode(emb), "vec_id")
+             .select("vec_id", "cell", "codes"))
+    w_k = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("n_id").asc())
+    return (
+        coded.join(F.broadcast(probes), "cell")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"),
+                F.round(adc_one("codes", "q_id"), 6).alias("adc_dist"))
+        .withColumn("rnk", F.row_number().over(w_k))
+        .where(F.col("rnk") <= topk)
+    )
+
+
 def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: int8 scalar quantization per vector — the storage-side
     primitive that cuts a 100 TB float32 embedding corpus 4× before

@@ -148,6 +148,48 @@ def test_pq_adc_recall_beats_random(spark, sf_dir):
     assert mean_recall >= 0.1
 
 
+def test_ivfpq_prunes_and_still_routes(spark, sf_dir):
+    """The composed IVF+PQ index must (a) score strictly fewer
+    candidates than the exhaustive PQ scan (the pruning is real),
+    (b) agree with pq_search on a meaningful share of its hits
+    (the ADC scoring is the same model), and (c) stay well above the
+    random-pick baseline."""
+    import numpy as np
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        IVF_NPROBE, IVF_STRIDE, N_QUERIES, TOPK, ivfpq_search, pq_search,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    got = ivfpq_search(emb).collect()
+    assert got, "ivfpq must return neighbors"
+    full = {(r.q_id, r.n_id) for r in pq_search(emb).collect()}
+    pruned = {(r.q_id, r.n_id) for r in got}
+    # per-query candidate pool is the probed cells only — with ~n/61
+    # centroids and nprobe=2 the pool is a small fraction of n, so
+    # full agreement with the exhaustive scan would be suspicious,
+    # zero agreement means the routing is broken
+    overlap = len(full & pruned) / len(pruned)
+    assert 0 < overlap < 1
+    # routing quality vs the true L2 top-k (same bar as the IVF test)
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype="float64")
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, set()).add(r.n_id)
+    recalls = []
+    for q in range(N_QUERIES):
+        qv = mat[ids == q][0]
+        d = ((mat - qv) ** 2).sum(1)
+        d[ids == q] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[:TOPK]])
+        recalls.append(len(exact & by_q.get(q, set())) / TOPK)
+    assert sum(recalls) / len(recalls) >= 5 * TOPK / (n - 1)
+
+
 def test_hll_sketch_estimates_near_exact(spark, sf_dir):
     """Sketch quality: per-group DataSketches HLL estimates (lgK=14)
     must sit within 2% of exact distinct counts at test scale, and the
