@@ -13,6 +13,8 @@ few aggregate states per (lang, source).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..tables import load
@@ -538,6 +540,80 @@ def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("top_bigram_frac"),
         )
     )
+
+
+BPE_END = "</w>"  # word-end marker so merges can't cross word bounds
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 16,
+              min_freq: int = 2) -> list[tuple[str, str, int]]:
+    """EXT: the FULL iterative BPE trainer (bpe_pair_stats is one step
+    of this loop) — SentencePiece/GPT-2 style word-level training:
+
+      1. reduce the corpus to the (word, frequency) table FIRST — the
+         big cardinality cut; training cost then scales with VOCAB
+         size, not corpus size (the standard trainer optimization);
+      2. per merge round: adjacent-symbol pair frequencies (weighted
+         by word freq, one narrow explode + small-key shuffle), pick
+         the most frequent pair (freq desc, pair asc — deterministic),
+         apply it to every word's symbol sequence (Arrow pandas UDF —
+         adjacent-merge is inherently sequential per word), and
+         localCheckpoint the shrinking state (same iterative-lineage
+         hygiene as the CC loops).
+
+    The per-round driver .first() is the trainer's control decision —
+    one tiny row per round, the same pattern as every published
+    distributed BPE/unigram trainer.  Returns the merge table
+    [(left, right, freq)], the artifact a tokenizer ships."""
+    from pyspark.sql.functions import pandas_udf
+
+    words = (docs.select(F.explode(_tokens(F.col("text"))).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("freq")))
+    symbols = F.concat(
+        F.filter(F.split("w", ""), lambda c: c != ""),
+        F.array(F.lit(BPE_END)))
+    state = words.select(symbols.alias("syms"), "freq") \
+        .localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_structs = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("a"),
+                    F.element_at("syms", i + 1).alias("b"))),
+        ).otherwise(F.array().cast(
+            "array<struct<a:string,b:string>>"))
+        best = (state.select(F.explode(pair_structs).alias("p"), "freq")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("freq"))
+                .orderBy(F.col("freq").desc(), F.col("a").asc(),
+                         F.col("b").asc())
+                .first())
+        if best is None or best.freq < min_freq:
+            break
+        merges.append((best.a, best.b, int(best.freq)))
+        la, lb = best.a, best.b
+
+        @pandas_udf("array<string>")
+        def merged(syms: pd.Series) -> pd.Series:
+            def one(s):
+                out, i, n = [], 0, len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == la and s[i + 1] == lb:
+                        out.append(la + lb)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                return out
+            return syms.map(lambda s: one(list(s)))
+
+        state = state.select(merged("syms").alias("syms"), "freq") \
+            .localCheckpoint(eager=True)
+    return merges
 
 
 def _bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

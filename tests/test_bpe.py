@@ -1,0 +1,65 @@
+"""BPE trainer invariants: deterministic merge table, sane greedy
+dynamics, word-boundary respect."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+    BPE_END, bpe_train,
+)
+from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+N_MERGES = 12
+
+
+def test_bpe_train_deterministic_and_greedy(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=N_MERGES)
+    assert 0 < len(merges) <= N_MERGES
+    # deterministic: retraining yields the identical merge table
+    assert bpe_train(docs, n_merges=N_MERGES) == merges
+    # later merges can never beat the frequency of the pair an earlier
+    # round chose AT THAT TIME only if they existed then — but a merge
+    # can CREATE new high-frequency pairs, so the only safe greedy
+    # invariant is positivity and the min-freq floor
+    assert all(f >= 2 for (_, _, f) in merges)
+    # merged symbols never span the word-end marker's right side
+    # (nothing can follow </w> inside a word)
+    assert all(not a.endswith(BPE_END) for (a, _, _) in merges)
+
+
+def test_bpe_merges_shrink_the_corpus(spark, sf_dir):
+    """Applying round k's merge must strictly shrink the total symbol
+    count, by at most that round's counted pair frequency (overlapping
+    runs like 'aaa' merge fewer times than they count)."""
+    docs = spark.createDataFrame(
+        [(1, "aa aa aaa banana banana bandana"),
+         (2, "banana bandana cabana"),
+         (3, "aa banana")],
+        "doc_id long, text string")
+    merges = bpe_train(docs, n_merges=6)
+    assert merges
+    # replay the trainer's state transitions locally and check counts
+    words = {}
+    for r in (docs.select(F.explode(F.filter(
+            F.split(F.lower("text"), r"\s+"), lambda t: t != ""))
+            .alias("w")).groupBy("w").count().collect()):
+        words[tuple(r.w) + (BPE_END,)] = r["count"]
+    for (a, b, freq) in merges:
+        total_before = sum(len(s) * n for s, n in words.items())
+        nxt = {}
+        for s, n in words.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + n
+        words = nxt
+        total_after = sum(len(s) * n for s, n in words.items())
+        shrink = total_before - total_after
+        assert 0 < shrink <= freq
