@@ -781,6 +781,56 @@ def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b", "c").orderBy("a", "b", "c"))
 
 
+PR_ITERS = 5
+PR_UNIT = 1_000_000          # integer mass units per node
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping 0.85 as a ratio
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """EXT: PageRank over an undirected edge list in INTEGER
+    arithmetic — each node starts with PR_UNIT mass; per round every
+    node keeps 15% of a unit as base and receives
+    (neighbor_mass * 85 // 100) // degree from each neighbor (floor
+    division; remainders evaporate deterministically).  Integer sums
+    are order-independent, so the result is bit-identical under any
+    partitioning or aggregation order — the same engine-invariance
+    trick as lm_score's micro-nat sums, applied to an iterative graph
+    algorithm (float PageRank differs in the last ulps between
+    engines and run-to-run; this one never does, and the differential
+    test replays it in plain Python).
+
+    Scale: per round ONE join (mass onto edges, keyed on node id) and
+    one groupBy — the textbook distributed PageRank; localCheckpoint
+    per round for lineage (storage checkpoints at 100 TB).  Degrees
+    are computed once and cached with the symmetric edge list."""
+    sym = (edges.union(edges.select(
+               F.col("dst").alias("src"), F.col("src").alias("dst")))
+           .distinct().localCheckpoint(eager=True))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree"))
+    mass = deg.select("node", F.lit(PR_UNIT).cast("bigint").alias("mass"),
+                      "degree").localCheckpoint(eager=True)
+    base = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    for _ in range(iters):
+        contrib = (sym.join(mass, sym.src == mass.node)
+                   .select(F.col("dst").alias("node"),
+                           # integer `div`, not `/`: float division
+                           # would reintroduce the engine-dependent
+                           # rounding this design exists to avoid
+                           F.expr(f"(mass * {PR_DAMP_NUM}) "
+                                  f"div {PR_DAMP_DEN} div degree")
+                           .alias("c")))
+        mass = (deg.join(
+                    contrib.groupBy("node").agg(F.sum("c").alias("rec")),
+                    "node", "left")
+                .select("node",
+                        (F.lit(base)
+                         + F.coalesce("rec", F.lit(0))).alias("mass"),
+                        "degree")
+                .localCheckpoint(eager=True))
+    return mass.select("node", "mass")
+
+
 QUERIES = {
     "graph_triangles": _graph_triangles,
     "decontaminate": _decontaminate,
