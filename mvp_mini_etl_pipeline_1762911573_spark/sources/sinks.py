@@ -121,6 +121,62 @@ def compact_parquet(spark, path: str, target_rows_per_file: int) -> int:
     return n_files
 
 
+Z_BITS = 8  # bits per dimension interleaved into the z-value
+
+
+def zorder_write(df: DataFrame, path: str, col_a: str, col_b: str,
+                 n_files: int = 8) -> None:
+    """M-EXT: Z-order clustered write — the data-skipping layout
+    (Delta OPTIMIZE ZORDER / Iceberg sort orders) that makes parquet
+    min/max footer stats selective on TWO columns at once.  A table
+    sorted on only col_a gives col_b full-range stats in every file,
+    so predicates on col_b prune nothing; interleaving the bits of
+    both rank spaces into one z-value and range-partitioning on it
+    gives every file a tight bounding BOX in (a, b) space — filters on
+    EITHER column skip most files.  At 100 TB the scan savings are the
+    whole game: row groups that can't match never leave storage.
+
+    Implementation: per-column quantile BOUNDARIES via one
+    approx-percentile aggregate, broadcast back over the stream
+    (rank-based, not value-based — z-ordering needs uniform bit
+    spread, and quantile ranks are distribution-free).  NOT a global
+    percent_rank() window: an unpartitioned window serializes the
+    whole table through one task — the exact anti-pattern the
+    analytics operators document; the boundary join keeps every step
+    map-side.  Bit interleave via shifts/ors in pure built-ins, then
+    repartitionByRange + sortWithinPartitions on the z-value.  The z
+    column is dropped on write; the layout IS the artifact.
+    tests/test_sinks.py asserts per-file footer ranges shrink on both
+    columns vs an unclustered write."""
+    scale = (1 << Z_BITS) - 1
+    qs = [i / (scale + 1) for i in range(1, scale + 1)]
+    bounds = df.agg(
+        F.percentile_approx(col_a, qs).alias("_ba"),
+        F.percentile_approx(col_b, qs).alias("_bb"))
+    ranked = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_ra", F.size(F.filter(
+            "_ba", lambda b: b <= F.col(col_a))).cast("bigint"))
+        .withColumn("_rb", F.size(F.filter(
+            "_bb", lambda b: b <= F.col(col_b))).cast("bigint"))
+        .drop("_ba", "_bb"))
+    interleaved = F.lit(0).cast("bigint")
+    for bit in range(Z_BITS):
+        interleaved = (
+            interleaved
+            .bitwiseOR(F.shiftleft(
+                F.shiftright("_ra", bit).bitwiseAND(F.lit(1)),
+                2 * bit + 1))
+            .bitwiseOR(F.shiftleft(
+                F.shiftright("_rb", bit).bitwiseAND(F.lit(1)),
+                2 * bit)))
+    (ranked.withColumn("_z", interleaved)
+     .repartitionByRange(n_files, "_z")
+     .sortWithinPartitions("_z")
+     .drop("_ra", "_rb", "_z")
+     .write.mode("overwrite").parquet(path))
+
+
 def to_json_payload(users: DataFrame, metrics: dict,
                     source_url: str, fallback_used: bool,
                     fetched_at: str, limit: int = 500) -> dict:

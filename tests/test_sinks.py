@@ -217,3 +217,46 @@ def test_compaction_rewrites_small_files(spark, sf_dir, tmp_path):
              .agg(F.count("*"), F.round(F.sum("value"), 2)).first())
     assert tuple(after) == tuple(before)
     assert not glob.glob(f"{out}_next") and not glob.glob(f"{out}_prev")
+
+
+def test_zorder_write_tightens_footer_stats_on_both_columns(
+        spark, sf_dir, tmp_path):
+    """M-EXT z-order layout: per-file parquet min/max spans must shrink
+    on BOTH clustered columns vs a round-robin write of the same data
+    (round-robin files see ~the full range of every column, so any
+    filter scans every file; the z-ordered files carry tight (a, b)
+    bounding boxes)."""
+    import duckdb
+
+    from mvp_mini_etl_pipeline_1762911573_spark.sources.sinks import (
+        zorder_write,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    ev.repartition(16).write.parquet(plain)
+    # 16 files = 4 leading z-bits = a 4x4 grid: both dims split 4x
+    # (8 files would split one dim 4x but the other only 2x)
+    zorder_write(ev, zed, "user_id", "value", n_files=16)
+
+    back = spark.read.parquet(zed)
+    assert back.count() == ev.count()
+
+    con = duckdb.connect()
+
+    def mean_span(path, col):
+        q = f"""
+            SELECT avg(CAST(stats_max_value AS DOUBLE)
+                       - CAST(stats_min_value AS DOUBLE))
+            FROM parquet_metadata('{path}/*.parquet')
+            WHERE path_in_schema = '{col}'
+        """
+        return con.execute(q).fetchone()[0]
+
+    for col in ("user_id", "value"):
+        plain_span = mean_span(plain, col)
+        z_span = mean_span(zed, col)
+        # each z-file should cover well under half the per-column
+        # range a round-robin file covers
+        assert z_span < 0.5 * plain_span, (
+            f"{col}: z-span {z_span} vs plain {plain_span}")
