@@ -88,6 +88,49 @@ def sf1_dir(spark, tmp_path_factory):
     return str(out)
 
 
+@pytest.fixture(scope="module")
+def sf1_events_dir(spark, tmp_path_factory):
+    """10x events: shard c offsets user ids AND shifts time by c*40
+    days — users and time ranges are disjoint across shards, so
+    sessionization and the interval-overlap join see 10 isomorphic
+    copies of the sf0.1 workload (overlap candidates never cross
+    shards; same-density days, 10x as many of them)."""
+    out = tmp_path_factory.mktemp("sf1ev")
+    shards = spark.range(COPIES).select(F.col("id").alias("c"))
+    ev = load(spark, BASE_SF, "events")
+    (ev.crossJoin(F.broadcast(shards))
+       .select((F.col("event_id") + F.col("c") * 10_000_000)
+               .alias("event_id"),
+               (F.col("ts") + F.col("c") * F.expr("INTERVAL 40 DAYS"))
+               .alias("ts"),
+               (F.col("user_id") + F.col("c") * 10_000_000)
+               .alias("user_id"),
+               "event_type", "value", "props")
+       .repartition(16)
+       .write.parquet(f"{out}/events.parquet"))
+    return str(out)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["events_sessionize", "session_overlap"])
+def test_interval_ops_scale_at_most_linearly(spark, sf1_events_dir, name):
+    fn = all_queries()[name]
+    fn(spark, BASE_SF).count()
+    t0 = time.monotonic()
+    n_base = fn(spark, BASE_SF).count()
+    t_base = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    n_big = fn(spark, sf1_events_dir).count()
+    t_big = time.monotonic() - t0
+
+    # isomorphic shards: output is exactly 10x the base
+    assert n_big == COPIES * n_base
+    print(f"\n[scale] {name}: base {t_base:.2f}s ({n_base} rows) -> "
+          f"10x {t_big:.2f}s ({n_big} rows)")
+    assert t_big <= LINEAR_SLACK * COPIES * max(t_base, 1.0)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name", HEAVY)
 def test_runtime_scales_at_most_linearly(spark, sf1_dir, name):
