@@ -491,6 +491,11 @@ def pq_codebooks(emb: DataFrame):
                 .orderBy("vec_id").limit(PQ_K)
                 .select("embedding").collect()],
             dtype="float64")
+        if seeds.ndim != 2 or len(seeds) < 2:
+            raise ValueError(
+                f"PQ needs >= 2 codebook seeds; corpus has {len(seeds)} "
+                f"vectors at stride {PQ_STRIDE} — lower PQ_STRIDE or "
+                "use exact search at this scale")
         k_eff, dim = seeds.shape
         sub = dim // PQ_M
         s_blocks = sample.reshape(len(sample), PQ_M, sub)

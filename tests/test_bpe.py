@@ -63,3 +63,14 @@ def test_bpe_merges_shrink_the_corpus(spark, sf_dir):
         total_after = sum(len(s) * n for s, n in words.items())
         shrink = total_before - total_after
         assert 0 < shrink <= freq
+
+
+def test_bpe_train_empty_and_degenerate_corpora(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train(docs, n_merges=3) == []
+    # single-character words: only (char, </w>) pairs exist; merging
+    # them leaves nothing mergeable
+    docs1 = spark.createDataFrame(
+        [(1, "a a a b")], "doc_id long, text string")
+    merges = bpe_train(docs1, n_merges=5)
+    assert merges and merges[0][:2] == ("a", BPE_END)
