@@ -1,0 +1,46 @@
+"""Emit `.explain("formatted")` for a representative slice of the
+headline queries — the plan-shape audit trail (pushdown, broadcast,
+exchange count, WholeStageCodegen spans) as a reviewable artifact.
+
+Usage: python scripts/explain_audit.py [sf_dir] > PLANS_rN.md
+"""
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries  # noqa: E402
+from mvp_mini_etl_pipeline_1762911573_spark.session import get_spark  # noqa: E402
+
+AUDIT = [
+    "metrics_row",        # flagship: scan->validate->dedup->join->agg
+    "sql_q9",             # deepest TPC-H join tree
+    "join_broadcast",     # broadcast dims, fact never shuffles
+    "window_rank",        # one-exchange window
+    "events_sessionize",  # round-4 debut: single reused partitioning
+    "session_overlap",    # round-4: binned interval self-join
+    "dedup_near",         # LSH: checkpointed signatures, banded join
+    "decontaminate",      # broadcast gram index, corpus map-side
+    "rolling_mau",        # user-days-bounded distinct rewrite
+    "graph_triangles",    # two-path + closing-edge joins over edges
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit")
+    queries = all_queries()
+    print(f"# Plan audit at {sf_dir} (AQE on; formatted explain)\n")
+    for name in AUDIT:
+        df = queries[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        print(f"## {name}\n\n```\n{buf.getvalue().rstrip()}\n```\n")
+
+
+if __name__ == "__main__":
+    main()
