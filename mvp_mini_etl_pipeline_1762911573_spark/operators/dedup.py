@@ -831,7 +831,128 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     return mass.select("node", "mass")
 
 
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: PageRank over the SemDeDup affinity graph (same 0.25-cosine
+    edge set as graph_triangles) — node centrality inside near-dup
+    neighborhoods ranks the 'canonical' member of a mirror farm.
+
+    Fully oracle-checked DESPITE being iterative: the integer-mass
+    formulation (see ``pagerank``) makes every round an exact integer
+    recurrence, and the iteration count is a fixed constant
+    (PR_ITERS), so the DuckDB oracle simply UNROLLS the five rounds as
+    chained CTEs — bit-identical to the Spark loop under any
+    partitioning.  This is the pattern that turns 'iterative algos
+    are rows-only by nature' into a hash-tier check whenever the
+    iteration count is a spec constant."""
+    edges = (_embedding_pair_edges(spark, sf_dir,
+                                   threshold=TRIANGLE_THRESHOLD)
+             .select(F.col("keep_id").alias("src"),
+                     F.col("dup_id").alias("dst")))
+    return pagerank(edges)
+
+
+# -- bloom-filter incremental dedup ----------------------------------
+#
+# The 100 TB motivation: checking a new crawl batch against an
+# existing corpus with an anti-join shuffles the CORPUS on the join
+# key every ingest.  A bloom filter compresses the corpus's content
+# hashes into a fixed bit array built with ONE aggregation pass; each
+# batch then probes the broadcast array map-side — the corpus is
+# never re-read, never re-shuffled.  Here the filter is expressed
+# RELATIONALLY: the bit array is the distinct set of hash positions
+# (≤ BLOOM_M rows — a broadcast-sized table no matter how large the
+# corpus), membership = "all K positions present", via a left join +
+# min().  No UDF, no driver state, and — because positions come from
+# sha256, a public cross-engine hash — a full DuckDB oracle, false
+# positives and all (both engines compute the IDENTICAL filter, so
+# fp counts match exactly).
+#
+# Sizing: BLOOM_M=65536 positions / K=5 probes keeps the fill factor
+# < 0.3 at sf0.1 (≈4k docs) for a sub-0.2% fp rate; production sizing
+# is m ≈ 10 bits per corpus item (the helper takes m and k as
+# arguments — the registered constants are fixture-scale).
+BLOOM_M = 65536          # position domain (bits)
+BLOOM_K = 5              # hash probes per item
+BLOOM_EXISTING_HI = 80   # corpus = sha-bucket 0..79 (80%)
+BLOOM_BATCH_LO = 70      # re-crawl batch = bucket 70..99 (30%):
+#                          the 70..79 overlap is the planted truth —
+#                          re-crawled shards genuinely re-contain docs
+
+
+def _sha_bucket(col, mod: int):
+    """sha256-derived bucket in [0, mod) — the engine-invariant
+    split/sample idiom shared with split_assign and sample_hash."""
+    return F.pmod(
+        F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 8),
+               16, 10).cast("long"),
+        F.lit(mod))
+
+
+def bloom_positions(text_col, m: int = BLOOM_M, k: int = BLOOM_K):
+    """Array of k sha256-derived positions in [0, m) for one item —
+    k independent draws via seed-suffixed hashing."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(
+            F.conv(F.substring(
+                F.sha2(F.concat(text_col, F.lit("|"),
+                                i.cast("string")), 256), 1, 8),
+                16, 10).cast("long"),
+            F.lit(m)))
+
+
+def bloom_flags(existing: DataFrame, batch: DataFrame,
+                m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Per-batch-row bloom membership: batch columns + ``all_hit``
+    (1 iff every probe position is set in the existing-side filter).
+    ``existing``/``batch`` need a ``text`` column."""
+    bloom = (existing
+             .select(F.explode(bloom_positions(F.col("text"), m, k))
+                     .alias("pos"))
+             .distinct()
+             .withColumn("hit", F.lit(1)))
+    probes = batch.select(
+        "*", F.explode(bloom_positions(F.col("text"), m, k)).alias("pos"))
+    # group keys exclude the text payload — the post-probe shuffle
+    # carries ids + positions, not document bodies
+    keys = [c for c in batch.columns if c != "text"]
+    return (probes.join(F.broadcast(bloom), "pos", "left")
+            .groupBy(*keys)
+            .agg(F.min(F.coalesce("hit", F.lit(0))).alias("all_hit")))
+
+
+def _dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: incremental-batch dedup via a relational bloom filter —
+    flag re-crawled docs already in the corpus without ever shuffling
+    the corpus (see module comment above for the construction).  The
+    single-row audit output reports the filter's confusion counts;
+    ``n_missed`` is structurally 0 (bloom filters have no false
+    negatives) and the oracle + pytest pin that."""
+    docs = load(spark, sf_dir, "documents")
+    b = docs.select("doc_id", "text",
+                    _sha_bucket(F.col("doc_id"), 100).alias("bucket"))
+    existing = b.where(F.col("bucket") < BLOOM_EXISTING_HI)
+    batch = b.where(F.col("bucket") >= BLOOM_BATCH_LO) \
+             .select("doc_id", "bucket", "text")
+    flags = bloom_flags(existing, batch)
+    n_exist = existing.agg(F.count("*").alias("n_existing"))
+    truth = F.col("bucket") < BLOOM_EXISTING_HI
+    flagged = F.col("all_hit") == 1
+    counts = flags.agg(
+        F.count("*").alias("n_batch"),
+        F.sum(flagged.cast("bigint")).alias("n_flagged"),
+        F.sum(truth.cast("bigint")).alias("n_true_dup"),
+        F.sum((flagged & ~truth).cast("bigint")).alias("n_false_pos"),
+        F.sum((~flagged & truth).cast("bigint")).alias("n_missed"),
+    )
+    return (counts.crossJoin(F.broadcast(n_exist))
+            .select("n_existing", "n_batch", "n_flagged",
+                    "n_true_dup", "n_false_pos", "n_missed"))
+
+
 QUERIES = {
+    "graph_pagerank": _graph_pagerank,
+    "dedup_bloom": _dedup_bloom,
     "graph_triangles": _graph_triangles,
     "decontaminate": _decontaminate,
     "decontaminate_filter": _decontaminate_filter,
@@ -1042,4 +1163,88 @@ FROM documents
 WHERE doc_id % 10 != 0
   AND doc_id NOT IN (SELECT train_doc FROM flagged)
 GROUP BY source
+"""
+
+# PageRank oracle: the integer-mass recurrence UNROLLED as PR_ITERS
+# chained CTEs over the same affinity edge set the triangles oracle
+# derives (iteration count is a spec constant, so iterative != non-
+# SQL-expressible here — see _graph_pagerank's docstring)
+_PR_BASE = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+
+
+def _duck_pagerank_sql() -> str:
+    rounds = [f"m0 AS (SELECT node, CAST({PR_UNIT} AS BIGINT) AS mass,"
+              " degree FROM deg)"]
+    for r in range(1, PR_ITERS + 1):
+        rounds.append(f"""m{r} AS (
+  SELECT d.node, CAST({_PR_BASE} + coalesce(r.rec, 0) AS BIGINT) AS mass,
+         d.degree
+  FROM deg d LEFT JOIN (
+    SELECT s.dst AS node,
+           sum((m.mass * {PR_DAMP_NUM}) // {PR_DAMP_DEN} // m.degree)
+             AS rec
+    FROM sym s JOIN m{r - 1} m ON s.src = m.node
+    GROUP BY s.dst) r ON r.node = d.node)""")
+    return f"""
+WITH {DUCK_CELLS_CTE}, vecs AS (
+  SELECT d.doc_id, e.embedding, c.cell
+  FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  JOIN cells c ON c.vec_id = d.doc_id
+), pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM vecs a JOIN vecs b
+    ON a.cell = b.cell AND a.doc_id < b.doc_id
+  WHERE round(
+          list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+          6) >= {TRIANGLE_THRESHOLD}
+), sym AS (
+  SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY src
+), {", ".join(rounds)}
+SELECT node, CAST(mass AS BIGINT) AS mass FROM m{PR_ITERS}
+"""
+
+
+ORACLES["graph_pagerank"] = _duck_pagerank_sql()
+
+# bloom-filter dedup oracle: both engines build the IDENTICAL filter
+# (sha256-derived positions), so even the false-positive count is an
+# exact cross-engine match
+_DUCK_BLOOM_POS = (
+    "CAST(concat('0x', substr(sha256(text || '|' || CAST(i AS VARCHAR)"
+    f"), 1, 8)) AS BIGINT) % {BLOOM_M}")
+
+ORACLES["dedup_bloom"] = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+), existing AS (SELECT * FROM b WHERE bucket < {BLOOM_EXISTING_HI}),
+batch AS (SELECT * FROM b WHERE bucket >= {BLOOM_BATCH_LO}),
+seeds AS (SELECT unnest(range({BLOOM_K})) AS i),
+bloom AS (
+  SELECT DISTINCT {_DUCK_BLOOM_POS} AS pos FROM existing, seeds
+), bpos AS (
+  SELECT doc_id, bucket, {_DUCK_BLOOM_POS} AS pos FROM batch, seeds
+), flags AS (
+  SELECT p.doc_id, p.bucket,
+         min(CASE WHEN bl.pos IS NULL THEN 0 ELSE 1 END) AS all_hit
+  FROM bpos p LEFT JOIN bloom bl ON p.pos = bl.pos
+  GROUP BY p.doc_id, p.bucket
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM existing) AS n_existing,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(sum(all_hit) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN bucket < {BLOOM_EXISTING_HI} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true_dup,
+       CAST(sum(CASE WHEN all_hit = 1 AND bucket >= {BLOOM_EXISTING_HI}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN all_hit = 0 AND bucket < {BLOOM_EXISTING_HI}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+FROM flags
 """

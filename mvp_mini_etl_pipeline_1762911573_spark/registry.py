@@ -25,22 +25,25 @@ round-1-stale block the round-3 verdict's top ask names.  2 + 1 + 47
 = 50: the window is exactly full and after this round no official row
 is older than round 3.
 
-ROTATION NOTE (round 5): exactly 50 slots' worth is already queued —
-the 2 round-4-built debuts with no official row yet (session_overlap,
-graph_triangles — both pass the oracle locally, see
-tests/test_oracle.py) FIRST, then the 48 round-2 greens (the 49
-CORRECTNESS_r02 names minus multimodal_pipeline, refreshed in round
-4).  Do NOT hand-count: run `python scripts/rotation_report.py`,
-which derives each query's latest official row from the
-CORRECTNESS_r*.json files and prints the stalest-first candidate list
-sized to the window (round 2's and round 3's bookkeeping slips were
-both hand-count drift).
+ROTATION NOTE (round 5): the round-4-built debuts with no official
+row yet (session_overlap, graph_triangles, graph_pagerank,
+dedup_bloom, and any later round-4 additions — all pass their oracles
+locally, see tests/test_oracle.py) go FIRST, then fill the remaining
+slots with the stalest round-2 greens.  Do NOT hand-count: run
+`python scripts/rotation_report.py`, which derives each query's
+latest official row from the CORRECTNESS_r*.json files and prints the
+stalest-first candidate list sized to the window (round 2's and round
+3's bookkeeping slips were both hand-count drift).
 
-ROTATION SCHEDULE (standing, documented per round-2 verdict #6): 150
-registered queries / 50-row window → a 3-round cycle keeps every
-query's official row at most 2 rounds old.  Every round: new queries
-land at the FRONT of the window; then fill with the stalest greens
-(oldest official row first, per rotation_report.py).
+ROTATION SCHEDULE (standing, documented per round-2 verdict #6): a
+50-row window over N registered queries → a ceil(N/50)-round cycle.
+At N=150 that kept every official row at most 2 rounds old; coverage
+growth past 150 means up to (N-150) rows wait one extra round — the
+deliberate trade (coverage over perfect freshness), bounded
+mechanically by tests/test_registry.py's slack-aware invariant.
+Every round: new queries land at the FRONT of the window; then fill
+with the stalest greens (oldest official row first, per
+rotation_report.py).
 """
 
 from __future__ import annotations

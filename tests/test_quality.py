@@ -212,3 +212,44 @@ def test_hll_sketch_estimates_near_exact(spark, sf_dir):
     # union != sum of per-group counts (overlap collapses)
     assert est_all < sum(r.exact_users for et, r in rows.items()
                          if et != "ALL")
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    """The relational bloom filter must flag EVERY batch doc whose
+    text is in the existing corpus (bloom filters cannot produce false
+    negatives — every probe position of an inserted item is set by
+    construction), and at the registered sizing (m=65536, k=5) the
+    false-positive rate over genuinely-new docs stays under 5% on the
+    fixtures."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        BLOOM_EXISTING_HI, QUERIES)
+
+    row = QUERIES["dedup_bloom"](spark, sf_dir).collect()[0]
+    assert row.n_missed == 0
+    assert row.n_flagged >= row.n_true_dup
+    n_new = row.n_batch - row.n_true_dup
+    if n_new:
+        assert row.n_false_pos / n_new <= 0.05
+
+
+def test_bloom_small_filter_floods_false_positives(spark, sf_dir):
+    """Sizing sanity in the other direction: an UNDERSIZED filter
+    (m=64) must saturate and flag essentially everything — proving the
+    fp column actually measures filter behavior rather than being
+    structurally zero."""
+    import pyspark.sql.functions as F
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        BLOOM_EXISTING_HI, BLOOM_BATCH_LO, _sha_bucket, bloom_flags)
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    b = docs.select("doc_id", "text",
+                    _sha_bucket(F.col("doc_id"), 100).alias("bucket"))
+    flags = bloom_flags(b.where(F.col("bucket") < BLOOM_EXISTING_HI),
+                        b.where(F.col("bucket") >= BLOOM_BATCH_LO),
+                        m=64, k=2)
+    agg = flags.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("all_hit") == 1).cast("bigint")).alias("flagged"),
+    ).collect()[0]
+    assert agg.flagged >= 0.9 * agg.n

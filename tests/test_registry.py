@@ -29,7 +29,16 @@ def test_rotation_backlog_fits_next_round_window():
     names that MUST rotate next round) have to fit the next window
     together.  Adding a debut query without window room fails here —
     the lands-after-the-window-freezes backlog both judges flagged
-    can no longer happen silently."""
+    can no longer happen silently.
+
+    Structural floor: with N registered queries and a fixed 50-slot
+    window, the tightest possible freshness cycle is ceil(N/50)
+    rounds; once N exceeds 150 the 3-round cycle is arithmetically
+    impossible and up to (N - 150) rows must wait one extra round.
+    The invariant grants EXACTLY that slack and not one slot more, so
+    growing coverage stays legal while backlog hoarding (skipped
+    rotations, debuts beyond what the schedule can absorb) still
+    fails."""
     latest = latest_rows()
     registered = list(all_queries())
     window = set(WINDOW_PRIORITY)
@@ -39,11 +48,12 @@ def test_rotation_backlog_fits_next_round_window():
                   if n in latest and n not in window]
     oldest = min(latest[n] for n in non_window)
     oldest_tier = [n for n in non_window if latest[n] == oldest]
-    assert len(debuts_outside) + len(oldest_tier) <= WINDOW_SIZE, (
+    slack = max(0, len(registered) - 3 * WINDOW_SIZE)
+    assert len(debuts_outside) + len(oldest_tier) <= WINDOW_SIZE + slack, (
         f"{len(debuts_outside)} queued debuts + {len(oldest_tier)} "
         f"stalest greens (r{oldest}) exceed the {WINDOW_SIZE}-slot "
-        "window — the rotation schedule can no longer keep every row "
-        "fresh within a 3-round cycle")
+        f"window plus the structural slack of {slack} — the rotation "
+        "schedule has a real backlog, not just coverage growth")
 
 
 def test_no_official_rows_for_unregistered_names():
