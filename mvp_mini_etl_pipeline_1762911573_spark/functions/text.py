@@ -616,6 +616,95 @@ def bpe_train(docs: DataFrame, n_merges: int = 16,
     return merges
 
 
+BPE_ENCODE_MERGES = 12
+
+#: trained merge tables memoized per (corpus fingerprint, n_merges) —
+#: the trainer is a multi-job driver loop; every consumer of one
+#: sf_dir's corpus (query construction, pytest, repeated driver runs)
+#: should resolve the identical artifact once per process.  Same
+#: inputFiles+mtime fingerprint idiom as similarity._cent_cache_key.
+_BPE_MERGE_CACHE: dict = {}
+
+
+def bpe_merges_for(docs: DataFrame,
+                   n_merges: int = BPE_ENCODE_MERGES) -> list:
+    import os
+    try:
+        files = tuple(sorted(docs.inputFiles()))
+        stamps = tuple(os.stat(f.removeprefix("file:")).st_mtime_ns
+                       for f in files if f.startswith("file:"))
+        key = (files, stamps, n_merges)
+    except Exception:              # non-file-backed frame: don't cache
+        return bpe_train(docs, n_merges=n_merges)
+    if key not in _BPE_MERGE_CACHE:
+        _BPE_MERGE_CACHE[key] = bpe_train(docs, n_merges=n_merges)
+    return _BPE_MERGE_CACHE[key]
+
+
+def bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode ONE word against an ordered merge table — the exact
+    per-word loop the trainer applies, replayed at inference.  Pure
+    Python so the differential test and the Arrow UDF share one
+    implementation (tests/test_bpe.py replays it independently)."""
+    syms = list(word) + [BPE_END]
+    for a, b in merges:
+        out, i, n = [], 0, len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: BPE tokenization APPLY — encode every document against the
+    merge table ``bpe_train`` produced, reporting per-doc word count,
+    BPE piece count (word-end markers included unless a merge fused
+    them) and the pieces-per-word compression the tokenizer achieves.
+
+    The scale trick is WHERE the encoding runs: per distinct WORD, not
+    per token occurrence.  The corpus reduces to (doc, word, count),
+    the distinct-word vocabulary is encoded once by an Arrow UDF
+    (cost ∝ vocab size — Zipf-bounded — not corpus size), and the
+    per-word piece counts broadcast back onto the doc-word table; the
+    per-doc totals are then exact integer sums.  This is how real
+    tokenizer fleets amortize encode cost over web-scale corpora.
+
+    Driver check is rows-only BY DESIGN: the encode is an ordered
+    iterative rewrite (not SQL-expressible without unrolling a
+    corpus-dependent merge table); its correctness evidence is the
+    differential replay in tests/test_bpe.py instead."""
+    from pyspark.sql.functions import pandas_udf
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [(a, b) for a, b, _ in bpe_merges_for(docs)]
+
+    @pandas_udf("int")
+    def n_pieces(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: len(bpe_apply(w, merges)))
+
+    wcounts = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    )
+    vocab_enc = (wcounts.select("w").distinct()
+                 .withColumn("n_pieces", n_pieces("w")))
+    return (
+        wcounts.join(F.broadcast(vocab_enc), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_words"),
+             F.sum(F.col("cnt") * F.col("n_pieces"))
+              .alias("n_bpe_tokens"))
+        .select("doc_id", "n_words", "n_bpe_tokens",
+                F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4)
+                 .alias("pieces_per_word"))
+    )
+
+
 def _bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: the BPE-training primitive — corpus-wide adjacent
     character-pair frequencies (every merge step of byte-pair-encoding
@@ -674,6 +763,7 @@ QUERIES = {
     "lm_score_bigram": _lm_score_bigram,
     "text_repetition": _text_repetition,
     "bpe_pair_stats": _bpe_pair_stats,
+    "bpe_encode": _bpe_encode,
     "split_assign": _split_assign,
     "mix_sources": _mix_sources,
     "lm_score": _lm_score,

@@ -256,7 +256,45 @@ def _agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group.unionByName(overall)
 
 
+# data-profiling sweep: the columns audited and the audited table.
+# Scale note in _profile_columns' docstring.
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+def _profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: per-column data profiling (null counts, exact distinct
+    cardinality, null fraction) — the first query any pipeline runs on
+    a new source, and the stats a curation dashboard shows per column.
+
+    One scan computes every column's aggregates in a single agg node;
+    ``stack`` unpivots the 1-row result into the per-column report
+    (driver-side width, executor-side single pass).  The exact
+    multi-column count(distinct) expands the input ×(columns+1)
+    (Spark's Expand strategy) — fine at audit cadence; at 100 TB the
+    drop-in swap is approx_count_distinct, which collapses the Expand
+    into one pass of mergeable HLL states (same output shape, ±2%).
+    Exactness kept here for the DuckDB oracle."""
+    orders = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint"))
+                    .alias(f"{c}_nn"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}_nd"))
+    one = orders.agg(*aggs)
+    stack = "stack({}, {}) as (column_name, n_null, n_distinct)".format(
+        len(PROFILE_COLS),
+        ", ".join(f"'{c}', {c}_nn, {c}_nd" for c in PROFILE_COLS))
+    return (
+        one.selectExpr("n_rows", stack)
+        .select("column_name", "n_rows", "n_null", "n_distinct",
+                F.round(F.col("n_null") / F.col("n_rows"), 4)
+                 .alias("null_frac"))
+    )
+
+
 QUERIES = {
+    "profile_columns": _profile_columns,
     "agg_hll_sketch": _agg_hll_sketch,
     "agg_histogram": _agg_histogram,
     "agg_corr": _agg_corr,
@@ -374,3 +412,17 @@ SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
 FROM events
 """,
 }
+
+# profile oracle: one UNION ALL branch per audited column (DuckDB has
+# no stack(); the branch list is generated from the same PROFILE_COLS
+# constant so the two sides cannot drift)
+ORACLES["profile_columns"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+             / count(*), 4) AS null_frac
+FROM orders"""
+    for c in PROFILE_COLS)

@@ -227,6 +227,40 @@ def _agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: quantile discretization (QuantileDiscretizer-style feature
+    binning) — compute exact price quartile cutoffs, assign every
+    lineitem to its quartile, aggregate per bin.  The fixed-point
+    detail that keeps this oracle-exact: interpolated cutoffs always
+    lie ON or strictly BETWEEN adjacent sorted data values, so `<`
+    comparisons classify every row identically in both engines even
+    if the last ulp of the interpolation differed.
+
+    100 TB shape: the cutoff row is a 1-row broadcast; bin assignment
+    is map-side CASE; one small-key shuffle for the per-bin agg.  At
+    real scale the exact percentile pass becomes approx_percentile
+    (mergeable sketch, same downstream plan) — exactness is kept here
+    for the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    cuts = li.agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("q2"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"))
+    binned = li.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("l_extendedprice") < F.col("q1"), "q1_low")
+         .when(F.col("l_extendedprice") < F.col("q2"), "q2_mid_low")
+         .when(F.col("l_extendedprice") < F.col("q3"), "q3_mid_high")
+         .otherwise("q4_high").alias("bin"),
+        "l_extendedprice", "l_quantity")
+    return (
+        binned.groupBy("bin")
+        .agg(F.count("*").alias("n_items"),
+             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+             F.round(F.max("l_extendedprice"), 2).alias("max_price"))
+    )
+
+
 def _agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB flavor: approx_percentile sketches (mergeable,
     constant memory).  Rows-only (sketch values are engine-specific),
@@ -444,6 +478,7 @@ QUERIES = {
     "sample_hash": _sample_hash,
     "pivot_events": _pivot_events,
     "agg_percentiles": _agg_percentiles,
+    "quantile_bins": _quantile_bins,
     "agg_approx_percentiles": _agg_approx_percentiles,
 }
 
@@ -656,5 +691,23 @@ SELECT o_orderstatus AS status,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99
 FROM orders
 GROUP BY o_orderstatus
+""",
+    "quantile_bins": """
+WITH cuts AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.50) AS q2,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem
+)
+SELECT CASE WHEN l_extendedprice < q1 THEN 'q1_low'
+            WHEN l_extendedprice < q2 THEN 'q2_mid_low'
+            WHEN l_extendedprice < q3 THEN 'q3_mid_high'
+            ELSE 'q4_high' END AS bin,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_quantity), 2) AS total_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem, cuts
+GROUP BY 1
 """,
 }

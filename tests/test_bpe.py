@@ -74,3 +74,32 @@ def test_bpe_train_empty_and_degenerate_corpora(spark):
         [(1, "a a a b")], "doc_id long, text string")
     merges = bpe_train(docs1, n_merges=5)
     assert merges and merges[0][:2] == ("a", BPE_END)
+
+
+def test_bpe_encode_differential_python_replay(spark, sf_dir):
+    """The distributed encode (vocab-level Arrow UDF + broadcast join
+    + integer sums) must agree doc-for-doc with a straight Python
+    replay: tokenize each doc with the Java-\\s-equivalent ASCII
+    split, bpe_apply each token against the SAME merge table, sum."""
+    import re
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        bpe_apply, bpe_merges_for)
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [(a, b) for a, b, _ in bpe_merges_for(docs)]
+    assert merges
+
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in all_queries()["bpe_encode"](spark, sf_dir).collect()}
+
+    expect = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = [t for t in re.split(r"[ \t\n\r\f\v]+", r.text.lower())
+                if t]
+        if toks:
+            expect[r.doc_id] = (
+                len(toks),
+                sum(len(bpe_apply(t, merges)) for t in toks))
+    assert got == expect
