@@ -138,3 +138,26 @@ def test_exact_dedup_shuffles_digests_not_documents(spark, sf_dir):
     assert s["n_shuffles"] == 1
     assert s["shuffle_records"] <= n_docs
     assert 0 < s["shuffle_bytes"] < corpus_bytes / 2
+
+
+def test_bloom_dedup_shuffles_positions_not_documents(spark, sf_dir):
+    """dedup_bloom's scale claim measured: the corpus contributes only
+    hash POSITIONS to the shuffle (distinct-agg partial states bounded
+    by k probes per doc and by the m-position domain) and the filter
+    reaches the batch as a broadcast — document text never crosses a
+    shuffle.  If the membership join degraded to shuffle-hash, or the
+    text column leaked into the probe shuffle, shuffle_bytes would
+    exceed the corpus size asserted against here."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        BLOOM_K, BLOOM_M)
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    corpus_bytes = docs.agg(F.sum(F.length("text"))).first()[0]
+    got = profile(all_queries()["dedup_bloom"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_broadcasts"] >= 2        # bloom table + n_existing row
+    # probe/build shuffles carry at most k positions per doc plus
+    # per-partition distinct states (≤ m each) — never the text stream
+    assert s["shuffle_records"] <= n_docs * BLOOM_K + BLOOM_M
+    assert s["shuffle_bytes"] < corpus_bytes / 2
