@@ -376,7 +376,46 @@ def _events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_TOP = 10
+
+
+def _skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: join-key skew diagnosis — the query a pipeline runs BEFORE
+    deciding to salt (operators/joins.py's salted join is the remedy;
+    this is the detector).  Per-key row counts for a prospective join
+    key, the heaviest SKEW_TOP hitters with their corpus share, and
+    each key's multiple of the mean key load (x_avg): keys at x_avg ≫ 1
+    are the stragglers that would pin a shuffle partition.
+
+    100 TB shape: per-key counts partial-aggregate map-side (the
+    shuffle carries key states, not rows); the top-K is
+    TakeOrderedAndProject (per-partition heap + driver K-merge, no
+    global sort); the denominator stats are a 1-row broadcast.  At
+    extreme cardinality, approx heavy-hitters (count-min / sampled
+    counts) replace the exact groupBy — the report shape is
+    unchanged."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"))
+    top = (counts.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+           .limit(SKEW_TOP))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            F.row_number().over(w).alias("rnk"),
+            "user_id", "cnt", "n_keys",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("n_rows"), 4)
+             .alias("x_avg"),
+        )
+    )
+
+
 QUERIES = {
+    "skew_report": _skew_report,
     "events_sessionize": _events_sessionize,
     "events_path_transitions": _events_path_transitions,
     "session_overlap": _session_overlap,
@@ -573,3 +612,23 @@ FROM events e JOIN stats s ON e.event_type = s.event_type
 WHERE abs(round((e.value - s.m) / s.sd, 4)) >= {ZSCORE_CUT}
 """,
 }
+
+ORACLES["skew_report"] = f"""
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(cnt) AS BIGINT) AS n_rows
+  FROM counts
+), top AS (
+  SELECT user_id, cnt FROM counts
+  ORDER BY cnt DESC, user_id ASC LIMIT {SKEW_TOP}
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC)
+            AS INTEGER) AS rnk,
+       user_id, cnt, n_keys,
+       round(cnt / n_rows, 6) AS share,
+       round(cnt * n_keys / CAST(n_rows AS DOUBLE), 4) AS x_avg
+FROM top, stats
+"""

@@ -552,12 +552,17 @@ def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle hash-match).  At 100 TB: replace localCheckpoint with
     storage checkpoints; the loop shape is unchanged.
     """
+    # checkpoint the pair computation ONCE: nodes, the loop seed and
+    # (via the loop) every round all read this materialization — an
+    # un-checkpointed `pairs` would re-run the within-cell cosine join
+    # for each derived frame
     pairs = (_embedding_pair_edges(spark, sf_dir)
              .select(F.col("keep_id").alias("src"),
-                     F.col("dup_id").alias("dst")))
+                     F.col("dup_id").alias("dst"))
+             .localCheckpoint(eager=True))
     nodes = (pairs.select(F.col("src").alias("node"))
              .union(pairs.select(F.col("dst").alias("node")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct())
 
     def star(edges: DataFrame, large: bool) -> DataFrame:
         # symmetric neighborhood view, self-edges dropped
@@ -583,11 +588,14 @@ def _dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffle per round
         return out if large else out.distinct()
 
-    edges = pairs.localCheckpoint(eager=True)
+    edges = pairs
     prev_sig = None
     for _ in range(CC_MAX_ITERS):
+        # LAZY checkpoint: the signature agg below is the action that
+        # materializes it, so each round runs ONE job, not a
+        # materialize-then-scan pair
         edges = star(star(edges, large=True), large=False) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         # bit_xor, not sum: xxhash64 values span the full long range
         # and an ANSI-mode sum overflows; xor is order-independent and
         # safe on the distinct()-ed edge set (no duplicate rows to

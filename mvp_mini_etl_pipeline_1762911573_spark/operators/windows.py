@@ -116,6 +116,13 @@ def _window_ntile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 demo slice of the event log (one user per hundred)."""
+    return (load(spark, sf_dir, "events")
+            .where(F.col("user_id") % 100 == 7)
+            .select("user_id", "event_id", "ts", "event_type"))
+
+
 def _scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: SCD type-2 dimension build from an event log — the
     standard warehouse pattern for "what was this entity's state over
@@ -131,9 +138,10 @@ def _scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning) and the lead() window all reuse it; no global sort
     anywhere.  Micros (unix_micros/epoch_us) for cross-engine ts
     equality — cast-to-long truncates sub-second parts."""
-    ev = (load(spark, sf_dir, "events")
-          .where(F.col("user_id") % 100 == 7)
-          .select("user_id", "event_id", "ts", "event_type"))
+    return _build_scd2(_scd2_events(spark, sf_dir))
+
+
+def _build_scd2(ev: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = ev.withColumn(
@@ -153,6 +161,47 @@ def _scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         nxt.isNull().alias("is_current"),
     )
+
+
+#: incremental-merge cut: events before this instant are "yesterday's
+#: dimension", the rest arrive as the change batch
+SCD2_CUT = "2024-01-24 00:00:00"
+
+
+def _scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: incremental SCD2 MERGE — apply a change batch to an
+    existing type-2 dimension without rebuilding unchanged keys.  The
+    lakehouse-incremental pattern, table-format-free:
+
+      1. keys touched by the batch are isolated (distinct user_id of
+         the delta — small, broadcast);
+      2. untouched keys keep their dimension rows verbatim
+         (broadcast anti-join — their interval history cannot have
+         changed);
+      3. touched keys are rebuilt from their full event history
+         (broadcast semi-join + the same gaps-and-islands build),
+         which handles every boundary case a hand-written interval
+         splice gets wrong: batch state equal to the current open
+         interval (extend, no new version), multiple versions inside
+         one batch, out-of-order event ids at the cut.
+
+    Cost per ingest ∝ changed keys, not dimension size — step 1's
+    base-dim build here stands in for READING the stored dimension
+    (this engine has no table format to persist it between queries).
+
+    Self-checking by construction: incremental apply must equal the
+    full rebuild, so the oracle is scd2_intervals' oracle verbatim —
+    a hash mismatch means the merge logic diverged from rebuild
+    semantics."""
+    ev = _scd2_events(spark, sf_dir)
+    base = ev.where(F.col("ts") < F.lit(SCD2_CUT).cast("timestamp"))
+    delta = ev.where(F.col("ts") >= F.lit(SCD2_CUT).cast("timestamp"))
+    dim = _build_scd2(base)
+    changed = delta.select("user_id").distinct()
+    untouched = dim.join(F.broadcast(changed), "user_id", "left_anti")
+    rebuilt = _build_scd2(
+        ev.join(F.broadcast(changed), "user_id", "left_semi"))
+    return untouched.unionByName(rebuilt)
 
 
 RANGE_FRAME_US = 3_600_000_000  # trailing 1 hour, in microseconds
@@ -226,6 +275,7 @@ QUERIES = {
     "window_cume_dist": _window_cume_dist,
     "window_range_frame": _window_range_frame,
     "scd2_intervals": _scd2_intervals,
+    "scd2_merge": _scd2_merge,
     "window_last_user": _window_last_user,
     "sort_limit1": _sort_limit1,
     "window_rank": _window_rank,
@@ -337,3 +387,8 @@ WINDOW w_o AS (PARTITION BY c_mktsegment
                ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
 """,
 }
+
+# incremental merge must equal the full rebuild — one oracle, two
+# construction strategies checked against it (same pattern as the CC
+# flavors sharing dedup_clusters' oracle)
+ORACLES["scd2_merge"] = ORACLES["scd2_intervals"]
