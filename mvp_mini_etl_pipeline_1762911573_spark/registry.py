@@ -95,10 +95,11 @@ def _modules():
                             sqlapi, tpch, windows)
     from .functions import multimodal, scalars, text
     from . import core
+    from .sources import pyds
     from .streaming import batch_equiv
     return [sqlapi, scalars, text, multimodal, batch_equiv, custom,
             core, similarity, projections, sorts, windows, joins,
-            aggregates, setops, dedup, tpch, analytics]
+            aggregates, setops, dedup, tpch, analytics, pyds]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

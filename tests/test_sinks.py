@@ -260,3 +260,20 @@ def test_zorder_write_tightens_footer_stats_on_both_columns(
         # range a round-robin file covers
         assert z_span < 0.5 * plain_span, (
             f"{col}: z-span {z_span} vs plain {plain_span}")
+
+
+def test_python_datasource_parallelism_contract(spark):
+    """The custom Python DataSource must fan out one input split per
+    shard (executor-side parallel generation — the property that
+    separates a DataSource from a driver-side createDataFrame shim)
+    and the per-shard record layout must be the pure id function the
+    oracle regenerates."""
+    from mvp_mini_etl_pipeline_1762911573_spark.sources.pyds import (
+        crawl_frame, _crawl_record)
+
+    df = crawl_frame(spark, shards=3, per_shard=5)
+    assert df.rdd.getNumPartitions() == 3
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(_crawl_record(s, r, 5)
+                  for s in range(3) for r in range(5))
+    assert got == want
