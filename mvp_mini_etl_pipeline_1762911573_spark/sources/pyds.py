@@ -45,12 +45,17 @@ def _crawl_record(shard: int, rec: int, per_shard: int):
     )
 
 
+def _crawl_record_gid(gid: int, per_shard: int):
+    return _crawl_record(gid // per_shard, gid % per_shard, per_shard)
+
+
 def make_crawl_datasource():
     """Build the DataSource class lazily: pyspark.sql.datasource is a
     Spark 4 module; the import lives inside so the rest of the package
     stays importable on older runtimes."""
     from pyspark.sql.datasource import (DataSource, DataSourceReader,
-                                        InputPartition)
+                                        InputPartition,
+                                        SimpleDataSourceStreamReader)
 
     class CrawlShardReader(DataSourceReader):
         def __init__(self, options):
@@ -68,6 +73,39 @@ def make_crawl_datasource():
             for rec in range(self.per_shard):
                 yield _crawl_record(shard, rec, self.per_shard)
 
+    class CrawlStreamReader(SimpleDataSourceStreamReader):
+        """Incremental flavor: offsets are plain record ids, each
+        micro-batch pulls the next `perbatch` records until `cap` —
+        a FINITE stream, so Trigger.AvailableNow drains it and the
+        result must equal the batch reader's (the stream==batch
+        convergence the rest of streaming/ holds itself to).
+        readBetweenOffsets replays any offset range deterministically:
+        that replayability is the exactly-once contract a real
+        incremental source (cursor-paged API, log tail) must keep."""
+
+        def __init__(self, options):
+            self.per_shard = int(options.get("pershard",
+                                             CRAWL_PER_SHARD))
+            self.per_batch = int(options.get("perbatch", 100))
+            self.cap = int(options.get(
+                "cap", CRAWL_SHARDS * CRAWL_PER_SHARD))
+
+        def initialOffset(self):
+            return {"gid": 0}
+
+        def read(self, start):
+            s = int(start["gid"])
+            if s >= self.cap:          # drained: no offset progress
+                return iter([]), start
+            e = min(s + self.per_batch, self.cap)
+            return (iter([_crawl_record_gid(g, self.per_shard)
+                          for g in range(s, e)]), {"gid": e})
+
+        def readBetweenOffsets(self, start, end):
+            return iter([_crawl_record_gid(g, self.per_shard)
+                         for g in range(int(start["gid"]),
+                                        int(end["gid"]))])
+
     class CrawlDataSource(DataSource):
         @classmethod
         def name(cls):
@@ -78,6 +116,9 @@ def make_crawl_datasource():
 
         def reader(self, schema):
             return CrawlShardReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return CrawlStreamReader(self.options)
 
     return CrawlDataSource
 
@@ -94,6 +135,19 @@ def crawl_frame(spark: SparkSession, shards: int = CRAWL_SHARDS,
     return (spark.read.format("crawl_shards")
             .option("shards", shards)
             .option("pershard", per_shard)
+            .load())
+
+
+def crawl_stream(spark: SparkSession,
+                 per_batch: int = 100) -> DataFrame:
+    """The same feed as readStream — finite (capped at the batch
+    reader's extent), so AvailableNow drains it."""
+    key = spark.sparkContext.applicationId
+    if key not in _REGISTERED:
+        spark.dataSource.register(make_crawl_datasource())
+        _REGISTERED.add(key)
+    return (spark.readStream.format("crawl_shards")
+            .option("perbatch", per_batch)
             .load())
 
 

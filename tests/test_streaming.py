@@ -291,3 +291,39 @@ def test_correlate_stream_equals_batch(spark, sf_dir):
     b = sorted(tuple(r) for r in want.collect())
     assert a == b
     assert len(a) > 0
+
+
+def test_custom_python_source_stream_equals_batch(spark):
+    """The custom Python DataSource's streaming reader, drained with
+    AvailableNow over several micro-batches, must produce the batch
+    reader's per-shard report exactly — offsets are record-id ranges
+    and readBetweenOffsets replays them deterministically (the
+    exactly-once contract of an incremental source)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.sources.pyds import (
+        crawl_frame, crawl_stream)
+
+    agg = (crawl_stream(spark, per_batch=137)
+           .groupBy("shard")
+           .agg(F.count("*").alias("n_recs"),
+                F.sum((F.col("status") == 200).cast("bigint"))
+                 .alias("n_ok"),
+                F.sum("nbytes").alias("total_bytes")))
+    # AvailableNow snapshots only the FIRST prefetched offset range of
+    # a simple stream reader; processAllAvailable() instead drains
+    # micro-batches until the source stops advancing — which this
+    # finite source does at its cap
+    q = (agg.writeStream.format("memory").queryName("t_crawl_stream")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_crawl_stream")
+    batch = (crawl_frame(spark)
+             .groupBy("shard")
+             .agg(F.count("*").alias("n_recs"),
+                  F.sum((F.col("status") == 200).cast("bigint"))
+                   .alias("n_ok"),
+                  F.sum("nbytes").alias("total_bytes")))
+    cols = ["shard", "n_recs", "n_ok", "total_bytes"]
+    assert _rows(got, cols) == _rows(batch, cols)
