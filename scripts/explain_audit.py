@@ -26,6 +26,11 @@ AUDIT = [
     "decontaminate",      # broadcast gram index, corpus map-side
     "rolling_mau",        # user-days-bounded distinct rewrite
     "graph_triangles",    # two-path + closing-edge joins over edges
+    "dedup_bloom",        # round-4: broadcast position-table filter
+    "quantile_bins",      # round-4: 1-row cutoff broadcast + CASE
+    "scd2_merge",         # round-4: anti/semi broadcast on delta keys
+    "skew_report",        # round-4: TakeOrderedAndProject heavy hitters
+    "source_crawl",       # round-4: Python DataSource scan -> agg
 ]
 
 
