@@ -353,6 +353,41 @@ def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: two-pass distributed heavy hitters over the token stream.
+    Pass 1 finds a candidate SUPERSET with the Karp-Papadimitriou-
+    Shenker streaming-frequent algorithm (`DataFrame.freqItems` —
+    constant 1/support counters per partition, and every item with
+    frequency > support*N is guaranteed to survive).  Pass 2 re-counts
+    ONLY the candidates exactly and keeps the true hitters.
+
+    The two-pass trick is what makes the output deterministic and
+    DuckDB-oracle-checkable even though KPS merge order is not: the
+    sketch can only over-admit, never drop a true hitter, and the
+    exact verification filter discards the over-admissions.
+
+    100 TB shape: the candidate list is bounded at 1/support (= 100)
+    items, driver-resolved like the IVF centroids and inlined into the
+    verification pass's `isin` filter, so the exact groupBy shuffles
+    at most 100 tokens per map partition — the full-vocab shuffle of
+    `vocab_topk` never happens.  Three corpus scans total (sketch,
+    1-row token count, verification), each pure map-side."""
+    support = 0.01
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    cands = toks.freqItems(["tok"], support=support).first()[0]
+    total = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.where(F.col("tok").isin(list(cands)))
+        .groupBy("tok").agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("freq") > support * F.col("n_total"))
+        .select("tok", "freq",
+                F.round(F.col("freq") / F.col("n_total"), 6).alias("share"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+    )
+
+
 def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: unigram language-model scoring — the cheap stand-in for
     the KenLM-style perplexity filter every LLM data pipeline runs
@@ -768,6 +803,7 @@ QUERIES = {
     "mix_sources": _mix_sources,
     "lm_score": _lm_score,
     "vocab_topk": _vocab_topk,
+    "heavy_hitters": _heavy_hitters,
     "doc_chunk": _doc_chunk,
     "seq_pack": _seq_pack,
     "corpus_curate": _corpus_curate,
@@ -782,6 +818,19 @@ QUERIES = {
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
 ORACLES = {
+    "heavy_hitters": f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+), n AS (
+  SELECT count(*) AS n_total FROM toks
+)
+SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+       round(count(*) / any_value(n_total), 6) AS share
+FROM toks, n
+GROUP BY tok
+HAVING count(*) > 0.01 * any_value(n_total)
+ORDER BY freq DESC, tok ASC
+""",
     "lm_score_bigram": f"""
 WITH d AS (
   SELECT doc_id, {_DUCK_TOKS} AS ws FROM documents

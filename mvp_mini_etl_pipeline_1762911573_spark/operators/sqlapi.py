@@ -15,7 +15,7 @@ memory, mergeable sketches), shipped here as the rows-only variant.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..tables import load
 
@@ -398,6 +398,52 @@ def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def _sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: priority sampling (Duffield/Lund/Thorup, JACM 2007) — the
+    weighted flavor of `sample_hash`: per source stratum keep the K
+    docs with the largest priority q_i = w_i / u_i (w_i = n_chars
+    weight, u_i = hash-uniform), and attach the Horvitz-Thompson
+    estimator w_hat_i = max(w_i, tau) with tau the (K+1)-th largest
+    priority, so sum(w_hat) is an unbiased estimate of the stratum's
+    total weight from K rows.
+
+    Fully oracle-checked, which is rare for weighted sampling: u_i is
+    derived from sha256 (both engines bit-agree) and every downstream
+    step is IEEE +-*/ and comparisons — no ln/pow, whose last-ulp
+    behavior is libm-specific.  That is WHY priority sampling is used
+    here instead of the classic exponential-jump A-ES scheme: same
+    estimation guarantees, transcendental-free.
+
+    Scale: one window shuffle on (source); the rk <= K+1 filter lets
+    Spark insert WindowGroupLimit, so each map task forwards at most
+    K+1 rows per stratum and the shuffle is O(strata * K), not O(n).
+    tau is attached with a second window over the SAME partitioning
+    (no extra exchange), never a self-join."""
+    K = 5
+    docs = load(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(
+            F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+         .cast("double") + 1.0) / 4294967296.0  # uniform in (0, 1]
+    w = F.col("n_chars").cast("double")
+    win = Window.partitionBy("source").orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = (
+        docs.select("doc_id", "source", w.alias("w"), (w / u).alias("q"))
+        .withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= K + 1)
+    )
+    tau = F.max(F.when(F.col("rk") == K + 1, F.col("q"))) \
+        .over(Window.partitionBy("source"))
+    return (
+        ranked.withColumn("tau", F.coalesce(tau, F.lit(0.0)))
+        .where(F.col("rk") <= K)
+        .select("source", "doc_id",
+                F.col("w").cast("bigint").alias("w"),
+                F.round("q", 4).alias("priority"),
+                F.round(F.greatest("w", "tau"), 4).alias("w_hat"))
+        .orderBy("source", "doc_id")
+    )
+
+
 def _sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape (pricing summary report): THE canonical
     scan-heavy aggregate — one full lineitem pass, 8 aggregates over 2
@@ -476,6 +522,7 @@ QUERIES = {
     "agg_collect": _agg_collect,
     "sample_stratified": _sample_stratified,
     "sample_hash": _sample_hash,
+    "sample_priority": _sample_priority,
     "pivot_events": _pivot_events,
     "agg_percentiles": _agg_percentiles,
     "quantile_bins": _quantile_bins,
@@ -583,6 +630,31 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
+""",
+    "sample_priority": """
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+         CAST(n_chars AS DOUBLE) /
+           ((CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) + 1.0)
+            / 4294967296.0) AS q
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY q DESC, doc_id ASC) AS rk
+  FROM d
+  QUALIFY rk <= 6
+), t AS (
+  SELECT *, coalesce(max(CASE WHEN rk = 6 THEN q END)
+                       OVER (PARTITION BY source), 0.0) AS tau
+  FROM r
+)
+SELECT source, doc_id, CAST(w AS BIGINT) AS w,
+       round(q, 4) AS priority,
+       round(greatest(w, tau), 4) AS w_hat
+FROM t
+WHERE rk <= 5
+ORDER BY source, doc_id
 """,
     "sample_hash": """
 SELECT event_type,

@@ -16,20 +16,19 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-4 window (current): the 2 round-4 debuts (events_sessionize,
-events_path_transitions — verified the round they land), then
-multimodal_pipeline (oracle-ified this round: rows-only → hash tier,
-needs a fresh official row under the new contract), then ALL 47
-queries whose latest official row is round-1 vintage — the full
-round-1-stale block the round-3 verdict's top ask names.  2 + 1 + 47
-= 50: the window is exactly full and after this round no official row
-is older than round 3.
+Round-4 window (current): ALL 12 round-4 debuts (verified the round
+they land), then multimodal_pipeline (oracle-ified this round:
+rows-only → hash tier, needs a fresh official row under the new
+contract), then the 37 stalest round-1 greens.  12 + 1 + 37 = 50:
+exactly full.  Ten round-1 greens could not fit once the debut count
+grew past the original plan's 2 (similarity_topk, sort_limit1,
+sort_multi, udf_cosine, validity_filter_counts, window_lag,
+window_last_user, window_ntile_frame, window_rank,
+window_running_sum) — they are the FIRST fill of the round-5 window.
 
-ROTATION NOTE (round 5): the round-4-built debuts with no official
-row yet (session_overlap, graph_triangles, graph_pagerank,
-dedup_bloom, and any later round-4 additions — all pass their oracles
-locally, see tests/test_oracle.py) go FIRST, then fill the remaining
-slots with the stalest round-2 greens.  Do NOT hand-count: run
+ROTATION NOTE (round 5): any round-5 debuts go FIRST, then the 10
+round-1 leftovers named above, then the stalest round-2 greens until
+the window is full.  Do NOT hand-count: run
 `python scripts/rotation_report.py`, which derives each query's
 latest official row from the CORRECTNESS_r*.json files and prints the
 stalest-first candidate list sized to the window (round 2's and round
@@ -58,34 +57,27 @@ from pyspark.sql import DataFrame, SparkSession
 # size so placement is deliberate, not accidental.
 WINDOW_SIZE = 50
 WINDOW_PRIORITY: list[str] = [
-    # -- round-4 debuts: verified the round they land ------------------
-    "events_sessionize", "events_path_transitions",
+    # -- the 12 round-4 debuts: verified the round they land -----------
+    # (rotation_report.py order: registry insertion order)
+    "events_sessionize", "events_path_transitions", "quantile_bins",
+    "bpe_encode", "scd2_merge", "profile_columns", "graph_pagerank",
+    "dedup_bloom", "graph_triangles", "skew_report", "session_overlap",
+    "source_crawl",
     # -- oracle-ified this round (rows-only -> hash tier) --------------
     "multimodal_pipeline",
-    # -- the 47 round-1-stale greens (latest official row = r1) --------
-    # projections / filters / flagship
-    "csv_flatten", "filter_nonnull", "filter_valid_date",
-    "validity_filter_counts", "metrics_row",
-    # joins
-    "join_equi", "join_broadcast", "join_left", "join_semi",
-    "join_anti", "join_range", "asof_join",
-    # aggregates
-    "agg_count", "agg_count_distinct", "agg_approx_count_distinct",
-    "agg_avg_years", "agg_group_count", "agg_min_max", "agg_stats",
-    "agg_rollup", "agg_cube", "agg_salted_twophase",
-    "dedup_removed_count",
-    # windows / sorts / limits
-    "window_last_user", "window_rank", "window_running_sum",
-    "window_lag", "window_ntile_frame", "sort_limit1", "sort_multi",
-    "limit_topn",
-    # set ops
-    "set_union", "set_except", "set_intersect", "set_intersect_all",
-    # dedup family
-    "dedup_exact", "dedup_distinct", "dedup_content_hash",
-    "dedup_near", "dedup_simhash", "dedup_ngram_jaccard",
-    # similarity / embeddings / UDF
-    "array_cosine", "similarity_topk", "similarity_join",
-    "embedding_normalize", "embedding_centroids", "udf_cosine",
+    # -- the 37 stalest round-1 greens (alphabetical, the first 37 of
+    #    rotation_report's r1 tier; the remaining 10 roll to round 5) --
+    "agg_approx_count_distinct", "agg_avg_years", "agg_count",
+    "agg_count_distinct", "agg_cube", "agg_group_count", "agg_min_max",
+    "agg_rollup", "agg_salted_twophase", "agg_stats", "array_cosine",
+    "asof_join", "csv_flatten", "dedup_content_hash", "dedup_distinct",
+    "dedup_exact", "dedup_near", "dedup_ngram_jaccard",
+    "dedup_removed_count", "dedup_simhash", "embedding_centroids",
+    "embedding_normalize", "filter_nonnull", "filter_valid_date",
+    "join_anti", "join_broadcast", "join_equi", "join_left",
+    "join_range", "join_semi", "limit_topn", "metrics_row",
+    "set_except", "set_intersect", "set_intersect_all", "set_union",
+    "similarity_join",
 ]
 
 

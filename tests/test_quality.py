@@ -253,3 +253,48 @@ def test_bloom_small_filter_floods_false_positives(spark, sf_dir):
         F.sum((F.col("all_hit") == 1).cast("bigint")).alias("flagged"),
     ).collect()[0]
     assert agg.flagged >= 0.9 * agg.n
+
+
+def test_priority_sample_structure_and_estimator(spark, sf_dir):
+    """sample_priority structural guarantees: exactly K=5 survivors
+    per stratum (every fixture stratum has > K docs), each survivor's
+    Horvitz-Thompson estimate is >= its own weight (w_hat = max(w,
+    tau)), and the per-stratum estimated total sum(w_hat) lands within
+    a loose factor of the true total n_chars — one 5-of-25 draw is
+    noisy, but an estimator bug (tau from the wrong stratum, rank off
+    by one) throws it far outside [0.2x, 5x]."""
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    out = all_queries()["sample_priority"](spark, sf_dir)
+    per = {r.source: r for r in out.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.min((F.col("w_hat") >= F.col("w")).cast("int")).alias("ht_ok"),
+        F.sum("w_hat").alias("est_total")).collect()}
+    truth = {r.source: r.total for r in
+             load(spark, sf_dir, "documents").groupBy("source")
+             .agg(F.sum("n_chars").alias("total")).collect()}
+    assert set(per) == set(truth)
+    for src, row in per.items():
+        assert row.n == 5, f"{src}: {row.n} survivors"
+        assert row.ht_ok == 1, f"{src}: w_hat < w"
+        assert 0.2 * truth[src] <= row.est_total <= 5 * truth[src], (
+            f"{src}: est {row.est_total} vs true {truth[src]}")
+
+
+def test_heavy_hitters_candidates_cover_truth(spark, sf_dir):
+    """The KPS sketch pass must return a SUPERSET of the true hitters
+    (the guarantee the two-pass determinism argument rests on) while
+    staying bounded at 1/support candidates."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import _tokens
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(_tokens(F.col("text"))).alias("tok"))
+    cands = set(toks.freqItems(["tok"], support=0.01).first()[0])
+    assert len(cands) <= 100 + 1
+    n = toks.count()
+    truth = {r.tok for r in toks.groupBy("tok").count()
+             .where(F.col("count") > 0.01 * n).collect()}
+    assert truth, "fixtures should contain >1% tokens"
+    assert truth <= cands, f"sketch dropped true hitters: {truth - cands}"
