@@ -444,6 +444,59 @@ def _sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chain_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: recursive CTE, data-driven flavor — per-customer
+    order-chain traversal with DATA-DEPENDENT depth (each level is an
+    equi-join against an edge table, and recursion stops when the walk
+    runs off the longest real chain).  `sql_recursive_cte` covers the
+    other recursion species, a self-generating sequence with a
+    constant bound; together they exercise both halves of the Spark 4
+    WITH RECURSIVE surface.
+    Orders form a linked list per customer (each order's successor =
+    the next order by date); the anchor selects each customer's first
+    order, the recursive member follows successor edges, and the chain
+    position + days-since-first accumulate along the walk.  Recursion
+    terminates naturally (the successor graph is acyclic); depth = the
+    longest per-customer order history, far under Spark's
+    cteRecursionLevelLimit (100).
+
+    The DuckDB oracle deliberately uses the WINDOW formulation
+    (row_number + min-over-partition) instead of mirroring the
+    recursion — a cross-PARADIGM differential check: two different
+    algorithms must agree, not one algorithm run twice.
+
+    Spark's UNION-distinct-in-recursion is not supported yet
+    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so cyclic closures like
+    the dup-cluster graph stay on the iterative DataFrame CC path
+    (dedup_clusters/_star); recursive CTEs here are for acyclic
+    chains/hierarchies, where each level is one equi-join the
+    optimizer plans like any other."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        WITH RECURSIVE ords AS (
+          SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM v_orders
+        ), edges AS (
+          SELECT a.o_custkey, a.o_orderkey AS prev_key,
+                 b.o_orderkey AS next_key, b.d AS next_d
+          FROM ords a JOIN ords b
+            ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1
+        ), chain(o_custkey, o_orderkey, first_d, d, pos) AS (
+          SELECT o_custkey, o_orderkey, d, d, 1 FROM ords WHERE rn = 1
+          UNION ALL
+          SELECT c.o_custkey, e.next_key, c.first_d, e.next_d, c.pos + 1
+          FROM chain c JOIN edges e
+            ON e.o_custkey = c.o_custkey AND e.prev_key = c.o_orderkey
+        )
+        SELECT pos, count(*) AS n_orders,
+               round(avg(datediff(d, first_d)), 4) AS avg_days_since_first,
+               CAST(min(o_orderkey) AS BIGINT) AS min_okey
+        FROM chain GROUP BY pos ORDER BY pos
+    """)
+
+
 def _sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape (pricing summary report): THE canonical
     scan-heavy aggregate — one full lineitem pass, 8 aggregates over 2
@@ -523,6 +576,7 @@ QUERIES = {
     "sample_stratified": _sample_stratified,
     "sample_hash": _sample_hash,
     "sample_priority": _sample_priority,
+    "chain_rcte": _chain_rcte,
     "pivot_events": _pivot_events,
     "agg_percentiles": _agg_percentiles,
     "quantile_bins": _quantile_bins,
@@ -630,6 +684,20 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
+""",
+    "chain_rcte": """
+WITH ords AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS pos,
+         min(CAST(o_orderdate AS DATE))
+           OVER (PARTITION BY o_custkey) AS first_d
+  FROM orders
+)
+SELECT pos, CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(date_diff('day', first_d, d)), 4) AS avg_days_since_first,
+       CAST(min(o_orderkey) AS BIGINT) AS min_okey
+FROM ords GROUP BY pos ORDER BY pos
 """,
     "sample_priority": """
 WITH d AS (
