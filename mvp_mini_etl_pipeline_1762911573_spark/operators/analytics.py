@@ -414,7 +414,66 @@ def _skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BASKET_MIN_SUP = 3  # a pair must co-occur in >= this many orders
+
+
+def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: market-basket analysis — frequent part PAIRS across orders
+    with support and lift, the apriori-pruned first rung of
+    association mining (FP-growth's output for itemset size 2, exact).
+
+    Scale shape, in order of what matters at 100 TB:
+    1. APRIORI PRUNE before the quadratic step: an item appearing in
+       fewer than BASKET_MIN_SUP orders cannot be in a frequent pair,
+       so it is dropped before the self-join.  On long-tail catalogs
+       this removes most of the item stream and is THE reason basket
+       jobs finish; the prune list arrives as a broadcast (item dim
+       sized, never the fact table).
+    2. The pair generation is an equi-SELF-JOIN on l_orderkey (both
+       sides shuffle-partitioned by order — one exchange each, no
+       cartesian anywhere); the a.part < b.part predicate halves the
+       output and canonicalizes the pair key.
+    3. Lift needs per-item order counts and the global order count —
+       both are REUSED aggregates of the same `items` frame (Spark
+       computes the distinct once per branch under AQE), joined back
+       broadcast-sized.
+    All post-join math is count ratios (IEEE division only), so the
+    DuckDB oracle matches bit-exactly at round(6)."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    icnt = items.groupBy("l_partkey").agg(F.count("*").alias("item_cnt"))
+    freq = icnt.where(F.col("item_cnt") >= BASKET_MIN_SUP)
+    fitems = items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    a, b = fitems.alias("a"), fitems.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("part_a"),
+                 F.col("b.l_partkey").alias("part_b"))
+        .agg(F.count("*").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= BASKET_MIN_SUP)
+    )
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ca = icnt.select(F.col("l_partkey").alias("part_a"),
+                     F.col("item_cnt").alias("cnt_a"))
+    cb = icnt.select(F.col("l_partkey").alias("part_b"),
+                     F.col("item_cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "pair_cnt",
+            F.round(F.col("pair_cnt") / F.col("n_orders"), 6)
+             .alias("support"),
+            F.round(F.col("pair_cnt") * F.col("n_orders")
+                    / (F.col("cnt_a") * F.col("cnt_b")), 4).alias("lift"))
+        .orderBy(F.col("pair_cnt").desc(), "part_a", "part_b")
+    )
+
+
 QUERIES = {
+    "basket_pairs": _basket_pairs,
     "skew_report": _skew_report,
     "events_sessionize": _events_sessionize,
     "events_path_transitions": _events_path_transitions,
@@ -428,6 +487,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "basket_pairs": """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), icnt AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_cnt
+  FROM items GROUP BY l_partkey
+), n AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS pair_cnt
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+  HAVING count(*) >= 3
+)
+SELECT p.part_a, p.part_b, p.pair_cnt,
+       round(p.pair_cnt / n.n_orders, 6) AS support,
+       round(p.pair_cnt * n.n_orders / (ca.item_cnt * cb.item_cnt), 4)
+         AS lift
+FROM pairs p
+JOIN icnt ca ON ca.l_partkey = p.part_a
+JOIN icnt cb ON cb.l_partkey = p.part_b
+CROSS JOIN n
+ORDER BY pair_cnt DESC, part_a, part_b
+""",
     "session_overlap": f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id,

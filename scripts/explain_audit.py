@@ -31,6 +31,9 @@ AUDIT = [
     "scd2_merge",         # round-4: anti/semi broadcast on delta keys
     "skew_report",        # round-4: TakeOrderedAndProject heavy hitters
     "source_crawl",       # round-4: Python DataSource scan -> agg
+    "sample_priority",    # round-4: partial WindowGroupLimit pre-shuffle
+    "basket_pairs",       # round-4: apriori prune before pair self-join
+    "chain_rcte",         # round-4: recursive CTE (UnionLoop) traversal
 ]
 
 
