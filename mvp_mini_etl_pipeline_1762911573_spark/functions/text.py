@@ -794,7 +794,74 @@ def _split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 ranking parameters (Robertson/Sparck-Jones defaults) and the
+#: fixed keyword query.  Embedded as identical literals in the Spark
+#: expression and the DuckDB oracle.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "window")
+
+
+def _text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: BM25 ranked retrieval — score every document against a
+    fixed keyword query and return the top 20, the classic
+    inverted-index relevance function (and the first-stage retriever
+    in most RAG / training-data search stacks).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Scale shape: tokens are filtered to the QUERY TERMS before any
+    aggregation — the per-(doc,term) shuffle carries only matching
+    postings (exactly what an inverted index would fetch), not the
+    corpus vocabulary; df and avgdl are tiny aggregates broadcast
+    back; the final top-20 is a rounded-score sort-limit
+    (TakeOrderedAndProject), never a global sort.  Float parity: the
+    per-doc sum over query terms is an explicit coalesce(t1)+...+tn
+    chain (conditional-aggregation pivot), not a SUM whose
+    accumulation order the engine picks; ordering ties break on the
+    ROUNDED score then doc_id, so a 1-ulp ln() divergence between
+    libm and the JVM cannot flip ranks."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(_tokens(F.col("text"))).alias("dl"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"))
+    terms = (docs.select("doc_id", "dl",
+                         F.explode(_tokens(F.col("text"))).alias("term"))
+             .where(F.col("term").isin(*BM25_QUERY)))
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    df_ = (terms.select("doc_id", "term").distinct()
+           .groupBy("term").agg(F.count("*").cast("double").alias("df")))
+    part = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "term",
+            (F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                   / (F.col("df") + 0.5))
+             * (F.col("tf") * (BM25_K1 + 1.0))
+             / (F.col("tf") + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))))
+            .alias("s"))
+    )
+    per_term = [
+        F.coalesce(F.max(F.when(F.col("term") == t, F.col("s"))),
+                   F.lit(0.0))
+        for t in BM25_QUERY]
+    total = per_term[0]
+    for p in per_term[1:]:
+        total = total + p
+    scored = part.groupBy("doc_id").agg(F.round(total, 4).alias("bm25"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 20))
+
+
 QUERIES = {
+    "text_bm25": _text_bm25,
     "lm_score_bigram": _lm_score_bigram,
     "text_repetition": _text_repetition,
     "bpe_pair_stats": _bpe_pair_stats,
@@ -817,7 +884,44 @@ QUERIES = {
 
 _DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
+#: BM25 oracle per-query-term conditional-aggregation pivot (same
+#: explicit left-to-right sum as the Spark side)
+_BM25_SUM = " + ".join(
+    f"coalesce(max(CASE WHEN term = '{t}' THEN s END), 0.0)"
+    for t in BM25_QUERY)
+
 ORACLES = {
+    "text_bm25": f"""
+WITH docs AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS dl, text FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs
+), terms AS (
+  SELECT doc_id, dl, unnest({_DUCK_TOKS}) AS term FROM docs
+), qterms AS (
+  SELECT * FROM terms WHERE term IN {BM25_QUERY!r}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM qterms GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM qterms) GROUP BY term
+), part AS (
+  SELECT doc_id, term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * {BM25_K1 + 1.0!r})
+           / (tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                                  + {BM25_B!r} * dl / avgdl)) AS s
+  FROM tf JOIN df USING (term), stats
+), scored AS (
+  SELECT doc_id, round({_BM25_SUM}, 4) AS bm25
+  FROM part GROUP BY doc_id
+)
+SELECT doc_id, bm25, CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+        AS rnk FROM scored)
+WHERE rnk <= 20
+""",
     "heavy_hitters": f"""
 WITH toks AS (
   SELECT unnest({_DUCK_TOKS}) AS tok FROM documents

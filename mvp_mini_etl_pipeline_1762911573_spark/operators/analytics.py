@@ -165,6 +165,75 @@ def _gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: linear-interpolation densification — `gap_fill`'s numeric
+    sibling: where that query zero-fills COUNTS, this one repairs a
+    sparse VALUE series (per-user daily purchase average) by linear
+    interpolation between the surrounding observations — the standard
+    sensor/metrics imputation one notch above LOCF
+    (`window_fill_forward`), which biases trends flat.
+
+    Scale shape: the spine is generated per user from that user's own
+    [min(day), max(day)] bounds (no global cross join, and edge rows
+    are observed by construction so every gap has both neighbors);
+    the join back is user+day equi-keyed; prev/next observation value
+    AND date arrive via four IGNORE NULLS window calls over the same
+    two frames — two streaming passes per user run, no self-join, no
+    as-of probe.  Everything after the one groupBy+window shuffle is
+    map-side.
+
+    Float parity is by construction: the interpolation expression is
+    written identically in both engines over identical doubles (v is
+    rounded to 4 before interpolating), and the final 4-decimal
+    quantization is floor(x·10⁴ + 0.5)/10⁴ rather than round(x, 4) —
+    midpoints are EXACT here (halving 4-decimal neighbors lands on
+    x.xxxx5 precisely), where Spark's BigDecimal-HALF_UP and DuckDB's
+    binary rounding genuinely disagree; floor on an identical double
+    is deterministic in any engine."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    return spark.sql("""
+        WITH obs AS (
+          SELECT user_id, CAST(date_trunc('DAY', ts) AS DATE) AS day,
+                 round(avg(value), 4) AS v
+          FROM v_events WHERE event_type = 'purchase'
+          GROUP BY user_id, CAST(date_trunc('DAY', ts) AS DATE)
+        ), bounds AS (
+          SELECT user_id, min(day) AS dmin, max(day) AS dmax
+          FROM obs GROUP BY user_id
+        ), spine AS (
+          SELECT user_id,
+                 explode(sequence(dmin, dmax, interval 1 day)) AS day
+          FROM bounds
+        ), j AS (
+          SELECT s.user_id, s.day, o.v
+          FROM spine s LEFT JOIN obs o USING (user_id, day)
+        ), w AS (
+          SELECT user_id, day, v,
+                 last_value(v) IGNORE NULLS OVER wp AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN day END)
+                   IGNORE NULLS OVER wp AS pd,
+                 first_value(v) IGNORE NULLS OVER wf AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN day END)
+                   IGNORE NULLS OVER wf AS nd
+          FROM j
+          WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY user_id ORDER BY day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, date_format(day, 'yyyy-MM-dd') AS day,
+               v AS observed,
+               CASE WHEN v IS NOT NULL THEN v
+                    ELSE floor((pv + (nv - pv)
+                                * CAST(datediff(day, pd) AS DOUBLE)
+                                / CAST(datediff(nd, pd) AS DOUBLE))
+                               * 10000.0 + 0.5) / 10000.0
+               END AS filled,
+               v IS NULL AS is_gap
+        FROM w
+    """)
+
+
 MAD_K = 1.4826  # normal-consistency constant: MAD * 1.4826 ≈ sigma
 
 
@@ -480,6 +549,7 @@ QUERIES = {
     "session_overlap": _session_overlap,
     "rolling_mau": _rolling_mau,
     "gap_fill": _gap_fill,
+    "gap_fill_interp": _gap_fill_interp,
     "funnel_steps": _funnel_steps,
     "retention_cohorts": _retention_cohorts,
     "events_zscore": _events_zscore,
@@ -636,6 +706,48 @@ SELECT s.user_id, strftime(s.week, '%Y-%m-%d') AS week,
        c.n_events IS NULL AS is_gap
 FROM spine s LEFT JOIN counts c
   ON c.user_id = s.user_id AND c.week = s.week
+""",
+    "gap_fill_interp": """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         round(avg(value), 4) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+), bounds AS (
+  SELECT user_id, min(day) AS dmin, max(day) AS dmax
+  FROM obs GROUP BY user_id
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(
+           CAST(dmin AS TIMESTAMP), CAST(dmax AS TIMESTAMP),
+           INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+), j AS (
+  SELECT s.user_id, s.day, o.v
+  FROM spine s LEFT JOIN obs o USING (user_id, day)
+), w AS (
+  SELECT user_id, day, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN day END
+                    IGNORE NULLS) OVER wp AS pd,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN day END
+                     IGNORE NULLS) OVER wf AS nd
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       v AS observed,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE floor((pv + (nv - pv)
+                        * CAST(date_diff('day', pd, day) AS DOUBLE)
+                        / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                       * 10000.0 + 0.5) / 10000.0
+       END AS filled,
+       v IS NULL AS is_gap
+FROM w
 """,
     "funnel_steps": f"""
 WITH t1 AS (

@@ -315,7 +315,49 @@ def _join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_DIST = 3  # edit-distance threshold for a candidate match
+
+
+def _join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: blocked fuzzy-match join (record linkage / entity
+    resolution) — find near-identical part names by edit distance.
+    The naive formulation is an all-pairs cross join with a
+    levenshtein predicate, which is O(n²) comparisons and a cartesian
+    plan — a scale-killer.  The standard linkage rewrite used here is
+    BLOCKING: derive a cheap deterministic block key (the name's last
+    token — linkage folklore: compare only records that already agree
+    on something), equi-join on it so Catalyst plans a plain hash
+    join, and run the expensive levenshtein only within blocks.  At
+    100 TB the block key is what turns entity resolution from
+    impossible into one shuffle; skewed blocks get the same salting
+    treatment as any skewed join key (`join_salted`).
+
+    Names are deduped (with partkey counts) BEFORE pairing — linkage
+    runs over the distinct-entity table, not the raw rows, which is
+    both semantics (entities, not mentions) and a large input cut.
+    levenshtein() is a JVM built-in with identical plain-edit-distance
+    semantics in DuckDB; `<` on the name pair keeps each unordered
+    pair once."""
+    names = (load(spark, sf_dir, "part")
+             .groupBy("p_name").agg(F.count("*").alias("n_parts")))
+    blocked = names.select(
+        F.col("p_name").alias("name"), "n_parts",
+        F.regexp_extract("p_name", r"(\S+)$", 1).alias("block"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, "block")
+        .where(F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("name_a"),
+                F.col("b.name").alias("name_b"),
+                F.levenshtein("a.name", "b.name").alias("dist"),
+                F.col("a.n_parts").alias("parts_a"),
+                F.col("b.n_parts").alias("parts_b"))
+        .where(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+
+
 QUERIES = {
+    "join_fuzzy": _join_fuzzy,
     "join_salted": _join_salted,
     "merge_upsert": _merge_upsert,
     "join_null_safe": _join_null_safe,
@@ -329,6 +371,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_fuzzy": f"""
+WITH names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_name
+), blocked AS (
+  SELECT p_name AS name, n_parts,
+         regexp_extract(p_name, '(\\S+)$', 1) AS block
+  FROM names
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+       a.n_parts AS parts_a, b.n_parts AS parts_b
+FROM blocked a JOIN blocked b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+""",
     "join_null_safe": """
 WITH a AS (
   SELECT CASE WHEN event_type != 'error' THEN event_type END AS k,

@@ -559,7 +559,48 @@ def _sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: CDC change-log application — collapse an ordered stream of
+    upserts and deletes into final table state, the core of every
+    log-to-table materialization (Debezium→lakehouse, Delta/Hudi/
+    Iceberg MERGE loops).  Distinct from `merge_upsert` (one batch of
+    updates against one base) and `scd2_merge` (history-keeping): this
+    is last-writer-wins REPLAY with tombstones — many ops per key, the
+    final op decides, and a trailing delete erases the key entirely.
+
+    The events table plays the change log: key = (user_id, k from the
+    JSON props), op = delete for 'error' rows else upsert of `value`,
+    log order = (ts, event_id).  Last-op-per-key is one ranking window
+    over the key-partitioned sort — the scale-canonical formulation:
+    ONE shuffle on the key, no iterative driver loop, and at 100 TB
+    it's exactly the compaction pass a log-structured table runs.
+    Surviving state re-aggregates per user; values sum in
+    DECIMAL(18,2) so the total is exact and accumulation-order-free
+    (the sql_q10 pattern)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    return spark.sql("""
+        WITH ch AS (
+          SELECT user_id,
+                 CAST(get_json_object(props, '$.k') AS INT) AS k,
+                 ts, event_id, event_type, value
+          FROM v_events
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, k
+                                       ORDER BY ts DESC, event_id DESC)
+                    AS rn
+          FROM ch
+        )
+        SELECT user_id, count(*) AS live_keys,
+               CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS total_value
+        FROM ranked
+        WHERE rn = 1 AND event_type != 'error'
+        GROUP BY user_id
+    """)
+
+
 QUERIES = {
+    "cdc_apply": _cdc_apply,
     "sql_q1": _sql_q1,
     "sql_q3": _sql_q3,
     "sql_q10": _sql_q10,
@@ -584,6 +625,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cdc_apply": """
+WITH ch AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         ts, event_id, event_type, value
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, k
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ch
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS live_keys,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value
+FROM ranked
+WHERE rn = 1 AND event_type != 'error'
+GROUP BY user_id
+""",
     "sql_q1": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)           AS sum_qty,

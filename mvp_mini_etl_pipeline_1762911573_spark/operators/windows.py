@@ -270,7 +270,66 @@ def _window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Truncated-EWMA parameters: alpha = 0.3 smoothing, K = 8 taps.
+#: Weights are precomputed in Python and embedded as the SAME literal
+#: strings in the Spark expression and the DuckDB oracle, so both
+#: engines parse identical doubles and run the identical left-to-right
+#: arithmetic — no cross-engine float divergence by construction.
+EWMA_ALPHA = 0.3
+EWMA_K = 8
+_EWMA_WEIGHTS = [(1.0 - EWMA_ALPHA) ** k for k in range(EWMA_K)]
+
+
+def _ewma_exprs() -> tuple[str, str]:
+    """(numerator, denominator) SQL fragments over named window ``w``.
+
+    Adjust-style finite EWMA (pandas ``ewm(adjust=True)`` truncated to
+    K taps): y_i = Σ_k w_k·x_{i-k} / Σ_k w_k over the taps that exist,
+    w_k = (1-α)^k.  Explicit left-to-right addition chain keeps the
+    summation order identical in any engine that evaluates ``+`` as
+    written (Spark and DuckDB both do)."""
+    num = " + ".join(
+        f"coalesce({w!r} * lag(value, {k}) OVER w, 0.0)"
+        for k, w in enumerate(_EWMA_WEIGHTS))
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {k}) OVER w IS NOT NULL"
+        f" THEN {w!r} ELSE 0.0 END)"
+        for k, w in enumerate(_EWMA_WEIGHTS))
+    return num, den
+
+
+def _window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-extra: exponentially-weighted moving average — the standard
+    time-series smoother (metrics dashboards, anomaly baselines,
+    trading signals).  The textbook EWMA is the sequential recurrence
+    y_i = α·x_i + (1-α)·y_{i-1}, which no parallel engine can evaluate
+    as written; the scale rewrite used here is the K-tap FIR
+    truncation: weights (1-α)^k decay geometrically, so after K = 8
+    taps the dropped tail is (1-α)^8 < 6% of the mass and the window
+    needs only K bounded ``lag``s — a single per-user sorted streaming
+    pass, identical shuffle shape to any partitioned window, with NO
+    sequential dependency between rows.  (An exact recurrence needs a
+    per-key sequential scan — ``applyInPandas`` territory — and its
+    float result depends on accumulation order; the FIR form is the
+    one that is both distributed and bit-reproducible.)
+
+    Expressed via spark.sql with a generated expression string shared
+    verbatim with the oracle (see _ewma_exprs) — cross-engine equality
+    is by construction, not by luck.  EXT (no reference counterpart:
+    the reference has no window functions at all)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    num, den = _ewma_exprs()
+    return spark.sql(f"""
+        SELECT user_id, event_id, value,
+               round(({num}) / ({den}), 6) AS ewma
+        FROM v_events
+        WHERE user_id % 10 = 3
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """)
+
+
 QUERIES = {
+    "window_ewma": _window_ewma,
     "window_fill_forward": _window_fill_forward,
     "window_cume_dist": _window_cume_dist,
     "window_range_frame": _window_range_frame,
@@ -392,3 +451,14 @@ WINDOW w_o AS (PARTITION BY c_mktsegment
 # construction strategies checked against it (same pattern as the CC
 # flavors sharing dedup_clusters' oracle)
 ORACLES["scd2_merge"] = ORACLES["scd2_intervals"]
+
+# generated from the SAME fragments the Spark query uses — identical
+# literals, identical arithmetic order (see _ewma_exprs docstring)
+_EWMA_NUM, _EWMA_DEN = _ewma_exprs()
+ORACLES["window_ewma"] = f"""
+SELECT user_id, event_id, value,
+       round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+FROM events
+WHERE user_id % 10 = 3
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -34,6 +34,9 @@ AUDIT = [
     "sample_priority",    # round-4: partial WindowGroupLimit pre-shuffle
     "basket_pairs",       # round-4: apriori prune before pair self-join
     "chain_rcte",         # round-4: recursive CTE (UnionLoop) traversal
+    "join_fuzzy",         # round-4: blocked linkage join (no cartesian)
+    "text_bm25",          # round-4: query-term-pruned posting shuffle
+    "cdc_apply",          # round-4: one-shuffle log compaction window
 ]
 
 
