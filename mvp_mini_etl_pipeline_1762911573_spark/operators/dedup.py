@@ -859,6 +859,57 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges)
 
 
+BFS_MAX_HOPS = 8  # shared hop bound: Spark loop cap == oracle's
+#                   recursion guard, so both sides compute exactly
+#                   "min hops within 8" (diameter here is ~2-3; the
+#                   loop exits early on an empty frontier)
+
+
+def _graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: multi-source BFS — hop distance from a seed set over the
+    SemDeDup affinity graph (same 0.25-cosine edges as
+    graph_triangles/pagerank).  The training-data reading: seeds are
+    the labeled/curated docs, and distance-to-seed grades the rest of
+    the corpus by affinity-graph proximity (label propagation's
+    skeleton).
+
+    Iterative frontier expansion, the textbook distributed BFS: each
+    round joins the CURRENT frontier (not the settled set) to the
+    edge list, anti-joins already-settled nodes, and unions the new
+    hop in — per-round work ∝ frontier × degree, the same join+agg
+    round shape as `dedup_clusters`, with localCheckpoint cutting the
+    growing lineage and an early exit when the frontier empties.
+    Unreachable-within-BFS_MAX_HOPS nodes are excluded on BOTH sides
+    by the shared bound, which is also what makes the recursive-CTE
+    oracle terminate on this CYCLIC graph (UNION-distinct alone
+    cannot: (node, dist) pairs keep growing around a cycle).  A
+    cross-PARADIGM differential check, like chain_rcte: iterative
+    DataFrame algorithm vs bounded recursive CTE + min()."""
+    edges = (_embedding_pair_edges(spark, sf_dir,
+                                   threshold=TRIANGLE_THRESHOLD)
+             .select(F.col("keep_id").alias("src"),
+                     F.col("dup_id").alias("dst")))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    seeds = (sym.select(F.col("src").alias("node")).distinct()
+             .where(F.col("node") % 100 == 0))
+    dist = (seeds.select("node", F.lit(0).alias("dist"))
+            .localCheckpoint(eager=True))
+    frontier = dist.select("node")
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (frontier.join(sym, frontier["node"] == sym["src"])
+               .select(F.col("dst").alias("node")).distinct()
+               .join(dist, "node", "left_anti")
+               .select("node", F.lit(hop).alias("dist"))
+               .localCheckpoint(eager=True))
+        if not nxt.take(1):
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist
+
+
 # -- bloom-filter incremental dedup ----------------------------------
 #
 # The 100 TB motivation: checking a new crawl batch against an
@@ -960,6 +1011,7 @@ def _dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "graph_pagerank": _graph_pagerank,
+    "graph_bfs": _graph_bfs,
     "dedup_bloom": _dedup_bloom,
     "graph_triangles": _graph_triangles,
     "decontaminate": _decontaminate,
@@ -1003,6 +1055,39 @@ SELECT s.train_doc, s.bench_doc, s.n_shared, z.bench_grams,
        round(s.n_shared / z.bench_grams, 4) AS overlap
 FROM shared s JOIN bench_sizes z ON z.bench_doc = s.bench_doc
 WHERE round(s.n_shared / z.bench_grams, 4) >= {DECON_MIN_OVERLAP}
+""",
+    # bounded recursive CTE over the same 0.25-threshold edge set;
+    # min(dist) per node == the Spark loop's first-reach hop, and the
+    # shared BFS_MAX_HOPS bound is what terminates recursion on a
+    # cyclic graph
+    "graph_bfs": f"""
+WITH RECURSIVE {DUCK_CELLS_CTE}, vecs AS (
+  SELECT d.doc_id, e.embedding, c.cell
+  FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  JOIN cells c ON c.vec_id = d.doc_id
+), pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM vecs a JOIN vecs b
+    ON a.cell = b.cell AND a.doc_id < b.doc_id
+  WHERE round(
+          list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+          6) >= {TRIANGLE_THRESHOLD}
+), edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+), seeds AS (
+  SELECT DISTINCT src AS node FROM edges WHERE src % 100 = 0
+), walk(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {BFS_MAX_HOPS}
+)
+SELECT node, CAST(min(dist) AS INTEGER) AS dist
+FROM walk GROUP BY node
 """,
     # transitive closure of the same 6dp-rounded within-cell edge set
     # via recursive CTE; component label = min reachable doc_id

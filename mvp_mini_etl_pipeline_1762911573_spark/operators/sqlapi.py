@@ -559,6 +559,62 @@ def _sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: RFM segmentation — score every customer 1-5 on Recency /
+    Frequency / Monetary quintiles of their order history, then
+    profile the segments; the standard CRM / marketing-analytics
+    operator.
+
+    The naive formulation is three GLOBAL ntile() windows — a
+    single-partition sort of the whole customer table, a scale-killer.
+    The distributed rewrite (quantile_bins' trick, composed three
+    ways): compute the four quintile cutoffs per dimension in one
+    1-row exact-percentile aggregate, broadcast it, and assign scores
+    map-side with CASE.  Interpolated cutoffs lie on or strictly
+    between adjacent sorted values, so `<` classifies every customer
+    identically in both engines; per-customer monetary and per-segment
+    value sum in DECIMAL so no float accumulation order leaks in.
+    Scores are the raw quintile index (1 = lowest metric value) —
+    recency_days is DAYS SINCE last order, so r_score 1 = most
+    recent.  At 100 TB swap percentile → approx_percentile (mergeable
+    sketch), same plan."""
+    orders = load(spark, sf_dir, "orders")
+    ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("refd"))
+    cust = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("custkey"), "refd")
+        .agg(F.datediff("refd", F.max(F.col("o_orderdate").cast("date")))
+              .alias("recency_days"),
+             F.count("*").alias("frequency"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+              .cast("double").alias("monetary"))
+    )
+    cuts = cust.agg(*[
+        F.expr(f"percentile({m}, {q})").alias(f"{m[0]}{i}")
+        for m in ("recency_days", "frequency", "monetary")
+        for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1)])
+
+    def score(m: str):
+        c = F.col
+        x = c(m)
+        p = m[0]
+        return (F.when(x < c(f"{p}1"), 1).when(x < c(f"{p}2"), 2)
+                .when(x < c(f"{p}3"), 3).when(x < c(f"{p}4"), 4)
+                .otherwise(5))
+
+    scored = cust.crossJoin(F.broadcast(cuts)).select(
+        "custkey", "monetary",
+        score("recency_days").alias("r_score"),
+        score("frequency").alias("f_score"),
+        score("monetary").alias("m_score"))
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"),
+             F.round(F.sum(F.col("monetary").cast("decimal(18,2)")), 2)
+              .cast("double").alias("segment_value"))
+    )
+
+
 def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: CDC change-log application — collapse an ordered stream of
     upserts and deletes into final table state, the core of every
@@ -601,6 +657,7 @@ def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "cdc_apply": _cdc_apply,
+    "rfm_segments": _rfm_segments,
     "sql_q1": _sql_q1,
     "sql_q3": _sql_q3,
     "sql_q10": _sql_q10,
@@ -625,6 +682,50 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rfm_segments": """
+WITH ref AS (
+  SELECT CAST(max(o_orderdate) AS DATE) AS refd FROM orders
+), cust AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE), refd)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+              AS DOUBLE) AS monetary
+  FROM orders, ref GROUP BY o_custkey, refd
+), cuts AS (
+  SELECT quantile_cont(recency_days, 0.2) AS r1,
+         quantile_cont(recency_days, 0.4) AS r2,
+         quantile_cont(recency_days, 0.6) AS r3,
+         quantile_cont(recency_days, 0.8) AS r4,
+         quantile_cont(frequency, 0.2) AS f1,
+         quantile_cont(frequency, 0.4) AS f2,
+         quantile_cont(frequency, 0.6) AS f3,
+         quantile_cont(frequency, 0.8) AS f4,
+         quantile_cont(monetary, 0.2) AS m1,
+         quantile_cont(monetary, 0.4) AS m2,
+         quantile_cont(monetary, 0.6) AS m3,
+         quantile_cont(monetary, 0.8) AS m4
+  FROM cust
+), scored AS (
+  SELECT custkey, monetary,
+         CASE WHEN recency_days < r1 THEN 1 WHEN recency_days < r2 THEN 2
+              WHEN recency_days < r3 THEN 3 WHEN recency_days < r4 THEN 4
+              ELSE 5 END AS r_score,
+         CASE WHEN frequency < f1 THEN 1 WHEN frequency < f2 THEN 2
+              WHEN frequency < f3 THEN 3 WHEN frequency < f4 THEN 4
+              ELSE 5 END AS f_score,
+         CASE WHEN monetary < m1 THEN 1 WHEN monetary < m2 THEN 2
+              WHEN monetary < m3 THEN 3 WHEN monetary < m4 THEN 4
+              ELSE 5 END AS m_score
+  FROM cust, cuts
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(round(sum(CAST(monetary AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS segment_value
+FROM scored GROUP BY r_score, f_score, m_score
+""",
     "cdc_apply": """
 WITH ch AS (
   SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

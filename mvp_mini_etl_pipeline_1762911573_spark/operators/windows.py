@@ -328,7 +328,32 @@ def _window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-extra: rolling robust statistics — trailing-10-row exact
+    median (and min/max guard rails) of each user's event values, the
+    outlier-resistant sibling of the moving average (`window_ewma`):
+    one wild reading drags a mean for 10 rows but moves the median at
+    most one rank.  `percentile` runs as a window AGGREGATE over the
+    bounded row frame — per-frame sort of ≤10 values streamed over
+    each user's sorted run, one key shuffle like any partitioned
+    window.  Interpolation semantics match DuckDB's quantile_cont
+    (both linear — the same parity agg_percentiles pins at the
+    grouped level)."""
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 10 == 7)
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(-9, Window.currentRow))
+    return ev.select(
+        "user_id", "event_id", "value",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4)
+         .alias("med_10"),
+        F.min("value").over(w).alias("min_10"),
+        F.max("value").over(w).alias("max_10"),
+    )
+
+
 QUERIES = {
+    "window_rolling_median": _window_rolling_median,
     "window_ewma": _window_ewma,
     "window_fill_forward": _window_fill_forward,
     "window_cume_dist": _window_cume_dist,
@@ -451,6 +476,17 @@ WINDOW w_o AS (PARTITION BY c_mktsegment
 # construction strategies checked against it (same pattern as the CC
 # flavors sharing dedup_clusters' oracle)
 ORACLES["scd2_merge"] = ORACLES["scd2_intervals"]
+
+ORACLES["window_rolling_median"] = """
+SELECT user_id, event_id, value,
+       round(quantile_cont(value, 0.5) OVER w, 4) AS med_10,
+       min(value) OVER w AS min_10,
+       max(value) OVER w AS max_10
+FROM events
+WHERE user_id % 10 = 7
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
 
 # generated from the SAME fragments the Spark query uses — identical
 # literals, identical arithmetic order (see _ewma_exprs docstring)

@@ -37,6 +37,7 @@ AUDIT = [
     "join_fuzzy",         # round-4: blocked linkage join (no cartesian)
     "text_bm25",          # round-4: query-term-pruned posting shuffle
     "cdc_apply",          # round-4: one-shuffle log compaction window
+    "rfm_segments",       # round-4: cutoff broadcast, no global ntile
 ]
 
 

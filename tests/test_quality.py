@@ -298,3 +298,62 @@ def test_heavy_hitters_candidates_cover_truth(spark, sf_dir):
              .where(F.col("count") > 0.01 * n).collect()}
     assert truth, "fixtures should contain >1% tokens"
     assert truth <= cands, f"sketch dropped true hitters: {truth - cands}"
+
+
+def test_fuzzy_join_blocking_prunes_candidates(spark, sf_dir):
+    """The linkage blocking must actually prune: candidate pairs
+    (same block) should be a small fraction of all-pairs, else the
+    levenshtein pass degenerates toward the O(n²) cross join the
+    operator exists to avoid.  Also sanity-check the matches: every
+    emitted pair agrees on the block token and respects the distance
+    threshold."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.joins import (
+        FUZZY_MAX_DIST,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    names = (load(spark, sf_dir, "part")
+             .select("p_name").distinct()
+             .withColumn("block",
+                         F.regexp_extract("p_name", r"(\S+)$", 1)))
+    n = names.count()
+    all_pairs = n * (n - 1) // 2
+    candidates = (names.groupBy("block").count()
+                  .agg(F.sum(F.expr("count * (count - 1) / 2")))
+                  .collect()[0][0])
+    assert candidates < all_pairs / 3, (
+        f"blocking kept {candidates}/{all_pairs} pairs — not pruning")
+
+    matches = all_queries()["join_fuzzy"](spark, sf_dir).collect()
+    assert matches, "fixture part names should contain near matches"
+    for r in matches:
+        assert r.dist <= FUZZY_MAX_DIST
+        assert r.name_a.rsplit(" ", 1)[-1] == r.name_b.rsplit(" ", 1)[-1]
+
+
+def test_graph_bfs_distances_are_sound(spark, sf_dir):
+    """BFS output invariants: seeds (node % 100 == 0) sit at distance
+    0, every distance is within the shared hop bound, each node
+    appears once, and every distance-d node (d >= 1) has a neighbor at
+    d-1 (the triangle-inequality witness that hop counts are real BFS
+    levels, not loop artifacts)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        BFS_MAX_HOPS, TRIANGLE_THRESHOLD, _embedding_pair_edges,
+    )
+
+    rows = all_queries()["graph_bfs"](spark, sf_dir).collect()
+    dist = {r.node: r.dist for r in rows}
+    assert len(dist) == len(rows), "duplicate node labels"
+    assert all(0 <= d <= BFS_MAX_HOPS for d in dist.values())
+    assert all(dist[n] == 0 for n in dist if n % 100 == 0)
+
+    edges = _embedding_pair_edges(spark, sf_dir,
+                                  threshold=TRIANGLE_THRESHOLD).collect()
+    nbrs: dict[int, set] = {}
+    for e in edges:
+        nbrs.setdefault(e.keep_id, set()).add(e.dup_id)
+        nbrs.setdefault(e.dup_id, set()).add(e.keep_id)
+    for node, d in dist.items():
+        if d >= 1:
+            assert any(dist.get(m) == d - 1 for m in nbrs[node]), (
+                f"node {node} at dist {d} has no parent at {d - 1}")
