@@ -65,6 +65,15 @@ def main() -> None:
     # + one tiny shuffle covers both code paths.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
         .groupBy("l_returnflag").count().collect()
+    # ... and the localCheckpoint machinery: the FIRST checkpoint of a
+    # session pays ~2s of one-time block-manager/codegen setup (same
+    # cost on a 1-row RDD as on the real entity — measured 2.6s first
+    # vs 0.5s second for the identical call), which belongs to session
+    # startup exactly like the scan/shuffle warm-up above.  The
+    # iterative queries (dedup_clusters*) absorb it in their discarded
+    # cold run; users_materialize is a single timed cold build, so
+    # without this line it books the machinery cost as its own.
+    spark.range(1).localCheckpoint(eager=True)
 
     timings: dict[str, float] = {}
 

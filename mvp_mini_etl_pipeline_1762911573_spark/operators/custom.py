@@ -234,15 +234,111 @@ def _udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (third flavor, pandas merge_asof
+    direction='nearest'): each order picks the user's event CLOSEST in
+    time, either side; equidistant ties go backward (the earlier
+    event — decided, documented, and mirrored in the oracle).
+
+    Plan: ONE union + ONE key shuffle + ONE sort evaluates BOTH
+    directions — the backward carry (last over the preceding frame)
+    and the forward carry (first over the following frame) are two
+    window functions sharing a single (partition, order) spec, so
+    WindowExec computes them in the same pass; `nearest` then is a
+    map-side CASE on the two candidates' microsecond distances.  The
+    one ordering (_ts, right-before-left at equal ts) makes a
+    same-timestamp event visible to the BACKWARD carry only — harmless
+    for nearest: its distance is 0, so backward wins regardless.
+
+    The DuckDB oracle runs two native ASOF JOINs (<= and >=) and the
+    same tie CASE — a different algorithm entirely (DuckDB's
+    interpolated-search asof vs this union-window carry), which is the
+    cross-paradigm check worth having for join semantics."""
+    orders, events_u = _asof_inputs(spark, sf_dir)
+    payload_t = ("ts: timestamp, event_id: bigint, event_type: string")
+    lt = orders.select(
+        F.col("uid").alias("_k"), F.col("o_orderdate").alias("_ts"),
+        F.lit(1).alias("_is_left"), "o_orderkey", "uid", "o_orderdate",
+        F.lit(None).cast(f"struct<{payload_t}>").alias("_payload"))
+    rt = events_u.select(
+        F.col("uid").alias("_k"), F.col("ts").alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("bigint").alias("uid"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.struct("ts", "event_id", "event_type").alias("_payload"))
+    merged = lt.unionByName(rt)
+    wb = (Window.partitionBy("_k").orderBy("_ts", "_is_left")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("_k").orderBy("_ts", "_is_left")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    carried = merged.select(
+        "*",
+        F.last("_payload", ignorenulls=True).over(wb).alias("_prev"),
+        F.first("_payload", ignorenulls=True).over(wf).alias("_next"))
+    lts = F.unix_micros("o_orderdate")
+    prev_d = lts - F.unix_micros(F.col("_prev")["ts"])
+    next_d = F.unix_micros(F.col("_next")["ts"]) - lts
+    take_prev = F.col("_next").isNull() | (
+        F.col("_prev").isNotNull() & (prev_d <= next_d))
+    chosen = F.when(take_prev, F.col("_prev")).otherwise(F.col("_next"))
+    return (
+        carried.where(F.col("_is_left") == 1)
+        .select(
+            "o_orderkey", "uid",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+             .alias("odate"),
+            chosen["event_id"].alias("event_id"),
+            chosen["event_type"].alias("event_type"),
+            F.when(chosen.isNotNull(),
+                   F.when(take_prev, "backward").otherwise("forward"))
+             .alias("side"))
+    )
+
+
 QUERIES = {
     "asof_join": _asof_query,
     "asof_forward": _asof_forward_query,
+    "asof_nearest": _asof_nearest_query,
     "udf_cosine": _udf_cosine,
     "udaf_mode": _udaf_mode,
     "udtf_tokens": _udtf_tokens,
 }
 
 ORACLES = {
+    "asof_nearest": """
+WITH o AS (
+  SELECT o_orderkey, o_custkey % 500 AS uid, o_orderdate
+  FROM orders WHERE o_orderkey % 50 = 0
+), e AS (
+  SELECT uid, ts, event_id, event_type FROM (
+    SELECT user_id % 500 AS uid, ts, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id % 500, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1
+), both_sides AS (
+  SELECT o.o_orderkey, o.uid AS uid, o.o_orderdate,
+         b.ts AS b_ts, b.event_id AS b_id, b.event_type AS b_type,
+         f.ts AS f_ts, f.event_id AS f_id, f.event_type AS f_type
+  FROM o
+  ASOF LEFT JOIN e b ON o.uid = b.uid AND b.ts <= o.o_orderdate
+  ASOF LEFT JOIN e f ON o.uid = f.uid AND f.ts >= o.o_orderdate
+)
+SELECT o_orderkey, uid,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate,
+       CASE WHEN take_prev THEN b_id ELSE f_id END AS event_id,
+       CASE WHEN take_prev THEN b_type ELSE f_type END AS event_type,
+       CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+            WHEN take_prev THEN 'backward' ELSE 'forward'
+       END AS side
+FROM (
+  SELECT *,
+         f_ts IS NULL OR (b_ts IS NOT NULL AND
+           epoch_us(o_orderdate) - epoch_us(b_ts)
+             <= epoch_us(f_ts) - epoch_us(o_orderdate)) AS take_prev
+  FROM both_sides)
+""",
     "asof_join": """
 WITH o AS (
   SELECT o_orderkey, o_custkey % 500 AS uid, o_orderdate

@@ -356,8 +356,77 @@ def _join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ER_MAX_ITERS = 10  # safety bound; fuzzy-match components live inside
+#                    one block (names agreeing on the last token), so
+#                    diameter is bounded by the block's variant count
+#                    and propagation converges in 2-3 rounds here
+
+
+def _entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: entity canonicalization — the last stage of the record-
+    linkage pipeline that `join_fuzzy` starts: fuzzy matches form an
+    equivalence graph over the distinct part names; connected
+    components merge transitively-linked variants into one entity; the
+    lexicographically smallest member becomes the canonical name every
+    variant maps to (the merge a master-data/dedup system applies).
+
+    Same iterative min-label propagation as `dedup_clusters` (string
+    min instead of integer min): per round, each node takes the min of
+    its label and its neighbors' labels — one equi-join + one groupBy
+    per round, O(diameter) rounds, fixpoint detected by a changed-row
+    count (with the same capped-loop warning discipline).  No
+    checkpoint needed at this diameter; components span only a single
+    fuzzy block, so the label table stays broadcast-small relative to
+    the corpus even at 100 TB (the graph is over distinct ENTITIES,
+    not rows).  Names with no fuzzy match are their own canonical and
+    are excluded here (mirrors dedup_clusters' members-only output;
+    the identity mapping adds nothing).
+
+    Oracle: recursive-CTE transitive closure + min over reachable
+    names — closed-form recursion vs iterative loop, the same
+    cross-paradigm differential as dedup_clusters."""
+    import warnings
+
+    matches = _join_fuzzy(spark, sf_dir)
+    sym = (matches.select(F.col("name_a").alias("src"),
+                          F.col("name_b").alias("dst"))
+           .union(matches.select(F.col("name_b").alias("src"),
+                                 F.col("name_a").alias("dst"))))
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")))
+    for _ in range(ER_MAX_ITERS):
+        nbr = (sym.join(labels, sym["dst"] == labels["node"])
+               .groupBy(F.col("src").alias("node"))
+               .agg(F.min("label").alias("nbr_min")))
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select("node",
+                    F.least("label", F.coalesce("nbr_min", "label"))
+                     .alias("label")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        warnings.warn(
+            f"_entity_canonical hit ER_MAX_ITERS={ER_MAX_ITERS} without "
+            "converging; labels are only locally consistent",
+            stacklevel=2)
+    sizes = labels.groupBy(F.col("label").alias("canonical")).agg(
+        F.count("*").alias("cluster_size"))
+    return (labels
+            .select(F.col("node").alias("name"),
+                    F.col("label").alias("canonical"))
+            .join(sizes, "canonical")
+            .select("name", "canonical", "cluster_size"))
+
+
 QUERIES = {
     "join_fuzzy": _join_fuzzy,
+    "entity_canonical": _entity_canonical,
     "join_salted": _join_salted,
     "merge_upsert": _merge_upsert,
     "join_null_safe": _join_null_safe,
@@ -371,6 +440,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "entity_canonical": f"""
+WITH RECURSIVE names AS (
+  SELECT p_name FROM part GROUP BY p_name
+), blocked AS (
+  SELECT p_name AS name,
+         regexp_extract(p_name, '(\\S+)$', 1) AS block
+  FROM names
+), pairs AS (
+  SELECT a.name AS src, b.name AS dst
+  FROM blocked a JOIN blocked b ON a.block = b.block AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+), edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT node, min(r) AS canonical FROM (
+    SELECT src AS node, dst AS r FROM reach
+    UNION ALL
+    SELECT DISTINCT src AS node, src AS r FROM edges
+  ) GROUP BY node
+)
+SELECT l.node AS name, l.canonical, s.cluster_size
+FROM labels l
+JOIN (SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY canonical) s USING (canonical)
+""",
     "join_fuzzy": f"""
 WITH names AS (
   SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts

@@ -32,6 +32,65 @@ OUT_SCHEMA = "user_id bigint, events_seen bigint, value_sum double"
 STATE_SCHEMA = "events_seen bigint, value_sum double"
 
 
+CDC_OUT_SCHEMA = ("user_id bigint, k int, ts_us bigint, "
+                  "event_id bigint, is_del boolean, value double")
+CDC_STATE_SCHEMA = "ts_us bigint, event_id bigint, is_del boolean, value double"
+
+
+def cdc_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming flavor of the batch `cdc_apply` operator: last-
+    writer-wins CDC state per (user_id, k) key, maintained across
+    micro-batches — the live materialized-view half of log-to-table
+    replay (the batch flavor is the compaction pass; this is what the
+    ingest path runs between compactions).
+
+    State per key is just the winning op (max (ts_us, event_id)) —
+    taking a max is commutative and associative, so the converged
+    state is IDENTICAL under any micro-batch split of the log, which
+    is exactly what the convergence pytest exercises by replaying the
+    same log as one, and as three, source files.  Emits the updated
+    state for every key touched in a batch (update mode); tombstones
+    (is_del) stay IN state rather than deleting it — a later re-upsert
+    of the key must still compare against the tombstone's position."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        user_id, k = key
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                cand = (int(r.ts_us), int(r.event_id),
+                        bool(r.is_del), float(r.value))
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame({
+            "user_id": [user_id], "k": [k],
+            "ts_us": [best[0]], "event_id": [best[1]],
+            "is_del": [best[2]], "value": [best[3]],
+        })
+
+    from pyspark.sql import functions as F
+    keyed = events.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        (F.col("event_type") == "error").alias("is_del"),
+        "value",
+    )
+    return (
+        keyed.groupBy("user_id", "k")
+        .applyInPandasWithState(
+            update,
+            outputStructType=CDC_OUT_SCHEMA,
+            stateStructType=CDC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_totals_stream(events: DataFrame) -> DataFrame:
     """Per-user (events_seen, value_sum) carried across micro-batches;
     emits the updated running totals for every user seen in a batch."""

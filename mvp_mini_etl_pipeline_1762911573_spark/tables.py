@@ -93,14 +93,25 @@ _USERS_CACHE: dict = {}
 def warm_users_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), os.path.abspath(sf_dir))
     if key not in _USERS_CACHE:
-        # localCheckpoint over persist(MEMORY_AND_DISK): the columnar
-        # cache encode made persist+count ~3.5s at sf0.1 where the bare
-        # computation is ~0.6s; checkpointed blocks materialize in
-        # ~1.3s and re-serve in ~0.1s.  Lineage truncation is fine for
-        # this opt-in single-session cache (blocks freed on GC); a
+        # localCheckpoint over persist(MEMORY_AND_DISK) or a temp
+        # parquet round-trip: measured at sf0.1, persist+count ~3.5s
+        # (columnar cache encode) and write+read ~3.7s (commit
+        # overhead) vs ~0.6s for the repartitioned checkpoint below.
+        # The repartition matters: AQE coalesces the small build to
+        # ONE partition, and checkpointing that plan serializes the
+        # whole derivation (broadcast joins + first-order agg + regex
+        # dirt injection) into a single task (~2.6s measured);
+        # spreading to defaultParallelism first runs it wide — the
+        # same reason a cluster materialization writes N files, not 1.
+        # Row order is a physical detail here: every consumer either
+        # aggregates or sorts explicitly (oracle compares are
+        # order-insensitive).  Lineage truncation is fine for this
+        # opt-in single-session cache (blocks freed on GC); a
         # long-lived cluster entity would persist or write a table.
-        _USERS_CACHE[key] = users_base(spark, sf_dir) \
-            .localCheckpoint(eager=True)
+        _USERS_CACHE[key] = (
+            users_base(spark, sf_dir)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True))
     return _USERS_CACHE[key]
 
 

@@ -38,6 +38,7 @@ AUDIT = [
     "text_bm25",          # round-4: query-term-pruned posting shuffle
     "cdc_apply",          # round-4: one-shuffle log compaction window
     "rfm_segments",       # round-4: cutoff broadcast, no global ntile
+    "asof_nearest",       # round-4: one sort, both frames in one pass
 ]
 
 

@@ -93,3 +93,74 @@ def test_jsonl_quarantine_split(spark, tmp_path):
         assert len(schema.fields) == n_fields
     finally:
         spark.catalog.clearCache()
+
+
+def test_cdc_state_stream_converges_across_batch_splits(spark, sf_dir,
+                                                        tmp_path):
+    """The streaming CDC state (last-writer-wins per (user_id, k),
+    `stateful.cdc_state_stream`) must converge to the batch ranked-
+    window answer when the SAME log arrives split across three
+    micro-batches — the max-(ts, event_id) state transition is
+    commutative/associative, so the batch split cannot change the
+    outcome.  This is the live-ingest half of `cdc_apply` (whose
+    oracle checks the batch compaction)."""
+    import os
+
+    from mvp_mini_etl_pipeline_1762911573_spark.streaming.stateful import (
+        cdc_state_stream,
+    )
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 5 == 2)
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    # explicit arrow schema: pandas inference on a near-empty chunk
+    # degrades object columns, and ns timestamps become TIMESTAMP(NANOS)
+    pa_schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    cols = [f.name for f in pa_schema]
+    for i in range(3):
+        part = str(src / f"chunk{i}.parquet")
+        pdf = ev.where(F.col("event_id") % 3 == i).toPandas()[cols]
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=pa_schema,
+                                 preserve_index=False), part)
+        os.utime(part, (1_000_000 + 60 * i, 1_000_000 + 60 * i))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    got = jobs.run_to_memory(cdc_state_stream(stream), "t_cdc", "update")
+
+    # update mode re-emits a key's state every batch that touches it;
+    # the winning (max ts_us, event_id) emission per key is final state
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id", "k").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc())
+    final = (got.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .select("user_id", "k", "event_id", "is_del", "value"))
+
+    wb = Window.partitionBy("user_id", "k").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    want = (ev.select(
+                "user_id",
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+                "ts", "event_id",
+                (F.col("event_type") == "error").alias("is_del"),
+                "value")
+            .withColumn("rn", F.row_number().over(wb))
+            .where(F.col("rn") == 1)
+            .select("user_id", "k", "event_id", "is_del", "value"))
+
+    a = sorted(tuple(r) for r in final.collect())
+    b = sorted(tuple(r) for r in want.collect())
+    assert a and a == b
+    assert any(r[3] for r in b), "log subset should contain tombstones"
