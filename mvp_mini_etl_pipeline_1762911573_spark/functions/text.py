@@ -860,7 +860,73 @@ def _text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") <= 20))
 
 
+#: Fixed public logistic-regression weights for the quality
+#: classifier — heuristic magnitudes in the C4/Gopher feature space
+#: (more stopwords/alpha → keep; heavy punctuation → drop).  Embedded
+#: as identical literals in both engines via _QUALITY_LOGIT_Z.
+QUALITY_LOGIT_W = {
+    "intercept": -4.4,
+    "avg_word_len": 0.2,
+    "stopword_ratio": 2.0,
+    "punct_ratio": -4.0,
+    "alpha_ratio": 2.5,
+    "log_tokens": 0.35,
+}
+_QUALITY_LOGIT_Z = (
+    f"{QUALITY_LOGIT_W['intercept']!r}"
+    f" + {QUALITY_LOGIT_W['avg_word_len']!r} * avg_word_len"
+    f" + {QUALITY_LOGIT_W['stopword_ratio']!r} * stopword_ratio"
+    f" + {QUALITY_LOGIT_W['punct_ratio']!r} * punct_ratio"
+    f" + {QUALITY_LOGIT_W['alpha_ratio']!r} * alpha_ratio"
+    f" + {QUALITY_LOGIT_W['log_tokens']!r} * ln(1.0 + n_tokens)")
+
+
+def _quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: model inference as a query — score every document with a
+    FIXED-weight logistic quality classifier (the fastText/C4-style
+    learned filter, reduced to its serving form: a dot product and a
+    sigmoid over engineered features).  The point for a 100 TB
+    pipeline: a trained linear filter's inference is a map-side
+    expression, not a UDF and not a model server — whole-stage codegen
+    applies it at scan speed, and the keep/drop decision composes with
+    any downstream operator.
+
+    Features are the `text_quality` signals ROUNDED to 4dp first, so
+    both engines feed bit-identical doubles into the linear term; the
+    z expression is one generated string shared verbatim with the
+    oracle (the window_ewma discipline), and p = 1/(1+e^-z) rounds to
+    4dp so a 1-ulp exp() divergence cannot flip the emitted value.
+    The keep decision thresholds the ROUNDED p for the same reason."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.filter(
+        toks, lambda t: F.array_contains(stop_arr, t)))
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    feats = docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(F.length("text") / F.greatest(n_toks, F.lit(1)), 4)
+         .alias("avg_word_len"),
+        F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 4)
+         .alias("stopword_ratio"),
+        F.round(punct / F.greatest(F.length("text"), F.lit(1)), 4)
+         .alias("punct_ratio"),
+        F.round(alpha / F.greatest(F.length("text"), F.lit(1)), 4)
+         .alias("alpha_ratio"),
+    )
+    return feats.selectExpr(
+        "doc_id",
+        f"round(1.0 / (1.0 + exp(-({_QUALITY_LOGIT_Z}))), 4) AS p_keep",
+        f"round(1.0 / (1.0 + exp(-({_QUALITY_LOGIT_Z}))), 4) >= 0.5"
+        " AS keep",
+    )
+
+
 QUERIES = {
+    "quality_logit": _quality_logit,
     "text_bm25": _text_bm25,
     "lm_score_bigram": _lm_score_bigram,
     "text_repetition": _text_repetition,
@@ -891,6 +957,27 @@ _BM25_SUM = " + ".join(
     for t in BM25_QUERY)
 
 ORACLES = {
+    "quality_logit": f"""
+WITH t AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks, length(text) AS nc
+  FROM documents
+), feats AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         round(nc / greatest(len(toks), 1), 4) AS avg_word_len,
+         round(len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is','it'], x)))
+           / greatest(len(toks), 1), 4) AS stopword_ratio,
+         round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+           / greatest(nc, 1), 4) AS punct_ratio,
+         round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+           / greatest(nc, 1), 4) AS alpha_ratio
+  FROM t
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({_QUALITY_LOGIT_Z}))), 4) AS p_keep,
+       round(1.0 / (1.0 + exp(-({_QUALITY_LOGIT_Z}))), 4) >= 0.5 AS keep
+FROM feats
+""",
     "text_bm25": f"""
 WITH docs AS (
   SELECT doc_id, len({_DUCK_TOKS}) AS dl, text FROM documents

@@ -346,3 +346,26 @@ def test_aqe_coalesces_overpartitioned_shuffle(spark, sf_dir):
         assert "AQEShuffleRead coalesced" in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_asof_nearest_one_sort_both_frames(spark, sf_dir):
+    """asof_nearest's claim: BOTH directional carries come out of ONE
+    union + ONE key shuffle + ONE sort — the backward and forward
+    window frames share a (partition, order) spec, so they must land
+    in a single WindowExec, with no second Exchange/Sort pair and no
+    join node at all."""
+    plan = _plan(all_queries()["asof_nearest"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Union" in plan
+    # the two directional carries must land in the SAME WindowExec:
+    # exactly one Window node argument list mentions the backward carry
+    # (last(_payload)), and that same list must also hold the forward
+    # carry (first(_payload)) — a second window pass would split them.
+    # (The shared input-dedup stage contributes its own row_number
+    # window; that one mentions neither carry.)
+    carry_args = [a for a in plan.split("\n")
+                  if "last(_payload" in a]
+    assert len(carry_args) == 1, f"{len(carry_args)} carry windows"
+    assert "first(_payload" in carry_args[0]

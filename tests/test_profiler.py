@@ -161,3 +161,29 @@ def test_bloom_dedup_shuffles_positions_not_documents(spark, sf_dir):
     # per-partition distinct states (≤ m each) — never the text stream
     assert s["shuffle_records"] <= n_docs * BLOOM_K + BLOOM_M
     assert s["shuffle_bytes"] < corpus_bytes / 2
+
+
+def test_bm25_shuffles_only_matching_postings(spark, sf_dir):
+    """text_bm25's scale claim measured: tokens are filtered to the
+    query terms BEFORE any aggregation, so the shuffles carry matching
+    postings (plus tiny df/stats aggregates), never the corpus token
+    stream.  If the term filter slipped above the explode's consumer,
+    shuffle_records would jump to >= the total token count asserted
+    against here."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import BM25_QUERY
+    docs = load(spark, sf_dir, "documents")
+    total_tokens = docs.select(
+        F.size(F.split(F.lower("text"), r"\s+")).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    matching = docs.select(
+        F.size(F.filter(
+            F.split(F.lower("text"), r"\s+"),
+            lambda t: t.isin(*BM25_QUERY))).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert matching < total_tokens / 5, "fixture should make terms rare"
+    got = profile(all_queries()["text_bm25"](spark, sf_dir))
+    s = got["summary"]
+    # postings shuffle twice (tf agg + distinct-df agg) plus small
+    # aggregate/top-k states; the corpus stream never does
+    assert s["shuffle_records"] <= 4 * matching + 1000
+    assert s["shuffle_records"] < total_tokens
