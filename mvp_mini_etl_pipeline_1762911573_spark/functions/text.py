@@ -925,7 +925,40 @@ def _quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FH_BUCKETS = 64  # feature-hash dimensionality
+
+
+def _feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: feature hashing (the hashing trick / HashingTF) expressed
+    relationally — map each token to one of FH_BUCKETS buckets by a
+    public hash and count per (doc, bucket), producing the sparse
+    bag-of-words vectors a downstream linear model (see
+    `quality_logit`) consumes.  No vocabulary pass, no dictionary to
+    broadcast, collision-tolerant by design — which is exactly why the
+    trick scales: the featurization is a stateless map over the token
+    stream, and the only shuffle carries (doc, bucket) partial counts
+    bounded by docs × FH_BUCKETS regardless of vocabulary size.
+
+    The bucket hash is sha256-derived (the engine-invariant idiom
+    shared with split_assign/sample_hash/dedup_bloom) rather than
+    murmur3: Spark's mllib HashingTF uses murmur3, which DuckDB lacks
+    — sha keeps the full cross-engine oracle.  Emitted sparse (row,
+    col, count) triples ARE the matrix; a Spark ML consumer would
+    assemble them per-doc with array ops."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    tok = F.explode(_tokens(F.col("text"))).alias("tok")
+    bucket = F.pmod(
+        F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 8), 16, 10)
+         .cast("long"),
+        F.lit(FH_BUCKETS))
+    return (docs.select("doc_id", tok)
+            .select("doc_id", bucket.alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
 QUERIES = {
+    "feature_hash": _feature_hash,
     "quality_logit": _quality_logit,
     "text_bm25": _text_bm25,
     "lm_score_bigram": _lm_score_bigram,
@@ -957,6 +990,17 @@ _BM25_SUM = " + ".join(
     for t in BM25_QUERY)
 
 ORACLES = {
+    "feature_hash": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(concat('0x', substr(sha256(tok), 1, 8)) AS BIGINT)
+         % {FH_BUCKETS} AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY doc_id, bucket
+""",
     "quality_logit": f"""
 WITH t AS (
   SELECT doc_id, text, {_DUCK_TOKS} AS toks, length(text) AS nc

@@ -234,6 +234,51 @@ def _gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+DEBOUNCE_S = 21600  # suppress repeats within 6 h of a burst start
+
+
+def _events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: event debouncing — collapse bursts of the same (user,
+    event_type) into their first occurrence, the telemetry/clickstream
+    noise filter (double-clicks, retry storms, sensor chatter).
+
+    Debounce is trickier than it looks: "drop events within the window of
+    the PREVIOUS event" (one lag()) is wrong for chained bursts — a
+    burst spanning 20 minutes at 1-min spacing would re-emit nothing
+    after the first drop broke the chain... actually it would KEEP
+    only gaps, emitting mid-burst events whose predecessor happened to
+    be dropped.  The correct semantics ("first event of each burst,
+    where a burst ends after a silence ≥ the window") is exactly
+    gaps-and-islands: flag gaps > DEBOUNCE_S (6 h here — sized to the fixture event
+    rate so suppression actually exercises), running-sum the flags
+    into island ids, keep each island's first row.  Same single
+    (user_id, event_type) shuffle reused by the lag, the cumsum and
+    the ranking — the sessionize plan shape (E9) specialized to
+    suppression."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "*",
+        F.when(gap.isNull() | (gap > DEBOUNCE_S * 1_000_000), 1)
+         .otherwise(0).alias("is_burst_start"))
+    islands = flagged.select(
+        "*", F.sum("is_burst_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("burst_id"))
+    keep_w = Window.partitionBy(
+        "user_id", "event_type", "burst_id").orderBy("ts", "event_id")
+    return (islands
+            .withColumn("rn", F.row_number().over(keep_w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                    "value", "burst_id"))
+
+
 MAD_K = 1.4826  # normal-consistency constant: MAD * 1.4826 ≈ sigma
 
 
@@ -550,6 +595,7 @@ QUERIES = {
     "rolling_mau": _rolling_mau,
     "gap_fill": _gap_fill,
     "gap_fill_interp": _gap_fill_interp,
+    "events_debounce": _events_debounce,
     "funnel_steps": _funnel_steps,
     "retention_cohorts": _retention_cohorts,
     "events_zscore": _events_zscore,
@@ -706,6 +752,30 @@ SELECT s.user_id, strftime(s.week, '%Y-%m-%d') AS week,
        c.n_events IS NULL AS is_gap
 FROM spine s LEFT JOIN counts c
   ON c.user_id = s.user_id AND c.week = s.week
+""",
+    "events_debounce": """
+WITH w AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         CASE WHEN lag(ts) OVER pw IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER pw) > 21600000000
+              THEN 1 ELSE 0 END AS is_burst_start
+  FROM events
+  WINDOW pw AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), islands AS (
+  SELECT *, sum(is_burst_start) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS burst_id
+  FROM w
+)
+SELECT user_id, event_type, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value, burst_id
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id, event_type, burst_id
+           ORDER BY ts, event_id) AS rn
+  FROM islands)
+WHERE rn = 1
 """,
     "gap_fill_interp": """
 WITH obs AS (

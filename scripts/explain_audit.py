@@ -39,6 +39,7 @@ AUDIT = [
     "cdc_apply",          # round-4: one-shuffle log compaction window
     "rfm_segments",       # round-4: cutoff broadcast, no global ntile
     "asof_nearest",       # round-4: one sort, both frames in one pass
+    "events_debounce",    # round-4: one shuffle reused by lag+cumsum+rank
 ]
 
 
