@@ -559,6 +559,107 @@ def _sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: snapshot reconciliation (data diff) — compare two versions
+    of a keyed table and emit every added / removed / changed row with
+    the list of columns that changed: the audit direction of the
+    lakehouse write path (`merge_upsert` applies changes; this
+    DETECTS them — migration validation, replication drift checks,
+    "what did yesterday's load touch").
+
+    The new snapshot is derived deterministically from orders (drop
+    keys %97, bump totalprice on %13, re-status %41, append %89 under
+    shifted keys) so both engines diff identical inputs.  Shape: ONE
+    full-outer join on the key — the same single shuffle as the
+    merge — with the per-column comparison and the changed-column
+    array built map-side afterward; unchanged rows are filtered out
+    so the output is the (small) change set, not the table."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_orderstatus AS status,
+                 round(o_totalprice, 2) AS price
+          FROM v_orders
+        ), new AS (
+          SELECT k,
+                 CASE WHEN k % 41 = 0 THEN 'X' ELSE status END AS status,
+                 round(CASE WHEN k % 13 = 0 THEN price + 10.0
+                            ELSE price END, 2) AS price
+          FROM base WHERE k % 97 != 0
+          UNION ALL
+          SELECT k + 10000000, 'N', 1.0 FROM base WHERE k % 89 = 0
+        ), joined AS (
+          SELECT coalesce(b.k, n.k) AS k,
+                 b.status AS b_status, n.status AS n_status,
+                 b.price AS b_price, n.price AS n_price,
+                 b.k IS NULL AS is_add, n.k IS NULL AS is_del
+          FROM base b FULL OUTER JOIN new n ON b.k = n.k
+        )
+        SELECT k,
+               CASE WHEN is_add THEN 'added'
+                    WHEN is_del THEN 'removed'
+                    ELSE 'changed' END AS status,
+               filter(array(
+                 CASE WHEN NOT is_add AND NOT is_del
+                       AND b_status != n_status THEN 'status' END,
+                 CASE WHEN NOT is_add AND NOT is_del
+                       AND b_price != n_price THEN 'price' END),
+                 x -> x IS NOT NULL) AS changed_cols,
+               n_status, n_price
+        FROM joined
+        WHERE is_add OR is_del
+           OR b_status != n_status OR b_price != n_price
+    """)
+
+
+#: Data-quality assertion suite: (check name, violation-count SQL
+#: condition source).  Each check is one aggregate over its table —
+#: at 100 TB the whole suite is a handful of scan+count jobs (or one
+#: multi-aggregate pass per table), never row-level materialization.
+def _dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: data-quality checks as a query — the deequ/dbt-test
+    pattern: declarative constraints evaluated to a (check,
+    n_violations, passed) report.  Uniqueness via group-having,
+    referential integrity via anti-join (null-keyed rows are counted
+    by the not-null check, not as orphans), domain and range checks
+    as map-side predicates; every check reduces to a count, so the
+    report is driver-tiny no matter the table size."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql("""
+        WITH checks AS (
+          SELECT 'orders.custkey_not_null' AS check,
+                 count_if(o_custkey IS NULL) AS n_violations
+          FROM v_orders
+          UNION ALL
+          SELECT 'orders.custkey_refs_customer',
+                 count(*)
+          FROM v_orders o ANTI JOIN v_customer c
+            ON o.o_custkey = c.c_custkey
+          UNION ALL
+          SELECT 'orders.totalprice_positive',
+                 count_if(o_totalprice <= 0)
+          FROM v_orders
+          UNION ALL
+          SELECT 'orders.status_in_domain',
+                 count_if(o_orderstatus NOT IN ('F', 'O', 'P'))
+          FROM v_orders
+          UNION ALL
+          SELECT 'customer.custkey_unique',
+                 coalesce(sum(cnt - 1), 0)
+          FROM (SELECT count(*) AS cnt FROM v_customer
+                GROUP BY c_custkey HAVING count(*) > 1)
+          UNION ALL
+          SELECT 'customer.acctbal_in_range',
+                 count_if(c_acctbal < -1000.0 OR c_acctbal > 10000.0)
+          FROM v_customer
+        )
+        SELECT check, CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS passed
+        FROM checks
+    """)
+
+
 def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: RFM segmentation — score every customer 1-5 on Recency /
     Frequency / Monetary quintiles of their order history, then
@@ -658,6 +759,8 @@ def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cdc_apply": _cdc_apply,
     "rfm_segments": _rfm_segments,
+    "table_diff": _table_diff,
+    "dq_check": _dq_check,
     "sql_q1": _sql_q1,
     "sql_q3": _sql_q3,
     "sql_q10": _sql_q10,
@@ -682,6 +785,70 @@ QUERIES = {
 }
 
 ORACLES = {
+    "table_diff": """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         round(o_totalprice, 2) AS price
+  FROM orders
+), new AS (
+  SELECT k,
+         CASE WHEN k % 41 = 0 THEN 'X' ELSE status END AS status,
+         round(CASE WHEN k % 13 = 0 THEN price + 10.0
+                    ELSE price END, 2) AS price
+  FROM base WHERE k % 97 != 0
+  UNION ALL
+  SELECT k + 10000000, 'N', 1.0 FROM base WHERE k % 89 = 0
+), joined AS (
+  SELECT coalesce(b.k, n.k) AS k,
+         b.status AS b_status, n.status AS n_status,
+         b.price AS b_price, n.price AS n_price,
+         b.k IS NULL AS is_add, n.k IS NULL AS is_del
+  FROM base b FULL OUTER JOIN new n ON b.k = n.k
+)
+SELECT k,
+       CASE WHEN is_add THEN 'added'
+            WHEN is_del THEN 'removed'
+            ELSE 'changed' END AS status,
+       list_filter([
+         CASE WHEN NOT is_add AND NOT is_del
+               AND b_status != n_status THEN 'status' END,
+         CASE WHEN NOT is_add AND NOT is_del
+               AND b_price != n_price THEN 'price' END],
+         x -> x IS NOT NULL) AS changed_cols,
+       n_status, n_price
+FROM joined
+WHERE is_add OR is_del
+   OR b_status != n_status OR b_price != n_price
+""",
+    "dq_check": """
+WITH checks AS (
+  SELECT 'orders.custkey_not_null' AS check,
+         count(*) FILTER (o_custkey IS NULL) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders.custkey_refs_customer', count(*)
+  FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'orders.totalprice_positive',
+         count(*) FILTER (o_totalprice <= 0)
+  FROM orders
+  UNION ALL
+  SELECT 'orders.status_in_domain',
+         count(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P'))
+  FROM orders
+  UNION ALL
+  SELECT 'customer.custkey_unique', coalesce(sum(cnt - 1), 0)
+  FROM (SELECT count(*) AS cnt FROM customer
+        GROUP BY c_custkey HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'customer.acctbal_in_range',
+         count(*) FILTER (c_acctbal < -1000.0 OR c_acctbal > 10000.0)
+  FROM customer
+)
+SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM checks
+""",
     "rfm_segments": """
 WITH ref AS (
   SELECT CAST(max(o_orderdate) AS DATE) AS refd FROM orders

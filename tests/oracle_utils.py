@@ -20,6 +20,10 @@ def _norm_cell(v):
         if math.isnan(v):
             return None
         return v
+    # array-valued cells (Spark ArrayType / DuckDB LIST): normalize
+    # elementwise to a tuple — pd.isna on a sequence is ambiguous
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_norm_cell(x) for x in v)
     if pd.isna(v):
         return None
     return v
