@@ -957,7 +957,48 @@ def _feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("cnt")))
 
 
+INDEX_MIN_DF = 10   # index only terms appearing in >= this many docs
+INDEX_BLOCK = 64    # posting-list block size (doc ids per stored row)
+
+
+def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: inverted-index construction — per term, the sorted posting
+    list of documents containing it, sharded into fixed-size blocks
+    (the Lucene segment/block layout): output rows are (term,
+    block_id, df, tf_block, postings[<=64]).
+
+    The block sharding is the 100 TB point: a naive
+    collect_list-per-term materializes a stopword's ENTIRE posting
+    list in one aggregation buffer (easily gigabytes per executor on
+    a web corpus); blocking caps every stored row at INDEX_BLOCK ids,
+    so memory per aggregation state is bounded by design, skew
+    included.  Plan shape: explode → (term, doc) partial-agg tf →
+    one row_number window partitioned by term (the single sort
+    shuffle, carrying (term, doc_id, tf) triples only — never text) →
+    groupBy (term, block).  df via a window count over the same
+    partitioning, reusing the exchange."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id",
+                      F.explode(_tokens(F.col("text"))).alias("term"))
+          .groupBy("term", "doc_id").agg(F.count("*").alias("tf")))
+    wt = Window.partitionBy("term")
+    wo = wt.orderBy("doc_id")
+    posted = (tf.withColumn("df", F.count("*").over(wt))
+              .where(F.col("df") >= INDEX_MIN_DF)
+              .withColumn(
+                  "block_id",
+                  F.floor((F.row_number().over(wo) - 1) / INDEX_BLOCK)
+                  .cast("int")))
+    return (posted.groupBy("term", "block_id")
+            .agg(F.max("df").alias("df"),
+                 F.sum("tf").alias("tf_block"),
+                 F.sort_array(F.collect_list("doc_id"))
+                  .alias("postings"))
+            .orderBy("term", "block_id"))
+
+
 QUERIES = {
+    "inverted_index": _inverted_index,
     "feature_hash": _feature_hash,
     "quality_logit": _quality_logit,
     "text_bm25": _text_bm25,
@@ -990,6 +1031,25 @@ _BM25_SUM = " + ".join(
     for t in BM25_QUERY)
 
 ORACLES = {
+    "inverted_index": f"""
+WITH tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents)
+  GROUP BY term, doc_id
+), posted AS (
+  SELECT term, doc_id, tf,
+         CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+         CAST(floor((row_number() OVER (PARTITION BY term
+                                        ORDER BY doc_id) - 1)
+                    / {INDEX_BLOCK}) AS INTEGER) AS block_id
+  FROM tf
+  QUALIFY df >= {INDEX_MIN_DF}
+)
+SELECT term, block_id, max(df) AS df,
+       CAST(sum(tf) AS BIGINT) AS tf_block,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM posted GROUP BY term, block_id
+""",
     "feature_hash": f"""
 WITH toks AS (
   SELECT doc_id, unnest({_DUCK_TOKS}) AS tok

@@ -293,7 +293,37 @@ def _profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: bitmap activity aggregation — each user's active days in
+    the month packed into one BIGINT (bit d-1 set if any event on day
+    d), the roaring-bitmap engagement pattern: distinct-day counting
+    becomes bit_or + bit_count, with NO count(distinct) Expand and no
+    per-day rows — the aggregation state is 8 bytes per user no
+    matter how many events they produced, and masks from different
+    partitions/epochs merge with a single OR (the same mergeability
+    argument as the HLL sketches in `agg_hll_sketch`, but exact,
+    because the domain is bounded).  Derived per user: active-day
+    count, first/last active day, and density over the active span."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.dayofmonth("ts").alias("day"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), day - 1)"))
+              .alias("day_mask"),
+             F.min("day").alias("first_day"),
+             F.max("day").alias("last_day"))
+        .select("user_id", "day_mask",
+                F.bit_count("day_mask").alias("n_active_days"),
+                "first_day", "last_day",
+                F.round(F.bit_count("day_mask")
+                        / (F.col("last_day") - F.col("first_day") + 1),
+                        4).alias("span_density"))
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
+    "bitmap_days": _bitmap_days,
     "profile_columns": _profile_columns,
     "agg_hll_sketch": _agg_hll_sketch,
     "agg_histogram": _agg_histogram,
@@ -312,6 +342,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bitmap_days": """
+WITH m AS (
+  SELECT user_id,
+         bit_or(CAST(1 AS BIGINT) << (dayofmonth(ts) - 1)) AS day_mask,
+         CAST(min(dayofmonth(ts)) AS INTEGER) AS first_day,
+         CAST(max(dayofmonth(ts)) AS INTEGER) AS last_day
+  FROM events GROUP BY user_id
+)
+SELECT user_id, day_mask,
+       CAST(bit_count(day_mask) AS INTEGER) AS n_active_days,
+       first_day, last_day,
+       round(bit_count(day_mask)
+             / CAST(last_day - first_day + 1 AS DOUBLE), 4)
+         AS span_density
+FROM m
+""",
     "agg_corr": """
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,

@@ -586,7 +586,79 @@ def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: Pareto skyline — customers not strictly dominated on
+    (account balance, lifetime spend): no other customer is >= on both
+    measures and > on at least one.  The textbook formulation is an
+    all-pairs NOT EXISTS (the oracle states it that way as the
+    semantic spec); the distributed shape here is the sort-based 2-D
+    skyline: collapse to one row per distinct balance level (max
+    spend per level — this groupBy is the big shrink: candidates <=
+    distinct balance values), then one running-max-with-lag window
+    over the level table ranks each level against every strictly
+    higher balance, O(levels log levels) instead of O(n^2).  At
+    100 TB the level table is bounded by measure cardinality, and a
+    map-side per-partition skyline prefilter (each partition's local
+    dominated rows can never be global survivors) would shrink the
+    input before the window — the standard distributed-skyline
+    two-phase."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    pts = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").alias("spend"))
+        .join(cust.select(F.col("c_custkey").alias("o_custkey"),
+                          F.round("c_acctbal", 2).alias("bal")),
+              "o_custkey")
+    )
+    lvl = pts.groupBy("bal").agg(F.max("spend").alias("lvl_max"))
+    w_above = (Window.orderBy(F.col("bal").desc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    keep_lvl = (lvl.withColumn("best_above",
+                               F.max("lvl_max").over(w_above))
+                .where(F.col("best_above").isNull()
+                       | (F.col("lvl_max") > F.col("best_above")))
+                .select("bal", "lvl_max"))
+    return (
+        pts.join(F.broadcast(keep_lvl), "bal")
+        .where(F.col("spend") == F.col("lvl_max"))
+        .select(F.col("o_custkey").alias("custkey"), "bal", "spend")
+        .orderBy(F.col("bal").desc())
+    )
+
+
+#: regression target: value over hours since the corpus epoch —
+#: keeps slope magnitudes readable and both engines' x identical
+REGR_EPOCH = "2024-01-01 00:00:00"
+
+
+def _regr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: grouped ordinary-least-squares — per event_type, regress
+    value on hours-since-epoch with the SQL-standard regr_* aggregate
+    family (slope, intercept, r2, n): the drift-monitoring query a
+    metrics platform runs per series.  Pure one-pass aggregation —
+    the co-moment states (sums of x, y, xy, x2) are mergeable, so the
+    whole fit is map-side partials plus a 5-row reduce; no window, no
+    second scan, and adding series never adds passes."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value",
+        (F.unix_micros("ts") / 3.6e9).alias("x_hours"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.regr_slope("value", "x_hours"), 8)
+              .alias("slope"),
+             F.round(F.regr_intercept("value", "x_hours"), 4)
+              .alias("intercept"),
+             F.round(F.regr_r2("value", "x_hours"), 6).alias("r2"),
+             F.regr_count("value", "x_hours").alias("n"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "skyline_pareto": _skyline_pareto,
+    "regr_by_group": _regr_by_group,
     "basket_pairs": _basket_pairs,
     "skew_report": _skew_report,
     "events_sessionize": _events_sessionize,
@@ -603,6 +675,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "skyline_pareto": """
+WITH pts AS (
+  SELECT o.o_custkey AS custkey, round(c.c_acctbal, 2) AS bal,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey, round(c.c_acctbal, 2)
+)
+SELECT custkey, bal, spend
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.bal >= p.bal AND q.spend >= p.spend
+    AND (q.bal > p.bal OR q.spend > p.spend))
+""",
+    "regr_by_group": """
+SELECT event_type,
+       round(regr_slope(value, epoch_us(ts) / 3.6e9), 8) AS slope,
+       round(regr_intercept(value, epoch_us(ts) / 3.6e9), 4)
+         AS intercept,
+       round(regr_r2(value, epoch_us(ts) / 3.6e9), 6) AS r2,
+       CAST(regr_count(value, epoch_us(ts) / 3.6e9) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
     "basket_pairs": """
 WITH items AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -16,12 +16,14 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-4 window (current): ALL 31 round-4 debuts (verified the round
+Round-4 window (current): ALL 38 round-4 debuts (verified the round
 they land), then multimodal_pipeline (oracle-ified this round:
 rows-only → hash tier, needs a fresh official row under the new
-contract), then the 18 stalest round-1 greens.  31 + 1 + 18 = 50:
-exactly full.  Twenty-nine round-1 greens could not fit once the debut
-count grew past the original plan's 2 (dedup_removed_count,
+contract), then the 11 stalest round-1 greens.  38 + 1 + 11 = 50:
+exactly full.  Thirty-six round-1 greens could not fit once the debut
+count grew past the original plan's 2 (asof_join, csv_flatten,
+dedup_content_hash, dedup_distinct, dedup_exact, dedup_near,
+dedup_ngram_jaccard, dedup_removed_count,
 dedup_simhash, embedding_centroids,
 embedding_normalize, filter_nonnull,
 filter_valid_date, join_anti,
@@ -33,7 +35,7 @@ sort_limit1, sort_multi, udf_cosine, validity_filter_counts,
 window_lag, window_last_user, window_ntile_frame, window_rank,
 window_running_sum) — they are the FIRST fill of the round-5 window.
 
-ROTATION NOTE (round 5): any round-5 debuts go FIRST, then the 29
+ROTATION NOTE (round 5): any round-5 debuts go FIRST, then the 36
 round-1 leftovers named above, then the stalest round-2 greens until
 the window is full.  Do NOT hand-count: run
 `python scripts/rotation_report.py`, which derives each query's
@@ -64,7 +66,7 @@ from pyspark.sql import DataFrame, SparkSession
 # size so placement is deliberate, not accidental.
 WINDOW_SIZE = 50
 WINDOW_PRIORITY: list[str] = [
-    # -- the 31 round-4 debuts: verified the round they land -----------
+    # -- the 38 round-4 debuts: verified the round they land -----------
     # (rotation_report.py order: registry insertion order)
     "events_sessionize", "events_path_transitions", "quantile_bins",
     "bpe_encode", "scd2_merge", "profile_columns", "graph_pagerank",
@@ -74,30 +76,31 @@ WINDOW_PRIORITY: list[str] = [
     "text_bm25", "cdc_apply", "graph_bfs", "rfm_segments",
     "window_rolling_median", "asof_nearest", "entity_canonical",
     "quality_logit", "events_debounce", "feature_hash",
-    "table_diff", "dq_check",
+    "table_diff", "dq_check", "time_bucket_ohlc", "window_twap",
+    "cusum_changepoint", "inverted_index", "bitmap_days",
+    "skyline_pareto", "regr_by_group",
     # -- oracle-ified this round (rows-only -> hash tier) --------------
     "multimodal_pipeline",
-    # -- the 18 stalest round-1 greens (alphabetical, the first 18 of
-    #    rotation_report's r1 tier; the remaining 29 roll to round 5) --
+    # -- the 11 stalest round-1 greens (alphabetical, the first 11 of
+    #    rotation_report's r1 tier; the remaining 36 roll to round 5) --
     "agg_approx_count_distinct", "agg_avg_years", "agg_count",
     "agg_count_distinct", "agg_cube", "agg_group_count", "agg_min_max",
     "agg_rollup", "agg_salted_twophase", "agg_stats", "array_cosine",
-    "asof_join", "csv_flatten", "dedup_content_hash", "dedup_distinct",
-    "dedup_exact", "dedup_near", "dedup_ngram_jaccard",
 ]
 
 
 def _modules():
     from .operators import (aggregates, analytics, custom, dedup, joins,
                             projections, setops, similarity, sorts,
-                            sqlapi, tpch, windows)
+                            sqlapi, timeseries, tpch, windows)
     from .functions import multimodal, scalars, text
     from . import core
     from .sources import pyds
     from .streaming import batch_equiv
     return [sqlapi, scalars, text, multimodal, batch_equiv, custom,
             core, similarity, projections, sorts, windows, joins,
-            aggregates, setops, dedup, tpch, analytics, pyds]
+            aggregates, setops, dedup, tpch, analytics, timeseries,
+            pyds]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
