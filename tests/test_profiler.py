@@ -187,3 +187,120 @@ def test_bm25_shuffles_only_matching_postings(spark, sf_dir):
     # aggregate/top-k states; the corpus stream never does
     assert s["shuffle_records"] <= 4 * matching + 1000
     assert s["shuffle_records"] < total_tokens
+
+
+def test_ohlc_shuffles_bucket_states_not_ticks(spark, sf_dir):
+    """time_bucket_ohlc's scale claim measured: min_by/max_by make the
+    rollup ONE aggregation, so the exchanges carry per-partition bucket
+    states (and the final sorted bucket rows), never the raw tick
+    stream — the row_number-window formulation this shape replaces
+    would put all |events| rows through a sort exchange."""
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    got = profile(all_queries()["time_bucket_ohlc"](spark, sf_dir))
+    s = got["summary"]
+    n_buckets = s["output_rows"]
+    # agg-partial exchange + orderBy range exchange
+    assert s["n_shuffles"] <= 2
+    assert s["shuffle_records"] <= n_buckets * 32 + n_buckets
+    assert s["shuffle_records"] < n_events
+
+
+def test_twap_stream_crosses_one_exchange(spark, sf_dir):
+    """window_twap's scale claim measured: the lead window and the
+    (type, day) aggregation share one clustering, so the event stream
+    is exchanged once; everything downstream is per-day rows."""
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    got = profile(all_queries()["window_twap"](spark, sf_dir))
+    s = got["summary"]
+    n_days = s["output_rows"]
+    assert s["shuffle_records"] <= n_events + n_days * 32 + n_days
+
+
+def test_cusum_reuses_series_partitioning(spark, sf_dir):
+    """cusum_changepoint's scale claim measured: moments come from a
+    groupBy broadcast back over the stream, and the running-sum window
+    and the argmax window share the event_type partitioning — the
+    stream crosses ONE exchange; if the moments were computed by an
+    unbounded window instead, or the two windows' clusterings
+    diverged, the stream would cross twice."""
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    got = profile(all_queries()["cusum_changepoint"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_broadcasts"] >= 1          # the 5-row moments table
+    assert s["shuffle_records"] <= n_events + 5 * 32 + 5
+
+
+def test_inverted_index_shuffles_triples_never_text(spark, sf_dir):
+    """inverted_index's scale claim measured: the sort shuffle carries
+    (term, doc_id, tf) triples (plus tf-agg partials), and document
+    text never crosses an exchange — shuffle bytes stay far below the
+    corpus size, and records are a small multiple of the distinct
+    (term, doc) pair count, never the token stream."""
+    docs = load(spark, sf_dir, "documents")
+    corpus_bytes = docs.agg(F.sum(F.length("text"))).first()[0]
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import _tokens
+    pairs = (docs.select("doc_id",
+                         F.explode(_tokens(F.col("text"))).alias("t"))
+             .distinct().count())
+    total_tokens = docs.select(
+        F.size(F.split(F.lower("text"), r"\s+")).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    got = profile(all_queries()["inverted_index"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 3 * pairs
+    assert s["shuffle_records"] < total_tokens
+    # fixed-width triples: average shuffled row stays tens of bytes;
+    # a leaked text column would push it to the per-doc average
+    # (corpus_bytes / docs, ~300 B on the fixtures)
+    avg_doc = corpus_bytes / docs.count()
+    assert s["shuffle_bytes"] / s["shuffle_records"] < min(80, avg_doc)
+
+
+def test_bitmap_days_state_is_eight_bytes_per_user(spark, sf_dir):
+    """bitmap_days' scale claim measured: the aggregation state is one
+    BIGINT mask per user, merged map-side — the exchange carries at
+    most users x partitions partial states, never per-event or per-day
+    rows (the count(distinct day) formulation would Expand the stream)."""
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    q = all_queries()["bitmap_days"](spark, sf_dir)
+    assert q.count() == n_users
+    got = profile(q)
+    s = got["summary"]
+    assert s["shuffle_records"] <= n_users * 32 + n_users
+    assert s["shuffle_records"] < n_events
+
+
+def test_skyline_window_runs_on_level_table(spark, sf_dir):
+    """skyline_pareto's scale claim measured: the global-sort window
+    ranks the per-balance LEVEL table (the groupBy shrink), and the
+    surviving levels reach the points as a broadcast — so the
+    exchanges carry the per-customer aggregation plus level rows,
+    orders of magnitude below the all-pairs NOT EXISTS the oracle
+    states as spec."""
+    orders = load(spark, sf_dir, "orders")
+    n_orders = orders.count()
+    n_cust = orders.select("o_custkey").distinct().count()
+    got = profile(all_queries()["skyline_pareto"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_broadcasts"] >= 1          # surviving-level table
+    # spend agg partials + join + level agg + level window + final sort
+    assert s["shuffle_records"] <= 6 * n_cust + n_orders
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_regr_is_one_pass_aggregation(spark, sf_dir):
+    """regr_by_group's scale claim measured: the co-moment states are
+    mergeable, so the whole fit is map-side partials plus a 5-row
+    reduce — the exchanges never carry the observation stream."""
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    got = profile(all_queries()["regr_by_group"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_shuffles"] <= 2            # agg partials + orderBy
+    assert s["shuffle_records"] <= 5 * 32 + 5
+    assert s["shuffle_records"] < n_events
