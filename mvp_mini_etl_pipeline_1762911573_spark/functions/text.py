@@ -957,6 +957,43 @@ def _feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("cnt")))
 
 
+MIX_TEMP_ALPHA = 0.7  # temperature exponent for mixture reweighting
+
+
+def _mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: temperature-scaled mixture weights — the multilingual/
+    multi-domain sampling scheme (weight ∝ n^alpha, alpha<1) that
+    up-samples small sources and tempers head domains, companion to
+    the budget-driven `mix_sources` plan.  Emits per source: token
+    inventory, natural share, temperature weight, and the effective
+    up/down-sampling factor the weight implies.  Same 100 TB shape as
+    mix_sources: one partial-aggregated groupBy(source) scan + a
+    broadcast 1-row totals join; the transcendental pow() runs over
+    the source-cardinality table only, and the final rounding absorbs
+    any cross-engine 1-ulp pow/sum drift."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("source",
+                    F.size(_tokens(F.col("text"))).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tokens").alias("avail_tokens"))
+        .withColumn("w_raw", F.pow("avail_tokens", MIX_TEMP_ALPHA))
+    )
+    totals = per_src.agg(F.sum("avail_tokens").alias("tok_total"),
+                         F.sum("w_raw").alias("w_sum"))
+    share = F.col("avail_tokens") / F.col("tok_total")
+    weight = F.col("w_raw") / F.col("w_sum")
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select("source", "n_docs", "avail_tokens",
+                F.round(share, 6).alias("nat_share"),
+                F.round(weight, 6).alias("temp_weight"),
+                F.round(weight / share, 4).alias("resample_factor"))
+        .orderBy("source")
+    )
+
+
 INDEX_MIN_DF = 10   # index only terms appearing in >= this many docs
 INDEX_BLOCK = 64    # posting-list block size (doc ids per stored row)
 
@@ -981,14 +1018,20 @@ def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (docs.select("doc_id",
                       F.explode(_tokens(F.col("text"))).alias("term"))
           .groupBy("term", "doc_id").agg(F.count("*").alias("tf")))
-    wt = Window.partitionBy("term")
-    wo = wt.orderBy("doc_id")
-    posted = (tf.withColumn("df", F.count("*").over(wt))
-              .where(F.col("df") >= INDEX_MIN_DF)
+    # both windows share ONE (partition, order) spec — the df count
+    # uses an explicit full frame over the ordered partition — so they
+    # collapse into a single Sort + WindowExec instead of two sorts
+    wo = Window.partitionBy("term").orderBy("doc_id")
+    posted = (tf.withColumn(
+                  "df",
+                  F.count("*").over(wo.rowsBetween(
+                      Window.unboundedPreceding,
+                      Window.unboundedFollowing)))
               .withColumn(
                   "block_id",
                   F.floor((F.row_number().over(wo) - 1) / INDEX_BLOCK)
-                  .cast("int")))
+                  .cast("int"))
+              .where(F.col("df") >= INDEX_MIN_DF))
     return (posted.groupBy("term", "block_id")
             .agg(F.max("df").alias("df"),
                  F.sum("tf").alias("tf_block"),
@@ -998,6 +1041,7 @@ def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "mix_temperature": _mix_temperature,
     "inverted_index": _inverted_index,
     "feature_hash": _feature_hash,
     "quality_logit": _quality_logit,
@@ -1031,6 +1075,26 @@ _BM25_SUM = " + ".join(
     for t in BM25_QUERY)
 
 ORACLES = {
+    "mix_temperature": f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT *, pow(avail_tokens, {MIX_TEMP_ALPHA}) AS w_raw FROM per_src
+), totals AS (
+  SELECT CAST(sum(avail_tokens) AS BIGINT) AS tok_total,
+         sum(w_raw) AS w_sum
+  FROM w
+)
+SELECT source, n_docs, avail_tokens,
+       round(avail_tokens / CAST(tok_total AS DOUBLE), 6) AS nat_share,
+       round(w_raw / w_sum, 6) AS temp_weight,
+       round((w_raw / w_sum)
+             / (avail_tokens / CAST(tok_total AS DOUBLE)), 4)
+         AS resample_factor
+FROM w, totals
+""",
     "inverted_index": f"""
 WITH tf AS (
   SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf

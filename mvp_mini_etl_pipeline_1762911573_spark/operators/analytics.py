@@ -656,9 +656,125 @@ def _regr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTR_WINDOW_H = 24  # attribution lookback horizon
+
+
+def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: last-touch revenue attribution — every purchase's value is
+    credited to the user's most recent preceding click/view within a
+    24 h lookback ('direct' when none), the standard marketing-
+    attribution query.  The carried touchpoint comes from two
+    IGNORE-NULLS last() windows over ONE (user, time) ordering —
+    never a purchases×touches self-join, whose fan-out on heavy users
+    is quadratic; the stream crosses one exchange and the rollup is
+    per-channel.  Both carried columns (ts, type) share the same
+    null mask, so the two window passes pick the same source row by
+    construction.  Revenue sums in DECIMAL (order-free, exact)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type").isin("click", "view"),
+                   F.col("us"))
+    touch_ty = F.when(F.col("event_type").isin("click", "view"),
+                      F.col("event_type"))
+    horizon_us = ATTR_WINDOW_H * 3600 * 1_000_000
+    attributed = (
+        ev.withColumn("prior_us", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("prior_ty",
+                    F.last(touch_ty, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .withColumn(
+            "channel",
+            F.when(F.col("prior_us").isNull()
+                   | (F.col("us") - F.col("prior_us") > horizon_us),
+                   "direct").otherwise(F.col("prior_ty")))
+    )
+    per_chan = attributed.groupBy("channel").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(14,2)")).alias("rev_d"))
+    total = per_chan.agg(
+        F.sum("rev_d").alias("rev_total"))
+    return (
+        per_chan.crossJoin(F.broadcast(total))
+        .select("channel", "n_purchases",
+                F.col("rev_d").cast("double").alias("revenue"),
+                F.round((F.col("rev_d") / F.col("rev_total"))
+                        .cast("double"), 6).alias("rev_share"))
+        .orderBy("channel")
+    )
+
+
+def _ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: A/B experiment readout — users deterministically assigned
+    to arms by the engine-invariant sha256 idiom (same as
+    split_assign: assignment survives re-sharding and reruns, which
+    seeded randomSplit does not), then per-metric Welch's t statistic
+    between arms.  ONE conditional-aggregation pass over the stream:
+    counts, means and variances for both arms come out of a single
+    groupBy (mergeable moment states), no join, no second scan — the
+    shape that makes a 100 TB experiment readout a single reduce."""
+    ev = load(spark, sf_dir, "events")
+    arm = F.pmod(
+        F.conv(F.substring(
+            F.sha2(F.col("user_id").cast("string"), 256), 1, 8), 16, 10)
+         .cast("long"),
+        F.lit(2))
+    va = F.when(arm == 0, F.col("value"))
+    vb = F.when(arm == 1, F.col("value"))
+    agg = ev.groupBy("event_type").agg(
+        F.count(va).alias("n_a"), F.count(vb).alias("n_b"),
+        F.avg(va).alias("m_a"), F.avg(vb).alias("m_b"),
+        F.var_samp(va).alias("v_a"), F.var_samp(vb).alias("v_b"))
+    t = ((F.col("m_a") - F.col("m_b"))
+         / F.sqrt(F.col("v_a") / F.col("n_a")
+                  + F.col("v_b") / F.col("n_b")))
+    return (agg.select(
+        "event_type", "n_a", "n_b",
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(t, 4).alias("welch_t"))
+        .orderBy("event_type"))
+
+
+def _chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: chi-square independence test — event_type vs day-of-week
+    contingency table reduced to the test statistic.  Day-of-week is
+    computed arithmetically (days since the 2024-01-01 Monday, mod 7)
+    because engines disagree on dayofweek numbering conventions.
+    The raw stream collapses to the k x 7 observed table in one
+    partial-aggregated groupBy; margins, expected counts and the
+    statistic are windows/aggregates over that driver-tiny table, so
+    the whole test costs one scan regardless of corpus size."""
+    ev = load(spark, sf_dir, "events")
+    dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("2024-01-01")),
+                 F.lit(7))
+    obs = (ev.groupBy(F.col("event_type").alias("ty"),
+                      dow.alias("dow"))
+           .agg(F.count("*").alias("o")))
+    w_ty = Window.partitionBy("ty")
+    w_dow = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    cells = (obs
+             .withColumn("row_tot", F.sum("o").over(w_ty))
+             .withColumn("col_tot", F.sum("o").over(w_dow))
+             .withColumn("n", F.sum("o").over(w_all)))
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return cells.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4)
+         .alias("chi2"),
+        ((F.countDistinct("ty") - 1) * (F.countDistinct("dow") - 1))
+        .alias("dof"),
+        F.sum("o").alias("n"))
+
+
 QUERIES = {
     "skyline_pareto": _skyline_pareto,
     "regr_by_group": _regr_by_group,
+    "attribution": _attribution,
+    "ab_test": _ab_test,
+    "chi_square": _chi_square,
     "basket_pairs": _basket_pairs,
     "skew_report": _skew_report,
     "events_sessionize": _events_sessionize,
@@ -675,6 +791,79 @@ QUERIES = {
 }
 
 ORACLES = {
+    "attribution": f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, value, epoch_us(ts) AS us
+  FROM events
+), carried AS (
+  SELECT *,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN us END IGNORE NULLS) OVER w AS prior_us,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS prior_ty
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), attributed AS (
+  SELECT CASE WHEN prior_us IS NULL
+               OR us - prior_us > CAST({ATTR_WINDOW_H} AS BIGINT)
+                                  * 3600 * 1000000
+              THEN 'direct' ELSE prior_ty END AS channel,
+         value
+  FROM carried WHERE event_type = 'purchase'
+), per_chan AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+         sum(CAST(value AS DECIMAL(14,2))) AS rev_d
+  FROM attributed GROUP BY channel
+)
+SELECT channel, n_purchases, CAST(rev_d AS DOUBLE) AS revenue,
+       round(CAST(rev_d / sum(rev_d) OVER () AS DOUBLE), 6)
+         AS rev_share
+FROM per_chan
+""",
+    "ab_test": """
+WITH assigned AS (
+  SELECT event_type, value,
+         CAST(concat('0x', substr(sha256(CAST(user_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 2 AS arm
+  FROM events
+), agg AS (
+  SELECT event_type,
+         CAST(count(CASE WHEN arm = 0 THEN value END) AS BIGINT) AS n_a,
+         CAST(count(CASE WHEN arm = 1 THEN value END) AS BIGINT) AS n_b,
+         avg(CASE WHEN arm = 0 THEN value END) AS m_a,
+         avg(CASE WHEN arm = 1 THEN value END) AS m_b,
+         var_samp(CASE WHEN arm = 0 THEN value END) AS v_a,
+         var_samp(CASE WHEN arm = 1 THEN value END) AS v_b
+  FROM assigned GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+       round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS welch_t
+FROM agg
+""",
+    "chi_square": """
+WITH obs AS (
+  SELECT event_type AS ty,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+              AS INTEGER) AS dow,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), cells AS (
+  SELECT *, sum(o) OVER (PARTITION BY ty) AS row_tot,
+         sum(o) OVER (PARTITION BY dow) AS col_tot,
+         sum(o) OVER () AS n
+  FROM obs
+)
+SELECT round(sum((o - row_tot * col_tot / CAST(n AS DOUBLE))
+                 * (o - row_tot * col_tot / CAST(n AS DOUBLE))
+                 / (row_tot * col_tot / CAST(n AS DOUBLE))), 4) AS chi2,
+       CAST((count(DISTINCT ty) - 1) * (count(DISTINCT dow) - 1)
+            AS BIGINT) AS dof,
+       CAST(sum(o) AS BIGINT) AS n
+FROM cells
+""",
     "skyline_pareto": """
 WITH pts AS (
   SELECT o.o_custkey AS custkey, round(c.c_acctbal, 2) AS bal,

@@ -50,13 +50,33 @@ def _bucket6h(col):
 
 def _time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: hypertable rollup — OHLC candlesticks per (event_type,
-    6 h bucket): open/close via min_by/max_by on a (ts, event_id)
-    struct (deterministic under ts ties), high/low as plain extremes,
-    volume as an exact DECIMAL sum (order-free, bit-equal on any
-    engine) surfaced as double.  One groupBy, zero windows: the
-    map-side partial combine is the entire point of the shape."""
+    6 h bucket): open = value of the earliest tick (ties: smallest
+    value), close = value of the latest tick (ties: largest value),
+    high/low as plain extremes, volume as an exact DECIMAL sum
+    (order-free, bit-equal on any engine) surfaced as double.  One
+    groupBy, zero windows: the map-side partial combine is the
+    entire point of the shape.
+
+    The open/close ordering key is a SCALAR — bucket-relative
+    microseconds (< 2^35) packed with clamped value-cents (< 2^24)
+    into one BIGINT — rather than the natural struct(ts, value):
+    min_by/max_by with a struct-typed buffer can't run in
+    HashAggregate (no mutable fixed-width buffer) and Spark falls
+    back to SortAggregate, which sorts every scan partition by the
+    group key before combining; the scalar key keeps the whole
+    rollup hash-aggregated (pinned by
+    tests/test_plans.py::test_ohlc_uses_hash_aggregation).  The
+    encoding is exact while 0 <= value < 167,772 (clamped outside),
+    which a price-like measure satisfies by specification."""
     ev = load(spark, sf_dir, "events")
-    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket_s = (F.floor(F.unix_timestamp("ts") / OHLC_BUCKET_S)
+                .cast("bigint") * OHLC_BUCKET_S)
+    cents = F.least(
+        F.greatest(F.round(F.col("value") * 100).cast("bigint"),
+                   F.lit(0)),
+        F.lit((1 << 24) - 1))
+    ordk = (us - bucket_s * 1_000_000) * (1 << 24) + cents
     return (
         ev.groupBy(
             "event_type",
@@ -146,14 +166,19 @@ WITH b AS (
          strftime(to_timestamp(CAST(floor(epoch(ts) / {OHLC_BUCKET_S})
                   AS BIGINT) * {OHLC_BUCKET_S}),
                   '%Y-%m-%d %H:%M:%S') AS bucket_start,
-         ts, event_id, value
+         (epoch_us(ts)
+          - CAST(floor(epoch(ts) / {OHLC_BUCKET_S}) AS BIGINT)
+            * {OHLC_BUCKET_S} * 1000000) * 16777216
+         + least(greatest(CAST(round(value * 100) AS BIGINT), 0),
+                 16777215) AS ordk,
+         value
   FROM events
 ), w AS (
   SELECT *,
          row_number() OVER (PARTITION BY event_type, bucket_start
-                            ORDER BY ts, event_id) AS rn_a,
+                            ORDER BY ordk) AS rn_a,
          row_number() OVER (PARTITION BY event_type, bucket_start
-                            ORDER BY ts DESC, event_id DESC) AS rn_d
+                            ORDER BY ordk DESC) AS rn_d
   FROM b
 )
 SELECT event_type, bucket_start,

@@ -369,3 +369,16 @@ def test_asof_nearest_one_sort_both_frames(spark, sf_dir):
                   if "last(_payload" in a]
     assert len(carry_args) == 1, f"{len(carry_args)} carry windows"
     assert "first(_payload" in carry_args[0]
+
+
+def test_ohlc_uses_hash_aggregation(spark, sf_dir):
+    """time_bucket_ohlc's claim: min_by/max_by on the packed SCALAR
+    ordering key keep the rollup in HashAggregate — the natural
+    struct(ts, value) key has no mutable fixed-width buffer, so Spark
+    silently falls back to SortAggregate and every scan partition gets
+    sorted by the group key before combining (this test failed against
+    that formulation)."""
+    plan = _plan(all_queries()["time_bucket_ohlc"](spark, sf_dir))
+    assert "SortAggregate" not in plan, plan[:2000]
+    assert "ObjectHashAggregate" not in plan, plan[:2000]
+    assert "HashAggregate" in plan

@@ -304,3 +304,47 @@ def test_regr_is_one_pass_aggregation(spark, sf_dir):
     assert s["n_shuffles"] <= 2            # agg partials + orderBy
     assert s["shuffle_records"] <= 5 * 32 + 5
     assert s["shuffle_records"] < n_events
+
+
+def test_attribution_never_self_joins(spark, sf_dir):
+    """attribution's scale claim measured: the carried touchpoint is a
+    window over one (user, time) ordering, so the stream crosses one
+    exchange and no join of events against events exists — the
+    purchases×touches formulation would fan out quadratically on
+    heavy users."""
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    q = all_queries()["attribution"](spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    s = profile(q)["summary"]
+    # stream window exchange + tiny channel/total aggregates
+    assert s["shuffle_records"] <= n_events + 4 * 32 + 8
+
+
+def test_ab_test_is_one_conditional_pass(spark, sf_dir):
+    """ab_test's scale claim measured: both arms' counts, means and
+    variances come from ONE partial-aggregated groupBy — the
+    exchanges carry per-partition moment states, never the event
+    stream, and there is no join between the arms."""
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    got = profile(all_queries()["ab_test"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_shuffles"] <= 2            # agg partials + orderBy
+    assert s["shuffle_records"] <= 5 * 32 + 5
+    assert s["shuffle_records"] < n_events
+
+
+def test_chi_square_reduces_before_margins(spark, sf_dir):
+    """chi_square's scale claim measured: the raw stream collapses to
+    the k x 7 observed table in the first aggregation; the margin
+    windows and the final statistic run over that driver-tiny table,
+    so shuffle traffic is bounded by cells x partitions."""
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    got = profile(all_queries()["chi_square"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 5 * 7 * 32 * 2
+    assert s["shuffle_records"] < n_events
