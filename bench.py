@@ -49,6 +49,9 @@ HEADLINE = [
     "dedup_clusters",       # iterative CC over within-cell dup edges
     "dedup_clusters_star",  # same clusters, large-star/small-star CC
     "gap_fill",             # spine densification (sequence explode)
+    "time_bucket_ohlc",     # round 4: hash-agg hypertable rollup
+    "inverted_index",       # round 4: blocked posting-list build
+    "attribution",          # round 4: window-carried last-touch credit
 ]
 
 
