@@ -46,7 +46,11 @@ COPIES = 10
 # two extra tables at 20k vectors)
 LINEAR_SLACK = 1.5
 
-HEAVY = ["dedup_near", "dedup_clusters_star", "similarity_join"]
+HEAVY = ["dedup_near", "dedup_clusters_star", "similarity_join",
+         # round 4: blocked posting lists — per-shard vocabularies are
+         # disjoint (suffixed tokens), so index work is exactly 10
+         # isomorphic builds
+         "inverted_index"]
 
 
 @pytest.fixture(scope="module")
@@ -112,7 +116,11 @@ def sf1_events_dir(spark, tmp_path_factory):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name", ["events_sessionize", "session_overlap"])
+@pytest.mark.parametrize("name", ["events_sessionize", "session_overlap",
+                                  # round 4: time-shifted shards give
+                                  # disjoint 6 h buckets — exactly 10x
+                                  # rollup groups
+                                  "time_bucket_ohlc"])
 def test_interval_ops_scale_at_most_linearly(spark, sf1_events_dir, name):
     fn = all_queries()[name]
     fn(spark, BASE_SF).count()
