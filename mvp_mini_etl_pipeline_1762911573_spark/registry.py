@@ -16,12 +16,12 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-4 window (current): ALL 42 round-4 debuts (verified the round
+Round-4 window (current): ALL 43 round-4 debuts (verified the round
 they land), then multimodal_pipeline (oracle-ified this round:
 rows-only → hash tier, needs a fresh official row under the new
-contract), then the 7 stalest round-1 greens.  42 + 1 + 7 = 50:
-exactly full.  Forty round-1 greens could not fit once the debut
-count grew past the original plan's 2 (agg_rollup,
+contract), then the 6 stalest round-1 greens.  43 + 1 + 6 = 50:
+exactly full.  Forty-one round-1 greens could not fit once the debut
+count grew past the original plan's 2 (agg_min_max, agg_rollup,
 agg_salted_twophase, agg_stats, array_cosine, asof_join, csv_flatten,
 dedup_content_hash, dedup_distinct, dedup_exact, dedup_near,
 dedup_ngram_jaccard, dedup_removed_count,
@@ -36,7 +36,7 @@ sort_limit1, sort_multi, udf_cosine, validity_filter_counts,
 window_lag, window_last_user, window_ntile_frame, window_rank,
 window_running_sum) — they are the FIRST fill of the round-5 window.
 
-ROTATION NOTE (round 5): any round-5 debuts go FIRST, then the 40
+ROTATION NOTE (round 5): any round-5 debuts go FIRST, then the 41
 round-1 leftovers named above, then the stalest round-2 greens until
 the window is full.  Do NOT hand-count: run
 `python scripts/rotation_report.py`, which derives each query's
@@ -67,7 +67,7 @@ from pyspark.sql import DataFrame, SparkSession
 # size so placement is deliberate, not accidental.
 WINDOW_SIZE = 50
 WINDOW_PRIORITY: list[str] = [
-    # -- the 42 round-4 debuts: verified the round they land -----------
+    # -- the 43 round-4 debuts: verified the round they land -----------
     # (rotation_report.py order: registry insertion order)
     "events_sessionize", "events_path_transitions", "quantile_bins",
     "bpe_encode", "scd2_merge", "profile_columns", "graph_pagerank",
@@ -80,13 +80,13 @@ WINDOW_PRIORITY: list[str] = [
     "table_diff", "dq_check", "time_bucket_ohlc", "window_twap",
     "cusum_changepoint", "inverted_index", "bitmap_days",
     "skyline_pareto", "regr_by_group", "attribution", "ab_test",
-    "chi_square", "mix_temperature",
+    "chi_square", "mix_temperature", "stream_ohlc",
     # -- oracle-ified this round (rows-only -> hash tier) --------------
     "multimodal_pipeline",
-    # -- the 7 stalest round-1 greens (alphabetical, the first 7 of
-    #    rotation_report's r1 tier; the remaining 40 roll to round 5) --
+    # -- the 6 stalest round-1 greens (alphabetical, the first 6 of
+    #    rotation_report's r1 tier; the remaining 41 roll to round 5) --
     "agg_approx_count_distinct", "agg_avg_years", "agg_count",
-    "agg_count_distinct", "agg_cube", "agg_group_count", "agg_min_max",
+    "agg_count_distinct", "agg_cube", "agg_group_count",
 ]
 
 

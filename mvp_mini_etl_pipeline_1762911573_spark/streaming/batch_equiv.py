@@ -83,6 +83,46 @@ def session_windows(events: DataFrame, gap_min: int = 30) -> DataFrame:
     )
 
 
+def ohlc_rollup(events: DataFrame) -> DataFrame:
+    """ST-EXT3: continuous OHLC aggregate — 1 h tumbling candlesticks
+    per event_type, the TimescaleDB continuous-aggregate / tick-bar
+    pattern as a stream-ready aggregation.  Shares the packed SCALAR
+    ordering key with the batch hypertable rollup
+    (operators/timeseries.py:_time_bucket_ohlc): open/close via
+    min_by/max_by keep the whole rollup a single mergeable
+    aggregation, which is what makes it STREAMABLE — per-window state
+    merges across micro-batches exactly like map-side partials merge
+    across partitions; the row_number-window formulation is not
+    supported over a stream at all.  Within-hour offset (< 2^32 µs,
+    epoch-aligned buckets) packs with clamped value-cents (< 2^24)
+    into one BIGINT, same determinism contract as the batch flavor."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.least(
+        F.greatest(F.round(F.col("value") * 100).cast("bigint"),
+                   F.lit(0)),
+        F.lit((1 << 24) - 1))
+    ordk = F.pmod(us, F.lit(3_600_000_000)) * (1 << 24) + cents
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.min_by("value", ordk).alias("open"),
+             F.max("value").alias("high"),
+             F.min("value").alias("low"),
+             F.max_by("value", ordk).alias("close"),
+             F.sum(F.col("value").cast("decimal(14,2)"))
+              .cast("double").alias("volume"),
+             F.count("*").alias("n_ticks"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+             .alias("window_start"),
+            "event_type", "open", "high", "low", "close",
+            "volume", "n_ticks")
+    )
+
+
+def _stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc_rollup(load(spark, sf_dir, "events"))
+
+
 def enrich_counts(events: DataFrame, users: DataFrame) -> DataFrame:
     """ST-EXT: stream-static enrichment — events joined to the users
     dimension (country), 6-hour tumbling counts per country.  The dim
@@ -168,6 +208,7 @@ def _stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "stream_ohlc": _stream_ohlc,
     "stream_tumbling": _stream_tumbling,
     "stream_sliding": _stream_sliding,
     "stream_session": _stream_session,
@@ -176,6 +217,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_ohlc": """
+WITH b AS (
+  SELECT event_type,
+         strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                  '%Y-%m-%d %H:%M:%S') AS window_start,
+         (epoch_us(ts) % 3600000000) * 16777216
+         + least(greatest(CAST(round(value * 100) AS BIGINT), 0),
+                 16777215) AS ordk,
+         value
+  FROM events
+), w AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, window_start
+                            ORDER BY ordk) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, window_start
+                            ORDER BY ordk DESC) AS rn_d
+  FROM b
+)
+SELECT window_start, event_type,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS volume,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM w GROUP BY window_start, event_type
+""",
     "stream_correlate": """
 SELECT p.user_id, p.event_id AS purchase_id,
        p.value AS purchase_value,

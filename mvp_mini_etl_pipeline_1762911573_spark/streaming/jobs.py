@@ -65,6 +65,16 @@ def tumbling_stream(events: DataFrame) -> DataFrame:
     return tumbling_counts(events.withWatermark("ts", "10 minutes"))
 
 
+def ohlc_stream(events: DataFrame) -> DataFrame:
+    """ST-EXT3 streaming flavor: the continuous OHLC aggregate bound
+    to a watermarked stream — candlestick state per live (type, hour)
+    window merges across micro-batches (min_by/max_by are mergeable;
+    see batch_equiv.ohlc_rollup for why that, not a ranking window,
+    is the streamable formulation)."""
+    from .batch_equiv import ohlc_rollup
+    return ohlc_rollup(events.withWatermark("ts", "10 minutes"))
+
+
 def sliding_stream(events: DataFrame) -> DataFrame:
     """ST2 streaming flavor: the same sliding-window count bound to a
     watermarked stream — each event contributes to 4 overlapping

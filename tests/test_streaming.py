@@ -327,3 +327,20 @@ def test_custom_python_source_stream_equals_batch(spark):
                   F.sum("nbytes").alias("total_bytes")))
     cols = ["shard", "n_recs", "n_ok", "total_bytes"]
     assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_ohlc_stream_equals_batch(spark, sf_dir):
+    """The continuous OHLC aggregate must converge to the batch
+    candlesticks once the stream drains — including open/close, whose
+    min_by/max_by state merges across micro-batches in whatever order
+    files arrive (the packed ordering key makes the merge
+    order-free)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.streaming.batch_equiv import (
+        ohlc_rollup,
+    )
+    batch = ohlc_rollup(load(spark, sf_dir, "events"))
+    stream = jobs.ohlc_stream(jobs.events_stream(spark, sf_dir))
+    got = jobs.run_to_memory(stream, "t_ohlc", "complete")
+    cols = ["window_start", "event_type", "open", "high", "low",
+            "close", "volume", "n_ticks"]
+    assert _rows(got, cols) == _rows(batch, cols)
