@@ -122,6 +122,58 @@ def commit(spark: SparkSession, table_path: str, df: DataFrame,
     return version
 
 
+def committed_batch_ids(table_path: str) -> set:
+    """Batch ids already durably committed (see streaming_sink)."""
+    return {
+        m["batch_id"]
+        for m in (_load_manifest(table_path, v)
+                  for v in versions(table_path))
+        if m.get("batch_id") is not None
+    }
+
+
+def streaming_sink(spark: SparkSession, table_path: str):
+    """Exactly-once streaming sink: a foreachBatch function that
+    appends each micro-batch as one snapshot, stamping the manifest
+    with the batch id.  On failure-replay Spark re-delivers a batch
+    under the SAME id; the stamp makes the dedup check durable in the
+    table itself (not in the checkpoint, which can be lost or point at
+    a restored copy of the table), so the replayed batch is skipped
+    and the committed data appears exactly once.  The transactional
+    version of jobs.idempotent_batch_sink's partition-overwrite
+    idempotence: here even a commit torn mid-write is invisible (no
+    manifest -> no snapshot) and retried cleanly."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids(table_path):
+            return
+        vs = versions(table_path)
+        base = vs[-1] if vs else None
+        version = (base if base is not None else -1) + 1
+        staging = os.path.join(table_path, "data",
+                               f"v{version}-b{batch_id}")
+        batch_df.write.mode("overwrite").parquet(staging)
+        new_files = sorted(
+            os.path.join(staging, f) for f in os.listdir(staging)
+            if f.endswith(".parquet"))
+        prev_files = (_load_manifest(table_path, base)["files"]
+                      if base is not None else [])
+        manifest = {
+            "version": version,
+            "mode": "stream-append",
+            "batch_id": batch_id,
+            "files": prev_files + new_files,
+            "added_files": len(new_files),
+            "added_rows": batch_df.sparkSession.read
+                                  .parquet(staging).count(),
+        }
+        os.makedirs(_manifest_dir(table_path), exist_ok=True)
+        with open(_manifest_path(table_path, version), "x") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+    return sink
+
+
 def read(spark: SparkSession, table_path: str,
          version: int | None = None) -> DataFrame:
     """Read a snapshot (latest by default, or AS OF ``version``).

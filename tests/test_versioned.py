@@ -88,3 +88,26 @@ def test_vacuum_never_breaks_surviving_snapshots(spark, sf_dir, tmp_path):
     assert versioned.versions(t) == [1, 2]
     assert _ids(versioned.read(spark, t)) == want
     assert _ids(versioned.read(spark, t, 1)) == want_prev
+
+
+def test_streaming_sink_exactly_once_under_replay(spark, sf_dir, tmp_path):
+    """Failure-replay semantics: foreachBatch re-delivers a batch under
+    the same id; the manifest's batch-id stamp must make the replay a
+    no-op, so the data appears exactly once and the version history
+    shows one snapshot per batch."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    sink = versioned.streaming_sink(spark, t)
+
+    b0 = docs.where(F.col("doc_id") < 25)
+    b1 = docs.where((F.col("doc_id") >= 25) & (F.col("doc_id") < 50))
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)                            # replayed delivery
+    sink(b0, 0)                            # late duplicate replay
+
+    got = versioned.read(spark, t)
+    assert got.count() == 50
+    assert _ids(got) == _ids(b0.unionByName(b1))
+    assert [h["version"] for h in versioned.history(t)] == [0, 1]
+    assert versioned.committed_batch_ids(t) == {0, 1}
