@@ -40,6 +40,10 @@ AUDIT = [
     "rfm_segments",       # round-4: cutoff broadcast, no global ntile
     "asof_nearest",       # round-4: one sort, both frames in one pass
     "events_debounce",    # round-4: one shuffle reused by lag+cumsum+rank
+    "time_bucket_ohlc",   # round-4: hash-agg rollup (scalar min_by key)
+    "inverted_index",     # round-4: one-sort blocked posting lists
+    "skyline_pareto",     # round-4: level-table window + broadcast back
+    "attribution",        # round-4: window-carried last touch, no self-join
 ]
 
 
