@@ -68,7 +68,22 @@ def merge_states(prev: DataFrame, delta: DataFrame) -> DataFrame:
 def refresh(spark, state_path: str, batch: DataFrame) -> DataFrame:
     """Fold one batch into the durable state table (create on first
     call) with the staging-dir atomic-rename commit, and return the
-    refreshed state."""
+    refreshed state.
+
+    Swap protocol (the compact_parquet one, backup step included): the
+    old state moves ASIDE to ``.prev`` before the staged state renames
+    into place, and ``.prev`` is deleted only after the new state is
+    live — a crash anywhere in the window leaves either the old state
+    or a recoverable backup, never nothing (rmtree-then-rename would
+    silently re-initialize history from the next single batch).  A
+    leftover ``.prev`` from a crashed refresh is restored on the next
+    call before merging."""
+    prev_path = state_path + ".prev"
+    if os.path.exists(prev_path) and not os.path.exists(state_path):
+        # crashed between moving the old state aside and publishing
+        # the new one: the backup IS the state — restore and refold
+        os.rename(prev_path, state_path)
+
     delta = batch_state(batch)
     if os.path.exists(state_path):
         prev = spark.read.parquet(state_path)
@@ -80,9 +95,13 @@ def refresh(spark, state_path: str, batch: DataFrame) -> DataFrame:
     # read back BEFORE swapping: new_state's plan still reads the old
     # files; the returned frame must survive the rename
     committed = spark.read.parquet(staged).localCheckpoint(eager=True)
+    if os.path.exists(prev_path):
+        shutil.rmtree(prev_path)
     if os.path.exists(state_path):
-        shutil.rmtree(state_path)
+        os.rename(state_path, prev_path)
     os.rename(staged, state_path)
+    if os.path.exists(prev_path):
+        shutil.rmtree(prev_path)
     return committed
 
 

@@ -83,7 +83,10 @@ def test_vacuum_never_breaks_surviving_snapshots(spark, sf_dir, tmp_path):
 
     want = _ids(versioned.read(spark, t))
     want_prev = _ids(versioned.read(spark, t, 1))
-    deleted = versioned.vacuum(t, keep_last=2)
+    # default retention keeps even unreferenced young files (an
+    # in-flight commit's staged data looks exactly like an orphan)
+    assert versioned.vacuum(t, keep_last=2) == 0
+    deleted = versioned.vacuum(t, keep_last=2, retention_s=0)
     assert deleted > 0                     # v0's overwritten files died
     assert versioned.versions(t) == [1, 2]
     assert _ids(versioned.read(spark, t)) == want
@@ -111,3 +114,39 @@ def test_streaming_sink_exactly_once_under_replay(spark, sf_dir, tmp_path):
     assert _ids(got) == _ids(b0.unionByName(b1))
     assert [h["version"] for h in versioned.history(t)] == [0, 1]
     assert versioned.committed_batch_ids(t) == {0, 1}
+
+
+def test_torn_manifest_write_is_invisible(spark, sf_dir, tmp_path):
+    """A crash mid-manifest-write must not brick the table: the
+    publish protocol writes+fsyncs a temp file and hard-links it into
+    place, so a leftover .tmp.json is never treated as a version."""
+    import os
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    t = str(tmp_path / "tbl")
+    versioned.commit(spark, t, docs.where(F.col("doc_id") < 10))
+    # simulate the torn write: a partial temp manifest on disk
+    torn = versioned._manifest_path(t, 1) + ".deadbeef.tmp.json"
+    open(torn, "w").write('{"version": 1, "files": [')   # truncated
+    assert versioned.versions(t) == [0]                  # ignored
+    v = versioned.commit(spark, t, docs.where(F.col("doc_id") >= 495))
+    assert v == 1
+    assert versioned.read(spark, t).count() == 15
+
+
+def test_incremental_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
+    """Crash window between moving the old state aside and publishing
+    the new one: the .prev backup must be restored, not silently
+    dropped (which would re-initialize history from one batch)."""
+    import os
+    from mvp_mini_etl_pipeline_1762911573_spark.plans import incremental
+    docs = load(spark, sf_dir, "documents")
+    state_path = str(tmp_path / "state")
+    b0 = docs.where(F.col("doc_id") < 200)
+    b1 = docs.where(F.col("doc_id") >= 200)
+    incremental.refresh(spark, state_path, b0)
+    # simulate the crash: state moved aside, new state never landed
+    os.rename(state_path, state_path + ".prev")
+    got = incremental.refresh(spark, state_path, b1)
+    want = incremental.batch_state(docs)
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, want.collect()))
