@@ -64,11 +64,12 @@ def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: mean word length, stopword ratio, punctuation
-    ratio, alpha ratio — the standard cheap pre-filter signals for
-    corpus cleaning (C4/Gopher-style rules, public)."""
-    docs = load(spark, sf_dir, "documents")
+def _quality_feature_cols() -> dict:
+    """The C4/Gopher-style quality signals over ``F.col("text")``,
+    ratios rounded to 4dp — the SINGLE source of truth shared by the
+    `text_quality` report and the `quality_logit` classifier, whose
+    contract is exactly these signals (two copies once drifted a
+    review; a fix to one would silently desynchronize the other)."""
     toks = _tokens(F.col("text"))
     n_toks = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -76,16 +77,30 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks, lambda t: F.array_contains(stop_arr, t)))
     punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
     alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    return {
+        "n_tokens": n_toks,
+        "avg_word_len":
+            F.round(F.length("text") / F.greatest(n_toks, F.lit(1)), 4),
+        "stopword_ratio":
+            F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 4),
+        "punct_ratio":
+            F.round(punct / F.greatest(F.length("text"), F.lit(1)), 4),
+        "alpha_ratio":
+            F.round(alpha / F.greatest(F.length("text"), F.lit(1)), 4),
+    }
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: mean word length, stopword ratio, punctuation
+    ratio, alpha ratio — the standard cheap pre-filter signals for
+    corpus cleaning (C4/Gopher-style rules, public)."""
+    docs = load(spark, sf_dir, "documents")
+    feats = _quality_feature_cols()
     return docs.select(
         "doc_id", "lang",
-        F.round(F.length("text") / F.greatest(n_toks, F.lit(1)), 4)
-         .alias("avg_word_len"),
-        F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 4)
-         .alias("stopword_ratio"),
-        F.round(punct / F.greatest(F.length("text"), F.lit(1)), 4)
-         .alias("punct_ratio"),
-        F.round(alpha / F.greatest(F.length("text"), F.lit(1)), 4)
-         .alias("alpha_ratio"),
+        *[feats[c].alias(c) for c in
+          ("avg_word_len", "stopword_ratio", "punct_ratio",
+           "alpha_ratio")],
     )
 
 
@@ -191,7 +206,6 @@ def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc())
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -292,7 +306,6 @@ def _seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the classic unpartitioned-window scale killer).  Integer-valued
     double division keeps floor() identical across engines (exact
     below 2^52).  Emits per-pack occupancy stats."""
-    from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
     toks = F.size(_tokens(F.col("text")))
@@ -854,7 +867,6 @@ def _text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_term[1:]:
         total = total + p
     scored = part.groupBy("doc_id").agg(F.round(total, 4).alias("bm25"))
-    from pyspark.sql import Window
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= 20))
@@ -898,25 +910,11 @@ def _quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     4dp so a 1-ulp exp() divergence cannot flip the emitted value.
     The keep decision thresholds the ROUNDED p for the same reason."""
     docs = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n_toks = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_hits = F.size(F.filter(
-        toks, lambda t: F.array_contains(stop_arr, t)))
-    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
-    alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    cols = _quality_feature_cols()
     feats = docs.select(
-        "doc_id",
-        n_toks.alias("n_tokens"),
-        F.round(F.length("text") / F.greatest(n_toks, F.lit(1)), 4)
-         .alias("avg_word_len"),
-        F.round(stop_hits / F.greatest(n_toks, F.lit(1)), 4)
-         .alias("stopword_ratio"),
-        F.round(punct / F.greatest(F.length("text"), F.lit(1)), 4)
-         .alias("punct_ratio"),
-        F.round(alpha / F.greatest(F.length("text"), F.lit(1)), 4)
-         .alias("alpha_ratio"),
-    )
+        "doc_id", *[cols[c].alias(c) for c in
+                    ("n_tokens", "avg_word_len", "stopword_ratio",
+                     "punct_ratio", "alpha_ratio")])
     return feats.selectExpr(
         "doc_id",
         f"round(1.0 / (1.0 + exp(-({_QUALITY_LOGIT_Z}))), 4) AS p_keep",

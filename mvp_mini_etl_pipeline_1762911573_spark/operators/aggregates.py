@@ -248,7 +248,6 @@ def _agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users")
     overall = sketches.agg(
         F.hll_union_agg("sk").alias("u"),
-        F.sum("exact_users").alias("_ignore"),
     ).select(
         F.lit("ALL").alias("event_type"),
         F.hll_sketch_estimate("u").alias("est_users"),
@@ -400,8 +399,9 @@ FROM users_clean
 """,
     # agg_approx_count_distinct: rows-only (sketch estimate is
     # engine-specific)
-    "agg_avg_years": USERS_CTE + """
-SELECT round(avg(2026 - year(registered_ts)), 2) AS avg_registration_years
+    "agg_avg_years": USERS_CTE + f"""
+SELECT round(avg({CURRENT_YEAR} - year(registered_ts)), 2)
+         AS avg_registration_years
 FROM users_clean
 """,
     "agg_group_count": """

@@ -257,7 +257,6 @@ def _events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppression."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", "event_id", "ts", "value")
-    from pyspark.sql import Window
     w = Window.partitionBy("user_id", "event_type").orderBy(
         "ts", "event_id")
     gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
@@ -746,17 +745,26 @@ def _chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw stream collapses to the k x 7 observed table in one
     partial-aggregated groupBy; margins, expected counts and the
     statistic are windows/aggregates over that driver-tiny table, so
-    the whole test costs one scan regardless of corpus size."""
+    the whole test costs one scan regardless of corpus size.  The
+    table is DENSIFIED to the full observed-levels grid first
+    (distinct-ty x distinct-dow cross join — both sides tiny): a
+    zero-count cell still contributes (0-e)^2/e = e to the statistic,
+    and summing over observed cells only would silently understate
+    chi2 on sparse tables."""
     ev = load(spark, sf_dir, "events")
     dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("2024-01-01")),
                  F.lit(7))
     obs = (ev.groupBy(F.col("event_type").alias("ty"),
                       dow.alias("dow"))
            .agg(F.count("*").alias("o")))
+    grid = obs.select("ty").distinct().crossJoin(
+        obs.select("dow").distinct())
+    full = (grid.join(obs, ["ty", "dow"], "left")
+            .withColumn("o", F.coalesce("o", F.lit(0))))
     w_ty = Window.partitionBy("ty")
     w_dow = Window.partitionBy("dow")
     w_all = Window.partitionBy()
-    cells = (obs
+    cells = (full
              .withColumn("row_tot", F.sum("o").over(w_ty))
              .withColumn("col_tot", F.sum("o").over(w_dow))
              .withColumn("n", F.sum("o").over(w_all)))
@@ -850,11 +858,17 @@ WITH obs AS (
               AS INTEGER) AS dow,
          CAST(count(*) AS BIGINT) AS o
   FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT ty, dow
+  FROM (SELECT DISTINCT ty FROM obs), (SELECT DISTINCT dow FROM obs)
+), full_ AS (
+  SELECT g.ty, g.dow, coalesce(o.o, 0) AS o
+  FROM grid g LEFT JOIN obs o ON g.ty = o.ty AND g.dow = o.dow
 ), cells AS (
   SELECT *, sum(o) OVER (PARTITION BY ty) AS row_tot,
          sum(o) OVER (PARTITION BY dow) AS col_tot,
          sum(o) OVER () AS n
-  FROM obs
+  FROM full_
 )
 SELECT round(sum((o - row_tot * col_tot / CAST(n AS DOUBLE))
                  * (o - row_tot * col_tot / CAST(n AS DOUBLE))

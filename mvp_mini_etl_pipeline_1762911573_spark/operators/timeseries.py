@@ -57,16 +57,19 @@ def _time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy, zero windows: the map-side partial combine is the
     entire point of the shape.
 
-    The open/close ordering key is a SCALAR — bucket-relative
-    microseconds (< 2^35) packed with clamped value-cents (< 2^24)
-    into one BIGINT — rather than the natural struct(ts, value):
-    min_by/max_by with a struct-typed buffer can't run in
-    HashAggregate (no mutable fixed-width buffer) and Spark falls
-    back to SortAggregate, which sorts every scan partition by the
-    group key before combining; the scalar key keeps the whole
-    rollup hash-aggregated (pinned by
-    tests/test_plans.py::test_ohlc_uses_hash_aggregation).  The
-    encoding is exact while 0 <= value < 167,772 (clamped outside),
+    open/close come from DECODING plain min/max of a packed SCALAR
+    key — bucket-relative microseconds (< 2^35) in the high bits,
+    clamped value-cents (< 2^24) in the low bits — rather than
+    min_by/max_by: (a) a struct ordering key would push min_by's
+    buffer out of HashAggregate into a SortAggregate fallback that
+    sorts every scan partition by the group key (pinned by
+    tests/test_plans.py::test_ohlc_uses_hash_aggregation); (b) even a
+    scalar min_by is nondeterministic when two ticks TIE on the full
+    key (same µs, same cents) — it returns either row's raw value —
+    whereas decoding cents from min(ordk) yields the identical answer
+    no matter which row won, so the operator is total-order-free
+    deterministic by construction.  The decode quantizes open/close
+    to cents, exact while 0 <= value < 167,772 (clamped outside),
     which a price-like measure satisfies by specification."""
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -77,15 +80,16 @@ def _time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(0)),
         F.lit((1 << 24) - 1))
     ordk = (us - bucket_s * 1_000_000) * (1 << 24) + cents
+    decode = lambda c: (F.pmod(c, F.lit(1 << 24)) / 100.0)  # noqa: E731
     return (
         ev.groupBy(
             "event_type",
             F.date_format(_bucket6h(F.col("ts")),
                           "yyyy-MM-dd HH:mm:ss").alias("bucket_start"))
-        .agg(F.min_by("value", ordk).alias("open"),
+        .agg(decode(F.min(ordk)).alias("open"),
              F.max("value").alias("high"),
              F.min("value").alias("low"),
-             F.max_by("value", ordk).alias("close"),
+             decode(F.max(ordk)).alias("close"),
              F.sum(F.col("value").cast("decimal(14,2)"))
               .cast("double").alias("volume"),
              F.count("*").alias("n_ticks"))
@@ -173,21 +177,14 @@ WITH b AS (
                  16777215) AS ordk,
          value
   FROM events
-), w AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY event_type, bucket_start
-                            ORDER BY ordk) AS rn_a,
-         row_number() OVER (PARTITION BY event_type, bucket_start
-                            ORDER BY ordk DESC) AS rn_d
-  FROM b
 )
 SELECT event_type, bucket_start,
-       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       (min(ordk) % 16777216) / 100.0 AS open,
        max(value) AS high, min(value) AS low,
-       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       (max(ordk) % 16777216) / 100.0 AS close,
        CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS volume,
        CAST(count(*) AS BIGINT) AS n_ticks
-FROM w GROUP BY event_type, bucket_start
+FROM b GROUP BY event_type, bucket_start
 """,
     "window_twap": """
 WITH iv AS (

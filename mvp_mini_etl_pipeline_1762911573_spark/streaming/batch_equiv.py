@@ -88,26 +88,30 @@ def ohlc_rollup(events: DataFrame) -> DataFrame:
     per event_type, the TimescaleDB continuous-aggregate / tick-bar
     pattern as a stream-ready aggregation.  Shares the packed SCALAR
     ordering key with the batch hypertable rollup
-    (operators/timeseries.py:_time_bucket_ohlc): open/close via
-    min_by/max_by keep the whole rollup a single mergeable
-    aggregation, which is what makes it STREAMABLE — per-window state
-    merges across micro-batches exactly like map-side partials merge
-    across partitions; the row_number-window formulation is not
-    supported over a stream at all.  Within-hour offset (< 2^32 µs,
-    epoch-aligned buckets) packs with clamped value-cents (< 2^24)
-    into one BIGINT, same determinism contract as the batch flavor."""
+    (operators/timeseries.py:_time_bucket_ohlc): open/close DECODE
+    from plain min/max of that key, keeping the whole rollup a single
+    mergeable aggregation, which is what makes it STREAMABLE —
+    per-window state merges across micro-batches exactly like
+    map-side partials merge across partitions; the row_number-window
+    formulation is not supported over a stream at all.  Within-hour
+    offset (< 2^32 µs, epoch-aligned buckets) packs with clamped
+    value-cents (< 2^24) into one BIGINT; decoding (rather than
+    min_by) means full-key ties — same µs, same cents — still yield
+    one answer on every engine and every micro-batch order: the same
+    determinism contract as the batch flavor."""
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     cents = F.least(
         F.greatest(F.round(F.col("value") * 100).cast("bigint"),
                    F.lit(0)),
         F.lit((1 << 24) - 1))
     ordk = F.pmod(us, F.lit(3_600_000_000)) * (1 << 24) + cents
+    decode = lambda c: (F.pmod(c, F.lit(1 << 24)) / 100.0)  # noqa: E731
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.min_by("value", ordk).alias("open"),
+        .agg(decode(F.min(ordk)).alias("open"),
              F.max("value").alias("high"),
              F.min("value").alias("low"),
-             F.max_by("value", ordk).alias("close"),
+             decode(F.max(ordk)).alias("close"),
              F.sum(F.col("value").cast("decimal(14,2)"))
               .cast("double").alias("volume"),
              F.count("*").alias("n_ticks"))
@@ -227,21 +231,14 @@ WITH b AS (
                  16777215) AS ordk,
          value
   FROM events
-), w AS (
-  SELECT *,
-         row_number() OVER (PARTITION BY event_type, window_start
-                            ORDER BY ordk) AS rn_a,
-         row_number() OVER (PARTITION BY event_type, window_start
-                            ORDER BY ordk DESC) AS rn_d
-  FROM b
 )
 SELECT window_start, event_type,
-       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       (min(ordk) % 16777216) / 100.0 AS open,
        max(value) AS high, min(value) AS low,
-       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       (max(ordk) % 16777216) / 100.0 AS close,
        CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS volume,
        CAST(count(*) AS BIGINT) AS n_ticks
-FROM w GROUP BY window_start, event_type
+FROM b GROUP BY window_start, event_type
 """,
     "stream_correlate": """
 SELECT p.user_id, p.event_id AS purchase_id,

@@ -91,3 +91,66 @@ def test_binned_range_join_drops_impossible_bands(spark, sf_dir):
     want = sorted(tuple(r) for r in
                   joins.QUERIES["join_range"](spark, sf_dir).collect())
     assert got == want
+
+
+def test_chi_square_counts_zero_cells(spark, sf_dir, tmp_path):
+    """Round-4 review latent: a (type, day-of-week) cell with zero
+    events still contributes (0-e)^2/e = e to the statistic.  Feed a
+    corpus with one event type entirely absent on one weekday and
+    check chi2 against the dense-grid hand computation — the
+    observed-cells-only formulation understates it."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        _chi_square,
+    )
+    ev = load(spark, sf_dir, "events")
+    dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("2024-01-01")),
+                 F.lit(7))
+    # knock out one cell entirely
+    sparse = ev.where(~((F.col("event_type") == "click") & (dow == 2)))
+    out = str(tmp_path / "sparse")
+    sparse.write.parquet(f"{out}/events.parquet")
+
+    got = _chi_square(spark, out).first()
+
+    # dense-grid reference computation in plain Python
+    obs = {(r.ty, r.dow): r.o for r in
+           sparse.groupBy(F.col("event_type").alias("ty"),
+                          dow.alias("dow"))
+           .agg(F.count("*").alias("o")).collect()}
+    tys = {t for t, _ in obs}
+    dows = {d for _, d in obs}
+    n = sum(obs.values())
+    row = {t: sum(v for (tt, _), v in obs.items() if tt == t) for t in tys}
+    col = {d: sum(v for (_, dd), v in obs.items() if dd == d) for d in dows}
+    chi2 = sum((obs.get((t, d), 0) - row[t] * col[d] / n) ** 2
+               / (row[t] * col[d] / n) for t in tys for d in dows)
+    assert ("click", 2) not in obs          # the zero cell exists
+    assert abs(got.chi2 - round(chi2, 4)) < 1e-9
+    assert got.dof == (len(tys) - 1) * (len(dows) - 1)
+
+
+def test_ohlc_open_deterministic_under_full_key_ties(spark, tmp_path):
+    """Round-4 review latent: two ticks at the SAME microsecond whose
+    values round to the same cents tie on the packed ordering key; a
+    min_by would return either raw value, while the decode-from-min
+    construction yields the cents value regardless of which row wins
+    — assert the decoded open/close exactly."""
+    import datetime as dt
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.timeseries import (
+        _time_bucket_ohlc,
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 1)
+    rows = [
+        (0, t0, 1, "click", 10.0, None),       # ties with the next on
+        (1, t0, 2, "click", 10.004, None),     # (µs, cents=1000)
+        (2, dt.datetime(2024, 1, 1, 1, 0, 0), 3, "click", 55.5, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    out = str(tmp_path / "ties")
+    df.write.parquet(f"{out}/events.parquet")
+    got = _time_bucket_ohlc(spark, out).first()
+    assert got.open == 10.0                    # decoded cents, not raw
+    assert got.close == 55.5
+    assert got.high == 55.5 and got.low == 10.0
