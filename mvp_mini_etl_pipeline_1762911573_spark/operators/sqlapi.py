@@ -569,11 +569,17 @@ def _table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The new snapshot is derived deterministically from orders (drop
     keys %97, bump totalprice on %13, re-status %41, append %89 under
-    shifted keys) so both engines diff identical inputs.  Shape: ONE
-    full-outer join on the key — the same single shuffle as the
-    merge — with the per-column comparison and the changed-column
-    array built map-side afterward; unchanged rows are filtered out
-    so the output is the (small) change set, not the table."""
+    keys shifted past max(k) — a scalar-subquery offset, so appended
+    keys can never collide with surviving base keys at ANY scale
+    factor; a fixed literal shift broke at sf>=2 where orderkeys pass
+    it) so both engines diff identical inputs.  Shape: ONE full-outer
+    join on the key — the same single shuffle as the merge — with the
+    per-column comparison and the changed-column array built map-side
+    afterward; unchanged rows are filtered out so the output is the
+    (small) change set, not the table.  The DuckDB oracle computes
+    the same change set by a DIFFERENT algorithm (anti-joins per
+    status class), the cross-paradigm discipline the as-of/BFS
+    oracles set."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     return spark.sql("""
         WITH base AS (
@@ -587,7 +593,8 @@ def _table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ELSE price END, 2) AS price
           FROM base WHERE k % 97 != 0
           UNION ALL
-          SELECT k + 10000000, 'N', 1.0 FROM base WHERE k % 89 = 0
+          SELECT k + (SELECT max(k) + 1 FROM base), 'N', 1.0
+          FROM base WHERE k % 89 = 0
         ), joined AS (
           SELECT coalesce(b.k, n.k) AS k,
                  b.status AS b_status, n.status AS n_status,
@@ -612,17 +619,17 @@ def _table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-#: Data-quality assertion suite: (check name, violation-count SQL
-#: condition source).  Each check is one aggregate over its table —
-#: at 100 TB the whole suite is a handful of scan+count jobs (or one
-#: multi-aggregate pass per table), never row-level materialization.
 def _dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: data-quality checks as a query — the deequ/dbt-test
     pattern: declarative constraints evaluated to a (check,
     n_violations, passed) report.  Uniqueness via group-having,
-    referential integrity via anti-join (null-keyed rows are counted
-    by the not-null check, not as orphans), domain and range checks
-    as map-side predicates; every check reduces to a count, so the
+    referential integrity via anti-join over the NOT-NULL-keyed rows
+    (a null key is its own violation class, counted once by the
+    not-null check, never double-reported as an orphan), domain and
+    range checks as map-side predicates; every check reduces to a
+    count — at 100 TB the whole suite is a handful of scan+count
+    jobs (or one multi-aggregate pass per table), never row-level
+    materialization — so the
     report is driver-tiny no matter the table size."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
@@ -634,7 +641,9 @@ def _dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
           UNION ALL
           SELECT 'orders.custkey_refs_customer',
                  count(*)
-          FROM v_orders o ANTI JOIN v_customer c
+          FROM (SELECT o_custkey FROM v_orders
+                WHERE o_custkey IS NOT NULL) o
+          ANTI JOIN v_customer c
             ON o.o_custkey = c.c_custkey
           UNION ALL
           SELECT 'orders.totalprice_positive',
@@ -797,28 +806,27 @@ WITH base AS (
                     ELSE price END, 2) AS price
   FROM base WHERE k % 97 != 0
   UNION ALL
-  SELECT k + 10000000, 'N', 1.0 FROM base WHERE k % 89 = 0
-), joined AS (
-  SELECT coalesce(b.k, n.k) AS k,
-         b.status AS b_status, n.status AS n_status,
-         b.price AS b_price, n.price AS n_price,
-         b.k IS NULL AS is_add, n.k IS NULL AS is_del
-  FROM base b FULL OUTER JOIN new n ON b.k = n.k
+  SELECT k + (SELECT max(k) + 1 FROM base), 'N', 1.0
+  FROM base WHERE k % 89 = 0
 )
-SELECT k,
-       CASE WHEN is_add THEN 'added'
-            WHEN is_del THEN 'removed'
-            ELSE 'changed' END AS status,
+-- independent algorithm (the Spark side uses ONE full-outer join):
+-- each change class derived by its own anti-join / inner-join pass
+SELECT n.k, 'added' AS status,
+       CAST([] AS VARCHAR[]) AS changed_cols,
+       n.status AS n_status, n.price AS n_price
+FROM new n ANTI JOIN base b ON n.k = b.k
+UNION ALL
+SELECT b.k, 'removed', CAST([] AS VARCHAR[]), NULL, NULL
+FROM base b ANTI JOIN new n ON b.k = n.k
+UNION ALL
+SELECT b.k, 'changed',
        list_filter([
-         CASE WHEN NOT is_add AND NOT is_del
-               AND b_status != n_status THEN 'status' END,
-         CASE WHEN NOT is_add AND NOT is_del
-               AND b_price != n_price THEN 'price' END],
-         x -> x IS NOT NULL) AS changed_cols,
-       n_status, n_price
-FROM joined
-WHERE is_add OR is_del
-   OR b_status != n_status OR b_price != n_price
+         CASE WHEN b.status != n.status THEN 'status' END,
+         CASE WHEN b.price != n.price THEN 'price' END],
+         x -> x IS NOT NULL),
+       n.status, n.price
+FROM base b JOIN new n ON b.k = n.k
+WHERE b.status != n.status OR b.price != n.price
 """,
     "dq_check": """
 WITH checks AS (
@@ -827,7 +835,8 @@ WITH checks AS (
   FROM orders
   UNION ALL
   SELECT 'orders.custkey_refs_customer', count(*)
-  FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+  FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+  ANTI JOIN customer c ON o.o_custkey = c.c_custkey
   UNION ALL
   SELECT 'orders.totalprice_positive',
          count(*) FILTER (o_totalprice <= 0)

@@ -154,3 +154,30 @@ def test_ohlc_open_deterministic_under_full_key_ties(spark, tmp_path):
     assert got.open == 10.0                    # decoded cents, not raw
     assert got.close == 55.5
     assert got.high == 55.5 and got.low == 10.0
+
+
+def test_dq_check_null_key_not_double_counted(spark, sf_dir, tmp_path):
+    """Round-4 review latent: a NULL-keyed order is one violation (the
+    not-null check), never ALSO an orphan — an unfiltered anti-join
+    counts it twice because NULL = c_custkey never matches."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.sqlapi import (
+        _dq_check,
+    )
+    orders = load(spark, sf_dir, "orders")
+    nulled = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") == 1, None)
+         .otherwise(F.col("o_custkey")))
+    out = str(tmp_path / "dq")
+    nulled.write.parquet(f"{out}/orders.parquet")
+    load(spark, sf_dir, "customer").write.parquet(
+        f"{out}/customer.parquet")
+
+    got = {r.check: r.n_violations for r in _dq_check(spark, out).collect()}
+    base = {r.check: r.n_violations
+            for r in _dq_check(spark, sf_dir).collect()}
+    assert got["orders.custkey_not_null"] \
+        == base["orders.custkey_not_null"] + 1
+    # the nulled row must NOT additionally surface as an orphan
+    assert got["orders.custkey_refs_customer"] \
+        == base["orders.custkey_refs_customer"]
