@@ -17,10 +17,12 @@ Scale notes (100 TB):
   Band width r=4, b=8 bands over k=32 minhashes targets Jaccard ≳ 0.6
   (P(collide) = 1-(1-s^r)^b).  The candidate self-join is keyed on
   (band_id, band_hash) — the bucket sizes, not n², bound the work.
-* SimHash: one 64-bit fingerprint per doc; near-dup = Hamming distance
-  ≤ 3, found by pigeonhole: split the fingerprint into 4 16-bit chunks,
-  any pair within distance 3 shares ≥1 exact chunk → equi-join per
-  chunk, then exact Hamming check.  All equi-joins, zero cross product.
+* SimHash: one 48-bit fingerprint per doc (SIMHASH_BITS — downsized
+  from the textbook 64 so every shift/literal stays ANSI-safe in both
+  engines); near-dup = Hamming distance ≤ 3, found by pigeonhole:
+  split the fingerprint into 4 12-bit chunks, any pair within
+  distance 3 shares ≥1 exact chunk → equi-join per chunk, then exact
+  Hamming check.  All equi-joins, zero cross product.
 * All-pairs n-gram Jaccard is exposed for oracle-checkability at test
   scale; its candidate generation (token → inverted index → pair
   counts) is the scalable path (prefix filtering would prune further).
@@ -34,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..oracles import USERS_CTE
 from ..tables import load, users_valid
-from .similarity import DUCK_CELLS_CTE
+from .similarity import DUCK_CELLS_CTE, SIM_THRESHOLD
 
 # MinHash parameters (see module docstring for the banding math).
 MINHASH_K = 32
@@ -84,27 +86,36 @@ def _dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gram_array(ws_col: str, n: int):
+    """Guarded word-n-gram array over a pre-split token array column —
+    the ONE implementation behind _shingled, _dedup_ngram_jaccard and
+    _decontaminate (three hand-kept copies once drifted a review).
+    Guards the <n-token edge: sequence(1, size-n+1<1) would be
+    DESCENDING in Spark and out-of-range element_at throws under ANSI;
+    the when() sidesteps both (DuckDB's generate_series(1, n<1) is
+    naturally empty, so the oracles need no guard).  Tokenization is
+    deliberately the CALLER's choice: _shingled filters empty tokens,
+    while the jaccard/decontaminate paths keep the raw split to stay
+    bit-identical with their oracles' string_split_regex."""
+    return F.when(
+        F.size(ws_col) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(ws_col) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws_col, i + j) for j in range(n)]),
+        )),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _shingled(docs: DataFrame) -> DataFrame:
-    """Word n-gram shingle set per document (narrow, map-side).
-    Guards the <n-token edge (sequence(1,0) would be descending and
-    out-of-range element_at throws under ANSI)."""
+    """Word n-gram shingle set per document (narrow, map-side)."""
     toks = docs.select(
         "doc_id",
         F.filter(F.split(F.lower("text"), r"\s+"),
                  lambda t: t != "").alias("ws"),
     )
     return toks.select(
-        "doc_id",
-        F.when(
-            F.size("ws") >= SHINGLE_N,
-            F.array_distinct(F.transform(
-                F.sequence(F.lit(1), F.size("ws") - (SHINGLE_N - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("ws", i + j)
-                           for j in range(SHINGLE_N)]),
-            )),
-        ).otherwise(F.array().cast("array<string>")).alias("shingles"),
-    )
+        "doc_id", _gram_array("ws", SHINGLE_N).alias("shingles"))
 
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
@@ -117,7 +128,15 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
         F.transform("shingles",
                     lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
          .alias("hs"),
-    )
+    ).where(F.size("hs") > 0)
+    # ^ docs too short to form one shingle (< SHINGLE_N tokens —
+    # titles, near-empty crawl pages) would otherwise all carry the
+    # identical all-NULL signature (array_min over an empty array),
+    # land in ONE bucket in every band, and flood candidate
+    # generation with m²/2 pairs that rescore to 0.0 — the exact
+    # precision collapse lsh_candidate_pairs' docstring warns about.
+    # Sub-shingle docs have no near-dup signal at this gram size by
+    # definition, so exclusion is semantics-preserving.
     def _perm(a: int, b: int):
         # closure factory: a default-arg lambda would change the HOF
         # arity pyspark infers
@@ -305,24 +324,10 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
-    # guard: docs with <3 tokens produce no grams (sequence(1,0) would
-    # be DESCENDING in Spark, and out-of-range element_at throws under
-    # ANSI — the when() sidesteps both; DuckDB's generate_series(1,n<1)
-    # is naturally empty)
     grams = toks.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.size("ws") >= 3,
-                F.array_distinct(F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("ws", i),
-                        F.element_at("ws", i + 1),
-                        F.element_at("ws", i + 2)),
-                )),
-            ).otherwise(F.array().cast("array<string>"))
+            _gram_array("ws", 3)
         ).alias("gram"),
     )
     # prune corpus-frequent (stopword-like) grams before the self-join:
@@ -656,21 +661,9 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
-    # guarded sequence as in _dedup_ngram_jaccard (ANSI: descending
-    # sequence / out-of-range element_at both throw)
     grams = toks.select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.size("ws") >= DECON_N,
-                F.array_distinct(F.transform(
-                    F.sequence(F.lit(1), F.size("ws") - (DECON_N - 1)),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at("ws", i + j)
-                               for j in range(DECON_N)]),
-                )),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
+        F.explode(_gram_array("ws", DECON_N)).alias("gram"),
     )
     bench = grams.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("bench_doc"), "gram")
@@ -1127,7 +1120,7 @@ WITH RECURSIVE {DUCK_CELLS_CTE}, vecs AS (
           list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
-          6) >= 0.4
+          6) >= {SIM_THRESHOLD}
 ), edges AS (
   SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
 ), reach(src, dst) AS (
@@ -1166,7 +1159,7 @@ WITH {DUCK_CELLS_CTE}, vecs AS (
 SELECT dup_id, keep_id AS dup_of, cos_sim
 FROM (SELECT *, row_number() OVER (PARTITION BY dup_id
             ORDER BY cos_sim DESC, keep_id ASC) AS rn
-      FROM pairs WHERE cos_sim >= 0.4)
+      FROM pairs WHERE cos_sim >= {SIM_THRESHOLD})
 WHERE rn = 1
 """,
     "dedup_exact": USERS_CTE + """

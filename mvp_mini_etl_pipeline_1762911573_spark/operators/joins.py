@@ -114,14 +114,7 @@ def _join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst executes as BroadcastNestedLoopJoin (bands tiny == fine);
     at scale, bin the probe side first to make it an equi join."""
     part = load(spark, sf_dir, "part")
-    # SQL VALUES = JVM LocalRelation (createDataFrame would round-trip
-    # a Python RDD and spin up Python workers for a 3-row table)
-    bands = spark.sql("""
-        SELECT * FROM VALUES
-          ('low', 0.0D, 933.0D), ('mid', 933.0D, 966.0D),
-          ('high', 966.0D, 1e9D)
-        AS bands(band, lo, hi)
-    """)
+    bands = _price_bands(spark)   # shared with _join_range_binned
     return (
         part.join(F.broadcast(bands),
                   (part.p_retailprice >= bands.lo)
@@ -374,11 +367,16 @@ def _entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     min instead of integer min): per round, each node takes the min of
     its label and its neighbors' labels — one equi-join + one groupBy
     per round, O(diameter) rounds, fixpoint detected by a changed-row
-    count (with the same capped-loop warning discipline).  No
-    checkpoint needed at this diameter; components span only a single
-    fuzzy block, so the label table stays broadcast-small relative to
-    the corpus even at 100 TB (the graph is over distinct ENTITIES,
-    not rows).  Names with no fuzzy match are their own canonical and
+    count (with the same capped-loop warning discipline).  The edge
+    table and each round's labels are localCheckpointed (the
+    dedup_clusters discipline): without it, round r's `changed`
+    action re-executes the blocked levenshtein fuzzy join and all
+    r-1 prior rounds from scratch — O(rounds²) fuzzy joins and
+    unbounded lineage depth; with it, each round is one bounded job
+    over materialized inputs.  The label table is over distinct
+    ENTITIES, not rows, so it stays broadcast-small relative to the
+    corpus even at 100 TB.  Names with no fuzzy match are their own
+    canonical and
     are excluded here (mirrors dedup_clusters' members-only output;
     the identity mapping adds nothing).
 
@@ -391,9 +389,11 @@ def _entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = (matches.select(F.col("name_a").alias("src"),
                           F.col("name_b").alias("dst"))
            .union(matches.select(F.col("name_b").alias("src"),
-                                 F.col("name_a").alias("dst"))))
+                                 F.col("name_a").alias("dst")))
+           .localCheckpoint(eager=True))
     labels = (sym.select(F.col("src").alias("node")).distinct()
-              .select("node", F.col("node").alias("label")))
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
     for _ in range(ER_MAX_ITERS):
         nbr = (sym.join(labels, sym["dst"] == labels["node"])
                .groupBy(F.col("src").alias("node"))
@@ -402,7 +402,8 @@ def _entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.join(nbr, "node", "left")
             .select("node",
                     F.least("label", F.coalesce("nbr_min", "label"))
-                     .alias("label")))
+                     .alias("label"))
+            .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.label") != F.col("o.label"))
