@@ -128,15 +128,7 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
         F.transform("shingles",
                     lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
          .alias("hs"),
-    ).where(F.size("hs") > 0)
-    # ^ docs too short to form one shingle (< SHINGLE_N tokens —
-    # titles, near-empty crawl pages) would otherwise all carry the
-    # identical all-NULL signature (array_min over an empty array),
-    # land in ONE bucket in every band, and flood candidate
-    # generation with m²/2 pairs that rescore to 0.0 — the exact
-    # precision collapse lsh_candidate_pairs' docstring warns about.
-    # Sub-shingle docs have no near-dup signal at this gram size by
-    # definition, so exclusion is semantics-preserving.
+    )
     def _perm(a: int, b: int):
         # closure factory: a default-arg lambda would change the HOF
         # arity pyspark infers
@@ -149,6 +141,13 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
                 F.transform("hs", _perm(2 * i + 1, 1_000_003 * (i + 1)))
             ).alias(f"mh_{i}")
         )
+    # NOTE for consumers: docs too short to form one shingle
+    # (< SHINGLE_N tokens) carry an all-NULL signature (array_min over
+    # an empty array) — filter them AFTER materializing (see
+    # _dedup_near_minhash); an expression-level filter here gets
+    # pushed below the projections with alias substitution and
+    # re-evaluates the shingle+hash chain per row (measured 6x+ on
+    # dedup_near before the checkpoint-side filter).
     return hashed.select("doc_id", F.array(*sig_cols).alias("sig"))
 
 
@@ -200,7 +199,18 @@ def _dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across driver sweeps / bench / pytest in round 1); checkpoint
     # blocks are reference-tracked and freed when this DataFrame is
     # garbage-collected.
-    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    sigs = (minhash_signatures(docs).localCheckpoint(eager=True)
+            # drop sub-shingle docs (< SHINGLE_N tokens — titles,
+            # near-empty crawl pages): their all-NULL signatures would
+            # share ONE bucket in every band and flood candidate
+            # generation with m²/2 pairs that rescore to 0.0 — the
+            # precision collapse lsh_candidate_pairs' docstring warns
+            # about.  They have no near-dup signal at this gram size
+            # by definition, so exclusion is semantics-preserving.
+            # Filtered AFTER the checkpoint: the barrier stops
+            # predicate pushdown from substituting the signature
+            # expressions back into the scan (see minhash_signatures).
+            .where(F.element_at("sig", 1).isNotNull()))
 
     pairs = lsh_candidate_pairs(sigs)
 

@@ -410,6 +410,30 @@ def assign_cells(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
                        best_cell("embedding").alias("cell"))
 
 
+def _ivf_probes(emb: DataFrame, with_vec: bool = False) -> DataFrame:
+    """Each query's IVF_NPROBE best coarse cells — (q_id, cell) plus
+    q_vec when ``with_vec`` (the flat-IVF rescorer needs the query
+    vector downstream; the PQ/ADC path carries it driver-side).  One
+    implementation shared by _similarity_ivf and ivfpq_search: the
+    probe ranking (round-6 sim, c_id tiebreak, NPROBE cut) is
+    oracle-sensitive in both paths and must never diverge."""
+    cents = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("c_id").asc())
+    carry = ["q_id", "q_vec"] if with_vec else ["q_id"]
+    return (
+        queries.join(F.broadcast(cents))
+        .select(*carry, "c_id",
+                F.round(cosine("q_vec", "c_vec"), 6).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= IVF_NPROBE)
+        .select(*carry, F.col("c_id").alias("cell"))
+    )
+
+
 def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 scale path #2: IVF (inverted-file) ANN top-k with a FULL
     oracle.  Structure:
@@ -427,22 +451,8 @@ def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     |probed cells| ≪ n.  Ranking uses round(cos, 6) with id tiebreak so
     both engines order identically."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     assigned = assign_cells(emb)
-
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    w_probe = Window.partitionBy("q_id").orderBy(
-        F.col("sim").desc(), F.col("c_id").asc())
-    probes = (
-        queries.join(F.broadcast(cents))
-        .select("q_id", "q_vec", "c_id",
-                F.round(cosine("q_vec", "c_vec"), 6).alias("sim"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .where(F.col("rn") <= IVF_NPROBE)
-        .select("q_id", "q_vec", F.col("c_id").alias("cell"))
-    )
+    probes = _ivf_probes(emb, with_vec=True)
 
     pcos6 = pairwise_cosine_exact_udf()
     scored = (
@@ -622,20 +632,7 @@ def ivfpq_search(emb: DataFrame, topk: int = TOPK) -> DataFrame:
     q_pos = {q: i for i, q in enumerate(q_ids)}
 
     # IVF probe: each query's IVF_NPROBE best cells (tiny, broadcast)
-    cents = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    w_probe = Window.partitionBy("q_id").orderBy(
-        F.col("sim").desc(), F.col("c_id").asc())
-    probes = (
-        queries.join(F.broadcast(cents))
-        .select("q_id", "c_id",
-                F.round(cosine("q_vec", "c_vec"), 6).alias("sim"))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .where(F.col("rn") <= IVF_NPROBE)
-        .select("q_id", F.col("c_id").alias("cell"))
-    )
+    probes = _ivf_probes(emb)
 
     @pandas_udf("double")
     def adc_one(codes: pd.Series, qid: pd.Series) -> pd.Series:

@@ -109,17 +109,12 @@ def enrich_stream(events: DataFrame, users: DataFrame) -> DataFrame:
     return enrich_counts(events.withWatermark("ts", "10 minutes"), users)
 
 
-def correlate_stream(events: DataFrame) -> DataFrame:
-    """ST-EXT2 streaming flavor: watermarked stream-stream inner join —
-    views matched to purchases of the same user within the preceding
-    hour.  Both sides carry watermarks and the join condition bounds
-    view_ts in [purchase_ts - 1h, purchase_ts), so the state store can
-    expire views older than watermark + 1 h (unbounded-state joins are
-    rejected by Spark in append mode for exactly this reason).  Emits
-    matched pairs (append mode); the batch flavor's per-purchase rollup
-    runs downstream of the drain in the convergence test — a
-    post-stream-stream-join aggregation would need its own watermark
-    hop."""
+def _correlate_sides(events: DataFrame):
+    """The watermarked view/purchase stream pair and interval
+    predicate shared by BOTH correlate flavors (inner and left-outer
+    differ only in join direction/type): the watermark and the 1-hour
+    range bound define state-expiry semantics, and two hand-kept
+    copies would let a bound change silently desynchronize them."""
     v = (events.where(F.col("event_type") == "view")
          .select(F.col("user_id").alias("v_user"),
                  F.col("event_id").alias("view_id"),
@@ -131,12 +126,26 @@ def correlate_stream(events: DataFrame) -> DataFrame:
                  F.col("ts").alias("purchase_ts"),
                  F.col("value").alias("purchase_value"))
          .withWatermark("purchase_ts", "10 minutes"))
-    return v.join(
-        p,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("view_ts") < F.col("purchase_ts"))
-        & (F.col("view_ts") >= F.col("purchase_ts")
-           - F.expr("INTERVAL 1 HOUR")))
+    cond = ((F.col("v_user") == F.col("p_user"))
+            & (F.col("view_ts") < F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts")
+               - F.expr("INTERVAL 1 HOUR")))
+    return v, p, cond
+
+
+def correlate_stream(events: DataFrame) -> DataFrame:
+    """ST-EXT2 streaming flavor: watermarked stream-stream inner join —
+    views matched to purchases of the same user within the preceding
+    hour.  Both sides carry watermarks and the join condition bounds
+    view_ts in [purchase_ts - 1h, purchase_ts), so the state store can
+    expire views older than watermark + 1 h (unbounded-state joins are
+    rejected by Spark in append mode for exactly this reason).  Emits
+    matched pairs (append mode); the batch flavor's per-purchase rollup
+    runs downstream of the drain in the convergence test — a
+    post-stream-stream-join aggregation would need its own watermark
+    hop."""
+    v, p, cond = _correlate_sides(events)
+    return v.join(p, cond)
 
 
 def correlate_outer_stream(events: DataFrame) -> DataFrame:
@@ -152,24 +161,8 @@ def correlate_outer_stream(events: DataFrame) -> DataFrame:
     unemitted, which the convergence test accounts for.  Same state
     expiry as correlate_stream: the range bound lets Spark drop views
     older than watermark + 1 h."""
-    v = (events.where(F.col("event_type") == "view")
-         .select(F.col("user_id").alias("v_user"),
-                 F.col("event_id").alias("view_id"),
-                 F.col("ts").alias("view_ts"))
-         .withWatermark("view_ts", "10 minutes"))
-    p = (events.where(F.col("event_type") == "purchase")
-         .select(F.col("user_id").alias("p_user"),
-                 F.col("event_id").alias("purchase_id"),
-                 F.col("ts").alias("purchase_ts"),
-                 F.col("value").alias("purchase_value"))
-         .withWatermark("purchase_ts", "10 minutes"))
-    return p.join(
-        v,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("view_ts") < F.col("purchase_ts"))
-        & (F.col("view_ts") >= F.col("purchase_ts")
-           - F.expr("INTERVAL 1 HOUR")),
-        "leftOuter")
+    v, p, cond = _correlate_sides(events)
+    return p.join(v, cond, "leftOuter")
 
 
 def dedup_stream(events: DataFrame) -> DataFrame:
@@ -209,7 +202,14 @@ def run_to_memory(stream_df: DataFrame, query_name: str,
     """Execute a streaming DataFrame with Trigger.AvailableNow into a
     memory sink; block until done; return the materialized result.
     Aggregating streams use 'complete'; pass 'append' for stateless /
-    dedup streams."""
+    dedup streams.
+
+    awaitTermination's return value is CHECKED: on timeout it returns
+    False (it does not raise), and silently reading the memory table
+    then would hand the caller a partial result from a still-running
+    query — a confusing flaky row-count mismatch downstream, plus a
+    leaked active query that collides with the next same-name start.
+    Stop the query and fail loudly instead."""
     q = (
         stream_df.writeStream
         .format("memory")
@@ -218,6 +218,10 @@ def run_to_memory(stream_df: DataFrame, query_name: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"stream '{query_name}' still running after {timeout_sec}s "
+            "— refusing to return a partial memory table")
     spark = stream_df.sparkSession
     return spark.table(query_name)

@@ -90,8 +90,26 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 _USERS_CACHE: dict = {}
 
 
+def _users_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
+    """(applicationId, path, source mtimes) — the same key shape as
+    similarity._cent_cache_key (ADVICE r3): applicationId is stable
+    per SparkContext and never recycled the way id(session) can be
+    after a stopped session is GC'd (a recycled id would serve a
+    checkpointed frame whose RDD blocks belong to a DEAD context),
+    and the mtime fingerprint invalidates the entry when the parquet
+    under an unchanged path is rewritten."""
+    root = os.path.abspath(sf_dir)
+    try:
+        stamps = tuple(sorted(
+            (f, os.stat(os.path.join(root, f)).st_mtime_ns)
+            for f in os.listdir(root) if f.endswith(".parquet")))
+    except OSError:
+        stamps = ()
+    return (spark.sparkContext.applicationId, root, stamps)
+
+
 def warm_users_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), os.path.abspath(sf_dir))
+    key = _users_cache_key(spark, sf_dir)
     if key not in _USERS_CACHE:
         # localCheckpoint over persist(MEMORY_AND_DISK) or a temp
         # parquet round-trip: measured at sf0.1, persist+count ~3.5s
@@ -123,7 +141,7 @@ def clear_users_cache() -> None:
 
 def users_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The clean canonical user entity, one row per customer (no dirt)."""
-    cached = _USERS_CACHE.get((id(spark), os.path.abspath(sf_dir)))
+    cached = _USERS_CACHE.get(_users_cache_key(spark, sf_dir))
     if cached is not None:
         return cached
     customer = load(spark, sf_dir, "customer")

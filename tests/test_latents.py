@@ -181,3 +181,21 @@ def test_dq_check_null_key_not_double_counted(spark, sf_dir, tmp_path):
     # the nulled row must NOT additionally surface as an orphan
     assert got["orders.custkey_refs_customer"] \
         == base["orders.custkey_refs_customer"]
+
+
+def test_lsh_short_docs_do_not_flood_candidates(spark, tmp_path):
+    """Round-4 review latent: sub-shingle docs (< SHINGLE_N tokens)
+    all carry the identical all-NULL minhash signature and would
+    collide into one bucket per band, emitting m²/2 zero-similarity
+    pairs.  A corpus of one-word docs must produce ZERO near-dup
+    pairs, not 190."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        _dedup_near_minhash,
+    )
+    rows = [(i, f"w{i}", "en", "src", 2) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = str(tmp_path / "short")
+    df.write.parquet(f"{out}/documents.parquet")
+    assert _dedup_near_minhash(spark, out).count() == 0
