@@ -3,8 +3,10 @@
 Mirrors the reference lifecycle (SURVEY.md §3): one lazy DataFrame DAG
 (source -> validate -> dedup -> canonical users) with the dashboard
 metrics derived from the same DAG.  Where the reference fakes stage
-liveness with UI timers (pages/index.js:63-80), we take real per-stage
-row counts from ``df.observe`` and real wall-clock from the driver.
+liveness with UI timers (pages/index.js:63-80), run_pipeline takes a
+real per-stage row count per stage action and real wall-clock from the
+driver (staged counts ARE the observability product here; the
+single-pass flavor is flagship_metrics_row).
 
 ``flagship_metrics_row`` is the driver's ``entry()`` / ``metrics_row``
 query: the reference's entire dashboard as ONE aggregate row —
@@ -26,7 +28,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..tables import CURRENT_YEAR, users_clean, users_raw, users_valid
+from ..tables import CURRENT_YEAR, clean_from, users_raw, valid_from
 
 
 def flagship_metrics_row(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,8 +153,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str,
 
 def _run_pipeline_inner(spark, sf_dir, csv_out, source, t0, log, stage):
     raw = (source or users_raw)(spark, sf_dir)
-    observed = raw.observe("extract", F.count(F.lit(1)).alias("rows_in"))
-    rows_in = observed.count()
+    rows_in = raw.count()
     stage("extract", rows_in)
 
     if rows_in == 0:
@@ -165,7 +166,11 @@ def _run_pipeline_inner(spark, sf_dir, csv_out, source, t0, log, stage):
         return {"metrics": metrics, "log": log,
                 "fallback_metrics_used": True}
 
-    clean = users_clean(spark, sf_dir)
+    # derive EVERY downstream stage from the same `raw` frame: with an
+    # injected source, rebuilding from the default users_raw here would
+    # mix two datasets' counts (rows_out could exceed rows_in and
+    # dedup_removed could go negative, silently)
+    clean = clean_from(raw)
     rows_out = clean.count()
     stage("transform", rows_out)
 
@@ -182,7 +187,7 @@ def _run_pipeline_inner(spark, sf_dir, csv_out, source, t0, log, stage):
         F.max_by(F.concat_ws(" ", "name_first", "name_last"),
                  F.struct("registered_ts", "custkey")).alias("last_user"),
     ).first()
-    valid_cnt = users_valid(spark, sf_dir).count()
+    valid_cnt = valid_from(raw).count()
 
     metrics = {
         "rows_in": rows_in,

@@ -123,15 +123,21 @@ def make_crawl_datasource():
     return CrawlDataSource
 
 
-_REGISTERED: set = set()
+def _ensure_registered(spark: SparkSession) -> None:
+    """Register the data source on THIS session, idempotently.
+    Registration is per-SparkSession state (a sibling
+    spark.newSession() shares the applicationId but NOT the data-
+    source registry, so an applicationId-keyed memo skipped the
+    registration the new session needed and the load failed);
+    re-registering the same name simply replaces the entry, so no
+    memo is needed at all — shared by both entry points so the two
+    can never diverge."""
+    spark.dataSource.register(make_crawl_datasource())
 
 
 def crawl_frame(spark: SparkSession, shards: int = CRAWL_SHARDS,
                 per_shard: int = CRAWL_PER_SHARD) -> DataFrame:
-    key = spark.sparkContext.applicationId
-    if key not in _REGISTERED:
-        spark.dataSource.register(make_crawl_datasource())
-        _REGISTERED.add(key)
+    _ensure_registered(spark)
     return (spark.read.format("crawl_shards")
             .option("shards", shards)
             .option("pershard", per_shard)
@@ -142,10 +148,7 @@ def crawl_stream(spark: SparkSession,
                  per_batch: int = 100) -> DataFrame:
     """The same feed as readStream — finite (capped at the batch
     reader's extent), so AvailableNow drains it."""
-    key = spark.sparkContext.applicationId
-    if key not in _REGISTERED:
-        spark.dataSource.register(make_crawl_datasource())
-        _REGISTERED.add(key)
+    _ensure_registered(spark)
     return (spark.readStream.format("crawl_shards")
             .option("perbatch", per_batch)
             .load())

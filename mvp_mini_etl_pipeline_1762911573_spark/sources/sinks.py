@@ -49,8 +49,22 @@ def timestamped_path(base_dir: str, now=None) -> str:
 
 
 def write_users_csv(users: DataFrame, path: str) -> None:
-    flat = users if set(CSV_COLUMNS) == set(users.columns) \
-        else flatten_for_csv(users)
+    # skip re-flattening ONLY for a conforming frame: every CSV column
+    # present as a string (already coalesced/ISO-formatted by
+    # flatten_for_csv) — reordered columns are just re-selected into
+    # CSV order.  The earlier set-equality check silently accepted a
+    # mis-ordered column list (wrong CSV layout) and non-string types
+    # (timestamp rendering / unquoted nulls diverge from the
+    # reference's coalesced quoted "" cells); a non-conforming hybrid
+    # now goes through flatten_for_csv, which fails loudly if the raw
+    # source columns are missing rather than writing a bad file.
+    all_strings = all(t == "string" for _, t in users.dtypes)
+    if users.columns == CSV_COLUMNS and all_strings:
+        flat = users
+    elif set(users.columns) == set(CSV_COLUMNS) and all_strings:
+        flat = users.select(*CSV_COLUMNS)
+    else:
+        flat = flatten_for_csv(users)
     (flat.write.mode("overwrite")
      .option("header", True)
      .option("quoteAll", True)       # reference quotes every cell
@@ -95,24 +109,36 @@ def compact_parquet(spark, path: str, target_rows_per_file: int) -> int:
     of KB-sized files per partition, and scan cost becomes dominated by
     file-open overhead and footer reads instead of data.  Rewrites the
     table at ``path`` into ⌈rows / target_rows_per_file⌉ files via a
-    staging directory + atomic swap (write _next, move old to _prev,
-    move _next in — readers never see a half-written table; on a real
-    lakehouse this is table-format commit protocol territory, e.g.
-    Iceberg rewrite_data_files).  Row-count equality is the caller's
-    invariant (asserted in tests).  Returns the new file count.
+    staging swap: write _next, move old to _prev, move _next in, drop
+    _prev.  Readers never see a HALF-WRITTEN table, but the swap is
+    NOT atomic — POSIX cannot exchange two directories in one rename —
+    so a reader racing the two moves can hit path-not-found, and a
+    crash between them strands the data in _prev; the recovery step
+    below restores it on the next run.  True atomicity is table-format
+    commit-protocol territory: sources/versioned.py does it properly
+    (manifest link-publish), and Iceberg's rewrite_data_files is the
+    production equivalent — this function is the pre-table-format
+    maintenance flavor.  Row-count equality is the caller's invariant
+    (asserted in tests).  Returns the new file count.
 
     repartition (round-robin shuffle), not coalesce: coalesce(n) caps
     parallelism of everything UPSTREAM of the write and can produce
     skewed files from skewed input partitions; compaction wants evenly
     sized output files, which is worth the one shuffle — this job runs
     off the hot path."""
+    import os
     import shutil
+
+    staged = path.rstrip("/") + "_next"
+    backup = path.rstrip("/") + "_prev"
+    if os.path.exists(backup) and not os.path.exists(path):
+        # crashed between the two moves last run: the backup IS the
+        # table — restore before compacting
+        shutil.move(backup, path)
 
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
-    staged = path.rstrip("/") + "_next"
-    backup = path.rstrip("/") + "_prev"
     df.repartition(n_files).write.mode("overwrite").parquet(staged)
     shutil.rmtree(backup, ignore_errors=True)
     shutil.move(path, backup)

@@ -203,10 +203,13 @@ def users_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_copy"))
 
 
-def users_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Validity filter (reference P4-P6): non-null email/id and a
-    parseable registration timestamp.  Adds ``registered_ts``."""
-    raw = users_raw(spark, sf_dir)
+def valid_from(raw: DataFrame) -> DataFrame:
+    """Validity filter (reference P4-P6) applied to a GIVEN raw frame:
+    non-null email/id and a parseable registration timestamp.  Adds
+    ``registered_ts``.  Frame-based so pipelines with an injected
+    source derive every downstream stage from the SAME extract
+    (run_pipeline once mixed an injected extract's rows_in with the
+    default source's transform counts)."""
     with_ts = raw.withColumn(
         "registered_ts", F.try_to_timestamp(F.col("registered_raw"))
     )
@@ -217,8 +220,16 @@ def users_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_from(raw: DataFrame) -> DataFrame:
+    """Valid + exact-deduped by id (reference D1, `dedup_removed`) from
+    a GIVEN raw frame.  Duplicates are verbatim copies, so any
+    surviving row is identical — dropDuplicates is deterministic."""
+    return valid_from(raw).dropDuplicates(["id"])
+
+
+def users_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return valid_from(users_raw(spark, sf_dir))
+
+
 def users_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Valid + exact-deduped by id (reference D1, `dedup_removed`).
-    Duplicates are verbatim copies, so any surviving row is identical —
-    dropDuplicates is deterministic here."""
-    return users_valid(spark, sf_dir).dropDuplicates(["id"])
+    return clean_from(users_raw(spark, sf_dir))

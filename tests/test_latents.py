@@ -199,3 +199,26 @@ def test_lsh_short_docs_do_not_flood_candidates(spark, tmp_path):
     out = str(tmp_path / "short")
     df.write.parquet(f"{out}/documents.parquet")
     assert _dedup_near_minhash(spark, out).count() == 0
+
+
+def test_run_pipeline_injected_source_counts_are_consistent(spark, sf_dir):
+    """Round-4 review latent: with a non-empty injected source, every
+    stage must derive from THAT extract — the old code counted rows_in
+    from the injection but rebuilt transform/dedup from the default
+    users_raw, so the metrics mixed two datasets."""
+    from mvp_mini_etl_pipeline_1762911573_spark.plans.pipeline import (
+        run_pipeline,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import users_raw
+
+    def tiny_source(spark_, sf_dir_):
+        # a 40-row slice: far smaller than the default extract, so any
+        # default-source leakage makes rows_out exceed rows_in
+        return users_raw(spark_, sf_dir_).where(F.col("custkey") <= 40)
+
+    got = run_pipeline(spark, sf_dir, source=tiny_source)
+    m = got["metrics"]
+    assert not got["fallback_metrics_used"]
+    assert 0 < m["rows_out"] <= m["rows_in"] <= 50
+    assert m["dedup_removed"] >= 0
+    assert m["rows_in"] == tiny_source(spark, sf_dir).count()
