@@ -30,12 +30,14 @@ def _csv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _validity_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REF-DECL P6: rows_in vs valid vs invalid (pages/index.js:55)."""
-    raw = users_raw(spark, sf_dir).withColumn(
-        "is_valid",
-        F.col("email").isNotNull()
-        & F.try_to_timestamp("registered_raw").isNotNull(),
-    )
+    """REF-DECL P6: rows_in vs valid vs invalid (pages/index.js:55).
+    Uses tables.valid_predicate — the same rule users_valid applies —
+    so rows_valid always equals the row count feeding rows_out."""
+    from .tables import valid_predicate
+    raw = (users_raw(spark, sf_dir)
+           .withColumn("registered_ts",
+                       F.try_to_timestamp("registered_raw"))
+           .withColumn("is_valid", valid_predicate()))
     return raw.agg(
         F.count("*").alias("rows_in"),
         F.count(F.when(F.col("is_valid"), 1)).alias("rows_valid"),
@@ -181,10 +183,10 @@ FROM users_valid
     "validity_filter_counts": USERS_CTE + """
 SELECT
   count(*) AS rows_in,
-  count(CASE WHEN email IS NOT NULL
+  count(CASE WHEN email IS NOT NULL AND id IS NOT NULL
               AND try_cast(registered_raw AS TIMESTAMP) IS NOT NULL
         THEN 1 END) AS rows_valid,
-  count(CASE WHEN NOT (email IS NOT NULL
+  count(CASE WHEN NOT (email IS NOT NULL AND id IS NOT NULL
               AND try_cast(registered_raw AS TIMESTAMP) IS NOT NULL)
         THEN 1 END) AS rows_invalid
 FROM users_raw

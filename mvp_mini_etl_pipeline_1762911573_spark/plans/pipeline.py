@@ -28,7 +28,8 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..tables import CURRENT_YEAR, clean_from, users_raw, valid_from
+from ..tables import (CURRENT_YEAR, clean_from, users_raw, valid_from,
+                      valid_predicate)
 
 
 def flagship_metrics_row(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,11 +41,7 @@ def flagship_metrics_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and every dashboard metric falls out of the same pass.
     raw = users_raw(spark, sf_dir).withColumn(
         "registered_ts", F.try_to_timestamp("registered_raw"),
-    ).withColumn(
-        "is_valid",
-        F.col("email").isNotNull() & F.col("id").isNotNull()
-        & F.col("registered_ts").isNotNull(),
-    )
+    ).withColumn("is_valid", valid_predicate())
 
     # duplicates are verbatim copies (tables.users_raw), so per-id
     # first()s are exact, not arbitrary

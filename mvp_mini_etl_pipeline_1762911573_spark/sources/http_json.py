@@ -49,10 +49,12 @@ def load_users_http(spark: SparkSession, url: str | None = None,
     (randomuser.js:31-34,64-67)."""
     source_url = url or DEFAULT_URL
     fetched_at = datetime.now(timezone.utc).isoformat()
+    error = None
     try:
+        # non-2xx raises HTTPError from urlopen itself (default
+        # opener), landing in the same fallback path with its status
+        # in the recorded error string
         with urllib.request.urlopen(source_url, timeout=timeout) as resp:
-            if not (200 <= resp.status < 300):
-                raise RuntimeError(f"HTTP error! Status: {resp.status}")
             payload = json.loads(resp.read())
         results = payload.get("results")
         if not isinstance(results, list):
@@ -60,11 +62,18 @@ def load_users_http(spark: SparkSession, url: str | None = None,
         df = spark.createDataFrame(results, schema=RAW_USER_SCHEMA)
         df = transform_raw_users(df)
         fallback = False
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 — reference catch-all
+        # record WHY in the provenance: a silent fallback makes an
+        # upstream contract change (field renamed, shape shifted)
+        # indistinguishable from a transient network outage
         df = synthetic_users(spark, 50)
         fallback = True
-    return df, {"sourceUrl": source_url, "fallbackUsed": fallback,
-                "fetchedAt": fetched_at}
+        error = f"{type(exc).__name__}: {exc}"
+    prov = {"sourceUrl": source_url, "fallbackUsed": fallback,
+            "fetchedAt": fetched_at}
+    if error is not None:
+        prov["error"] = error
+    return df, prov
 
 
 def transform_raw_users(raw: DataFrame) -> DataFrame:

@@ -97,6 +97,11 @@ def read_jsonl_quarantine(spark: SparkSession, path: str,
     # copy, don't schema.add(): StructType.add mutates the receiver
     full = T.StructType(list(schema.fields)
                         + [T.StructField("_corrupt_record", T.StringType())])
+    # the cache is deliberate (good + quarantine share one parse) but
+    # session-lifetime: a long-lived caller looping over batch files
+    # should unpersist after consuming both views —
+    # good.sparkSession.catalog.clearCache() or keep its own handle —
+    # or the pinned parses accumulate in storage memory
     df = (spark.read.schema(full)
           .option("mode", "PERMISSIVE")
           .option("columnNameOfCorruptRecord", "_corrupt_record")

@@ -203,21 +203,29 @@ def users_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_copy"))
 
 
+def valid_predicate():
+    """THE validity rule (reference P4-P6): non-null email/id and a
+    parseable registration timestamp (as the already-derived
+    ``registered_ts`` column).  Single source of truth shared by
+    valid_from, the P6 funnel counter (core._validity_filter_counts)
+    and the single-pass flagship — a hand-kept copy of the conjuncts
+    once drifted (the counter dropped `id IS NOT NULL`, so its
+    rows_valid could exceed the users_valid count feeding rows_out)."""
+    return (F.col("email").isNotNull()
+            & F.col("id").isNotNull()
+            & F.col("registered_ts").isNotNull())
+
+
 def valid_from(raw: DataFrame) -> DataFrame:
-    """Validity filter (reference P4-P6) applied to a GIVEN raw frame:
-    non-null email/id and a parseable registration timestamp.  Adds
-    ``registered_ts``.  Frame-based so pipelines with an injected
+    """Validity filter (reference P4-P6) applied to a GIVEN raw frame.
+    Adds ``registered_ts``.  Frame-based so pipelines with an injected
     source derive every downstream stage from the SAME extract
     (run_pipeline once mixed an injected extract's rows_in with the
     default source's transform counts)."""
     with_ts = raw.withColumn(
         "registered_ts", F.try_to_timestamp(F.col("registered_raw"))
     )
-    return with_ts.where(
-        F.col("email").isNotNull()
-        & F.col("id").isNotNull()
-        & F.col("registered_ts").isNotNull()
-    )
+    return with_ts.where(valid_predicate())
 
 
 def clean_from(raw: DataFrame) -> DataFrame:
