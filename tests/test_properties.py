@@ -151,3 +151,63 @@ def test_quantization_error_bound(spark):
     # codes are valid int8 range
     for c in ("q0", "q1", "q2", "q3"):
         assert df.where((F.col(c) < 0) | (F.col(c) > 255)).count() == 0
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    """Candlestick laws on real data: low <= open, close <= high in
+    every bucket (open/close are cents-quantized, so allow the half-
+    cent quantization slack on the low side only — quantization
+    rounds, never exceeds the true extremes by more than 0.005), and
+    per-type tick counts reconcile with the raw stream."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.timeseries import (
+        _time_bucket_ohlc,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+    rows = _time_bucket_ohlc(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low - 0.005 <= r.open <= r.high + 0.005, r
+        assert r.low - 0.005 <= r.close <= r.high + 0.005, r
+        assert r.n_ticks >= 1
+    n_events = load(spark, sf_dir, "events").count()
+    assert sum(r.n_ticks for r in rows) == n_events
+
+
+def test_twap_within_value_range(spark, sf_dir):
+    """A time-weighted average is a convex combination of observed
+    values, so every (type, day) TWAP lies within that chunk's
+    min/max value."""
+    import pyspark.sql.functions as F
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.timeseries import (
+        _window_twap,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+    ev = (load(spark, sf_dir, "events")
+          .groupBy("event_type",
+                   F.date_format("ts", "yyyy-MM-dd").alias("day"))
+          .agg(F.min("value").alias("lo"), F.max("value").alias("hi")))
+    bounds = {(r.event_type, r.day): (r.lo, r.hi) for r in ev.collect()}
+    for r in _window_twap(spark, sf_dir).collect():
+        lo, hi = bounds[(r.event_type, r.day)]
+        assert lo - 1e-6 <= r.twap <= hi + 1e-6, r
+        assert lo - 1e-6 <= r.naive_avg <= hi + 1e-6, r
+
+
+def test_attribution_conserves_purchases_and_revenue(spark, sf_dir):
+    """Every purchase is attributed to exactly one channel (the
+    channels partition the purchase set), and attributed revenue sums
+    to total purchase revenue; shares sum to ~1."""
+    import pyspark.sql.functions as F
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        _attribution,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+    rows = _attribution(spark, sf_dir).collect()
+    p = (load(spark, sf_dir, "events")
+         .where(F.col("event_type") == "purchase")
+         .agg(F.count("*").alias("n"),
+              F.sum(F.col("value").cast("decimal(14,2)"))
+               .cast("double").alias("rev")).first())
+    assert sum(r.n_purchases for r in rows) == p.n
+    assert abs(sum(r.revenue for r in rows) - p.rev) < 1e-6
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-3
