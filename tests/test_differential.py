@@ -84,3 +84,82 @@ def test_differential_on_generated_events(spark, diff_dirs, name, seed):
                 f"FROM '{sf_dir}/events.parquet/*.parquet'")
     df = all_queries()[name](spark, sf_dir)
     compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
+
+
+#: document operators under differential test — tokenization-,
+#: hashing- and stats-sensitive surfaces
+DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
+           "doc_fingerprint", "doc_chunk", "seq_pack", "vocab_topk",
+           "dedup_ngram_jaccard", "decontaminate", "split_assign",
+           "mix_sources", "mix_temperature", "inverted_index",
+           "text_repetition", "lm_score", "lm_score_bigram",
+           "text_tfidf", "text_bm25", "corpus_curate",
+           "udtf_tokens", "feature_hash", "bpe_pair_stats",
+           "quality_logit"]
+# scrub_pii is excluded: it joins the customer table (its PII name
+# dictionary), which these documents-only corpora don't materialize
+
+WORDS = ["spark", "join", "window", "the", "of", "and", "data",
+         "stream", "table", "query", "scan", "merge", "shuffle"]
+
+
+def _gen_docs(seed: int, n: int = 120):
+    """Adversarial documents: empty text, whitespace-only, single
+    token, NBSP-joined words (unicode-vs-ASCII whitespace split
+    divergence — the round-3 udtf latent), tab/newline separators,
+    heavy repetition, quote/punctuation storms, PII-looking strings —
+    plus enough normal docs that df thresholds and vocab tops engage."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rng.random()
+        if k < 0.04:
+            text = ""
+        elif k < 0.08:
+            text = "   \t  \n "
+        elif k < 0.12:
+            text = rng.choice(WORDS)
+        elif k < 0.16:
+            text = " ".join(rng.choices(WORDS, k=4))  # NBSP glue
+        elif k < 0.20:
+            text = "\t".join(rng.choices(WORDS, k=6)) + "\n" \
+                + " ".join(rng.choices(WORDS, k=3))
+        elif k < 0.26:
+            text = " ".join([rng.choice(WORDS)] * rng.randint(8, 30))
+        elif k < 0.30:
+            text = 'he said "stop, now!" -- twice?! (really; truly...)'
+        elif k < 0.34:
+            text = ("reach me at bob@example.com or 555-0101 "
+                    + " ".join(rng.choices(WORDS, k=5)))
+        else:
+            text = " ".join(rng.choices(WORDS, k=rng.randint(5, 60)))
+        rows.append((i, text, rng.choice(["en", "de", "fr"]),
+                     f"src{rng.randint(1, 4)}", len(text)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def diff_doc_dirs(spark, tmp_path_factory):
+    out = {}
+    con = duckdb.connect()
+    for seed in (7, 8):
+        d = tmp_path_factory.mktemp(f"diffdoc{seed}")
+        df = spark.createDataFrame(
+            _gen_docs(seed),
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        df.coalesce(2).write.parquet(f"{d}/documents.parquet")
+        out[seed] = str(d)
+    return out, con
+
+
+@pytest.mark.parametrize("name", DOC_OPS)
+@pytest.mark.parametrize("seed", [7, 8])
+def test_differential_on_generated_docs(spark, diff_doc_dirs, name, seed):
+    dirs, con = diff_doc_dirs
+    sf_dir = dirs[seed]
+    con.execute("DROP VIEW IF EXISTS documents")
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{sf_dir}/documents.parquet/*.parquet'")
+    df = all_queries()[name](spark, sf_dir)
+    compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
