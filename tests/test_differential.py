@@ -163,3 +163,61 @@ def test_differential_on_generated_docs(spark, diff_doc_dirs, name, seed):
                 f"FROM '{sf_dir}/documents.parquet/*.parquet'")
     df = all_queries()[name](spark, sf_dir)
     compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
+
+
+#: embedding operators under differential test — float-parity-
+#: sensitive surfaces (left-to-right accumulation contracts)
+EMB_OPS = ["array_cosine", "embedding_normalize", "embedding_quantize",
+           "similarity_topk", "embedding_centroids", "similarity_ivf"]
+
+
+def _gen_embeddings(seed: int, n: int = 300, dim: int = 64):
+    """Adversarial vectors: near-duplicates (scaled copies — cosine
+    exactly 1), axis-aligned unit vectors, constant vectors, value
+    extremes, and everything float32-quantized through the parquet
+    round-trip like the real table.  Zero vectors are excluded: the
+    engines' NaN ORDERING conventions differ and the operators
+    document finite-norm inputs."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rng.random()
+        if k < 0.05:
+            v = [0.0] * dim
+            v[rng.randrange(dim)] = 1.0          # axis unit
+        elif k < 0.10:
+            v = [1.0] * dim                      # constant
+        elif k < 0.20 and rows:
+            base = rows[rng.randrange(len(rows))][1]
+            v = [x * 2.0 for x in base]          # exact scaled copy
+        else:
+            v = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+        rows.append((i, v, rng.randint(0, 9)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def diff_emb_dirs(spark, tmp_path_factory):
+    out = {}
+    con = duckdb.connect()
+    for seed in (11, 12):
+        d = tmp_path_factory.mktemp(f"diffemb{seed}")
+        df = spark.createDataFrame(
+            _gen_embeddings(seed),
+            "vec_id long, embedding array<float>, label int")
+        df.coalesce(2).write.parquet(f"{d}/embeddings.parquet")
+        out[seed] = str(d)
+    return out, con
+
+
+@pytest.mark.parametrize("name", EMB_OPS)
+@pytest.mark.parametrize("seed", [11, 12])
+def test_differential_on_generated_embeddings(spark, diff_emb_dirs,
+                                              name, seed):
+    dirs, con = diff_emb_dirs
+    sf_dir = dirs[seed]
+    con.execute("DROP VIEW IF EXISTS embeddings")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * "
+                f"FROM '{sf_dir}/embeddings.parquet/*.parquet'")
+    df = all_queries()[name](spark, sf_dir)
+    compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
