@@ -221,3 +221,96 @@ def test_differential_on_generated_embeddings(spark, diff_emb_dirs,
                 f"FROM '{sf_dir}/embeddings.parquet/*.parquet'")
     df = all_queries()[name](spark, sf_dir)
     compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
+
+
+#: additional events-only operators folded into the generated-events
+#: sweep — windows, funnels, CDC replay: all tie/ordering-sensitive
+EVENT_OPS_EXTRA = ["cdc_apply", "window_lag", "window_running_sum",
+                   "window_ewma", "window_range_frame", "gap_fill",
+                   "retention_cohorts", "funnel_steps", "events_zscore",
+                   "events_anomaly_mad", "rolling_mau",
+                   "events_path_transitions", "window_rolling_median",
+                   "stream_sliding", "stream_session", "agg_group_count"]
+
+
+@pytest.mark.parametrize("name", EVENT_OPS_EXTRA)
+@pytest.mark.parametrize("seed", [1, 2])
+def test_differential_extra_event_ops(spark, diff_dirs, name, seed):
+    dirs, con = diff_dirs
+    sf_dir = dirs[seed]
+    con.execute("DROP VIEW IF EXISTS events")
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{sf_dir}/events.parquet/*.parquet'")
+    df = all_queries()[name](spark, sf_dir)
+    compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
+
+
+#: relational operators on generated orders/customer — null keys,
+#: orphan references, out-of-domain statuses, negative prices and
+#: heavy price/date ties (quantile and recency tie-breaks)
+REL_OPS = ["rfm_segments", "agg_histogram", "table_diff", "dq_check",
+           "skyline_pareto", "merge_upsert"]
+
+STATUSES = ["F", "O", "P", "F", "O", "P", "Q"]  # Q = domain violation
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+              "5-LOW"]
+
+
+def _gen_orders_customer(seed: int, n_orders: int = 400,
+                         n_cust: int = 60):
+    rng = random.Random(seed)
+    cust = [(c, f"Customer#{c:09d}", rng.randrange(25),
+             round(rng.uniform(-999.99, 9999.99), 2),
+             rng.choice(["BUILDING", "AUTOMOBILE", "MACHINERY"]))
+            for c in range(1, n_cust + 1)]
+    # heavy ties: prices from a tiny palette, dates from few days
+    prices = [round(rng.uniform(900, 1000), 2) for _ in range(6)] \
+        + [-5.0, 0.0]
+    days = [dt.datetime(1995, 1, 1) + dt.timedelta(days=rng.randrange(30))
+            for _ in range(8)]
+    orders = []
+    for k in range(1, n_orders + 1):
+        r = rng.random()
+        if r < 0.03:
+            ck = None                       # null key (dq not-null)
+        elif r < 0.08:
+            ck = n_cust + rng.randrange(50) + 1   # orphan reference
+        else:
+            ck = rng.randrange(1, n_cust + 1)
+        orders.append((k, ck, rng.choice(STATUSES),
+                       rng.choice(prices), rng.choice(days),
+                       rng.choice(PRIORITIES)))
+    return orders, cust
+
+
+@pytest.fixture(scope="module")
+def diff_rel_dirs(spark, tmp_path_factory):
+    out = {}
+    con = duckdb.connect()
+    for seed in (21, 22):
+        d = tmp_path_factory.mktemp(f"diffrel{seed}")
+        orders, cust = _gen_orders_customer(seed)
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, "
+                    "o_orderstatus string, o_totalprice double, "
+                    "o_orderdate timestamp_ntz, o_orderpriority string"
+        ).coalesce(2).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(
+            cust, "c_custkey long, c_name string, c_nationkey int, "
+                  "c_acctbal double, c_mktsegment string"
+        ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+        out[seed] = str(d)
+    return out, con
+
+
+@pytest.mark.parametrize("name", REL_OPS)
+@pytest.mark.parametrize("seed", [21, 22])
+def test_differential_on_generated_orders(spark, diff_rel_dirs, name, seed):
+    dirs, con = diff_rel_dirs
+    sf_dir = dirs[seed]
+    for t in ("orders", "customer"):
+        con.execute(f"DROP VIEW IF EXISTS {t}")
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM '{sf_dir}/{t}.parquet/*.parquet'")
+    df = all_queries()[name](spark, sf_dir)
+    compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
