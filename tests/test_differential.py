@@ -314,3 +314,82 @@ def test_differential_on_generated_orders(spark, diff_rel_dirs, name, seed):
                     f"FROM '{sf_dir}/{t}.parquet/*.parquet'")
     df = all_queries()[name](spark, sf_dir)
     compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
+
+
+#: lineitem/part operators — percentile-boundary, correlation and
+#: support-count tie sensitivity
+LINE_OPS = ["quantile_bins", "agg_corr", "agg_stats", "basket_pairs"]
+PART_OPS = ["join_range", "join_range_binned"]
+
+
+def _gen_lineitem(seed: int, n: int = 600):
+    """Heavy ties on quantity (integer palette — exact percentile
+    boundaries land ON repeated values), constant-price runs (zero
+    variance inside a flag group stresses corr/stddev), small
+    basket universe so pair supports tie."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        ok = rng.randrange(1, 120)
+        qty = float(rng.choice([1, 1, 5, 5, 5, 10, 10, 25, 50]))
+        price = rng.choice([100.0, 100.0, 250.5, 999.99,
+                            round(rng.uniform(10, 2000), 2)])
+        rows.append((ok, rng.randrange(1, 25), rng.randrange(1, 10),
+                     i % 7 + 1, qty, price,
+                     round(rng.choice([0.0, 0.05, 0.1]), 2),
+                     round(rng.choice([0.0, 0.08]), 2),
+                     rng.choice(["A", "N", "R"]),
+                     rng.choice(["F", "O"]),
+                     dt.datetime(1995, 1, 1)
+                     + dt.timedelta(days=rng.randrange(60))))
+    return rows
+
+
+def _gen_part(seed: int, n: int = 80):
+    """Retail prices sitting EXACTLY on the band edges (933.0, 966.0)
+    — the half-open [lo, hi) boundary is where a binned rewrite and
+    the nested-loop original can disagree."""
+    rng = random.Random(seed)
+    return [(p, f"part {p}", f"Brand#{rng.randrange(1, 6)}",
+             rng.choice(["STEEL", "BRASS", "COPPER"]),
+             rng.randrange(1, 50),
+             rng.choice([933.0, 966.0, 932.99, 965.99, 966.01,
+                         round(rng.uniform(850, 1050), 2)]))
+            for p in range(1, n + 1)]
+
+
+@pytest.fixture(scope="module")
+def diff_line_dirs(spark, tmp_path_factory):
+    out = {}
+    con = duckdb.connect()
+    for seed in (31, 32):
+        d = tmp_path_factory.mktemp(f"diffline{seed}")
+        spark.createDataFrame(
+            _gen_lineitem(seed),
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, "
+            "l_extendedprice double, l_discount double, l_tax double, "
+            "l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp_ntz"
+        ).coalesce(2).write.parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(
+            _gen_part(seed),
+            "p_partkey long, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double"
+        ).coalesce(1).write.parquet(f"{d}/part.parquet")
+        out[seed] = str(d)
+    return out, con
+
+
+@pytest.mark.parametrize("name", LINE_OPS + PART_OPS)
+@pytest.mark.parametrize("seed", [31, 32])
+def test_differential_on_generated_lineitem(spark, diff_line_dirs,
+                                            name, seed):
+    dirs, con = diff_line_dirs
+    sf_dir = dirs[seed]
+    for t in ("lineitem", "part"):
+        con.execute(f"DROP VIEW IF EXISTS {t}")
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM '{sf_dir}/{t}.parquet/*.parquet'")
+    df = all_queries()[name](spark, sf_dir)
+    compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
