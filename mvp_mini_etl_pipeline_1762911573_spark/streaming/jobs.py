@@ -35,6 +35,8 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     save/restore would silently undo the UTC pin before the stream
     runs.  This mirrors tables.load exactly; every query in this repo
     assumes (and re-asserts) the same two confs."""
+    import os
+
     path = f"{sf_dir}/events.parquet"
     # mirror tables.load's defensive confs: the driver may hand us its
     # own session, and the NTZ->timestamp cast below is only
@@ -43,14 +45,25 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(path).schema
-    # FileStreamSource requires a DIRECTORY; point it at sf_dir and
-    # glob-filter down to the events file
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # FileStreamSource requires a DIRECTORY.  Two layouts exist:
+    # the driver fixtures ship events.parquet as a single FILE (point
+    # the stream at sf_dir, glob down to it — one micro-batch), while
+    # Spark-written tables are a DIRECTORY of part files (stream that
+    # directory itself — each part becomes its own micro-batch, which
+    # is what makes cross-batch state-merge testing real).
+    if os.path.isdir(path):
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -393,3 +393,29 @@ def test_differential_on_generated_lineitem(spark, diff_line_dirs,
                     f"FROM '{sf_dir}/{t}.parquet/*.parquet'")
     df = all_queries()[name](spark, sf_dir)
     compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
+
+
+def test_ohlc_stream_converges_on_adversarial_events(spark, diff_dirs):
+    """Stream==batch on the tie-heavy generated corpus: the candle
+    state (decoded min/max of the packed key) must merge identically
+    across micro-batch boundaries even when the ties it resolves span
+    batches — the fixed-fixture convergence test never exercises
+    same-microsecond/same-cents ties."""
+    from mvp_mini_etl_pipeline_1762911573_spark.streaming import jobs
+    from mvp_mini_etl_pipeline_1762911573_spark.streaming.batch_equiv import (
+        ohlc_rollup,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+    dirs, _ = diff_dirs
+    # the corpus is a 2-part parquet DIRECTORY, which events_stream
+    # feeds as one micro-batch per part file — so candle state for the
+    # windows spanning both parts genuinely MERGES across batches
+    sf_dir = dirs[1]
+    batch = ohlc_rollup(load(spark, sf_dir, "events"))
+    stream = jobs.ohlc_stream(jobs.events_stream(spark, sf_dir))
+    got = jobs.run_to_memory(stream, "t_ohlc_adv", "complete")
+    cols = ["window_start", "event_type", "open", "high", "low",
+            "close", "volume", "n_ticks"]
+    a = sorted(tuple(r) for r in got.select(*cols).collect())
+    b = sorted(tuple(r) for r in batch.select(*cols).collect())
+    assert a == b
