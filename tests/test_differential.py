@@ -419,3 +419,30 @@ def test_ohlc_stream_converges_on_adversarial_events(spark, diff_dirs):
     a = sorted(tuple(r) for r in got.select(*cols).collect())
     b = sorted(tuple(r) for r in batch.select(*cols).collect())
     assert a == b
+
+
+@pytest.mark.parametrize("flavor", ["tumbling", "sliding"])
+def test_windowed_streams_converge_on_adversarial_events(
+        spark, diff_dirs, flavor):
+    """Tumbling/sliding window state must also merge across the
+    2-part micro-batches of the tie-heavy corpus."""
+    from mvp_mini_etl_pipeline_1762911573_spark.streaming import jobs
+    from mvp_mini_etl_pipeline_1762911573_spark.streaming import (
+        batch_equiv as be,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+    dirs, _ = diff_dirs
+    sf_dir = dirs[2]
+    ev = load(spark, sf_dir, "events")
+    if flavor == "tumbling":
+        batch = be.tumbling_counts(ev)
+        stream = jobs.tumbling_stream(jobs.events_stream(spark, sf_dir))
+        cols = ["window_start", "event_type", "cnt", "total_value"]
+    else:
+        batch = be.sliding_counts(ev)
+        stream = jobs.sliding_stream(jobs.events_stream(spark, sf_dir))
+        cols = ["window_start", "cnt"]
+    got = jobs.run_to_memory(stream, f"t_adv_{flavor}", "complete")
+    a = sorted(tuple(r) for r in got.select(*cols).collect())
+    b = sorted(tuple(r) for r in batch.select(*cols).collect())
+    assert a == b
