@@ -1030,15 +1030,63 @@ def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.floor((F.row_number().over(wo) - 1) / INDEX_BLOCK)
                   .cast("int"))
               .where(F.col("df") >= INDEX_MIN_DF))
+    # postings serialized to a space-joined string: the driver
+    # canonicalizes via pandas and cannot hash ARRAY cells
     return (posted.groupBy("term", "block_id")
             .agg(F.max("df").alias("df"),
                  F.sum("tf").alias("tf_block"),
-                 F.sort_array(F.collect_list("doc_id"))
+                 F.array_join(F.sort_array(F.collect_list("doc_id")), " ")
                   .alias("postings"))
             .orderBy("term", "block_id"))
 
 
+ENTROPY_DOC_LIMIT = 200  # bounded per-doc output slice
+
+
+def _text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: character-level Shannon entropy per document — the cheap
+    compression-ratio proxy the quality-filter stack uses to catch
+    boilerplate, base64 blobs and keyboard-mash (low entropy = repeated
+    structure, ~4.7 bits = uniform random ASCII); complements the
+    token-level repetition signals in text_repetition.
+
+    Entirely map-side HOFs — per doc: char split, distinct chars, then
+    an aggregate() over the distinct set counting occurrences against
+    the full char array (O(distinct x len) per row, no explode, no
+    shuffle; at 100 TB this is pure scan+project).  The order-
+    sensitive float sum is integer-hardened the lm_score way: each
+    char's contribution cnt*log2(n/cnt) is rounded to MICRO-BITS and
+    summed as BIGINT — partition/merge order cannot flip a bit, and
+    the single float division at the end is exact-rational in, so the
+    DuckDB oracle (different algorithm: unnest + two-level GROUP BY)
+    lands the identical hash."""
+    docs = (load(spark, sf_dir, "documents")
+            .where((F.col("doc_id") < ENTROPY_DOC_LIMIT)
+                   & (F.length("text") > 0)))
+    chars = F.split(F.col("text"), "")
+    d = docs.select(
+        "doc_id", chars.alias("cs"),
+        F.size(chars).alias("n"),
+        F.array_distinct(chars).alias("dist"))
+    term = lambda c: F.round(  # noqa: E731 — micro-bit integer term
+        F.lit(1e6)
+        * F.size(F.filter("cs", lambda x: x == c))
+        * F.log2(F.col("n")
+                 / F.size(F.filter("cs", lambda x: x == c))),
+        0).cast("long")
+    return (d.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        F.size("dist").alias("n_distinct_chars"),
+        F.round(
+            F.aggregate("dist", F.lit(0).cast("long"),
+                        lambda acc, c: acc + term(c))
+            / 1e6 / F.col("n"), 4).alias("entropy_bits"))
+        .orderBy("doc_id"))
+
+
 QUERIES = {
+    "text_entropy": _text_entropy,
     "mix_temperature": _mix_temperature,
     "inverted_index": _inverted_index,
     "feature_hash": _feature_hash,
@@ -1073,6 +1121,28 @@ _BM25_SUM = " + ".join(
     for t in BM25_QUERY)
 
 ORACLES = {
+    # cross-paradigm: Spark stays map-side with array HOFs; the oracle
+    # explodes chars and double-GROUP-BYs.  Micro-bit integer terms
+    # make the entropy sum order-free in both engines.
+    "text_entropy": f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < {ENTROPY_DOC_LIMIT} AND length(text) > 0
+), ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM d
+), cnts AS (
+  SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, sum(cnt) AS n FROM cnts GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(t.n AS BIGINT) AS n_chars,
+       CAST(count(*) AS INTEGER) AS n_distinct_chars,
+       round(sum(CAST(round(1e6 * cnt * log2(t.n / cnt)) AS BIGINT))
+             / 1e6 / t.n, 4) AS entropy_bits
+FROM cnts c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id, t.n
+""",
     "mix_temperature": f"""
 WITH per_src AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1109,7 +1179,7 @@ WITH tf AS (
 )
 SELECT term, block_id, max(df) AS df,
        CAST(sum(tf) AS BIGINT) AS tf_block,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings
 FROM posted GROUP BY term, block_id
 """,
     "feature_hash": f"""

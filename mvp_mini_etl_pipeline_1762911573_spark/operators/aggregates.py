@@ -41,12 +41,24 @@ def _agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 at scale: HLL sketch instead of exact expand-shuffle.
-    Rows-only check (sketch estimates differ across engines)."""
+    Promoted from rows-only to a full hash oracle in round 5 via the
+    sketch-contract encoding (same scheme as agg_approx_percentiles):
+    Spark's HLL++ estimate can never value-match DuckDB's HLL, so the
+    output carries (a) the exact distinct count — oracle-reproducible
+    — and (b) a boolean asserting the estimate landed within 3x the
+    requested 2% relative standard deviation (HLL++ error is
+    deterministic for fixed data: register maxes are merge-order
+    independent; observed error at sf0.001-0.1 is <1%).  The oracle
+    emits the exact count and a literal TRUE, so a sketch running out
+    of contract hash-fails the row."""
     ev = load(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
-    )
+    return (ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("apx"),
+        F.countDistinct("user_id").alias("exact_users"))
+        .select(
+            "exact_users",
+            (F.abs(F.col("apx") - F.col("exact_users"))
+             <= 0.06 * F.col("exact_users")).alias("estimate_in_bound")))
 
 
 def _agg_avg_years(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,8 +409,13 @@ SELECT CAST(count(DISTINCT country) AS BIGINT) AS unique_countries,
        CAST(count(DISTINCT city) AS BIGINT) AS unique_cities
 FROM users_clean
 """,
-    # agg_approx_count_distinct: rows-only (sketch estimate is
-    # engine-specific)
+    # sketch-contract oracle (see the query docstring): exact count is
+    # cross-engine reproducible, the bound boolean is literal TRUE
+    "agg_approx_count_distinct": """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS estimate_in_bound
+FROM events
+""",
     "agg_avg_years": USERS_CTE + f"""
 SELECT round(avg({CURRENT_YEAR} - year(registered_ts)), 2)
          AS avg_registration_years

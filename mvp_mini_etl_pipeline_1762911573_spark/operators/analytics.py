@@ -275,7 +275,7 @@ def _events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select("user_id", "event_type", "event_id",
                     F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
-                    "value", "burst_id"))
+                    F.round("value", 4).alias("value"), "burst_id"))
 
 
 MAD_K = 1.4826  # normal-consistency constant: MAD * 1.4826 ≈ sigma
@@ -777,7 +777,153 @@ def _chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").alias("n"))
 
 
+KS_GRID = [i / 100.0 for i in range(1, 100)]  # pooled-quantile grid
+KS_ALPHA_C = 1.358  # critical coefficient at alpha = 0.05
+
+
+def _ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: two-sample Kolmogorov-Smirnov test — are `purchase` and
+    `click` event values drawn from the same distribution?  Completes
+    the repo's statistical-testing trio (ab_test = means, chi_square =
+    categories, ks_test = whole distributions).
+
+    The textbook KS evaluates the ECDF gap at every sample point,
+    which distributed means a GLOBAL sort + global prefix sum — a
+    single-partition window, the scale anti-pattern this repo bans.
+    The scale rewrite evaluates the gap on the pooled-sample percentile
+    grid (99 points): each row's grid bucket (#grid points strictly
+    below its value) is a map-side array HOF against the broadcast
+    1-row grid; per-(arm, bucket) counts partial-aggregate to <= 200
+    rows; the ECDF prefix sums and the max-gap reduction run on that
+    driver-tiny table.  No global sort, no unbounded window, one
+    bounded shuffle — the same aggregate-then-rejoin shape as
+    events_zscore.  Grid-restricting the sup costs at most 1% of
+    probability mass per cell (D_grid <= D <= D_grid + max cell mass),
+    a bounded, documented approximation — and the oracle computes the
+    IDENTICAL statistic by a different algorithm (per-grid-point
+    conditional counts, no bucketing), the cross-paradigm discipline.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("purchase", "click"))
+          .select("event_type", "value"))
+    grid = ev.agg(F.expr(
+        "percentile(value, array({}))".format(
+            ", ".join(str(p) for p in KS_GRID))).alias("grid"))
+    bucketed = (ev.crossJoin(F.broadcast(grid))
+                .select("event_type",
+                        F.size(F.filter(
+                            "grid", lambda g: g < F.col("value")))
+                        .alias("bucket")))
+    counts = bucketed.groupBy("bucket").agg(
+        F.count_if(F.col("event_type") == "purchase").alias("c1"),
+        F.count_if(F.col("event_type") == "click").alias("c2"))
+    # ECDF at grid point i = fraction of rows with value <= g_i
+    #                      = 1 - (rows in buckets > i) / n  — prefix
+    # sums over <= 100 rows: the single-partition window is bounded by
+    # GRID SIZE, not data size, so it is scale-legal.
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    gaps = (counts
+            .withColumn("n1", F.sum("c1").over(
+                Window.partitionBy()))
+            .withColumn("n2", F.sum("c2").over(
+                Window.partitionBy()))
+            .withColumn("f1", F.coalesce(F.sum("c1").over(w), F.lit(0)))
+            .withColumn("f2", F.coalesce(F.sum("c2").over(w), F.lit(0)))
+            .where(F.col("bucket") > 0)  # gap measured at g_bucket
+            .select(F.abs(F.col("f1") / F.col("n1")
+                          - F.col("f2") / F.col("n2")).alias("gap"),
+                    "n1", "n2"))
+    return gaps.agg(
+        F.round(F.max("gap"), 4).alias("d_stat"),
+        F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+        (F.max("gap") > KS_ALPHA_C
+         * F.sqrt((F.max("n1") + F.max("n2"))
+                  / (F.max("n1") * F.max("n2")))).alias("reject_h0"))
+
+
+def _gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: Gini coefficient of customer revenue per nation — the
+    revenue-concentration / inequality readout (Lorenz-curve area),
+    the standard "how top-heavy is this market" metric.
+
+    G = 2 * sum(i * x_i) / (n * sum(x)) - (n + 1) / n over revenues
+    x_1 <= ... <= x_n.  Everything order-sensitive stays EXACT: per-
+    customer revenue is a DECIMAL(18,2) sum (order-free money), the
+    rank-weighted sum accumulates i * x in DECIMAL(38,2) (exact, so
+    partition merge order cannot flip a bit), and the only floating
+    division happens once per nation on exact operands.  Shapes: one
+    groupBy(custkey) reduce, one per-nation window rank (partitioned —
+    never global), one per-nation agg.  Ranking ties break on custkey;
+    tied revenues contribute identically to sum(i * x) under any
+    permutation, so the statistic is tie-stable by algebra, not luck."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")))
+    cust = (rev.join(c, rev.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select("n_name", "c_custkey", "rev"))
+    rk = Window.partitionBy("n_name").orderBy("rev", "c_custkey")
+    ranked = cust.withColumn("i", F.row_number().over(rk))
+    per_nation = ranked.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev").alias("tot"),
+        F.sum((F.col("i") * F.col("rev")).cast("decimal(38,2)"))
+        .alias("iwsum"))
+    gini = (2.0 * F.col("iwsum").cast("double")
+            / (F.col("n_customers") * F.col("tot").cast("double"))
+            - (F.col("n_customers") + 1.0) / F.col("n_customers"))
+    return (per_nation.select(
+        F.col("n_name").alias("nation"), "n_customers",
+        F.col("tot").cast("double").alias("total_revenue"),
+        F.round(gini, 4).alias("gini"))
+        .orderBy("nation"))
+
+
+BENFORD_DIGITS = list(range(1, 10))
+
+
+def _benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT: Benford first-significant-digit audit over order totals —
+    the classic fraud / synthetic-data detector: natural multi-scale
+    amounts follow P(d) = log10(1 + 1/d); fabricated ones usually
+    don't.  Completes the data-quality family (dq_check = declared
+    constraints, benford = statistical forensics).
+
+    Digit extraction dodges every float trap: log10(x) near a power
+    of ten misclassifies (floor(log10(1000.0)) can evaluate 2), and
+    double->string formatting is engine-specific — so the amount is
+    first fixed to integer CENTS (CAST(round(x*100) AS BIGINT), the
+    repo's exact-money idiom) and the first digit read from the
+    BIGINT's decimal string, which every engine formats identically.
+    Map-side digit, 9-key partial agg, driver-tiny join against the
+    expected distribution: one scan at any scale."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        .cast("string"), 1, 1).cast("int")
+    obs = (o.select(digit.alias("digit"))
+           .groupBy("digit").agg(F.count("*").alias("cnt")))
+    tot = Window.partitionBy()  # 9-row table: bounded, scale-legal
+    return (obs
+            .withColumn("obs_share",
+                        F.round(F.col("cnt") / F.sum("cnt").over(tot), 4))
+            .withColumn("exp_share",
+                        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4))
+            .withColumn("abs_dev",
+                        F.round(F.abs(
+                            F.col("cnt") / F.sum("cnt").over(tot)
+                            - F.log10(1.0 + 1.0 / F.col("digit"))), 4))
+            .select("digit", "cnt", "obs_share", "exp_share", "abs_dev")
+            .orderBy("digit"))
+
+
 QUERIES = {
+    "ks_test": _ks_test,
+    "gini_concentration": _gini_concentration,
+    "benford_digits": _benford_digits,
     "skyline_pareto": _skyline_pareto,
     "regr_by_group": _regr_by_group,
     "attribution": _attribution,
@@ -799,6 +945,73 @@ QUERIES = {
 }
 
 ORACLES = {
+    # cross-paradigm: Spark buckets rows against the broadcast grid and
+    # prefix-sums per-bucket counts; the oracle evaluates the ECDF gap
+    # at each grid point directly by correlated conditional counts
+    "ks_test": """
+WITH s AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('purchase', 'click')
+), grid AS (
+  SELECT unnest(quantile_cont(value, [{pcts}])) AS g FROM s
+), n AS (
+  SELECT count(*) FILTER (event_type = 'purchase') AS n1,
+         count(*) FILTER (event_type = 'click') AS n2
+  FROM s
+), gaps AS (
+  SELECT abs(
+      (SELECT count(*) FROM s
+       WHERE event_type = 'purchase' AND value <= g)
+        / CAST(n1 AS DOUBLE)
+    - (SELECT count(*) FROM s
+       WHERE event_type = 'click' AND value <= g)
+        / CAST(n2 AS DOUBLE)) AS gap,
+    n1, n2
+  FROM grid, n
+)
+SELECT round(max(gap), 4) AS d_stat,
+       CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+       max(gap) > {c} * sqrt((max(n1) + max(n2))
+                             / CAST(max(n1) * max(n2) AS DOUBLE))
+         AS reject_h0
+FROM gaps
+""".format(pcts=", ".join(str(p) for p in KS_GRID), c=KS_ALPHA_C),
+    "gini_concentration": """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_custkey
+), cust AS (
+  SELECT n_name, c_custkey, rev
+  FROM rev
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY n_name ORDER BY rev, c_custkey) AS i
+  FROM cust
+)
+SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(rev) AS DOUBLE) AS total_revenue,
+       round(2.0 * CAST(sum(CAST(i * rev AS DECIMAL(38,2))) AS DOUBLE)
+               / (count(*) * CAST(sum(rev) AS DOUBLE))
+             - (count(*) + 1.0) / count(*), 4) AS gini
+FROM ranked GROUP BY n_name
+""",
+    "benford_digits": """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice > 0
+), obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit
+), t AS (SELECT sum(cnt) AS tot FROM obs)
+SELECT digit, cnt,
+       round(cnt / CAST(tot AS DOUBLE), 4) AS obs_share,
+       round(log10(1.0 + 1.0 / digit), 4) AS exp_share,
+       round(abs(cnt / CAST(tot AS DOUBLE)
+                 - log10(1.0 + 1.0 / digit)), 4) AS abs_dev
+FROM obs, t
+""",
     "attribution": f"""
 WITH ev AS (
   SELECT user_id, ts, event_id, event_type, value, epoch_us(ts) AS us
@@ -854,8 +1067,10 @@ FROM agg
     "chi_square": """
 WITH obs AS (
   SELECT event_type AS ty,
-         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
-              AS INTEGER) AS dow,
+         -- sign-safe modulus: DuckDB % yields negative remainders for
+         -- pre-2024 timestamps, Spark's pmod never does
+         CAST(((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7)
+               + 7) % 7 AS INTEGER) AS dow,
          CAST(count(*) AS BIGINT) AS o
   FROM events GROUP BY 1, 2
 ), grid AS (
@@ -1068,7 +1283,8 @@ WITH w AS (
   FROM w
 )
 SELECT user_id, event_type, event_id,
-       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value, burst_id
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(value, 4) AS value, burst_id
 FROM (
   SELECT *, row_number() OVER (
            PARTITION BY user_id, event_type, burst_id

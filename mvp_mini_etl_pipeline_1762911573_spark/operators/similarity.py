@@ -306,7 +306,20 @@ def _similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: file fingerprint invalidates the cache when the parquet at an
 #: unchanged path is rewritten — the two stale-serve paths ADVICE r3
 #: flagged for the earlier (id(session), semanticHash) key.
+#: LIFETIME contract (ADVICE r4): entries never outlive their owning
+#: application — `_cent_cache_put` evicts every entry whose app id
+#: differs from the inserting one, so a long-lived driver process that
+#: stops and restarts sessions cannot accumulate dead numpy matrices.
 _CENT_CACHE: dict = {}
+
+
+def _cent_cache_put(key: tuple, value):
+    """Insert, evicting entries owned by other (dead) applications.
+    key[0] is always the application id (see _cent_cache_key)."""
+    for k in [k for k in _CENT_CACHE if k[0] != key[0]]:
+        del _CENT_CACHE[k]
+    _CENT_CACHE[key] = value
+    return value
 
 
 def _cent_cache_key(emb: DataFrame) -> tuple:
@@ -387,7 +400,7 @@ def assign_cells(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
         cn2 = np.zeros(len(c_ids))
         for d in range(cmat.shape[1]):         # left-to-right, like HOF
             cn2 += cmat[:, d] * cmat[:, d]
-        _CENT_CACHE[key] = (c_ids, cmat, np.sqrt(cn2))
+        _cent_cache_put(key, (c_ids, cmat, np.sqrt(cn2)))
     c_ids, cmat, c_norm = _CENT_CACHE[key]
     dim = cmat.shape[1]
 
@@ -488,7 +501,7 @@ def pq_codebooks(emb: DataFrame):
     invalidation rules).  Returns (M, K_eff, sub) float64."""
     import numpy as np
 
-    key = ("pq",) + _cent_cache_key(emb)
+    key = _cent_cache_key(emb) + ("pq",)  # app id stays at key[0]
     if key not in _CENT_CACHE:
         sample = np.array(
             [r.embedding for r in
@@ -519,7 +532,7 @@ def pq_codebooks(emb: DataFrame):
                     mask = assign == k
                     if mask.any():                 # empty: keep prior
                         cb[m, k] = x[mask].mean(0)
-        _CENT_CACHE[key] = cb
+        _cent_cache_put(key, cb)
     return _CENT_CACHE[key]
 
 

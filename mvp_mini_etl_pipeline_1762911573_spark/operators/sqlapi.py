@@ -263,23 +263,47 @@ def _quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB flavor: approx_percentile sketches (mergeable,
-    constant memory).  Rows-only (sketch values are engine-specific),
-    but emitted as SCALAR p50/p90/p99 columns — the driver's rows-only
-    canonicalizer sorts values with pandas and chokes on array cells
-    (round-2 red row: TypeError unhashable 'list')."""
+    constant memory).  Promoted from rows-only to a FULL hash oracle
+    in round 5 via a sketch-contract encoding: the raw sketch VALUE is
+    engine-internal (GK summaries merge per-partition, and empirically
+    diverge from DuckDB's quantile_disc on ~1 of 3 status groups even
+    at accuracy=10000 ≫ group size, so no cross-engine value oracle
+    can exist — that is WHY r2's version went red and r3 demoted it).
+    What IS cross-engine checkable: (a) the exact interpolated
+    percentiles (the parity `agg_percentiles` already pins against
+    quantile_cont) and (b) the sketch's accuracy CONTRACT — each
+    estimate must land inside the ±2%-rank window around its target
+    quantile (GK guarantees ~1/accuracy rank error per summary;
+    partition merges widen it far below 0.02 at any SF).  The booleans
+    are deterministic TRUE when the sketch honors its bound, so the
+    oracle emits literal TRUEs and a contract breach hash-fails the
+    row instead of hiding behind rows-only."""
     orders = load(spark, sf_dir, "orders")
-    pcts = F.approx_percentile(
-        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
-        10000)
-    return (
-        orders.groupBy(F.col("o_orderstatus").alias("status"))
-        .agg(pcts.alias("pcts"))
-        .select(
-            "status",
-            F.element_at("pcts", 1).alias("p50"),
-            F.element_at("pcts", 2).alias("p90"),
-            F.element_at("pcts", 3).alias("p99"),
-        )
+    g = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.approx_percentile(
+            "o_totalprice",
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
+        .alias("apx"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+        .alias("ex"),
+        F.expr("percentile(o_totalprice, array(0.48, 0.88, 0.97))")
+        .alias("lo"),
+        F.expr("percentile(o_totalprice, array(0.52, 0.92, 1.0))")
+        .alias("hi"))
+
+    def in_bound(i: int, name: str):
+        return ((F.element_at("apx", i) >= F.element_at("lo", i))
+                & (F.element_at("apx", i) <= F.element_at("hi", i))
+                ).alias(name)
+
+    return g.select(
+        "status",
+        F.round(F.element_at("ex", 1), 4).alias("p50"),
+        F.round(F.element_at("ex", 2), 4).alias("p90"),
+        F.round(F.element_at("ex", 3), 4).alias("p99"),
+        in_bound(1, "p50_in_bound"),
+        in_bound(2, "p90_in_bound"),
+        in_bound(3, "p99_in_bound"),
     )
 
 
@@ -606,12 +630,12 @@ def _table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN is_add THEN 'added'
                     WHEN is_del THEN 'removed'
                     ELSE 'changed' END AS status,
-               filter(array(
+               array_join(filter(array(
                  CASE WHEN NOT is_add AND NOT is_del
                        AND b_status != n_status THEN 'status' END,
                  CASE WHEN NOT is_add AND NOT is_del
                        AND b_price != n_price THEN 'price' END),
-                 x -> x IS NOT NULL) AS changed_cols,
+                 x -> x IS NOT NULL), ',') AS changed_cols,
                n_status, n_price
         FROM joined
         WHERE is_add OR is_del
@@ -812,18 +836,18 @@ WITH base AS (
 -- independent algorithm (the Spark side uses ONE full-outer join):
 -- each change class derived by its own anti-join / inner-join pass
 SELECT n.k, 'added' AS status,
-       CAST([] AS VARCHAR[]) AS changed_cols,
+       '' AS changed_cols,
        n.status AS n_status, n.price AS n_price
 FROM new n ANTI JOIN base b ON n.k = b.k
 UNION ALL
-SELECT b.k, 'removed', CAST([] AS VARCHAR[]), NULL, NULL
+SELECT b.k, 'removed', '', NULL, NULL
 FROM base b ANTI JOIN new n ON b.k = n.k
 UNION ALL
 SELECT b.k, 'changed',
-       list_filter([
+       array_to_string(list_filter([
          CASE WHEN b.status != n.status THEN 'status' END,
          CASE WHEN b.price != n.price THEN 'price' END],
-         x -> x IS NOT NULL),
+         x -> x IS NOT NULL), ','),
        n.status, n.price
 FROM base b JOIN new n ON b.k = n.k
 WHERE b.status != n.status OR b.price != n.price
@@ -1164,6 +1188,21 @@ SELECT o_orderstatus AS status,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders
+GROUP BY o_orderstatus
+""",
+    # sketch-contract oracle: exact percentiles are cross-engine
+    # reproducible; the in-bound booleans assert Spark's GK sketch
+    # honored its ±2%-rank accuracy contract (literal TRUE here, so a
+    # contract breach hash-fails instead of hiding in rows-only)
+    "agg_approx_percentiles": """
+SELECT o_orderstatus AS status,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       true AS p50_in_bound,
+       true AS p90_in_bound,
+       true AS p99_in_bound
 FROM orders
 GROUP BY o_orderstatus
 """,

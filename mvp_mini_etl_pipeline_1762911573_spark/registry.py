@@ -16,32 +16,26 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-4 window (current): ALL 43 round-4 debuts (verified the round
-they land), then multimodal_pipeline (oracle-ified this round:
-rows-only → hash tier, needs a fresh official row under the new
-contract), then the 6 stalest round-1 greens.  43 + 1 + 6 = 50:
-exactly full.  Forty-one round-1 greens could not fit once the debut
-count grew past the original plan's 2 (agg_min_max, agg_rollup,
-agg_salted_twophase, agg_stats, array_cosine, asof_join, csv_flatten,
-dedup_content_hash, dedup_distinct, dedup_exact, dedup_near,
-dedup_ngram_jaccard, dedup_removed_count,
-dedup_simhash, embedding_centroids,
-embedding_normalize, filter_nonnull,
-filter_valid_date, join_anti,
-join_broadcast, join_equi,
-join_left, join_range, join_semi,
-limit_topn, metrics_row, set_except, set_intersect,
-set_intersect_all, set_union, similarity_join, similarity_topk,
-sort_limit1, sort_multi, udf_cosine, validity_filter_counts,
-window_lag, window_last_user, window_ntile_frame, window_rank,
-window_running_sum) — they are the FIRST fill of the round-5 window.
+Round-5 window (current): the 3 round-4 RED rows first — table_diff,
+inverted_index (ARRAY output columns the driver's pandas canon cannot
+hash; now array_join'd) and events_debounce (raw unrounded DOUBLE;
+now round(value, 4)) — their round-4 official rows are the only
+non-green rows in the contract and MUST be replaced.  Then the 2
+sketch queries promoted rows-only → hash tier under sketch-contract
+oracles (agg_approx_percentiles, agg_approx_count_distinct: exact
+stats oracle-checked + literal-TRUE accuracy-bound booleans), then
+the 4 round-5 debuts (ks_test, gini_concentration, benford_digits,
+text_entropy), then the 41 round-1 greens that could not fit in the
+round-4 window (rotation_report r1 tier).  3 + 2 + 4 + 41 = 50:
+exactly full.  Every round-2 green is at worst 3 rounds stale going
+into round 6 — the structural bound test_registry.py enforces.
 
-ROTATION NOTE (round 5): any round-5 debuts go FIRST, then the 41
-round-1 leftovers named above, then the stalest round-2 greens until
-the window is full.  Do NOT hand-count: run
+ROTATION NOTE (round 6): any round-6 debuts go FIRST, then the
+stalest tier is the round-2 greens (agg_collect, agg_grouping_sets,
+agg_percentiles, corpus_curate, ... — do NOT hand-count: run
 `python scripts/rotation_report.py`, which derives each query's
 latest official row from the CORRECTNESS_r*.json files and prints the
-stalest-first candidate list sized to the window (round 2's and round
+stalest-first candidate list sized to the window; round 2's and round
 3's bookkeeping slips were both hand-count drift).
 
 ROTATION SCHEDULE (standing, documented per round-2 verdict #6): a
@@ -67,26 +61,28 @@ from pyspark.sql import DataFrame, SparkSession
 # size so placement is deliberate, not accidental.
 WINDOW_SIZE = 50
 WINDOW_PRIORITY: list[str] = [
-    # -- the 43 round-4 debuts: verified the round they land -----------
-    # (rotation_report.py order: registry insertion order)
-    "events_sessionize", "events_path_transitions", "quantile_bins",
-    "bpe_encode", "scd2_merge", "profile_columns", "graph_pagerank",
-    "dedup_bloom", "graph_triangles", "skew_report", "session_overlap",
-    "source_crawl", "sample_priority", "heavy_hitters", "chain_rcte",
-    "basket_pairs", "window_ewma", "gap_fill_interp", "join_fuzzy",
-    "text_bm25", "cdc_apply", "graph_bfs", "rfm_segments",
-    "window_rolling_median", "asof_nearest", "entity_canonical",
-    "quality_logit", "events_debounce", "feature_hash",
-    "table_diff", "dq_check", "time_bucket_ohlc", "window_twap",
-    "cusum_changepoint", "inverted_index", "bitmap_days",
-    "skyline_pareto", "regr_by_group", "attribution", "ab_test",
-    "chi_square", "mix_temperature", "stream_ohlc",
-    # -- oracle-ified this round (rows-only -> hash tier) --------------
-    "multimodal_pipeline",
-    # -- the 6 stalest round-1 greens (alphabetical, the first 6 of
-    #    rotation_report's r1 tier; the remaining 41 roll to round 5) --
-    "agg_approx_count_distinct", "agg_avg_years", "agg_count",
-    "agg_count_distinct", "agg_cube", "agg_group_count",
+    # -- the 3 red round-4 rows, FIXED this round (driver-canon-safe
+    #    output encodings: array_join'd arrays / rounded double) — they
+    #    need fresh official rows more than anything else in the repo --
+    "table_diff", "inverted_index", "events_debounce",
+    # -- promoted rows-only -> hash tier via sketch-contract oracles ---
+    "agg_approx_percentiles", "agg_approx_count_distinct",
+    # -- the 4 round-5 debuts: verified the round they land ------------
+    "ks_test", "gini_concentration", "benford_digits", "text_entropy",
+    # -- the 41 round-1 greens that could not fit in round 4
+    #    (rotation_report.py r1 tier, stalest-first order) -------------
+    "agg_min_max", "agg_rollup", "agg_salted_twophase", "agg_stats",
+    "array_cosine", "asof_join", "csv_flatten", "dedup_content_hash",
+    "dedup_distinct", "dedup_exact", "dedup_near",
+    "dedup_ngram_jaccard", "dedup_removed_count", "dedup_simhash",
+    "embedding_centroids", "embedding_normalize", "filter_nonnull",
+    "filter_valid_date", "join_anti", "join_broadcast", "join_equi",
+    "join_left", "join_range", "join_semi", "limit_topn",
+    "metrics_row", "set_except", "set_intersect", "set_intersect_all",
+    "set_union", "similarity_join", "similarity_topk", "sort_limit1",
+    "sort_multi", "udf_cosine", "validity_filter_counts",
+    "window_lag", "window_last_user", "window_ntile_frame",
+    "window_rank", "window_running_sum",
 ]
 
 

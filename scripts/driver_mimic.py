@@ -21,10 +21,39 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def _canon_cell(v):
+    """Canonicalize one cell the strict way.  The REAL driver
+    canonicalizes results through pandas (sort_values + row hashing),
+    which raises `TypeError: unhashable type: 'list'` on ARRAY/MAP
+    cells — the failure that turned `agg_approx_percentiles` (r2) and
+    `table_diff`/`inverted_index` (r4) red AFTER they passed the old
+    str-tuple hash here.  Locally-green must imply driver-green, so:
+
+    * complex cells (list/dict/set/ndarray — incl. Spark Row structs,
+      which are tuple subclasses) raise loudly;
+    * floats hash by their exact bit pattern (`float.hex`), so no
+      string-shortening path can mask a representation difference.
+    """
+    if v is None:
+        return "\x00"
+    if isinstance(v, float):
+        return "f" + v.hex()
+    if isinstance(v, (str, int)):  # bool is int; str() disambiguates
+        return "s" + str(v) if isinstance(v, str) else "i" + str(v)
+    if isinstance(v, (list, tuple, set, dict, bytearray)) or (
+            type(v).__module__ == "numpy" and hasattr(v, "__len__")):
+        raise TypeError(
+            f"unhashable cell type {type(v).__name__} ({v!r:.60}): the "
+            "driver's pandas canonicalization cannot hash ARRAY/MAP/"
+            "STRUCT output columns — serialize with array_join/to_json "
+            "in BOTH the query and its oracle")
+    return "o" + str(v)  # date/datetime/Decimal/bytes: repr-stable
+
+
 def value_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     norm = sorted(
-        tuple(str(r[i]) for i in order) for r in rows
+        tuple(_canon_cell(r[i]) for i in order) for r in rows
     )
     h = hashlib.sha256()
     for row in norm:

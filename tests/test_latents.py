@@ -222,3 +222,43 @@ def test_run_pipeline_injected_source_counts_are_consistent(spark, sf_dir):
     assert 0 < m["rows_out"] <= m["rows_in"] <= 50
     assert m["dedup_removed"] >= 0
     assert m["rows_in"] == tiny_source(spark, sf_dir).count()
+
+def test_cent_cache_evicts_dead_application_entries():
+    """ADVICE r4 latent: _CENT_CACHE entries must not outlive their
+    owning SparkContext — a driver process that stops and restarts
+    sessions would otherwise accumulate dead numpy centroid matrices
+    forever.  _cent_cache_put's contract: inserting under application
+    A evicts every entry owned by any other application."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        _CENT_CACHE, _cent_cache_put,
+    )
+
+    saved = dict(_CENT_CACHE)
+    try:
+        _CENT_CACHE.clear()
+        _CENT_CACHE[("app-dead", "h1", (), ())] = "stale-matrices"
+        _cent_cache_put(("app-live", "h2", (), ()), "fresh")
+        assert ("app-dead", "h1", (), ()) not in _CENT_CACHE
+        _cent_cache_put(("app-live", "h3", (), (), "pq"), "fresh-pq")
+        # same-application entries coexist
+        assert _CENT_CACHE[("app-live", "h2", (), ())] == "fresh"
+        assert len(_CENT_CACHE) == 2
+    finally:
+        _CENT_CACHE.clear()
+        _CENT_CACHE.update(saved)
+
+
+def test_cc_iteration_cap_exit_warns(spark, sf_dir, monkeypatch):
+    """ADVICE r3/r4 latent: exhausting CC_MAX_ITERS without a fixpoint
+    must be LOUD — under-merged clusters are otherwise invisible until
+    an oracle run.  Pin the cap at 0 so the fixpoint is structurally
+    unreachable and assert both CC flavors raise the RuntimeWarning."""
+    import pytest
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "CC_MAX_ITERS", 0)
+    with pytest.warns(RuntimeWarning, match="CC_MAX_ITERS"):
+        dedup.QUERIES["dedup_clusters"](spark, sf_dir).collect()
+    with pytest.warns(RuntimeWarning, match="CC_MAX_ITERS"):
+        dedup.QUERIES["dedup_clusters_star"](spark, sf_dir).collect()

@@ -63,6 +63,33 @@ def test_no_official_rows_for_unregistered_names():
         "— a rename/removal orphaned its correctness history")
 
 
+def test_hash_tier_outputs_are_driver_canon_safe(spark, sf_dir):
+    """No hash-tier query may emit an ARRAY/MAP/STRUCT output column:
+    the REAL driver canonicalizes results through pandas, which cannot
+    hash list cells — the exact failure that turned
+    agg_approx_percentiles (r2) and table_diff / inverted_index (r4)
+    red AFTER they passed the old str-tuple local gate.  Schema-level
+    check (analysis only, no execution); the companion
+    scripts/output_audit.py executes every query and additionally
+    flags raw un-rounded DOUBLE cells (events_debounce's r4 failure
+    mode)."""
+    from pyspark.sql import types as T
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    queries = all_queries()
+    offenders = {}
+    for name in all_oracles():
+        df = queries[name](spark, sf_dir)
+        bad = [f.name for f in df.schema.fields
+               if isinstance(f.dataType, complex_types)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"hash-tier queries with pandas-unhashable output columns "
+        f"(driver will ERR): {offenders} — serialize with "
+        "array_join/to_json in both the query and its oracle")
+
+
 def test_survey_section8_matches_registry():
     """SURVEY.md §8 (the judge's line-by-line checklist) must list
     exactly the registered query names — list drift was a judge
