@@ -278,7 +278,12 @@ def simhash_fingerprints(docs: DataFrame,
 def _dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance ≤ 3 via the
     4×12-bit-chunk pigeonhole equi-join (any pair within distance 3
-    matches exactly on ≥1 of 4 chunks).  Rows-only check."""
+    matches exactly on ≥1 of 4 chunks).  Rows-only BY DESIGN (final):
+    the signature depends on xxhash64 bit patterns, which no other
+    engine reproduces — DuckDB has no xxhash64, and any reimplemented
+    hash would be testing the test, not the operator.  Semantics are
+    pinned instead by the recall pytest (test_quality.py) against
+    exact token-Jaccard on planted near-duplicates."""
     docs = load(spark, sf_dir, "documents")
     fp = simhash_fingerprints(docs)
     chunks = fp.select(

@@ -88,6 +88,7 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # role is played by materializing the entity to parquet/a table once
 # per pipeline run — persist() is the single-session flavor.
 _USERS_CACHE: dict = {}
+_USERS_CLEAN_CACHE: dict = {}  # users_clean tier, pinned by the same warm
 
 
 def _users_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
@@ -130,6 +131,15 @@ def warm_users_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
             users_base(spark, sf_dir)
             .repartition(spark.sparkContext.defaultParallelism)
             .localCheckpoint(eager=True))
+        # ... and the CLEAN entity on top of it: the r4 shared-
+        # derivation refactor left only the base pinned, so every
+        # clean consumer re-paid explode + validity + distinct per
+        # run (the r4->r5 window_rank bench drift).  Both pins are
+        # the single-session flavor of the same 100 TB move —
+        # materialize each entity tier once per pipeline run.
+        _USERS_CLEAN_CACHE[key] = (
+            clean_from(users_raw(spark, sf_dir))
+            .localCheckpoint(eager=True))
     return _USERS_CACHE[key]
 
 
@@ -137,6 +147,7 @@ def clear_users_cache() -> None:
     # checkpointed blocks are freed when the DataFrames are GC'd;
     # dropping the refs is the cleanup
     _USERS_CACHE.clear()
+    _USERS_CLEAN_CACHE.clear()
 
 
 def users_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,10 +240,18 @@ def valid_from(raw: DataFrame) -> DataFrame:
 
 
 def clean_from(raw: DataFrame) -> DataFrame:
-    """Valid + exact-deduped by id (reference D1, `dedup_removed`) from
-    a GIVEN raw frame.  Duplicates are verbatim copies, so any
-    surviving row is identical — dropDuplicates is deterministic."""
-    return valid_from(raw).dropDuplicates(["id"])
+    """Valid + exact-deduped (reference D1, `dedup_removed`) from a
+    GIVEN raw frame.  FULL-ROW distinct, not dropDuplicates(['id']):
+    it is the oracle spec verbatim (oracles.USERS_CTE: ``SELECT
+    DISTINCT * FROM users_valid``) — identical on the fixture either
+    way since duplicates are verbatim copies, but distinct() also
+    matches the spec on a hostile input where two DIFFERENT rows share
+    an id — and it compiles to a pure HashAggregate (grouping keys
+    only, no agg buffers).  dropDuplicates(['id']) planned as first()
+    aggregates, whose var-length string buffers force the
+    SortAggregate fallback: two extra sorts per run, the r4->r5
+    window_rank bench regression."""
+    return valid_from(raw).distinct()
 
 
 def users_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,4 +259,7 @@ def users_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def users_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cached = _USERS_CLEAN_CACHE.get(_users_cache_key(spark, sf_dir))
+    if cached is not None:
+        return cached
     return clean_from(users_raw(spark, sf_dir))
