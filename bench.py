@@ -52,6 +52,10 @@ HEADLINE = [
     "time_bucket_ohlc",     # round 4: hash-agg hypertable rollup
     "inverted_index",       # round 4: blocked posting-list build
     "attribution",          # round 4: window-carried last-touch credit
+    "ks_test",              # round 5: grid-bucketed KS distribution test
+    "gini_concentration",   # round 5: DECIMAL-exact Lorenz/Gini
+    "benford_digits",       # round 5: integer-cents first-digit audit
+    "text_entropy",         # round 5: map-side char-entropy HOFs
 ]
 
 

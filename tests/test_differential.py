@@ -95,7 +95,10 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            "text_repetition", "lm_score", "lm_score_bigram",
            "text_tfidf", "text_bm25", "corpus_curate",
            "udtf_tokens", "feature_hash", "bpe_pair_stats",
-           "quality_logit"]
+           "quality_logit",
+           # r5: empty/whitespace/NBSP/repetition docs are exactly the
+           # entropy edge cases (0-entropy runs, unicode char split)
+           "text_entropy"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 
@@ -230,7 +233,10 @@ EVENT_OPS_EXTRA = ["cdc_apply", "window_lag", "window_running_sum",
                    "retention_cohorts", "funnel_steps", "events_zscore",
                    "events_anomaly_mad", "rolling_mau",
                    "events_path_transitions", "window_rolling_median",
-                   "stream_sliding", "stream_session", "agg_group_count"]
+                   "stream_sliding", "stream_session", "agg_group_count",
+                   # r5: duplicate values put exact ECDF steps ON the
+                   # percentile grid points — the KS tie adversary
+                   "ks_test"]
 
 
 @pytest.mark.parametrize("name", EVENT_OPS_EXTRA)
@@ -249,7 +255,11 @@ def test_differential_extra_event_ops(spark, diff_dirs, name, seed):
 #: orphan references, out-of-domain statuses, negative prices and
 #: heavy price/date ties (quantile and recency tie-breaks)
 REL_OPS = ["rfm_segments", "agg_histogram", "table_diff", "dq_check",
-           "skyline_pareto", "merge_upsert"]
+           "skyline_pareto", "merge_upsert",
+           # r5: negative/zero prices (benford's >0 filter), null and
+           # orphan custkeys (gini's join-drop path), single-customer
+           # nations (gini = 0 degenerate)
+           "benford_digits", "gini_concentration"]
 
 STATUSES = ["F", "O", "P", "F", "O", "P", "Q"]  # Q = domain violation
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
@@ -299,6 +309,12 @@ def diff_rel_dirs(spark, tmp_path_factory):
             cust, "c_custkey long, c_name string, c_nationkey int, "
                   "c_acctbal double, c_mktsegment string"
         ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+        # 25 nations over 60 customers: some nations get a single
+        # customer (gini degenerate G=0), some none at all
+        spark.createDataFrame(
+            [(i, f"NATION{i:02d}", i % 5) for i in range(25)],
+            "n_nationkey int, n_name string, n_regionkey int"
+        ).coalesce(1).write.parquet(f"{d}/nation.parquet")
         out[seed] = str(d)
     return out, con
 
@@ -308,7 +324,7 @@ def diff_rel_dirs(spark, tmp_path_factory):
 def test_differential_on_generated_orders(spark, diff_rel_dirs, name, seed):
     dirs, con = diff_rel_dirs
     sf_dir = dirs[seed]
-    for t in ("orders", "customer"):
+    for t in ("orders", "customer", "nation"):
         con.execute(f"DROP VIEW IF EXISTS {t}")
         con.execute(f"CREATE VIEW {t} AS SELECT * "
                     f"FROM '{sf_dir}/{t}.parquet/*.parquet'")

@@ -348,3 +348,62 @@ def test_chi_square_reduces_before_margins(spark, sf_dir):
     s = got["summary"]
     assert s["shuffle_records"] <= 5 * 7 * 32 * 2
     assert s["shuffle_records"] < n_events
+
+
+def test_ks_test_shuffles_buckets_not_samples(spark, sf_dir):
+    """ks_test's scale claim measured: after the broadcast-grid
+    bucketing, the only traffic is per-(arm, bucket) partial counts
+    (<= 100 buckets x partitions) plus the exact-percentile partials
+    for the grid itself — never the sample stream row-by-row.  (At
+    100 TB the grid swaps to approx_percentile sketches — the
+    quantile_bins precedent — same downstream plan; exactness is kept
+    here for the oracle.)"""
+    ev = load(spark, sf_dir, "events")
+    n_rows = ev.where(F.col("event_type").isin("purchase", "click")) \
+               .count()
+    got = profile(all_queries()["ks_test"](spark, sf_dir))
+    s = got["summary"]
+    # percentile partials (1 state/partition) + bucket counts + final
+    assert s["shuffle_records"] <= 100 * 32 + 3 * 32 + 100
+    assert s["shuffle_records"] < n_rows
+
+
+def test_gini_reduces_orders_before_joining(spark, sf_dir):
+    """gini_concentration's scale claim measured: the orders stream
+    collapses to per-customer DECIMAL revenue partials in its FIRST
+    aggregation, so every downstream exchange (customer join, nation
+    window, per-nation agg) carries customer-or-smaller cardinality —
+    the order stream itself never re-shuffles."""
+    n_orders = load(spark, sf_dir, "orders").count()
+    n_cust = load(spark, sf_dir, "customer").count()
+    got = profile(all_queries()["gini_concentration"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 5 * n_cust + 25 * 32 + 25
+    assert s["shuffle_records"] < n_orders
+
+
+def test_benford_is_nine_key_mapside_agg(spark, sf_dir):
+    """benford_digits' scale claim measured: digit extraction is
+    map-side; the partial agg reduces every partition to <= 9 digit
+    states, so shuffle traffic is bounded by 9 x partitions however
+    large the order table grows."""
+    n_orders = load(spark, sf_dir, "orders").count()
+    got = profile(all_queries()["benford_digits"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 9 * 32 + 9 * 32 + 9
+    assert s["shuffle_records"] < n_orders
+
+
+def test_text_entropy_is_shuffle_free_except_output_sort(spark, sf_dir):
+    """text_entropy's scale claim measured: the entropy HOFs run
+    entirely map-side (no explode, no per-char shuffle); the only
+    exchange is the bounded output slice's ORDER BY, carrying at most
+    ENTROPY_DOC_LIMIT rows."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        ENTROPY_DOC_LIMIT,
+    )
+
+    got = profile(all_queries()["text_entropy"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_shuffles"] <= 1
+    assert s["shuffle_records"] <= ENTROPY_DOC_LIMIT
