@@ -44,6 +44,11 @@ AUDIT = [
     "inverted_index",     # round-4: one-sort blocked posting lists
     "skyline_pareto",     # round-4: level-table window + broadcast back
     "attribution",        # round-4: window-carried last touch, no self-join
+    "ks_test",            # round-5: broadcast grid bucketing, bounded window
+    "gini_concentration",  # round-5: orders reduced before join/window
+    "benford_digits",     # round-5: 9-key map-side agg
+    "text_entropy",       # round-5: pure map-side HOFs + bounded sort
+    "agg_approx_percentiles",  # round-5: sketch-contract single agg
 ]
 
 

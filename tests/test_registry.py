@@ -112,3 +112,26 @@ def test_survey_section8_matches_registry():
     assert m, "count line missing from §8"
     assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
         len(reg), len(oracles), len(reg) - len(oracles))
+
+
+def test_value_hash_rejects_complex_cells_and_hashes_floats_bitwise():
+    """The local gate must be at least as strict as the real driver's
+    pandas canonicalization: list/dict/Row cells raise (not hash), and
+    float comparison is bit-exact, so no string-formatting path can
+    mask a representation difference (the r4 red-row class)."""
+    import pytest
+
+    from scripts.driver_mimic import value_hash
+
+    with pytest.raises(TypeError, match="pandas"):
+        value_hash([(1, [1, 2])], ["a", "b"])
+    with pytest.raises(TypeError, match="pandas"):
+        value_hash([({"k": 1},)], ["a"])
+    # bit-different floats never collide, even when str() would agree
+    # after a naive shortening; identical floats always do
+    assert value_hash([(0.1,)], ["a"]) == value_hash([(0.1,)], ["a"])
+    assert value_hash([(0.1,)], ["a"]) != value_hash(
+        [(0.1 + 2 ** -55,)], ["a"])
+    # column order is canonicalized by NAME, rows by value
+    assert value_hash([(1, "x"), (2, "y")], ["a", "b"]) == \
+        value_hash([("y", 2), ("x", 1)], ["b", "a"])
