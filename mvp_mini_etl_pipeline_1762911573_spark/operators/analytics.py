@@ -802,9 +802,16 @@ def _ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bounded, documented approximation — and the oracle computes the
     IDENTICAL statistic by a different algorithm (per-grid-point
     conditional counts, no bucketing), the cross-paradigm discipline.
-    """
+
+    Degenerate-input contract (code-review r5): NULL values are
+    excluded from BOTH samples on both sides (the engines disagree on
+    where a NULL lands in an ECDF); an empty arm yields NULL
+    d_stat/reject_h0 with the real counts (try_divide ⇄ DuckDB's
+    NULL-on-/0); an all-tied sample keeps its bucket-0 row (gap 0,
+    never the max) so the result is d_stat=0, not an all-NULL row."""
     ev = (load(spark, sf_dir, "events")
-          .where(F.col("event_type").isin("purchase", "click"))
+          .where(F.col("event_type").isin("purchase", "click")
+                 & F.col("value").isNotNull())
           .select("event_type", "value"))
     grid = ev.agg(F.expr(
         "percentile(value, array({}))".format(
@@ -820,7 +827,9 @@ def _ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ECDF at grid point i = fraction of rows with value <= g_i
     #                      = 1 - (rows in buckets > i) / n  — prefix
     # sums over <= 100 rows: the single-partition window is bounded by
-    # GRID SIZE, not data size, so it is scale-legal.
+    # GRID SIZE, not data size, so it is scale-legal.  The bucket-0
+    # row contributes gap = |0-0| = 0 — kept, so the frame is never
+    # empty when data exists.
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1)
     gaps = (counts
@@ -830,16 +839,16 @@ def _ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy()))
             .withColumn("f1", F.coalesce(F.sum("c1").over(w), F.lit(0)))
             .withColumn("f2", F.coalesce(F.sum("c2").over(w), F.lit(0)))
-            .where(F.col("bucket") > 0)  # gap measured at g_bucket
-            .select(F.abs(F.col("f1") / F.col("n1")
-                          - F.col("f2") / F.col("n2")).alias("gap"),
+            .select(F.abs(F.try_divide("f1", "n1")
+                          - F.try_divide("f2", "n2")).alias("gap"),
                     "n1", "n2"))
     return gaps.agg(
         F.round(F.max("gap"), 4).alias("d_stat"),
         F.max("n1").alias("n1"), F.max("n2").alias("n2"),
         (F.max("gap") > KS_ALPHA_C
-         * F.sqrt((F.max("n1") + F.max("n2"))
-                  / (F.max("n1") * F.max("n2")))).alias("reject_h0"))
+         * F.sqrt(F.try_divide(F.max("n1") + F.max("n2"),
+                               F.max("n1") * F.max("n2"))))
+        .alias("reject_h0"))
 
 
 def _gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,8 +881,12 @@ def _gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").alias("tot"),
         F.sum((F.col("i") * F.col("rev")).cast("decimal(38,2)"))
         .alias("iwsum"))
-    gini = (2.0 * F.col("iwsum").cast("double")
-            / (F.col("n_customers") * F.col("tot").cast("double"))
+    # try_divide: a zero-total nation (revenues summing to exactly 0)
+    # yields gini NULL — DuckDB's /0 semantics — instead of an ANSI
+    # DIVIDE_BY_ZERO crash (code-review r5)
+    gini = (F.try_divide(2.0 * F.col("iwsum").cast("double"),
+                         F.col("n_customers")
+                         * F.col("tot").cast("double"))
             - (F.col("n_customers") + 1.0) / F.col("n_customers"))
     return (per_nation.select(
         F.col("n_name").alias("nation"), "n_customers",
@@ -900,7 +913,13 @@ def _benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT's decimal string, which every engine formats identically.
     Map-side digit, 9-key partial agg, driver-tiny join against the
     expected distribution: one scan at any scale."""
-    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    # the guard is on CENTS >= 1, not price > 0: a 0 < price < 0.005
+    # order rounds to zero cents, whose "first digit" is 0 and whose
+    # Benford expectation log10(1 + 1/0) divides by zero (ANSI crash;
+    # code-review r5) — a first SIGNIFICANT digit needs a nonzero
+    # amount at cent precision on both engines
+    o = load(spark, sf_dir, "orders").where(
+        F.round(F.col("o_totalprice") * 100, 0) >= 1)
     digit = F.substring(
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
         .cast("string"), 1, 1).cast("int")
@@ -951,7 +970,7 @@ ORACLES = {
     "ks_test": """
 WITH s AS (
   SELECT event_type, value FROM events
-  WHERE event_type IN ('purchase', 'click')
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
 ), grid AS (
   SELECT unnest(quantile_cont(value, [{pcts}])) AS g FROM s
 ), n AS (
@@ -1001,7 +1020,7 @@ FROM ranked GROUP BY n_name
 WITH d AS (
   SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                           AS VARCHAR), 1, 1) AS INTEGER) AS digit
-  FROM orders WHERE o_totalprice > 0
+  FROM orders WHERE round(o_totalprice * 100) >= 1
 ), obs AS (
   SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit
 ), t AS (SELECT sum(cnt) AS tot FROM obs)

@@ -17,9 +17,11 @@ Usage: `python scripts/output_audit.py [--sf DIR]` (default sf0.001 —
 schema hazards are scale-independent, so the smallest fixture is
 enough).  Exit 1 if any HASH-TIER query has a complex-typed output
 column or emits a float cell that is not 4-dp-round-idempotent.
-Rows-only queries are reported but never fatal (the driver only
-row-counts them).  `tests/test_registry.py` runs the same check as a
-pytest gate over the schemas (cheap, no execution).
+Rows-only queries' output FLAGS are reported but never fatal (the
+driver only row-counts that tier); an execution ERROR is fatal for
+every tier — the real driver fails an erroring rows-only query too.
+`tests/test_registry.py` runs the same complex-type check as a pytest
+gate over the schemas (cheap, no execution).
 """
 from __future__ import annotations
 

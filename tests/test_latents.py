@@ -262,3 +262,84 @@ def test_cc_iteration_cap_exit_warns(spark, sf_dir, monkeypatch):
         dedup.QUERIES["dedup_clusters"](spark, sf_dir).collect()
     with pytest.warns(RuntimeWarning, match="CC_MAX_ITERS"):
         dedup.QUERIES["dedup_clusters_star"](spark, sf_dir).collect()
+
+
+def _duck_with_views(sf_dir, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM '{sf_dir}/{t}.parquet/*.parquet'")
+    return con
+
+
+def test_ks_test_degenerate_inputs_match_oracle(spark, tmp_path):
+    """Code-review r5 latents, all confirmed-by-execution before the
+    fix: (a) an all-tied sample emptied the gap frame (all-NULL row vs
+    the oracle's d_stat=0); (b) an arm with zero rows divided by zero
+    under ANSI mode (crash vs the oracle's NULL); (c) NULL values
+    bucketed below every grid point on the Spark side but out of every
+    ECDF numerator on the DuckDB side.  Each shape now matches."""
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import (
+        all_oracles, all_queries,
+    )
+    from .oracle_utils import compare
+
+    base = __import__("datetime").datetime(2024, 1, 1)
+    shapes = {
+        "tied": [(i, base, 1, ["purchase", "click"][i % 2], 10.0, "{}")
+                 for i in range(40)],
+        "one_arm": [(i, base, 1, "purchase", float(i), "{}")
+                    for i in range(40)],
+        "nulls": [(i, base, 1, ["purchase", "click"][i % 2],
+                   None if i % 5 == 0 else float(i % 7), "{}")
+                  for i in range(60)],
+    }
+    for label, rows in shapes.items():
+        d = tmp_path / label
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double, props string"
+        ).coalesce(1).write.parquet(f"{d}/events.parquet")
+        con = _duck_with_views(str(d), ["events"])
+        compare(all_queries()["ks_test"](spark, str(d)), con,
+                all_oracles()["ks_test"], f"ks_test@{label}")
+
+
+def test_gini_and_benford_degenerate_inputs_match_oracle(spark, tmp_path):
+    """Code-review r5 latents: a zero-revenue nation crashed gini with
+    ANSI DIVIDE_BY_ZERO (oracle: NULL gini); a 0 < price < 0.005 order
+    rounded to zero cents, produced 'digit 0' and crashed benford's
+    log10(1 + 1/0) (oracle: NULL row).  gini now try_divides; benford
+    guards on cents >= 1 on both sides."""
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import (
+        all_oracles, all_queries,
+    )
+    from .oracle_utils import compare
+
+    base = __import__("datetime").datetime(1995, 1, 1)
+    d = tmp_path / "rel"
+    spark.createDataFrame(
+        [(1, 1, "F", 0.0, base, "5-LOW"),       # zero-revenue customer
+         (2, 2, "O", 0.004, base, "5-LOW"),     # sub-half-cent amount
+         (3, 2, "O", 123.45, base, "5-LOW"),
+         (4, 3, "F", 999.99, base, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, "
+        "o_orderpriority string"
+    ).coalesce(1).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "Customer#1", 0, 0.0, "BUILDING"),
+         (2, "Customer#2", 1, 1.0, "BUILDING"),
+         (3, "Customer#3", 1, 2.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ).coalesce(1).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(0, "ZERONATION", 0), (1, "TWONATION", 0)],
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.parquet(f"{d}/nation.parquet")
+    con = _duck_with_views(str(d), ["orders", "customer", "nation"])
+    compare(all_queries()["gini_concentration"](spark, str(d)), con,
+            all_oracles()["gini_concentration"], "gini@zero-revenue")
+    compare(all_queries()["benford_digits"](spark, str(d)), con,
+            all_oracles()["benford_digits"], "benford@sub-cent")

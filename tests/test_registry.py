@@ -73,15 +73,12 @@ def test_hash_tier_outputs_are_driver_canon_safe(spark, sf_dir):
     scripts/output_audit.py executes every query and additionally
     flags raw un-rounded DOUBLE cells (events_debounce's r4 failure
     mode)."""
-    from pyspark.sql import types as T
+    from scripts.output_audit import complex_cols
 
-    complex_types = (T.ArrayType, T.MapType, T.StructType)
     queries = all_queries()
     offenders = {}
     for name in all_oracles():
-        df = queries[name](spark, sf_dir)
-        bad = [f.name for f in df.schema.fields
-               if isinstance(f.dataType, complex_types)]
+        bad = complex_cols(queries[name](spark, sf_dir).schema)
         if bad:
             offenders[name] = bad
     assert not offenders, (
