@@ -8,6 +8,8 @@ import pyspark.sql.functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
 # row strategy: ids with collisions (dedup interesting), strings with
 # quotes/commas/newlines-free (csv), occasional nulls
 _ids = st.integers(min_value=0, max_value=20)
@@ -211,3 +213,79 @@ def test_attribution_conserves_purchases_and_revenue(spark, sf_dir):
     assert sum(r.n_purchases for r in rows) == p.n
     assert abs(sum(r.revenue for r in rows) - p.rev) < 1e-6
     assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-3
+
+
+def test_ks_test_statistic_bounds(spark, sf_dir):
+    """D is a sup of |F1 - F2| over ECDFs: 0 <= d_stat <= 1, the arm
+    counts reconcile with the filtered stream, and reject_h0 agrees
+    with the critical-value formula recomputed from the outputs."""
+    import math
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        KS_ALPHA_C, _ks_test,
+    )
+
+    row = _ks_test(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.d_stat <= 1.0
+    ev = load(spark, sf_dir, "events")
+    n = ev.where(F.col("event_type").isin("purchase", "click")
+                 & F.col("value").isNotNull()).count()
+    assert row.n1 + row.n2 == n
+    crit = KS_ALPHA_C * math.sqrt((row.n1 + row.n2) / (row.n1 * row.n2))
+    # d_stat is rounded; recompute with enough slack for the rounding
+    assert row.reject_h0 == (row.d_stat > crit) or \
+        abs(row.d_stat - crit) < 1e-3
+
+
+def test_gini_bounds_and_customer_conservation(spark, sf_dir):
+    """With non-negative revenues, 0 <= G < 1 per nation, and the
+    per-nation customer counts sum to exactly the customers that have
+    at least one order (inner-join conservation)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        _gini_concentration,
+    )
+
+    rows = _gini_concentration(spark, sf_dir).collect()
+    assert rows and all(0.0 <= r.gini < 1.0 for r in rows)
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")).distinct()
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")).distinct()
+    assert sum(r.n_customers for r in rows) == o.join(c, "k").count()
+
+
+def test_benford_shares_telescope_to_one(spark, sf_dir):
+    """The Benford expectation telescopes: sum over digits 1..9 of
+    log10(1 + 1/d) = log10(10) = 1 exactly — so BOTH share columns
+    must sum to ~1 (4-dp rounding slack), and counts reconcile with
+    the cents >= 1 guard."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        _benford_digits,
+    )
+
+    rows = _benford_digits(spark, sf_dir).collect()
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-3
+    # expected shares for digits PRESENT; fixture covers all nine
+    assert len(rows) == 9
+    assert abs(sum(r.exp_share for r in rows) - 1.0) < 1e-3
+    n = load(spark, sf_dir, "orders").where(
+        F.round(F.col("o_totalprice") * 100, 0) >= 1).count()
+    assert sum(r.cnt for r in rows) == n
+
+
+def test_entropy_bounded_by_log_distinct(spark, sf_dir):
+    """Shannon: 0 <= H <= log2(#distinct chars), with micro-bit
+    integer-rounding slack; single-char docs must land exactly on 0."""
+    import math
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _text_entropy,
+    )
+
+    rows = _text_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-4 <= r.entropy_bits <= \
+            math.log2(max(r.n_distinct_chars, 1)) + 1e-3
+        if r.n_distinct_chars == 1:
+            assert r.entropy_bits == 0.0
