@@ -382,3 +382,27 @@ def test_ohlc_uses_hash_aggregation(spark, sf_dir):
     assert "SortAggregate" not in plan, plan[:2000]
     assert "ObjectHashAggregate" not in plan, plan[:2000]
     assert "HashAggregate" in plan
+
+
+def test_users_clean_dedup_is_hash_aggregated(spark, sf_dir):
+    """clean_from's dedup must stay a pure HashAggregate: full-row
+    distinct() has grouping keys only (no agg buffers), whereas the
+    earlier dropDuplicates(['id']) planned first() aggregates whose
+    var-length STRING buffers silently fell back to SortAggregate —
+    two extra sorts in every clean-entity consumer (the r4->r5
+    window_rank bench drift).  Same fallback family the OHLC test
+    above pins."""
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import users_clean
+
+    plan = _plan(users_clean(spark, sf_dir))
+    assert "SortAggregate" not in plan, plan[:2000]
+    assert "HashAggregate" in plan
+
+
+def test_ks_test_grid_is_broadcast(spark, sf_dir):
+    """ks_test's claim: the percentile grid reaches every row as a
+    1-row BROADCAST (nested-loop cross of a single row), never a
+    shuffle join, and the bucket aggregation is hash-based."""
+    plan = _plan(all_queries()["ks_test"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
