@@ -1,0 +1,57 @@
+"""Exact integer-space rounding for ratio-of-integers outputs.
+
+The cross-engine trap this closes (found by the round-5 extended-seed
+differential sweep, `lm_score_bigram` diverging 2.5108 vs 2.5107):
+``round(DOUBLE, k)`` disagrees between engines ON EXACT HALVES.  Spark
+routes doubles through ``BigDecimal.valueOf`` — the SHORTEST DECIMAL
+REPRESENTATION — and rounds HALF_UP, so the double nearest to 2.51075
+(binary value 2.5107499999999998…) prints as "2.51075" and rounds to
+2.5108.  DuckDB (and Python) round the BINARY value, which sits below
+the half, and emit 2.5107.  The two agree on almost every float, but a
+RATIO OF INTEGERS a/b can land exactly on a (k+1)-decimal half whenever
+the reduced denominator contains a factor 5 (so the rational is a
+terminating k+1-digit decimal that is NOT binary-representable) — and
+the repo's micro-quantized integer sums (lm_score*, text_entropy) plus
+small-denominator count ratios make that event common on adversarial
+corpora, not measure-zero.
+
+Fix: perform the rounding BEFORE any double is produced, in pure
+int64 arithmetic identical on both engines:
+
+    round_half_up(a / b, 4 dp)  =  (a*20000 + b) intdiv (2*b) / 1e4
+
+for a >= 0, b > 0.  The final division by 1e4 maps an exact 4-decimal
+integer to its nearest double — the same double on every engine.
+Overflow bound: a*20000 must stay under 2^63, i.e. a < 4.6e14 —
+documented at each call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def round4_ratio(a: Column, b: Column) -> Column:
+    """round(a/b, 4) with exact half-up semantics for integer columns
+    a >= 0, b > 0 — engine-independent (no double is formed until the
+    final exact /1e4).  Returns DOUBLE; NULL if b is 0/NULL (matching
+    DuckDB's NULL-on-/0).  The quotient is computed as
+    (num - pmod(num, den)) / den — exactly divisible, so the one IEEE
+    division is exact; a plain try_divide+floor could misround a
+    quotient sitting one ulp under an integer."""
+    num = a.cast("long") * 20000 + b.cast("long")
+    den = 2 * b.cast("long")
+    # when() evaluates the branch only on matching rows, so the pmod
+    # never sees den = 0 under ANSI mode
+    return F.when(den != 0,
+                  ((num - F.pmod(num, den)) / den).cast("long") / 1e4)
+
+
+def round4_ratio_sql(a: str, b: str) -> str:
+    """The DuckDB mirror of round4_ratio: same integer arithmetic,
+    DuckDB's ``//`` integer division (floor-div; operands here are
+    non-negative so it equals truncation).  NULL when b = 0, matching
+    the Spark side's guard."""
+    return (f"(CASE WHEN ({b}) = 0 THEN NULL ELSE "
+            f"(CAST(({a}) * 20000 + ({b}) AS BIGINT)"
+            f" // (2 * CAST({b} AS BIGINT))) / 1e4 END)")

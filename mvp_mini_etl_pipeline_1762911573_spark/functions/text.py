@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..tables import load
+from .exact import round4_ratio, round4_ratio_sql
 
 # Tiny stopword list for the quality score (public, generic).
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
@@ -440,8 +441,16 @@ def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("nll_u").alias("sum_nll_u"))
         .select(
             "doc_id", "n_tokens",
-            F.round(F.col("sum_nll_u") / (F.col("n_tokens") * 1e6), 4)
-             .alias("avg_nll"),
+            # exact integer-space rounding: sum/(n*1e6) can land ON a
+            # 5th-decimal half (round-5 extended-seed finding on the
+            # bigram sibling) where Spark's shortest-repr HALF_UP and
+            # DuckDB's binary rounding disagree.  Overflow bound:
+            # sum_nll_u*2e4 < 2^63 for corpora under ~2e14 micro-nats
+            # per doc — unreachable (ppl stays double: exp() of a
+            # rational is irrational, never on a boundary).
+            round4_ratio(F.col("sum_nll_u"),
+                         F.col("n_tokens") * F.lit(1_000_000))
+            .alias("avg_nll"),
             F.round(F.exp(F.col("sum_nll_u")
                           / (F.col("n_tokens") * 1e6)), 2).alias("ppl"),
         )
@@ -489,8 +498,13 @@ def _lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("nll_u").alias("sum_nll_u"))
         .select(
             "doc_id", "n_bigrams",
-            F.round(F.col("sum_nll_u") / (F.col("n_bigrams") * 1e6), 4)
-             .alias("avg_nll2"),
+            # exact integer-space rounding — the round-5 extended-seed
+            # sweep caught sum/(n*1e6) = 2.51075 EXACTLY (n=4): Spark's
+            # shortest-repr HALF_UP said 2.5108, DuckDB's binary value
+            # 2.5107.  See functions/exact.py.
+            round4_ratio(F.col("sum_nll_u"),
+                         F.col("n_bigrams") * F.lit(1_000_000))
+            .alias("avg_nll2"),
             F.round(F.exp(F.col("sum_nll_u")
                           / (F.col("n_bigrams") * 1e6)), 2).alias("ppl2"),
         )
@@ -1078,14 +1092,18 @@ def _text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist", lambda c: F.size(F.filter("cs", lambda x: x == c))))
     term = lambda cnt: F.round(  # noqa: E731 — micro-bit integer term
         F.lit(1e6) * cnt * F.log2(F.col("n") / cnt), 0).cast("long")
+    # entropy rounded in exact integer space (functions/exact.py):
+    # ubits/(n*1e6) is a ratio of integers that can land exactly on a
+    # 5th-decimal half, where engine round() semantics diverge
     return (d.select(
         "doc_id",
         F.col("n").alias("n_chars"),
         F.size("dist").alias("n_distinct_chars"),
-        F.round(
+        round4_ratio(
             F.aggregate("cnts", F.lit(0).cast("long"),
-                        lambda acc, cnt: acc + term(cnt))
-            / 1e6 / F.col("n"), 4).alias("entropy_bits"))
+                        lambda acc, cnt: acc + term(cnt)),
+            F.col("n").cast("long") * F.lit(1_000_000))
+        .alias("entropy_bits"))
         .orderBy("doc_id"))
 
 
@@ -1142,8 +1160,10 @@ WITH d AS (
 SELECT c.doc_id,
        CAST(t.n AS BIGINT) AS n_chars,
        CAST(count(*) AS INTEGER) AS n_distinct_chars,
-       round(sum(CAST(round(1e6 * cnt * log2(t.n / cnt)) AS BIGINT))
-             / 1e6 / t.n, 4) AS entropy_bits
+       {round4_ratio_sql(
+           "CAST(sum(CAST(round(1e6 * cnt * log2(t.n / cnt))"
+           " AS BIGINT)) AS BIGINT)",
+           "CAST(t.n AS BIGINT) * 1000000")} AS entropy_bits
 FROM cnts c JOIN tot t USING (doc_id)
 GROUP BY c.doc_id, t.n
 """,
@@ -1283,7 +1303,8 @@ WITH d AS (
   JOIN cw1 ON cw1.w1 = b.w1
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(sum(nll_u) / (count(*) * 1e6), 4) AS avg_nll2,
+       {round4_ratio_sql("CAST(sum(nll_u) AS BIGINT)",
+                         "count(*) * 1000000")} AS avg_nll2,
        round(exp(sum(nll_u) / (count(*) * 1e6)), 2) AS ppl2
 FROM scored
 GROUP BY doc_id
@@ -1379,7 +1400,8 @@ WITH toks AS (
   FROM toks t JOIN counts c ON t.tok = c.tok, total
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(CAST(sum(nll_u) AS BIGINT) / (count(*) * 1e6), 4)
+       {round4_ratio_sql("CAST(sum(nll_u) AS BIGINT)",
+                         "count(*) * 1000000")}
          AS avg_nll,
        round(exp(CAST(sum(nll_u) AS BIGINT) / (count(*) * 1e6)), 2)
          AS ppl

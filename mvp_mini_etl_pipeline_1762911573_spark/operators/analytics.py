@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.exact import round4_ratio, round4_ratio_sql
 from ..tables import load
 
 # Ordered funnel definition: each step must happen strictly after the
@@ -832,6 +833,15 @@ def _ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty when data exists.
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1)
+    # the gap stays an INTEGER as long as possible: every per-grid gap
+    # shares the denominator n1*n2, so the sup is max over the integer
+    # numerators |f1*n2 - f2*n1| and the ONE division happens after the
+    # max — rounded in exact integer space (functions/exact.py), since
+    # f/n ratios can land exactly on a 5th-decimal half where engine
+    # round() semantics disagree.  Overflow bound: gap_num*2e4 < 2^63
+    # needs n1*n2 < 4.6e14 — arms up to ~2e7 rows each, far above any
+    # verification SF (at 100 TB the grid is approx_percentile and the
+    # statistic double-precision anyway).
     gaps = (counts
             .withColumn("n1", F.sum("c1").over(
                 Window.partitionBy()))
@@ -839,13 +849,16 @@ def _ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy()))
             .withColumn("f1", F.coalesce(F.sum("c1").over(w), F.lit(0)))
             .withColumn("f2", F.coalesce(F.sum("c2").over(w), F.lit(0)))
-            .select(F.abs(F.try_divide("f1", "n1")
-                          - F.try_divide("f2", "n2")).alias("gap"),
+            .select(F.abs(F.col("f1") * F.col("n2")
+                          - F.col("f2") * F.col("n1")).alias("gap_num"),
                     "n1", "n2"))
     return gaps.agg(
-        F.round(F.max("gap"), 4).alias("d_stat"),
+        round4_ratio(F.max("gap_num"),
+                     F.max("n1") * F.max("n2")).alias("d_stat"),
         F.max("n1").alias("n1"), F.max("n2").alias("n2"),
-        (F.max("gap") > KS_ALPHA_C
+        (F.try_divide(F.max("gap_num"),
+                      (F.max("n1") * F.max("n2")).cast("double"))
+         > KS_ALPHA_C
          * F.sqrt(F.try_divide(F.max("n1") + F.max("n2"),
                                F.max("n1") * F.max("n2"))))
         .alias("reject_h0"))
@@ -926,9 +939,13 @@ def _benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (o.select(digit.alias("digit"))
            .groupBy("digit").agg(F.count("*").alias("cnt")))
     tot = Window.partitionBy()  # 9-row table: bounded, scale-legal
+    # obs_share rounds in exact integer space (functions/exact.py):
+    # cnt/total is a ratio of integers; abs_dev stays double — the
+    # log10 term makes it irrational, never on a rounding boundary
     return (obs
             .withColumn("obs_share",
-                        F.round(F.col("cnt") / F.sum("cnt").over(tot), 4))
+                        round4_ratio(F.col("cnt"),
+                                     F.sum("cnt").over(tot)))
             .withColumn("exp_share",
                         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4))
             .withColumn("abs_dev",
@@ -980,21 +997,22 @@ WITH s AS (
 ), gaps AS (
   SELECT abs(
       (SELECT count(*) FROM s
-       WHERE event_type = 'purchase' AND value <= g)
-        / CAST(n1 AS DOUBLE)
+       WHERE event_type = 'purchase' AND value <= g) * n2
     - (SELECT count(*) FROM s
-       WHERE event_type = 'click' AND value <= g)
-        / CAST(n2 AS DOUBLE)) AS gap,
+       WHERE event_type = 'click' AND value <= g) * n1) AS gap_num,
     n1, n2
   FROM grid, n
 )
-SELECT round(max(gap), 4) AS d_stat,
+SELECT {r4} AS d_stat,
        CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
-       max(gap) > {c} * sqrt((max(n1) + max(n2))
-                             / CAST(max(n1) * max(n2) AS DOUBLE))
+       max(gap_num) / CAST(max(n1) * max(n2) AS DOUBLE)
+         > {c} * sqrt((max(n1) + max(n2))
+                      / CAST(max(n1) * max(n2) AS DOUBLE))
          AS reject_h0
 FROM gaps
-""".format(pcts=", ".join(str(p) for p in KS_GRID), c=KS_ALPHA_C),
+""".format(pcts=", ".join(str(p) for p in KS_GRID), c=KS_ALPHA_C,
+           r4=round4_ratio_sql("CAST(max(gap_num) AS BIGINT)",
+                               "CAST(max(n1) * max(n2) AS BIGINT)")),
     "gini_concentration": """
 WITH rev AS (
   SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
@@ -1016,7 +1034,7 @@ SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
              - (count(*) + 1.0) / count(*), 4) AS gini
 FROM ranked GROUP BY n_name
 """,
-    "benford_digits": """
+    "benford_digits": f"""
 WITH d AS (
   SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                           AS VARCHAR), 1, 1) AS INTEGER) AS digit
@@ -1025,7 +1043,7 @@ WITH d AS (
   SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit
 ), t AS (SELECT sum(cnt) AS tot FROM obs)
 SELECT digit, cnt,
-       round(cnt / CAST(tot AS DOUBLE), 4) AS obs_share,
+       {round4_ratio_sql("cnt", "CAST(tot AS BIGINT)")} AS obs_share,
        round(log10(1.0 + 1.0 / digit), 4) AS exp_share,
        round(abs(cnt / CAST(tot AS DOUBLE)
                  - log10(1.0 + 1.0 / digit)), 4) AS abs_dev
