@@ -9,6 +9,12 @@ Determinism policy (driver hash-gate safety):
   to strings identically on both sides;
 * float aggregates are rounded (the per-row arithmetic is identical
   IEEE-754 on both engines; rounding absorbs summation-order noise);
+* RATIO-OF-INTEGERS outputs are rounded in exact int64 arithmetic
+  (functions/exact.py) — engine round() semantics DISAGREE on exact
+  decimal halves (Spark rounds the shortest decimal repr half-up,
+  DuckDB rounds the binary value), and a/b with a factor-5 reduced
+  denominator lands on such halves; transcendental outputs (exp/log/
+  sqrt mixes) cannot, and keep plain round();
 * DuckDB integer aggregates are CAST to BIGINT (DuckDB sum(BIGINT)
   yields HUGEINT, Spark yields LONG);
 * every ORDER BY / window has a total tie-break.
