@@ -42,9 +42,17 @@ def round4_ratio(a: Column, b: Column) -> Column:
     num = a.cast("long") * 20000 + b.cast("long")
     den = 2 * b.cast("long")
     # when() evaluates the branch only on matching rows, so the pmod
-    # never sees den = 0 under ANSI mode
+    # never sees den = 0 under ANSI mode.  The exactly-divisible
+    # quotient divides in DECIMAL(38,0) space, NOT long/long (which is
+    # IEEE double division: for num > 2^53 the numerator's conversion
+    # is lossy and truncating the quotient returns q-1 — found by the
+    # round-5 follow-up review, counterexample pinned in
+    # tests/test_oracle.py); decimal division of an exact integer
+    # quotient is exact at any result scale.
     return F.when(den != 0,
-                  ((num - F.pmod(num, den)) / den).cast("long") / 1e4)
+                  ((num - F.pmod(num, den)).cast("decimal(38,0)")
+                   / den.cast("decimal(38,0)"))
+                  .cast("long") / 1e4)
 
 
 def round4_ratio_sql(a: str, b: str) -> str:

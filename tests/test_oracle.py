@@ -50,7 +50,12 @@ def test_round4_ratio_exact_halves_agree_across_engines(spark, duck):
     cases = [(10043000, 4000000),   # 2.51075 exactly: the seed-110 hit
              (10042999, 4000000), (10043001, 4000000),
              (1, 8), (125, 1000000),  # 0.000125: half at the 4th dp
-             (0, 5), (7, 0)]          # zero numerator; zero denominator
+             (0, 5), (7, 0),          # zero numerator; zero denominator
+             # num = a*20000 + b > 2^53: long/long double division
+             # loses the numerator and truncates to q-1 (follow-up
+             # review counterexample) — the quotient must divide in
+             # exact decimal space
+             (354292650708359, 56296894981972)]
     df = spark.createDataFrame(cases, "a long, b long").select(
         "a", "b", round4_ratio(F.col("a"), F.col("b")).alias("r"))
     got = {(r.a, r.b): r.r for r in df.collect()}
