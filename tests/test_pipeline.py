@@ -175,3 +175,32 @@ def test_static_json_source_roundtrip(spark, tmp_path):
     assert len(log) == 1
     assert (log[0]["seq"], log[0]["stage"]) == (0, "Extract")
     assert log[0]["message"] == "seven rows"
+
+
+def test_warm_users_cache_pins_both_entity_tiers(spark, sf_dir):
+    """The bench perf claim's mechanism: after warm_users_cache, BOTH
+    users_base and users_clean resolve to checkpointed scans (no
+    joins, no distinct re-run), and the clean tier returns the exact
+    rows of the cold derivation.  Cold consumers (correctness sweeps,
+    which never warm) still get the full derivation."""
+    from mvp_mini_etl_pipeline_1762911573_spark import tables as T
+
+    saved_base = dict(T._USERS_CACHE)
+    saved_clean = dict(T._USERS_CLEAN_CACHE)
+    try:
+        T.clear_users_cache()
+        cold = T.users_clean(spark, sf_dir)
+        assert "Scan ExistingRDD" not in \
+            cold._jdf.queryExecution().executedPlan().toString()
+        cold_rows = sorted(map(tuple, cold.collect()))
+
+        T.warm_users_cache(spark, sf_dir)
+        warm = T.users_clean(spark, sf_dir)
+        plan = warm._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan       # serves the checkpoint
+        assert "HashAggregate" not in plan      # distinct NOT re-run
+        assert sorted(map(tuple, warm.collect())) == cold_rows
+    finally:
+        T.clear_users_cache()
+        T._USERS_CACHE.update(saved_base)
+        T._USERS_CLEAN_CACHE.update(saved_clean)
