@@ -19,6 +19,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+    warm_edges_cache,
+)
 from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
 from mvp_mini_etl_pipeline_1762911573_spark.session import get_spark
 from mvp_mini_etl_pipeline_1762911573_spark.tables import warm_users_cache
@@ -93,6 +96,16 @@ def main() -> None:
     warm_users_cache(spark, sf_dir)
     timings["users_materialize"] = round(time.monotonic() - t0, 3)
     print(f"# users_materialize: {timings['users_materialize']}s",
+          file=sys.stderr)
+    # ... and the SemDeDup candidate-edge table, the shared input of
+    # dedup_embedding / dedup_clusters / dedup_clusters_star /
+    # dedup_keep_best — materialized once per run (the production
+    # shape: write the edge table, then cluster), timed as its own
+    # line item so the total stays honest.
+    t0 = time.monotonic()
+    warm_edges_cache(spark, sf_dir)
+    timings["edges_materialize"] = round(time.monotonic() - t0, 3)
+    print(f"# edges_materialize: {timings['edges_materialize']}s",
           file=sys.stderr)
     # each query runs 3x — one discarded cold run (absorbs per-query
     # codegen/broadcast warm-up) then two timed warm runs with the MIN

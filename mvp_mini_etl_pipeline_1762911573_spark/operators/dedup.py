@@ -403,13 +403,22 @@ def _embedding_pair_edges(spark: SparkSession, sf_dir: str,
     centroid count).  The quantizer is the stride-seeded argmax-cosine
     assignment — deterministic, so the WHOLE family keeps full DuckDB
     oracles (rare for semantic dedup)."""
-    from .similarity import (SIM_THRESHOLD, assign_cells,
-                             pairwise_cosine_exact_udf)
+    from .similarity import (_CENT_CACHE, SIM_THRESHOLD, _cent_cache_key,
+                             assign_cells, pairwise_cosine_exact_udf)
 
-    if threshold is None:
-        threshold = SIM_THRESHOLD
     docs = load(spark, sf_dir, "documents").select("doc_id")
     emb = load(spark, sf_dir, "embeddings")
+    if threshold is None:
+        threshold = SIM_THRESHOLD
+        # opt-in materialization (warm_edges_cache): the candidate-edge
+        # table is the shared input of the whole SemDeDup family
+        # (dedup_embedding, both CC flavors, keep-best) — a batch
+        # session materializes it once, exactly as a production run
+        # writes the edge table before clustering.  Default threshold
+        # only: a custom threshold is a different edge set.
+        cached = _CENT_CACHE.get(_cent_cache_key(emb) + ("edges",))
+        if cached is not None:
+            return cached
     vecs = (docs.join(emb, docs.doc_id == emb.vec_id)
             .select("vec_id", "embedding"))
     celled = assign_cells(emb, vecs)
@@ -428,6 +437,26 @@ def _embedding_pair_edges(spark: SparkSession, sf_dir: str,
                 pcos6("va", "vb").alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def warm_edges_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-in materialization of the SemDeDup candidate-edge table
+    (default threshold) — the dedup-family analogue of
+    tables.warm_users_cache: four registry queries re-derive the
+    within-cell cosine join otherwise; a batch consumer (bench, a real
+    dedup run) pays it once.  Keyed and evicted through similarity's
+    _CENT_CACHE, inheriting its application-lifetime contract.  The
+    edge table is tiny (pairs over SIM_THRESHOLD), so the eager
+    localCheckpoint is one small job."""
+    from .similarity import _CENT_CACHE, _cent_cache_key, _cent_cache_put
+
+    emb = load(spark, sf_dir, "embeddings")
+    key = _cent_cache_key(emb) + ("edges",)
+    if key not in _CENT_CACHE:
+        _cent_cache_put(
+            key, _embedding_pair_edges(spark, sf_dir)
+            .localCheckpoint(eager=True))
+    return _CENT_CACHE[key]
 
 
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
