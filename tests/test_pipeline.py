@@ -204,3 +204,35 @@ def test_warm_users_cache_pins_both_entity_tiers(spark, sf_dir):
         T.clear_users_cache()
         T._USERS_CACHE.update(saved_base)
         T._USERS_CLEAN_CACHE.update(saved_clean)
+
+
+def test_warm_edges_cache_pins_the_candidate_edge_table(spark, sf_dir):
+    """Symmetric to the users-entity test: after warm_edges_cache the
+    SemDeDup family's shared candidate-edge input resolves to the
+    checkpointed scan with rows identical to the cold derivation;
+    a NON-default threshold always bypasses the cache (different edge
+    set)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators import dedup
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        _CENT_CACHE,
+    )
+
+    saved = dict(_CENT_CACHE)
+    try:
+        _CENT_CACHE.clear()
+        cold = dedup._embedding_pair_edges(spark, sf_dir)
+        cold_rows = sorted(map(tuple, cold.collect()))
+
+        dedup.warm_edges_cache(spark, sf_dir)
+        warm = dedup._embedding_pair_edges(spark, sf_dir)
+        assert "Scan ExistingRDD" in \
+            warm._jdf.queryExecution().executedPlan().toString()
+        assert sorted(map(tuple, warm.collect())) == cold_rows
+
+        custom = dedup._embedding_pair_edges(spark, sf_dir,
+                                             threshold=0.99)
+        assert "Scan ExistingRDD" not in \
+            custom._jdf.queryExecution().executedPlan().toString()
+    finally:
+        _CENT_CACHE.clear()
+        _CENT_CACHE.update(saved)
