@@ -47,7 +47,12 @@ def main(argv):
             continue
         o = con.execute(oracles[name])
         o_rows, o_cols = o.fetchall(), [d[0] for d in o.description]
-        sh, oh = value_hash(rows, cols), value_hash(o_rows, o_cols)
+        try:
+            sh, oh = value_hash(rows, cols), value_hash(o_rows, o_cols)
+        except TypeError as e:
+            print(f"[{name}] CANON-UNSAFE: {e}")
+            failed.append(name)
+            continue
         ok = len(rows) == len(o_rows) and sorted(cols) == sorted(o_cols) \
             and sh == oh
         tag = "MATCH" if ok else "MISMATCH"

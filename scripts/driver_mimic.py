@@ -40,14 +40,22 @@ def _canon_cell(v):
         return "f" + v.hex()
     if isinstance(v, (str, int)):  # bool is int; str() disambiguates
         return "s" + str(v) if isinstance(v, str) else "i" + str(v)
-    if isinstance(v, (list, tuple, set, dict, bytearray)) or (
+    if isinstance(v, (bytes, bytearray)):
+        # Spark BinaryType collects as bytearray, the DuckDB side
+        # returns bytes — reject BOTH so a binary output column fails
+        # symmetrically whichever side hashes first
+        raise TypeError(
+            "BINARY cell: the driver's pandas canonicalization cannot "
+            "hash binary output columns — encode with hex()/base64 in "
+            "BOTH the query and its oracle")
+    if isinstance(v, (list, tuple, set, dict)) or (
             type(v).__module__ == "numpy" and hasattr(v, "__len__")):
         raise TypeError(
             f"unhashable cell type {type(v).__name__} ({v!r:.60}): the "
             "driver's pandas canonicalization cannot hash ARRAY/MAP/"
             "STRUCT output columns — serialize with array_join/to_json "
             "in BOTH the query and its oracle")
-    return "o" + str(v)  # date/datetime/Decimal/bytes: repr-stable
+    return "o" + str(v)  # date/datetime/Decimal: repr-stable
 
 
 def value_hash(rows, cols):
@@ -108,7 +116,15 @@ def main():
             continue
         ok_cols = sorted(scols) == sorted(ocols)
         ok_rows = len(srows) == len(orows)
-        sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+        try:
+            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
+        except TypeError as e:
+            # canon-unsafe output (ARRAY/MAP/BINARY cell): record the
+            # query as failed and keep sweeping — the whole point of
+            # the strict canonicalizer is to surface EVERY offender
+            failed.append(name)
+            print(f"[{name}] CANON-UNSAFE: {e}")
+            continue
         ok_hash = sh == oh
         status = "MATCH" if (ok_cols and ok_rows and ok_hash) else "MISMATCH"
         if status == "MISMATCH":

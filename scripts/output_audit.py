@@ -13,10 +13,14 @@ pandas (`sort_values` + value hashing), which
       still diverge (events_debounce, r4); explicitly-rounded columns
       (4-8 dp, the house style) have always verified green.
 
-Usage: `python scripts/output_audit.py [--sf DIR]` (default sf0.001 —
-schema hazards are scale-independent, so the smallest fixture is
-enough).  Exit 1 if any HASH-TIER query has a complex-typed output
-column or emits a float cell that is not 4-dp-round-idempotent.
+Usage: `python scripts/output_audit.py [--sf DIR]` (default sf0.01,
+the driver's verification SF: the complex-COLUMN check is schema-level
+and scale-independent, but the float-CELL check is data-dependent — a
+group that happens to hold one row at a tiny SF emits round numbers
+that mask an unrounded avg).  Exit 1 if any HASH-TIER query has a
+complex-typed (ARRAY/MAP/STRUCT/BINARY) output column or emits a
+float cell that is not round-8 idempotent (see unrounded_cells for
+why 8, not the 4-dp house style).
 Rows-only queries' output FLAGS are reported but never fatal (the
 driver only row-counts that tier); an execution ERROR is fatal for
 every tier — the real driver fails an erroring rows-only query too.
@@ -36,7 +40,7 @@ from mvp_mini_etl_pipeline_1762911573_spark.registry import (  # noqa: E402
 )
 from mvp_mini_etl_pipeline_1762911573_spark.session import get_spark  # noqa: E402
 
-COMPLEX = (T.ArrayType, T.MapType, T.StructType)
+COMPLEX = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
 
 
 def complex_cols(schema):
@@ -70,9 +74,12 @@ def unrounded_cells(rows, cols, names, limit=3):
 
 
 def main(argv):
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.01"
     if "--sf" in argv:
-        sf = argv[argv.index("--sf") + 1]
+        i = argv.index("--sf")
+        if i + 1 >= len(argv):
+            sys.exit("usage: output_audit.py [--sf DIR]")
+        sf = argv[i + 1]
     spark = get_spark("output-audit")
     queries, oracles = all_queries(), all_oracles()
 

@@ -124,6 +124,12 @@ def test_value_hash_rejects_complex_cells_and_hashes_floats_bitwise():
         value_hash([(1, [1, 2])], ["a", "b"])
     with pytest.raises(TypeError, match="pandas"):
         value_hash([({"k": 1},)], ["a"])
+    # binary cells fail SYMMETRICALLY: Spark collects BinaryType as
+    # bytearray, DuckDB returns bytes — both must raise
+    with pytest.raises(TypeError, match="BINARY"):
+        value_hash([(bytearray(b"ab"),)], ["a"])
+    with pytest.raises(TypeError, match="BINARY"):
+        value_hash([(b"ab",)], ["a"])
     # bit-different floats never collide, even when str() would agree
     # after a naive shortening; identical floats always do
     assert value_hash([(0.1,)], ["a"]) == value_hash([(0.1,)], ["a"])
