@@ -63,3 +63,34 @@ def round4_ratio_sql(a: str, b: str) -> str:
     return (f"(CASE WHEN ({b}) = 0 THEN NULL ELSE "
             f"(CAST(({a}) * 20000 + ({b}) AS BIGINT)"
             f" // (2 * CAST({b} AS BIGINT))) / 1e4 END)")
+
+
+def round4_ratio_dec(a: Column, b: Column) -> Column:
+    """round(a/b, 4) with exact half-up-toward-+inf semantics in
+    DECIMAL(38,0) space — the wide-operand sibling of round4_ratio for
+    integer-valued numerators beyond the int64*20000 overflow bound
+    (gini's rank-weighted cent sums reach ~2.7e14 at sf0.1 and grow
+    with n² per nation; ADVICE r5).  Contract: ``a`` integer-valued
+    decimal of ANY sign, ``b`` integer-valued decimal > 0 — callers
+    guard non-positive denominators to NULL themselves (a Gini over a
+    non-positive total is undefined, not a division).  floor((a*20000
+    + b) / (2b)) is computed with Spark's pmod (floor semantics for
+    negative numerators); the SQL mirror uses a sign-safe mod because
+    DuckDB's ``//`` truncates toward zero on negatives."""
+    num = a.cast("decimal(38,0)") * 20000 + b.cast("decimal(38,0)")
+    den = b.cast("decimal(38,0)") * 2
+    return F.when(b > 0,
+                  ((num - F.pmod(num, den)) / den).cast("long") / 1e4)
+
+
+def round4_ratio_dec_sql(a: str, b: str) -> str:
+    """DuckDB mirror of round4_ratio_dec: HUGEINT arithmetic (exact to
+    2^127) with sign-safe floor mod, NULL unless b > 0."""
+    num = f"(CAST(({a}) AS HUGEINT) * 20000 + CAST(({b}) AS HUGEINT))"
+    den = f"(2 * CAST(({b}) AS HUGEINT))"
+    # `//` (not `/`, which is DOUBLE division in DuckDB and lossy past
+    # 2^53): the numerator is exactly divisible after the mod
+    # subtraction, and truncation == floor on exact quotients
+    return (f"(CASE WHEN ({b}) > 0 THEN "
+            f"CAST(({num} - ((({num} % {den}) + {den}) % {den})) // {den} "
+            f"AS BIGINT) / 1e4 ELSE NULL END)")

@@ -511,6 +511,101 @@ def _lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5  # collocation support floor: bigrams rarer than
+#                    this carry no statistical signal and would blow
+#                    the output up with hapax noise
+
+
+def _collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r6 debut): collocation mining via pointwise mutual
+    information — the standard phrase-detection pass (word2vec's
+    phrase pre-join, topic-model vocab building) a training-data
+    pipeline runs to decide which bigrams become single vocabulary
+    units.  PMI(w1,w2) = ln( P(w1,w2) / (P(w1·)·P(·w2)) ) over the
+    corpus bigram stream = ln( c12·N / (c1·c2) ) with positional
+    marginals (c1 = w1-as-first count, c2 = w2-as-second count).
+
+    Cross-engine exactness: every count is an exact BIGINT; c12·N and
+    c1·c2 stay far under 2^53, so the one double division has
+    exactly-representable operands and is IEEE-identical on both
+    engines; ln() of that identical double is the same 1-ulp libm
+    class as lm_score's ppl (transcendental output — cannot land on
+    an exact decimal half; plain round(,4) per the repo rounding
+    policy).  The PMI_MIN_COUNT floor keeps the report to
+    statistically supported pairs AND bounds the output (no float
+    top-k cut whose near-tie ordering could diverge cross-engine).
+
+    100 TB shape: bigram extraction is a narrow map; the three
+    aggregations are partial-agg'd counts on Zipf-headed keys (AQE
+    skew-split absorbs the head); the c1/c2 marginal joins hit the
+    ALREADY (w1,w2)-reduced pair table — model-sized, not
+    stream-sized — so the expensive token stream is shuffled once."""
+    docs = load(spark, sf_dir, "documents")
+    ws = _tokens(F.col("text"))
+    pairs = (
+        docs.where(F.size(ws) >= 2)
+        .select(F.explode(F.arrays_zip(
+            F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
+            F.slice(ws, 2, F.size(ws) - 1).alias("w2"))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cbg = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+           .where(F.col("c12") >= PMI_MIN_COUNT))
+    cw1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    cw2 = pairs.groupBy("w2").agg(F.count("*").alias("c2"))
+    n_total = pairs.agg(F.count("*").alias("n_bigrams"))
+    return (cbg.join(cw1, "w1").join(cw2, "w2")
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "w1", "w2", "c12",
+                F.round(F.log(F.col("c12") * F.col("n_bigrams")
+                              / (F.col("c1") * F.col("c2"))), 4)
+                .alias("pmi")))
+
+
+def _lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r6 debut): language-metadata QA — the confusion matrix
+    between the DECLARED `lang` column and the n-gram-marker
+    prediction (`lang_id`'s predictor, same argmax/tie rules), the
+    report a curation pipeline reads to find mislabeled or
+    code-switched shards before sampling by language.  Per
+    (true_lang, pred_lang) cell: doc count and recall share
+    (n / total docs of that true_lang — the row-normalized confusion
+    matrix).  share is a ratio of integers → exact-int rounding
+    (round4_ratio; the engine round() exact-half class).
+
+    100 TB shape: the marker scoring is a narrow per-row expression
+    (no shuffle), the matrix is one partial-agg'd groupBy on a
+    ≤|langs|² key space, and the row totals come from a window over
+    the ALREADY-aggregated 25-cell table — scan-bound end to end."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def _hits(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks,
+                               lambda t: F.array_contains(arr, t)))
+
+    scores = [(lang, _hits(markers))
+              for lang, markers in sorted(LANG_MARKERS.items())]
+    pred = F.reverse(F.array_sort(F.array(*[
+        F.struct(score.alias("s"),
+                 F.lit(-i).alias("tie"),
+                 F.lit(lang).alias("lang"))
+        for i, (lang, score) in enumerate(scores)
+    ]))).getItem(0).getField("lang")
+    cells = (docs
+             .select(F.col("lang").alias("true_lang"),
+                     pred.alias("pred_lang"))
+             .groupBy("true_lang", "pred_lang")
+             .agg(F.count("*").alias("n_docs")))
+    tot = Window.partitionBy("true_lang")  # ≤|langs|² rows: bounded
+    return cells.select(
+        "true_lang", "pred_lang", "n_docs",
+        round4_ratio(F.col("n_docs"),
+                     F.sum("n_docs").over(tot)).alias("share_of_true"))
+
+
 MIX_BUDGET_FRAC = 0.5  # token budget = this share of the corpus
 
 
@@ -1115,6 +1210,8 @@ QUERIES = {
     "quality_logit": _quality_logit,
     "text_bm25": _text_bm25,
     "lm_score_bigram": _lm_score_bigram,
+    "collocation_pmi": _collocation_pmi,
+    "lang_confusion": _lang_confusion,
     "text_repetition": _text_repetition,
     "bpe_pair_stats": _bpe_pair_stats,
     "bpe_encode": _bpe_encode,
@@ -1308,6 +1405,58 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        round(exp(sum(nll_u) / (count(*) * 1e6)), 2) AS ppl2
 FROM scored
 GROUP BY doc_id
+""",
+    # counts exact BIGINT; c12*N and c1*c2 « 2^53 so the division is
+    # IEEE-identical; ln is the 1-ulp transcendental class (plain
+    # round, same as lm_score's ppl)
+    "collocation_pmi": f"""
+WITH d AS (
+  SELECT {_DUCK_TOKS} AS ws FROM documents
+), bg AS (
+  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+  FROM d WHERE len(ws) >= 2
+), cbg AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+  HAVING count(*) >= {PMI_MIN_COUNT}
+), cw1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), cw2 AS (
+  SELECT w2, count(*) AS c2 FROM bg GROUP BY w2
+), n AS (SELECT count(*) AS n_bigrams FROM bg)
+SELECT cbg.w1, cbg.w2, CAST(c12 AS BIGINT) AS c12,
+       round(ln(CAST(c12 * n_bigrams AS BIGINT)
+                / CAST(c1 * c2 AS BIGINT)), 4) AS pmi
+FROM cbg JOIN cw1 USING (w1) JOIN cw2 USING (w2), n
+""",
+    # share_of_true = n/rowtotal is a ratio of integers -> exact-int
+    # rounding; the predictor is lang_id's argmax verbatim
+    "lang_confusion": f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, x -> list_contains(['the','and','of'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['der','die','und'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['le','la','et'], x))) AS s_fr,
+    len(list_filter(toks, x -> list_contains(['的','是','在'], x))) AS s_zh
+  FROM t
+), p AS (
+  SELECT lang AS true_lang,
+         CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+           WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+           WHEN s_fr THEN 'fr' ELSE 'zh' END AS pred_lang
+  FROM s
+), cells AS (
+  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY true_lang, pred_lang
+)
+SELECT true_lang, pred_lang, n_docs,
+       {round4_ratio_sql(
+           "n_docs",
+           "CAST(sum(n_docs) OVER (PARTITION BY true_lang) AS BIGINT)")}
+         AS share_of_true
+FROM cells
 """,
     "text_repetition": f"""
 WITH d AS (

@@ -28,7 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.exact import round4_ratio, round4_ratio_sql
+from ..functions.exact import (round4_ratio, round4_ratio_dec,
+                               round4_ratio_dec_sql, round4_ratio_sql)
 from ..tables import load
 
 # Ordered funnel definition: each step must happen strictly after the
@@ -894,18 +895,63 @@ def _gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev").alias("tot"),
         F.sum((F.col("i") * F.col("rev")).cast("decimal(38,2)"))
         .alias("iwsum"))
-    # try_divide: a zero-total nation (revenues summing to exactly 0)
-    # yields gini NULL — DuckDB's /0 semantics — instead of an ANSI
-    # DIVIDE_BY_ZERO crash (code-review r5)
-    gini = (F.try_divide(2.0 * F.col("iwsum").cast("double"),
-                         F.col("n_customers")
-                         * F.col("tot").cast("double"))
-            - (F.col("n_customers") + 1.0) / F.col("n_customers"))
+    # G = (2S - (n+1)T) / (nT) with S, T exact integer CENTS — a ratio
+    # of integers, so the 4-dp rounding happens in exact integer space
+    # (round4_ratio_dec; ADVICE r5: plain round() diverges between
+    # engines when the quotient's shortest decimal repr lands on a
+    # 5th-decimal half).  DECIMAL(38,0) operands, not int64: the
+    # rank-weighted cent sum S reaches ~2.7e14 at sf0.1 and grows n²
+    # per nation, past round4_ratio's a*20000 < 2^63 bound.  A nation
+    # whose revenues total <= 0 cents yields gini NULL on both engines
+    # (inequality over a non-positive total is undefined; covers the
+    # code-review-r5 /0 case too).
+    iw_cents = (F.col("iwsum") * 100).cast("decimal(38,0)")
+    tot_cents = (F.col("tot") * 100).cast("decimal(38,0)")
+    n = F.col("n_customers")
+    gini = round4_ratio_dec(
+        2 * iw_cents - (n + 1).cast("decimal(38,0)") * tot_cents,
+        n.cast("decimal(38,0)") * tot_cents)
     return (per_nation.select(
         F.col("n_name").alias("nation"), "n_customers",
         F.col("tot").cast("double").alias("total_revenue"),
-        F.round(gini, 4).alias("gini"))
+        gini.alias("gini"))
         .orderBy("nation"))
+
+
+def _quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r6 debut): rank-based quantile normalization — map each
+    event's value to its empirical quantile position within its
+    event_type, the distribution-free feature scaling (rank transform
+    / probability-integral transform) ML preprocessing applies when
+    raw magnitudes are unreliable.  qnorm = (rank - 1) / (n - 1) in
+    [0, 1]; ties share the min rank (rank(), not row_number: equal
+    values MUST map to equal quantiles or the transform leaks order
+    noise), so the output is a deterministic function of the value
+    multiset.
+
+    Exactness: (rank-1)/(n-1) is a ratio of integers → rounded in
+    exact integer space via round4_ratio (the engine round() exact-
+    half divergence class).  NULL values are excluded on BOTH sides
+    (the r4 NULL-bucketing trap: g < NULL comparisons silently drop
+    rows asymmetrically); a single-row group (n = 1) yields NULL
+    qnorm on both engines (round4_ratio's b = 0 guard — a quantile
+    within a 1-point distribution is undefined).  Overflow bound:
+    rank*20000 < 2^63 → safe to 4.6e14 rows per event_type.
+
+    100 TB shape: one hash shuffle on event_type, per-group parallel
+    sort, map-side ratio — the same single-exchange plan as any
+    ranking window.  Skewed types fall to AQE skew-split; at extreme
+    group cardinality the exact rank swaps for an approx-CDF join
+    (agg_approx_percentiles' sketch), same downstream contract."""
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    part = Window.partitionBy("event_type")
+    return (ev
+            .withColumn("rk", F.rank().over(part.orderBy("value")))
+            .withColumn("n", F.count("*").over(part))
+            .select("event_id", "event_type",
+                    F.round("value", 4).alias("value"),
+                    round4_ratio(F.col("rk") - 1, F.col("n") - 1)
+                    .alias("qnorm")))
 
 
 BENFORD_DIGITS = list(range(1, 10))
@@ -921,21 +967,25 @@ def _benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     Digit extraction dodges every float trap: log10(x) near a power
     of ten misclassifies (floor(log10(1000.0)) can evaluate 2), and
     double->string formatting is engine-specific — so the amount is
-    first fixed to integer CENTS (CAST(round(x*100) AS BIGINT), the
-    repo's exact-money idiom) and the first digit read from the
+    first fixed to integer CENTS and the first digit read from the
     BIGINT's decimal string, which every engine formats identically.
-    Map-side digit, 9-key partial agg, driver-tiny join against the
-    expected distribution: one scan at any scale."""
+    Cents come from floor(x*100 + 0.5), NOT round(x*100): round() of
+    a DOUBLE disagrees between engines on exact halves (Spark rounds
+    the shortest decimal repr half-up, DuckDB the binary value —
+    ADVICE r5: a 3rd-decimal-5 price at a power-of-ten boundary,
+    99999.5 cents -> 100000 vs 99999, flips the first digit), while
+    floor(+0.5) is a single IEEE operation with the identical result
+    bit on every engine.  Map-side digit, 9-key partial agg,
+    driver-tiny join against the expected distribution: one scan at
+    any scale."""
     # the guard is on CENTS >= 1, not price > 0: a 0 < price < 0.005
     # order rounds to zero cents, whose "first digit" is 0 and whose
     # Benford expectation log10(1 + 1/0) divides by zero (ANSI crash;
     # code-review r5) — a first SIGNIFICANT digit needs a nonzero
     # amount at cent precision on both engines
-    o = load(spark, sf_dir, "orders").where(
-        F.round(F.col("o_totalprice") * 100, 0) >= 1)
-    digit = F.substring(
-        F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
-        .cast("string"), 1, 1).cast("int")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5)
+    o = load(spark, sf_dir, "orders").where(cents >= 1)
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     obs = (o.select(digit.alias("digit"))
            .groupBy("digit").agg(F.count("*").alias("cnt")))
     tot = Window.partitionBy()  # 9-row table: bounded, scale-legal
@@ -960,6 +1010,7 @@ QUERIES = {
     "ks_test": _ks_test,
     "gini_concentration": _gini_concentration,
     "benford_digits": _benford_digits,
+    "quantile_normalize": _quantile_normalize,
     "skyline_pareto": _skyline_pareto,
     "regr_by_group": _regr_by_group,
     "attribution": _attribution,
@@ -1013,7 +1064,7 @@ FROM gaps
 """.format(pcts=", ".join(str(p) for p in KS_GRID), c=KS_ALPHA_C,
            r4=round4_ratio_sql("CAST(max(gap_num) AS BIGINT)",
                                "CAST(max(n1) * max(n2) AS BIGINT)")),
-    "gini_concentration": """
+    "gini_concentration": f"""
 WITH rev AS (
   SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders GROUP BY o_custkey
@@ -1026,19 +1077,24 @@ WITH rev AS (
   SELECT *, row_number() OVER (
       PARTITION BY n_name ORDER BY rev, c_custkey) AS i
   FROM cust
+), per_nation AS (
+  SELECT n_name, count(*) AS n, sum(rev) AS tot,
+         CAST(sum(CAST(i * rev AS DECIMAL(38,2))) * 100 AS HUGEINT)
+           AS s_cents,
+         CAST(sum(rev) * 100 AS HUGEINT) AS t_cents
+  FROM ranked GROUP BY n_name
 )
-SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
-       CAST(sum(rev) AS DOUBLE) AS total_revenue,
-       round(2.0 * CAST(sum(CAST(i * rev AS DECIMAL(38,2))) AS DOUBLE)
-               / (count(*) * CAST(sum(rev) AS DOUBLE))
-             - (count(*) + 1.0) / count(*), 4) AS gini
-FROM ranked GROUP BY n_name
+SELECT n_name AS nation, CAST(n AS BIGINT) AS n_customers,
+       CAST(tot AS DOUBLE) AS total_revenue,
+       {round4_ratio_dec_sql("2 * s_cents - (n + 1) * t_cents",
+                             "n * t_cents")} AS gini
+FROM per_nation
 """,
     "benford_digits": f"""
 WITH d AS (
-  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                           AS VARCHAR), 1, 1) AS INTEGER) AS digit
-  FROM orders WHERE round(o_totalprice * 100) >= 1
+  FROM orders WHERE floor(o_totalprice * 100 + 0.5) >= 1
 ), obs AS (
   SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit
 ), t AS (SELECT sum(cnt) AS tot FROM obs)
@@ -1048,6 +1104,20 @@ SELECT digit, cnt,
        round(abs(cnt / CAST(tot AS DOUBLE)
                  - log10(1.0 + 1.0 / digit)), 4) AS abs_dev
 FROM obs, t
+""",
+    # qnorm = (rank-1)/(n-1) is a ratio of integers -> exact-int
+    # rounding (round4_ratio_sql); rank() (not row_number) so ties map
+    # to equal quantiles; NULL values excluded on BOTH sides (the r4
+    # NULL-bucketing trap); n = 1 groups yield NULL via the b = 0 guard
+    "quantile_normalize": f"""
+SELECT event_id, event_type, round(value, 4) AS value,
+       {round4_ratio_sql("rk - 1", "n - 1")} AS qnorm
+FROM (
+  SELECT event_id, event_type, value,
+         rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
 """,
     "attribution": f"""
 WITH ev AS (
@@ -1321,7 +1391,10 @@ WITH w AS (
 )
 SELECT user_id, event_type, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-       round(value, 4) AS value, burst_id
+       round(value, 4) AS value,
+       -- DuckDB window SUM yields HUGEINT -> pandas float64; Spark emits
+       -- int64. The driver hashes via pandas, so the dtype must match.
+       CAST(burst_id AS BIGINT) AS burst_id
 FROM (
   SELECT *, row_number() OVER (
            PARTITION BY user_id, event_type, burst_id

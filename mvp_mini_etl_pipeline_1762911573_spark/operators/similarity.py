@@ -336,21 +336,55 @@ def _cent_cache_key(emb: DataFrame) -> tuple:
     return (emb.sparkSession.sparkContext.applicationId,
             emb.semanticHash(), files, stamps)
 
-IVF_STRIDE = 61  # coarse-centroid seeds: every 61st vector.  A real
-#                  deployment trains these with k-means; a fixed stride
-#                  keeps the quantizer deterministic so the WHOLE IVF
-#                  path is DuckDB-oracle-checkable (rare for ANN code).
-IVF_NPROBE = 2   # cells probed per query
+IVF_STRIDE = 61   # FLOOR stride for the coarse-centroid seeds: every
+#                   61st vector.  A real deployment trains these with
+#                   k-means; a deterministic stride keeps the quantizer
+#                   DuckDB-oracle-checkable (rare for ANN code).
+IVF_K_MAX = 1024  # hard cap on centroid COUNT.  With a fixed stride,
+#                   K grows as n/61 — the centroid matrix is collected
+#                   driver-side and every vector scores against all K,
+#                   so a fixed stride is quadratic in corpus size
+#                   (n²/61 multiplies), the r5 verdict's one
+#                   scale-killer.  Deriving the stride from the corpus
+#                   count (the same train-geometry-to-the-collection
+#                   pattern _lsh_size applies to LSH) caps the model at
+#                   K_MAX×dim floats — true model parameters — and
+#                   assignment at K_MAX·n: linear.  At every fixture SF
+#                   (≤2048 vectors) the derived stride stays at the
+#                   61 floor, so the geometry is bit-identical to the
+#                   historical fixed-stride results.
+IVF_NPROBE = 2    # cells probed per query
+
+
+def ivf_stride(n: int) -> int:
+    """Deterministic corpus-sized stride: ceil(n / K_MAX), floored at
+    IVF_STRIDE.  Integer arithmetic only (no float ceil) so Spark and
+    the DuckDB oracle (DUCK_STRIDE_SQL) agree at any n."""
+    return max(IVF_STRIDE, -(-n // IVF_K_MAX))
+
+
+def _ivf_stride_for(emb: DataFrame) -> int:
+    """ivf_stride of the corpus cardinality, memoized on the same
+    (appId, plan, files) key as the centroid matrix — the count() is a
+    footer-stats-only parquet job (aggregatePushdown), run once per
+    corpus per session, shared by assign_cells and _ivf_probes so the
+    two sides of the IVF join can never disagree on geometry."""
+    key = _cent_cache_key(emb) + ("stride",)
+    if key not in _CENT_CACHE:
+        _cent_cache_put(key, ivf_stride(emb.count()))
+    return _CENT_CACHE[key]
 
 
 def assign_cells(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
     """Deterministic coarse quantizer shared by IVF search and
     SemDeDup-style dedup: assign each vector in ``vecs`` (default: the
     whole ``emb`` table) to its argmax-cosine stride-seeded centroid
-    (vec_id % IVF_STRIDE == 0 over ``emb``).
+    (vec_id % ivf_stride(n) == 0 over ``emb``; the stride derives from
+    the corpus count so K never exceeds IVF_K_MAX).
 
     ZERO corpus shuffle, by construction: the centroids are model
-    parameters — K×dim floats, bounded by the quantizer design, not by
+    parameters — K×dim floats with K ≤ IVF_K_MAX enforced by the
+    count-derived stride, bounded by the quantizer design, not by
     corpus size — resolved once driver-side (the FAISS/production-ANN
     pattern: centroids are trained offline and shipped to searchers)
     and captured in the closure of an Arrow-vectorized pandas UDF.
@@ -390,7 +424,7 @@ def assign_cells(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
     key = _cent_cache_key(emb)
     if key not in _CENT_CACHE:
         cent_rows = (
-            emb.where(F.col("vec_id") % IVF_STRIDE == 0)
+            emb.where(F.col("vec_id") % _ivf_stride_for(emb) == 0)
             .select(F.col("vec_id").cast("bigint").alias("c_id"),
                     "embedding")
             .orderBy("c_id").collect())
@@ -430,7 +464,7 @@ def _ivf_probes(emb: DataFrame, with_vec: bool = False) -> DataFrame:
     implementation shared by _similarity_ivf and ivfpq_search: the
     probe ranking (round-6 sim, c_id tiebreak, NPROBE cut) is
     oracle-sensitive in both paths and must never diverge."""
-    cents = emb.where(F.col("vec_id") % IVF_STRIDE == 0).select(
+    cents = emb.where(F.col("vec_id") % _ivf_stride_for(emb) == 0).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -751,11 +785,19 @@ _DUCK_COS = (
     "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
 )
 
+# DuckDB mirror of ivf_stride(): integer-ceil of count/K_MAX floored
+# at IVF_STRIDE — same pure-int arithmetic as the Spark side, so the
+# two engines derive identical quantizer geometry at ANY corpus size.
+DUCK_STRIDE_SQL = (
+    f"(SELECT GREATEST({IVF_STRIDE}, CAST((count(*) + {IVF_K_MAX - 1}) "
+    f"// {IVF_K_MAX} AS BIGINT)) FROM embeddings)"
+)
+
 # DuckDB mirror of assign_cells(): cents + cells CTEs, shared by the
 # dedup oracles (SemDeDup = pairwise within quantizer cells).
 DUCK_CELLS_CTE = f"""cents AS (
   SELECT vec_id AS c_id, embedding AS c_vec
-  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+  FROM embeddings WHERE vec_id % {DUCK_STRIDE_SQL} = 0
 ), cells AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.c_id AS cell,
@@ -812,7 +854,7 @@ WHERE rnk <= {TOPK}
     "similarity_ivf": f"""
 WITH cents AS (
   SELECT vec_id AS c_id, embedding AS c_vec
-  FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0
+  FROM embeddings WHERE vec_id % {DUCK_STRIDE_SQL} = 0
 ), assigned AS (
   SELECT vec_id, embedding, c_id AS cell FROM (
     SELECT e.vec_id, e.embedding, c.c_id,

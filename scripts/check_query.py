@@ -15,7 +15,8 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E  # noqa: E402
 from mvp_mini_etl_pipeline_1762911573_spark.session import get_spark  # noqa: E402
 from mvp_mini_etl_pipeline_1762911573_spark.tables import TABLE_NAMES  # noqa: E402
-from scripts.driver_mimic import value_hash  # noqa: E402
+from scripts.driver_mimic import (  # noqa: E402
+    dtype_conflicts, fetch_oracle, fetch_spark, value_hash)
 
 
 def main(argv):
@@ -39,14 +40,21 @@ def main(argv):
     for name in names:
         t0 = time.monotonic()
         df = queries[name](spark, sf)
-        rows = df.collect()
-        cols = df.columns
-        dt = time.monotonic() - t0
         if name not in oracles:
-            print(f"[{name}] ROWS-ONLY rows={len(rows)} ({dt:.1f}s)")
+            print(f"[{name}] ROWS-ONLY rows={df.count()} "
+                  f"({time.monotonic()-t0:.1f}s)")
             continue
-        o = con.execute(oracles[name])
-        o_rows, o_cols = o.fetchall(), [d[0] for d in o.description]
+        # fetch BOTH sides through pandas, exactly like the driver:
+        # fetchall()'s Python ints hide HUGEINT->float64 dtype drift
+        cols, kinds, rows = fetch_spark(df)
+        o_cols, o_kinds, o_rows = fetch_oracle(con, oracles[name])
+        dt = time.monotonic() - t0
+        conflicts = dtype_conflicts(cols, kinds, o_cols, o_kinds)
+        if conflicts:
+            print(f"[{name}] DTYPE-MISMATCH: {'; '.join(conflicts)} — "
+                  "cast the integer side AS BIGINT in the oracle")
+            failed.append(name)
+            continue
         try:
             sh, oh = value_hash(rows, cols), value_hash(o_rows, o_cols)
         except TypeError as e:

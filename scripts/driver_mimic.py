@@ -2,6 +2,18 @@
 smoke entry() at sf0.001, then run every queries()[name] at sf0.01 and
 compare to oracle_sql()[name] via DuckDB (row-count + sorted-column
 order-insensitive value-hash). This is the repo's public surface.
+
+FETCH-PATH FIDELITY (round-6 hardening): the real driver materializes
+BOTH sides through pandas — Spark via ``toPandas()``, DuckDB via
+``.df()`` — before hashing.  Round 5's ``events_debounce`` red proved
+that fetching the oracle via ``fetchall()`` (Python ints) masks pandas
+dtype asymmetries: DuckDB returns HUGEINT for an integer window SUM,
+which pandas converts to float64, while Spark's LongType arrives as
+int64 — ``10`` hashes equal to ``10.0`` under ``fetchall()`` but NOT
+under the driver's pandas canonicalization.  So this gate now fetches
+through the SAME pandas path and additionally compares the dtype-kind
+vectors (int-vs-float asymmetry on a column is an instant fail with a
+named diagnosis, before the opaque hash mismatch).
 """
 from __future__ import annotations
 
@@ -10,6 +22,8 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -32,14 +46,24 @@ def _canon_cell(v):
     * complex cells (list/dict/set/ndarray — incl. Spark Row structs,
       which are tuple subclasses) raise loudly;
     * floats hash by their exact bit pattern (`float.hex`), so no
-      string-shortening path can mask a representation difference.
+      string-shortening path can mask a representation difference —
+      and an int64 column on one side vs float64 on the other (the
+      events_debounce HUGEINT trap) mismatches by construction;
+    * pandas missing sentinels (None/NaN/NaT/pd.NA) all canonicalize
+      to the null byte: each engine widens its own NULLs to whichever
+      sentinel its dtype dictates, and the pairing is symmetric.
     """
-    if v is None:
+    if v is None or v is pd.NaT or v is pd.NA:
         return "\x00"
-    if isinstance(v, float):
-        return "f" + v.hex()
-    if isinstance(v, (str, int)):  # bool is int; str() disambiguates
-        return "s" + str(v) if isinstance(v, str) else "i" + str(v)
+    if isinstance(v, (bool, np.bool_)):
+        return "i" + str(bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "\x00" if f != f else "f" + f.hex()
+    if isinstance(v, (int, np.integer)):
+        return "i" + str(int(v))
+    if isinstance(v, str):
+        return "s" + str(v)
     if isinstance(v, (bytes, bytearray)):
         # Spark BinaryType collects as bytearray, the DuckDB side
         # returns bytes — reject BOTH so a binary output column fails
@@ -55,7 +79,7 @@ def _canon_cell(v):
             "driver's pandas canonicalization cannot hash ARRAY/MAP/"
             "STRUCT output columns — serialize with array_join/to_json "
             "in BOTH the query and its oracle")
-    return "o" + str(v)  # date/datetime/Decimal: repr-stable
+    return "o" + str(v)  # date/datetime/Timestamp/Decimal: repr-stable
 
 
 def value_hash(rows, cols):
@@ -68,6 +92,47 @@ def value_hash(rows, cols):
         h.update("\x1f".join(row).encode())
         h.update(b"\x1e")
     return h.hexdigest()[:16]
+
+
+def _pd_frame(df: pd.DataFrame):
+    """(cols, dtype-kinds, row-tuples) from a pandas frame — the shared
+    canonical shape for BOTH engines.  Kind normalization: unsigned
+    ints count as ints ('u'→'i'); everything else keeps pandas' own
+    ``dtype.kind`` ('i' int, 'f' float, 'b' bool, 'M' datetime,
+    'O' object)."""
+    cols = list(df.columns)
+    kinds = ["i" if df[c].dtype.kind == "u" else df[c].dtype.kind
+             for c in cols]
+    rows = list(df.itertuples(index=False, name=None))
+    return cols, kinds, rows
+
+
+def fetch_spark(sdf):
+    """Fetch a Spark DataFrame the way the driver does: toPandas()."""
+    return _pd_frame(sdf.toPandas())
+
+
+def fetch_oracle(con, sql):
+    """Fetch a DuckDB result the way the driver does: .df() — NOT
+    fetchall(), whose Python ints hide HUGEINT→float64 coercion."""
+    return _pd_frame(con.execute(sql).df())
+
+
+def dtype_conflicts(scols, skinds, ocols, okinds):
+    """Column-name-aligned dtype-kind asymmetries that are guaranteed
+    driver hash mismatches: an integer column on one side arriving as
+    float on the other (non-null int never widens; a genuinely nullable
+    int widens to float64 on BOTH sides, so kinds stay equal)."""
+    omap = dict(zip(ocols, okinds))
+    out = []
+    for c, sk in zip(scols, skinds):
+        ok = omap.get(c)
+        if ok is None:
+            continue
+        if {sk, ok} == {"i", "f"}:
+            out.append(f"{c}: spark={'int' if sk == 'i' else 'float'} "
+                       f"vs oracle={'int' if ok == 'i' else 'float'}")
+    return out
 
 
 def main():
@@ -96,23 +161,28 @@ def main():
         t0 = time.monotonic()
         try:
             sdf = queries[name](spark, SF_ORACLE)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                n = sdf.count()
+                print(f"[{name}] rows-only: rows={n} "
+                      f"({time.monotonic()-t0:.1f}s)")
+                continue
+            scols, skinds, srows = fetch_spark(sdf)
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"[{name}] SPARK ERROR: {e}")
             continue
-        if name not in oracles:
-            print(f"[{name}] rows-only: rows={len(srows)} "
-                  f"({time.monotonic()-t0:.1f}s)")
-            continue
         try:
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            ocols, okinds, orows = fetch_oracle(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"[{name}] ORACLE ERROR: {e}")
+            continue
+        conflicts = dtype_conflicts(scols, skinds, ocols, okinds)
+        if conflicts:
+            failed.append(name)
+            print(f"[{name}] DTYPE-MISMATCH: {'; '.join(conflicts)} — "
+                  "cast the integer side AS BIGINT in the oracle (DuckDB "
+                  "HUGEINT sums become pandas float64)")
             continue
         ok_cols = sorted(scols) == sorted(ocols)
         ok_rows = len(srows) == len(orows)

@@ -87,6 +87,48 @@ def test_hash_tier_outputs_are_driver_canon_safe(spark, sf_dir):
         "array_join/to_json in both the query and its oracle")
 
 
+def test_oracle_integer_outputs_keep_integer_dtype(spark, sf_dir, duck):
+    """The r5 red row (`events_debounce`, red TWO consecutive rounds)
+    was a dtype asymmetry invisible to every prior gate: DuckDB returns
+    HUGEINT for an integer window SUM, which pandas converts to
+    float64, while Spark's LongType arrives as int64 — and the driver
+    hashes through pandas, so 10 != 10.0.  Rule: every integer-valued
+    oracle OUTPUT column must be CAST AS BIGINT (or be nullable on both
+    sides, where each engine widens to float64 symmetrically).
+
+    Check: execute every oracle in DuckDB (fast) and fetch via .df()
+    — the driver's fetch path.  Flag any oracle column that arrives as
+    float64 with NO missing values and ALL-integral values while the
+    Spark schema declares an integral type: that is exactly an uncast
+    SUM/ntile/HUGEINT source and a guaranteed driver hash mismatch.
+    (The symmetric runtime check lives in scripts/driver_mimic.py's
+    dtype_conflicts; this is the cheap schema+oracle-only pytest.)"""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    queries, oracles = all_queries(), all_oracles()
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    offenders = {}
+    for name, sql in oracles.items():
+        spark_kinds = {
+            f.name: ("i" if isinstance(f.dataType, integral) else "x")
+            for f in queries[name](spark, sf_dir).schema.fields}
+        odf = duck.execute(sql).df()
+        for c in odf.columns:
+            if spark_kinds.get(c) != "i":
+                continue
+            col = odf[c]
+            if col.dtype.kind == "f":
+                vals = col.to_numpy()
+                if not np.isnan(vals).any() and (vals == np.floor(vals)).all():
+                    offenders.setdefault(name, []).append(c)
+    assert not offenders, (
+        f"oracle columns arriving as non-null integral float64 while "
+        f"Spark emits an integer type (uncast HUGEINT source — the "
+        f"events_debounce r4/r5 failure): {offenders} — wrap the "
+        "oracle expression in CAST(... AS BIGINT)")
+
+
 def test_survey_section8_matches_registry():
     """SURVEY.md §8 (the judge's line-by-line checklist) must list
     exactly the registered query names — list drift was a judge
