@@ -525,13 +525,17 @@ def _collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bigram stream = ln( c12·N / (c1·c2) ) with positional
     marginals (c1 = w1-as-first count, c2 = w2-as-second count).
 
-    Cross-engine exactness: every count is an exact BIGINT; c12·N and
-    c1·c2 stay far under 2^53, so the one double division has
-    exactly-representable operands and is IEEE-identical on both
-    engines; ln() of that identical double is the same 1-ulp libm
-    class as lm_score's ppl (transcendental output — cannot land on
-    an exact decimal half; plain round(,4) per the repo rounding
-    policy).  The PMI_MIN_COUNT floor keeps the report to
+    Cross-engine exactness: every count is an exact BIGINT, and the
+    products c12·N and c1·c2 are formed in WIDE integer space —
+    DECIMAL(38,0) on Spark, HUGEINT on DuckDB (ADVICE r6: int64
+    products overflow past ~3e9 total bigrams, an ANSI/DuckDB runtime
+    error at corpus scale) — then cast to double: an exact wide
+    integer's nearest-double conversion is identical on both engines
+    (bit-exact below 2^53, same round-to-nearest tie rule above it),
+    so the one double division has identical operands everywhere;
+    ln() of that identical double is the same 1-ulp libm class as
+    lm_score's ppl (transcendental output — cannot land on an exact
+    decimal half; plain round(,4) per the repo rounding policy).  The PMI_MIN_COUNT floor keeps the report to
     statistically supported pairs AND bounds the output (no float
     top-k cut whose near-tie ordering could diverge cross-engine).
 
@@ -554,13 +558,16 @@ def _collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
     cw2 = pairs.groupBy("w2").agg(F.count("*").alias("c2"))
     n_total = pairs.agg(F.count("*").alias("n_bigrams"))
+    dec = "decimal(19,0)"  # long*long -> decimal(38,0): exact, no overflow
+    num = (F.col("c12").cast(dec)
+           * F.col("n_bigrams").cast(dec)).cast("double")
+    den = (F.col("c1").cast(dec)
+           * F.col("c2").cast(dec)).cast("double")
     return (cbg.join(cw1, "w1").join(cw2, "w2")
             .crossJoin(F.broadcast(n_total))
             .select(
                 "w1", "w2", "c12",
-                F.round(F.log(F.col("c12") * F.col("n_bigrams")
-                              / (F.col("c1") * F.col("c2"))), 4)
-                .alias("pmi")))
+                F.round(F.log(num / den), 4).alias("pmi")))
 
 
 def _lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1424,8 +1431,10 @@ WITH d AS (
   SELECT w2, count(*) AS c2 FROM bg GROUP BY w2
 ), n AS (SELECT count(*) AS n_bigrams FROM bg)
 SELECT cbg.w1, cbg.w2, CAST(c12 AS BIGINT) AS c12,
-       round(ln(CAST(c12 * n_bigrams AS BIGINT)
-                / CAST(c1 * c2 AS BIGINT)), 4) AS pmi
+       -- HUGEINT products (mirrors Spark's DECIMAL(38,0)): exact wide
+       -- ints -> identical nearest-double conversion on both engines
+       round(ln(CAST(CAST(c12 AS HUGEINT) * n_bigrams AS DOUBLE)
+                / CAST(CAST(c1 AS HUGEINT) * c2 AS DOUBLE)), 4) AS pmi
 FROM cbg JOIN cw1 USING (w1) JOIN cw2 USING (w2), n
 """,
     # share_of_true = n/rowtotal is a ratio of integers -> exact-int

@@ -945,11 +945,18 @@ def _quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (agg_approx_percentiles' sketch), same downstream contract."""
     ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
     part = Window.partitionBy("event_type")
+    # value is RAW data quantized for display: floor(x*1e4 + 0.5)/1e4
+    # (the benford cents idiom) — pure IEEE ops, identical bit on both
+    # engines at ANY input, unlike round(value, 4), whose exact-5th-
+    # decimal-half behavior is engine-specific (ADVICE r6: the same
+    # divergence class functions/exact.py documents; it only stayed
+    # green because the fixture doubles avoid 5th-decimal halves).
+    q4 = F.floor(F.col("value") * 10000 + F.lit(0.5)) / F.lit(10000.0)
     return (ev
             .withColumn("rk", F.rank().over(part.orderBy("value")))
             .withColumn("n", F.count("*").over(part))
             .select("event_id", "event_type",
-                    F.round("value", 4).alias("value"),
+                    q4.alias("value"),
                     round4_ratio(F.col("rk") - 1, F.col("n") - 1)
                     .alias("qnorm")))
 
@@ -1110,7 +1117,8 @@ FROM obs, t
     # to equal quantiles; NULL values excluded on BOTH sides (the r4
     # NULL-bucketing trap); n = 1 groups yield NULL via the b = 0 guard
     "quantile_normalize": f"""
-SELECT event_id, event_type, round(value, 4) AS value,
+SELECT event_id, event_type,
+       floor(value * 10000 + 0.5) / 10000.0 AS value,
        {round4_ratio_sql("rk - 1", "n - 1")} AS qnorm
 FROM (
   SELECT event_id, event_type, value,

@@ -120,19 +120,60 @@ def fetch_oracle(con, sql):
 
 def dtype_conflicts(scols, skinds, ocols, okinds):
     """Column-name-aligned dtype-kind asymmetries that are guaranteed
-    driver hash mismatches: an integer column on one side arriving as
-    float on the other (non-null int never widens; a genuinely nullable
-    int widens to float64 on BOTH sides, so kinds stay equal)."""
+    driver hash mismatches.  ANY unequal kind pair (after the 'u'→'i'
+    normalization in _pd_frame) is flagged with a named diagnosis —
+    ADVICE r6: the original {int, float} special case let bool-vs-int
+    and object-vs-float (e.g. an uncast DECIMAL arriving as Python
+    Decimal from Spark toPandas vs float64 from DuckDB .df()) fall
+    through to an opaque hash mismatch.  The {i, f} pair keeps its
+    events_debounce-specific remediation text (uncast HUGEINT source,
+    the only pair with a known one-line fix)."""
     omap = dict(zip(ocols, okinds))
     out = []
     for c, sk in zip(scols, skinds):
         ok = omap.get(c)
-        if ok is None:
+        if ok is None or sk == ok:
             continue
         if {sk, ok} == {"i", "f"}:
             out.append(f"{c}: spark={'int' if sk == 'i' else 'float'} "
-                       f"vs oracle={'int' if ok == 'i' else 'float'}")
+                       f"vs oracle={'int' if ok == 'i' else 'float'} "
+                       "(uncast HUGEINT source — CAST the oracle "
+                       "column AS BIGINT)")
+        else:
+            out.append(f"{c}: dtype-kind spark='{sk}' vs oracle='{ok}' "
+                       "— align the output types in query and oracle")
     return out
+
+
+def nan_count_conflicts(sdf_pd_like, odf_pd_like):
+    """Per-column real-NaN count asymmetries (ADVICE r6): _canon_cell
+    folds float NaN into the NULL sentinel because pandas float64
+    columns represent BOTH NULL and NaN as np.nan — post-pandas the
+    two are indistinguishable to the REAL driver as well, so folding
+    is faithful there.  But in OBJECT-dtype columns None and float
+    NaN stay distinct Python objects, and a genuine NaN-on-one-engine
+    vs NULL-on-the-other divergence would be silently hashed equal.
+    This companion check compares per-column NaN totals (float cols:
+    NULL+NaN combined, the best pandas can see; object cols: real
+    float-NaN cells only) so a count asymmetry is flagged by name
+    instead of slipping through.  Takes (cols, kinds, rows) triples
+    plus the source frames' columns — implemented over the row tuples
+    so it needs no extra fetch."""
+    (scols, skinds, srows), (ocols, okinds, orows) = sdf_pd_like, odf_pd_like
+
+    def counts(cols, kinds, rows):
+        idx = {c: i for i, c in enumerate(cols)}
+        out = {}
+        for c in cols:
+            i = idx[c]
+            out[c] = sum(
+                1 for r in rows
+                if isinstance(r[i], float) and r[i] != r[i])
+        return out
+
+    sc, oc = counts(scols, skinds, srows), counts(ocols, okinds, orows)
+    return [f"{c}: spark NaN-count={sc[c]} vs oracle={oc.get(c)}"
+            for c in scols if c in oc and sc[c] != oc[c]]
 
 
 def main():
@@ -180,9 +221,15 @@ def main():
         conflicts = dtype_conflicts(scols, skinds, ocols, okinds)
         if conflicts:
             failed.append(name)
-            print(f"[{name}] DTYPE-MISMATCH: {'; '.join(conflicts)} — "
-                  "cast the integer side AS BIGINT in the oracle (DuckDB "
-                  "HUGEINT sums become pandas float64)")
+            print(f"[{name}] DTYPE-MISMATCH: {'; '.join(conflicts)}")
+            continue
+        nanc = nan_count_conflicts((scols, skinds, srows),
+                                   (ocols, okinds, orows))
+        if nanc:
+            failed.append(name)
+            print(f"[{name}] NAN-COUNT-MISMATCH: {'; '.join(nanc)} — "
+                  "one engine emits NaN where the other emits NULL "
+                  "(or a value); the pandas canon would fold these")
             continue
         ok_cols = sorted(scols) == sorted(ocols)
         ok_rows = len(srows) == len(orows)

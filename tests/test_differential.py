@@ -28,7 +28,10 @@ from .oracle_utils import compare
 EVENT_OPS = ["time_bucket_ohlc", "window_twap", "cusum_changepoint",
              "attribution", "ab_test", "chi_square", "bitmap_days",
              "events_debounce", "window_fill_forward", "stream_ohlc",
-             "stream_tumbling", "events_sessionize"]
+             "stream_tumbling", "events_sessionize",
+             # r7: duplicate-value rank ties (the exact-duplicate value
+             # clusters) are quantile_normalize's tie-safety surface
+             "quantile_normalize"]
 
 TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -98,7 +101,12 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            "quality_logit",
            # r5: empty/whitespace/NBSP/repetition docs are exactly the
            # entropy edge cases (0-entropy runs, unicode char split)
-           "text_entropy"]
+           "text_entropy",
+           # r7: repetition storms (bigram count concentration) and
+           # NBSP-glued tokens hit collocation_pmi's support floor and
+           # marginals; lang_confusion's marker argmax sees empty/
+           # whitespace docs (all-zero scores -> tie rule)
+           "collocation_pmi", "lang_confusion"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 
@@ -259,7 +267,11 @@ REL_OPS = ["rfm_segments", "agg_histogram", "table_diff", "dq_check",
            # r5: negative/zero prices (benford's >0 filter), null and
            # orphan custkeys (gini's join-drop path), single-customer
            # nations (gini = 0 degenerate)
-           "benford_digits", "gini_concentration"]
+           "benford_digits", "gini_concentration",
+           # r7: winsorize's discrete order-statistic bounds landing ON
+           # tied cent values (the tiny price palette) and clip counts
+           # with negative/zero prices are this corpus's exact shapes
+           "winsorize"]
 
 STATUSES = ["F", "O", "P", "F", "O", "P", "Q"]  # Q = domain violation
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",

@@ -407,3 +407,56 @@ def test_text_entropy_is_shuffle_free_except_output_sort(spark, sf_dir):
     s = got["summary"]
     assert s["n_shuffles"] <= 1
     assert s["shuffle_records"] <= ENTROPY_DOC_LIMIT
+
+
+def test_winsorize_reuses_one_pergroup_exchange(spark, sf_dir):
+    """winsorize's scale claim measured (r7): both window functions,
+    the bound extraction and the final agg all hang off ONE
+    hash-partition-by-status exchange carrying the order rows; the
+    only other exchange is the 3-group output ORDER BY.  If the agg
+    re-shuffled the stream, shuffle_records would approach 2x."""
+    n_orders = (load(spark, sf_dir, "orders")
+                .where(F.col("o_totalprice").isNotNull()).count())
+    got = profile(all_queries()["winsorize"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_shuffles"] <= 2
+    assert s["shuffle_records"] <= n_orders + 32
+
+
+def test_quantile_normalize_is_single_ranking_exchange(spark, sf_dir):
+    """quantile_normalize's scale claim measured (r7): one hash
+    shuffle on event_type feeds rank(), count() and the map-side
+    ratio — the same single-exchange plan as any ranking window."""
+    n_vals = (load(spark, sf_dir, "events")
+              .where(F.col("value").isNotNull()).count())
+    got = profile(all_queries()["quantile_normalize"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_shuffles"] == 1
+    assert s["shuffle_records"] == n_vals
+
+
+def test_collocation_pmi_shuffles_reduced_states_not_bigrams(spark, sf_dir):
+    """collocation_pmi's scale claim measured (r7): the three count
+    aggregations are partial-agg'd, so every exchange carries
+    (pair|vocab)-cardinality states — never the raw bigram stream —
+    and the marginal joins hit the already-reduced pair table."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    ws = _tokens(F.col("text"))
+    n_bigrams = (docs.where(F.size(ws) >= 2)
+                 .agg(F.sum(F.size(ws) - 1)).collect()[0][0])
+    got = profile(all_queries()["collocation_pmi"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] < n_bigrams / 10
+
+
+def test_lang_confusion_aggregates_mapside_to_cells(spark, sf_dir):
+    """lang_confusion's scale claim measured (r7): marker scoring is a
+    narrow per-row expression; the groupBy partial-aggs each partition
+    to <= |langs|^2 cell states and the recall window runs over the
+    already-aggregated <= 25-cell table."""
+    got = profile(all_queries()["lang_confusion"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_shuffles"] <= 2
+    assert s["shuffle_records"] <= 25 * 32 + 25

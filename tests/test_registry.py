@@ -56,6 +56,25 @@ def test_rotation_backlog_fits_next_round_window():
         "schedule has a real backlog, not just coverage growth")
 
 
+def test_debuts_are_inside_the_window():
+    """A registered query with NO official driver row must be in
+    WINDOW_PRIORITY *now* — not next round.  The backlog invariant
+    above grants structural slack for stale GREENS, and round 6 rode
+    that slack to ship 4 debuts that never entered the window (the
+    judge's top finding: a wasted verification beat and 4
+    driver-unverified operators).  This test removes the loophole:
+    registering a query and rotating it into the window are one
+    atomic act."""
+    latest = latest_rows()
+    window = set(WINDOW_PRIORITY)
+    unrotated = [n for n in all_queries()
+                 if n not in latest and n not in window]
+    assert not unrotated, (
+        f"registered queries with no official CORRECTNESS row are "
+        f"outside WINDOW_PRIORITY: {unrotated} — rotate them to the "
+        "front of the window in the same commit that registers them")
+
+
 def test_no_official_rows_for_unregistered_names():
     gone = set(latest_rows()) - set(all_queries())
     assert not gone, (
