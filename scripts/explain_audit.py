@@ -49,6 +49,10 @@ AUDIT = [
     "benford_digits",     # round-5: 9-key map-side agg
     "text_entropy",       # round-5: pure map-side HOFs + bounded sort
     "agg_approx_percentiles",  # round-5: sketch-contract single agg
+    "winsorize",          # round-6: one per-group exchange, reused
+    "quantile_normalize",  # round-6: single ranking exchange
+    "collocation_pmi",    # round-6: reduced pair-table marginal joins
+    "lang_confusion",     # round-6: map-side scoring + 25-cell window
 ]
 
 
