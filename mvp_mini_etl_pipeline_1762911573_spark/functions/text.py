@@ -613,6 +613,130 @@ def _lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("n_docs").over(tot)).alias("share_of_true"))
 
 
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3, 10   # mean word length band
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 8, 10  # ≥80% tokens alphabetic
+GOPHER_MIN_STOP = 2  # at least 2 stopword hits
+
+
+def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): Gopher-style quality-rule audit (Rae et al.
+    2021 §A.1.1, public) — the per-source report of how many documents
+    each repetition-independent quality rule would remove: word count
+    outside [50, 100k], mean word length outside [3, 10], under 80% of
+    tokens containing an alphabetic character, fewer than 2 stopword
+    hits.  `text_quality` emits the per-doc SIGNALS; this op applies
+    the published THRESHOLDS and aggregates the verdicts — what a
+    curation run actually reads before committing a filter config.
+
+    Cross-engine exactness: every rule is evaluated in INTEGER space
+    by cross-multiplication (mean_wlen < 3  ⇔  sum_len < 3·n; the
+    alpha ratio via 10·alpha_toks < 8·n) — no float is formed anywhere
+    except the final pass_share, which is int/int through
+    ``round4_ratio``.  Ratio-threshold comparisons on doubles are the
+    documented exact-half divergence class; integer cross-multiply
+    sidesteps it entirely.
+
+    100 TB shape: all rule columns are narrow per-row expressions
+    (tokenize once, reuse); one partial-agg'd groupBy on the tiny
+    source key — scan-bound."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    # total word chars = non-whitespace chars (tokens are split on \s+)
+    sum_len = F.length(F.regexp_replace("text", r"\s", ""))
+    alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.filter(
+        toks, lambda t: F.array_contains(stop_arr, t)))
+
+    fails = {
+        "n_fail_nwords": (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS),
+        "n_fail_wlen": (sum_len < GOPHER_MIN_WLEN * n)
+                       | (sum_len > GOPHER_MAX_WLEN * n),
+        "n_fail_alpha": alpha_toks * GOPHER_ALPHA_DEN
+                        < GOPHER_ALPHA_NUM * n,
+        "n_fail_stop": stop_hits < GOPHER_MIN_STOP,
+    }
+    flagged = docs.select(
+        "source",
+        *[F.when(c, 1).otherwise(0).alias(k) for k, c in fails.items()],
+    ).withColumn(
+        "passed",
+        F.when(sum(F.col(k) for k in fails) == 0, 1).otherwise(0))
+    return (
+        flagged.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             *[F.sum(k).alias(k) for k in fails],
+             F.sum("passed").alias("n_pass"))
+        .select("source", "n_docs", *fails.keys(), "n_pass",
+                round4_ratio(F.col("n_pass"), F.col("n_docs"))
+                .alias("pass_share"))
+    )
+
+
+IMP_BUCKETS = 10_000  # hash-bucket space for acceptance tests
+
+
+def _importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): deterministic importance sampling — keep each
+    document with probability proportional to an integer quality score
+    (here: stopword hits + 1, the cheap English-likeness proxy;
+    production swaps in a DSIR-style importance weight, same DAG).
+    Acceptance is a HASH test, not an RNG draw: doc i is kept iff
+    sha256-bucket(doc_id) < floor(B · score_i / max_score) — the same
+    rows survive on every rerun, every engine, any partitioning
+    (the `sample_hash` reproducibility argument, applied to
+    score-proportional instead of per-stratum-constant rates).
+
+    Cross-engine exactness: the threshold is a pure-integer floor
+    division (score·B // max_score), the bucket is the first 8 hex
+    chars of a public hash — no float anywhere; the output's kept
+    share is int/int via ``round4_ratio``.
+
+    100 TB shape: max_score is a 1-row agg broadcast back (no driver
+    round-trip); scoring + acceptance are narrow per-row expressions;
+    the report is one partial-agg'd groupBy(lang) — scan-bound."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    score = (F.size(F.filter(
+        toks, lambda t: F.array_contains(stop_arr, t))) + 1
+    ).cast("long")
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(IMP_BUCKETS))
+    scored = docs.select("lang", score.alias("score"),
+                         bucket.alias("bucket"))
+    mx = scored.agg(F.max("score").alias("max_score"))
+    # integer floor-div threshold: (score * B) // max_score — the
+    # (num - pmod) subtraction makes the one division exactly
+    # divisible (same exactness argument as round4_ratio)
+    num = F.col("score") * IMP_BUCKETS
+    kept = (
+        scored.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "thresh",
+            ((num - F.pmod(num, F.col("max_score")))
+             / F.col("max_score")).cast("long"))
+        .withColumn("is_kept",
+                    F.when(F.col("bucket") < F.col("thresh"), 1)
+                    .otherwise(0))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("is_kept").alias("n_kept"),
+             F.sum(F.when(F.col("is_kept") == 1, F.col("score"))
+                   .otherwise(0)).alias("kept_score_sum"))
+        .select("lang", "n_docs", "n_kept", "kept_score_sum",
+                round4_ratio(F.col("n_kept"), F.col("n_docs"))
+                .alias("kept_share"))
+    )
+
+
 MIX_BUDGET_FRAC = 0.5  # token budget = this share of the corpus
 
 
@@ -1219,6 +1343,8 @@ QUERIES = {
     "lm_score_bigram": _lm_score_bigram,
     "collocation_pmi": _collocation_pmi,
     "lang_confusion": _lang_confusion,
+    "gopher_rules": _gopher_rules,
+    "importance_sample": _importance_sample,
     "text_repetition": _text_repetition,
     "bpe_pair_stats": _bpe_pair_stats,
     "bpe_encode": _bpe_encode,
@@ -1436,6 +1562,70 @@ SELECT cbg.w1, cbg.w2, CAST(c12 AS BIGINT) AS c12,
        round(ln(CAST(CAST(c12 AS HUGEINT) * n_bigrams AS DOUBLE)
                 / CAST(CAST(c1 AS HUGEINT) * c2 AS DOUBLE)), 4) AS pmi
 FROM cbg JOIN cw1 USING (w1) JOIN cw2 USING (w2), n
+""",
+    # every rule in integer space by cross-multiplication — mirrors
+    # the Spark side exactly; pass_share via the exact-int rounding
+    "gopher_rules": f"""
+WITH t AS (
+  SELECT source, {_DUCK_TOKS} AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS sum_len
+  FROM documents
+), r AS (
+  SELECT source,
+    CASE WHEN len(toks) < {GOPHER_MIN_WORDS}
+           OR len(toks) > {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END
+      AS f_nwords,
+    CASE WHEN sum_len < {GOPHER_MIN_WLEN} * len(toks)
+           OR sum_len > {GOPHER_MAX_WLEN} * len(toks) THEN 1 ELSE 0 END
+      AS f_wlen,
+    CASE WHEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+           * {GOPHER_ALPHA_DEN} < {GOPHER_ALPHA_NUM} * len(toks)
+         THEN 1 ELSE 0 END AS f_alpha,
+    CASE WHEN len(list_filter(toks,
+           x -> list_contains({STOPWORDS!r}, x))) < {GOPHER_MIN_STOP}
+         THEN 1 ELSE 0 END AS f_stop
+  FROM t
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(f_nwords) AS BIGINT) AS n_fail_nwords,
+       CAST(sum(f_wlen) AS BIGINT) AS n_fail_wlen,
+       CAST(sum(f_alpha) AS BIGINT) AS n_fail_alpha,
+       CAST(sum(f_stop) AS BIGINT) AS n_fail_stop,
+       CAST(sum(CASE WHEN f_nwords + f_wlen + f_alpha + f_stop = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       {round4_ratio_sql(
+           "CAST(sum(CASE WHEN f_nwords + f_wlen + f_alpha + f_stop = 0"
+           " THEN 1 ELSE 0 END) AS BIGINT)",
+           "count(*)")} AS pass_share
+FROM r
+GROUP BY source
+""",
+    # pure-integer acceptance threshold (score*B // max_score) against
+    # the public sha256 bucket — no float until the final exact ratio
+    "importance_sample": f"""
+WITH s AS (
+  SELECT lang,
+         CAST(len(list_filter({_DUCK_TOKS},
+              x -> list_contains({STOPWORDS!r}, x))) + 1 AS BIGINT)
+           AS score,
+         CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {IMP_BUCKETS} AS bucket
+  FROM documents
+), mx AS (SELECT max(score) AS max_score FROM s),
+k AS (
+  SELECT lang, score,
+         CASE WHEN bucket < (score * {IMP_BUCKETS}) // max_score
+              THEN 1 ELSE 0 END AS is_kept
+  FROM s, mx
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_kept) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN is_kept = 1 THEN score ELSE 0 END) AS BIGINT)
+         AS kept_score_sum,
+       {round4_ratio_sql("CAST(sum(is_kept) AS BIGINT)", "count(*)")}
+         AS kept_share
+FROM k
+GROUP BY lang
 """,
     # share_of_true = n/rowtotal is a ratio of integers -> exact-int
     # rounding; the predictor is lang_id's argmax verbatim

@@ -280,6 +280,46 @@ def _events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 4).alias("value"), "burst_id"))
 
 
+RATE_LIMIT_N = 5          # allowed events per user per sliding day
+RATE_LIMIT_US = 86_400_000_000  # 24 h window, microseconds
+
+
+def _events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): sliding-window rate limiting — flag every event
+    that is its user's (RATE_LIMIT_N+1)-th or later within the
+    trailing 24 h, the ingestion-side abuse/bot/crawler throttle a
+    training-data pipeline applies before events become features
+    (debounce collapses BURSTS of the same action; rate limiting caps
+    VOLUME regardless of type or spacing).  Emits the drop list:
+    events whose trailing-window count exceeds the limit.
+
+    Semantics: a RANGE frame over event-time microseconds —
+    [t − 24 h, t] by VALUE, so simultaneous events are peers and count
+    together on both engines (a ROWS frame would tie-break
+    arbitrarily; RANGE is the deterministic choice).  All outputs are
+    exact integers/strings — no rounding hazard anywhere.
+
+    100 TB shape: ONE hash-exchange on user_id feeds the sort + range
+    window (the sessionize/debounce plan shape); no joins, no second
+    shuffle.  Key count = |users| — AQE skew-split absorbs hot
+    users; at extreme skew the window is monotone in t so a
+    per-(user, day)-salted two-phase variant keeps the same semantics
+    (carry the previous day's tail count), documented not needed at
+    the fixture's user fan-out."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts",
+        F.unix_micros("ts").alias("us"))
+    w = (Window.partitionBy("user_id").orderBy("us")
+         .rangeBetween(-RATE_LIMIT_US, 0))
+    return (
+        ev.withColumn("n_in_window", F.count("*").over(w))
+        .where(F.col("n_in_window") > RATE_LIMIT_N)
+        .select("event_id", "user_id", "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+                "n_in_window")
+    )
+
+
 MAD_K = 1.4826  # normal-consistency constant: MAD * 1.4826 ≈ sigma
 
 
@@ -1032,6 +1072,7 @@ QUERIES = {
     "gap_fill": _gap_fill,
     "gap_fill_interp": _gap_fill_interp,
     "events_debounce": _events_debounce,
+    "events_rate_limit": _events_rate_limit,
     "funnel_steps": _funnel_steps,
     "retention_cohorts": _retention_cohorts,
     "events_zscore": _events_zscore,
@@ -1039,6 +1080,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    # identical RANGE-by-value frame over epoch micros; every output
+    # column is an exact integer or string (no rounding anywhere)
+    "events_rate_limit": f"""
+WITH c AS (
+  SELECT event_id, user_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+         CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN {RATE_LIMIT_US} PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_in_window
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts, n_in_window
+FROM c WHERE n_in_window > {RATE_LIMIT_N}
+""",
     # cross-paradigm: Spark buckets rows against the broadcast grid and
     # prefix-sums per-bucket counts; the oracle evaluates the ECDF gap
     # at each grid point directly by correlated conditional counts

@@ -34,6 +34,7 @@ import warnings
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.exact import round4_ratio, round4_ratio_sql
 from ..oracles import USERS_CTE
 from ..tables import load, users_valid
 from .similarity import DUCK_CELLS_CTE, SIM_THRESHOLD
@@ -383,6 +384,122 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("jaccard"),
         )
         .where(F.col("jaccard") >= 0.2)
+    )
+
+
+SUBSTR_N = 8  # substring-dedup gram width (words): long enough that a
+#               shared gram is near-certain copied text, short enough
+#               to catch partial/boilerplate duplication inside
+#               otherwise-distinct documents
+
+
+def _substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): exact substring-duplication audit — for every
+    document, the share of its distinct word-8-grams that also occur
+    in at least one OTHER document.  This is the per-doc signal behind
+    exact substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): whole-doc dedup
+    misses boilerplate, licenses and quoted passages COPIED INTO
+    otherwise-unique documents; a high dup_share on a long doc says
+    "trim or drop", invisible to MinHash at the doc level.
+
+    Cross-engine exactness: gram extraction is the shared
+    ``_gram_array`` (ANSI-guarded <n-token edge); all outputs are
+    exact BIGINT counts plus one ratio through ``round4_ratio``
+    (n_dup <= n_grams << the int64*20000 bound).
+
+    100 TB shape: the gram stream is shuffled ONCE into the
+    document-frequency table (partial-agg'd count on gram — the Zipf
+    head is absorbed map-side, AQE skew-split catches the rest); the
+    dup indicator then comes from an equi-join of the doc-gram stream
+    against that already-reduced df table — never doc-to-doc pairs, so
+    cost is linear in corpus grams, not quadratic in documents.
+    Reference parity: dedup-removed accounting at
+    src/lib/pipeline.js:31-36 is whole-row; this is the substring
+    generalization a training pipeline needs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
+    grams = toks.select(
+        "doc_id", F.explode(_gram_array("ws", SUBSTR_N)).alias("gram"))
+    # grams are distinct per doc (_gram_array array_distincts), so
+    # count(*) per gram == number of documents containing it
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        grams.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+              .alias("n_dup"),)
+        .select(
+            "doc_id", "n_grams", "n_dup",
+            round4_ratio(F.col("n_dup"), F.col("n_grams"))
+            .alias("dup_share"),
+        )
+    )
+
+
+CONTAIN_MIN = 0.6  # containment report floor: C(A->B) >= 0.6 means
+#                    most of A's shingle set re-occurs inside B
+
+
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): asymmetric containment dedup —
+    C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| over word-3-gram sets,
+    reported for ordered pairs (doc_a ≠ doc_b) with C ≥ CONTAIN_MIN.
+    Jaccard (``dedup_ngram_jaccard``) misses subset duplication: a
+    short doc fully embedded in a long one has Jaccard |A|/|B| → 0 but
+    containment 1.0 — the classic quote/excerpt/boilerplate case a
+    training-data pipeline must catch (Broder's containment measure,
+    public).
+
+    Same candidate generation + hot-gram pruning as the Jaccard op
+    (inverted-index equi-join on gram; corpus-frequent grams dropped
+    from the WHOLE gram universe so the ratio stays a true containment
+    over the filtered universe — df-based pruning bounds the k² blowup
+    per gram).  The ratio is int/int through ``round4_ratio``
+    (exact-half safe); thresholding happens on the already-quantized
+    4-dp value so both engines cut the identical set.
+
+    100 TB shape: identical to the Jaccard audit — one shuffle of the
+    gram stream to build df, a broadcast anti-join against the tiny
+    hot list, one equi-join on gram (never a cross product), pair agg
+    on already-blocked candidates."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
+    grams = toks.select(
+        "doc_id", F.explode(_gram_array("ws", 3)).alias("gram"))
+    n_docs_df = docs.agg(F.count("*").alias("n_docs"))
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    hot = (
+        gram_df.crossJoin(F.broadcast(n_docs_df))
+        .where(F.col("df") > F.greatest(
+            F.lit(NGRAM_DF_FLOOR),
+            F.col("n_docs") * F.lit(NGRAM_DF_FRAC)))
+        .select("gram")
+    )
+    grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (
+        grams.alias("l")
+        .join(grams.alias("r"),
+              (F.col("l.gram") == F.col("r.gram"))
+              & (F.col("l.doc_id") != F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("doc_a"),
+                 F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select(
+            "doc_a", "doc_b", "inter",
+            F.col("n_grams").alias("na"),
+            round4_ratio(F.col("inter"), F.col("n_grams"))
+            .alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAIN_MIN)
     )
 
 
@@ -1063,6 +1180,8 @@ QUERIES = {
     "dedup_near": _dedup_near_minhash,
     "dedup_simhash": _dedup_near_simhash,
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+    "substring_dedup": _substring_dedup,
+    "dedup_containment": _dedup_containment,
 }
 
 ORACLES = {
@@ -1255,6 +1374,66 @@ FROM inter
 JOIN gram_counts ca ON ca.doc_id = doc_a
 JOIN gram_counts cb ON cb.doc_id = doc_b
 WHERE round(inter / (ca.n_grams + cb.n_grams - inter), 4) >= 0.2
+""",
+    # df is distinct-doc count because grams are list_distinct'd per
+    # doc; dup_share goes through the exact-int rounding mirror
+    "substring_dedup": f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - {SUBSTR_N - 2}, 1)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' '
+                || ws[i+6] || ' ' || ws[i+7]))) AS gram
+  FROM toks
+), gram_df AS (
+  SELECT gram, count(*) AS df FROM grams GROUP BY gram
+)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       {round4_ratio_sql(
+           "CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)",
+           "count(*)")} AS dup_share
+FROM grams g JOIN gram_df d USING (gram)
+GROUP BY g.doc_id
+""",
+    # same gram universe + hot pruning as the jaccard oracle; the
+    # asymmetric ratio divides by the LEFT doc's gram count only and
+    # thresholds on the 4-dp-quantized value (identical cut set)
+    "dedup_containment": f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 1, 1)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+  FROM toks
+), hot AS (
+  SELECT gram FROM (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
+  WHERE df > greatest({NGRAM_DF_FLOOR},
+                      {NGRAM_DF_FRAC} * (SELECT count(*) FROM documents))
+), gramsf AS (
+  SELECT g.doc_id, g.gram FROM grams g
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.gram = g.gram)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM gramsf GROUP BY doc_id
+), inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
+  FROM gramsf l JOIN gramsf r
+    ON l.gram = r.gram AND l.doc_id != r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       CAST(s.n_grams AS BIGINT) AS na,
+       {round4_ratio_sql("inter", "s.n_grams")} AS containment
+FROM inter JOIN sizes s ON s.doc_id = doc_a
+WHERE {round4_ratio_sql("inter", "s.n_grams")} >= {CONTAIN_MIN}
 """,
 }
 

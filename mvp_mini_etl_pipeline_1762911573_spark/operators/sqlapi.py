@@ -475,6 +475,46 @@ def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAP_PER_CELL = 200  # max docs retained per (lang, source) cell
+
+
+def _sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): per-cell cap sampling — keep at most
+    CAP_PER_CELL documents per (lang, source) cell, chosen by
+    deterministic hash order (sha256 of doc_id, doc_id tiebreak), the
+    balancing primitive for mixture construction: no language/domain
+    cell may dominate, and reruns/engines pick the IDENTICAL survivor
+    set (contrast `sample_stratified`'s seeded Bernoulli, which is
+    neither).  Hash order, not "first N by doc_id": id order encodes
+    crawl order — a systematic bias the hash destroys.
+
+    Emits the per-cell audit: inventory, kept count, kept char mass
+    (what the downstream token budget actually sees).
+
+    100 TB shape: one hash-exchange on the (lang, source) key feeds
+    rank + both aggregates; with a hot cell the rank is a top-K —
+    at scale swap row_number for a per-partition heap (partial top-K,
+    same semantics) or pre-filter by bucket range; the audit output
+    is |cells| rows."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(
+        F.sha2(F.col("doc_id").cast("string"), 256), 1, 8), 16, 10
+    ).cast("long")
+    w = (Window.partitionBy("lang", "source")
+         .orderBy(bucket.asc(), F.col("doc_id").asc()))
+    ranked = docs.select(
+        "lang", "source", "n_chars",
+        F.row_number().over(w).alias("rn"))
+    return (
+        ranked.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_total"),
+             F.sum(F.when(F.col("rn") <= CAP_PER_CELL, 1).otherwise(0))
+             .alias("n_kept"),
+             F.sum(F.when(F.col("rn") <= CAP_PER_CELL, F.col("n_chars"))
+                   .otherwise(0)).alias("kept_chars"))
+    )
+
+
 def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling (sampleBy): downsample the dominant
     event types, keep all rare ones — the corpus-balancing primitive
@@ -879,6 +919,7 @@ QUERIES = {
     "agg_collect": _agg_collect,
     "sample_stratified": _sample_stratified,
     "sample_hash": _sample_hash,
+    "sample_cap_per_group": _sample_cap_per_group,
     "sample_priority": _sample_priority,
     "chain_rcte": _chain_rcte,
     "pivot_events": _pivot_events,
@@ -1153,6 +1194,26 @@ SELECT source, doc_id, CAST(w AS BIGINT) AS w,
 FROM t
 WHERE rk <= 5
 ORDER BY source, doc_id
+""",
+    # identical 32-bit sha prefix hash order, doc_id tiebreak; every
+    # output column an exact integer (sums of BIGINT n_chars)
+    "sample_cap_per_group": f"""
+WITH ranked AS (
+  SELECT lang, source, n_chars,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY CAST(concat('0x',
+                      substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) ASC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN rn <= {CAP_PER_CELL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn <= {CAP_PER_CELL} THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM ranked
+GROUP BY lang, source
 """,
     "sample_hash": """
 SELECT event_type,

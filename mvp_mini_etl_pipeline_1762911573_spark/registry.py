@@ -20,9 +20,12 @@ Round-7 window (current): the 4 round-6 debuts FIRST (winsorize,
 collocation_pmi, lang_confusion, quantile_normalize — registered in
 round 6 but the window was never rotated, so they entered round 7
 with no official driver row; rotating them in was the round's first
-edit), then the 46 stalest round-2 greens (4 rounds without a fresh
-row).  4 + 46 = 50: exactly full, verbatim the round-7
-`rotation_report.py` output.
+edit), then the 6 ROUND-7 debuts (substring_dedup, dedup_containment,
+gopher_rules, importance_sample, events_rate_limit,
+sample_cap_per_group), then the 40 stalest round-2 greens (4 rounds
+without a fresh row).  10 + 40 = 50: exactly full, verbatim the
+round-7 `rotation_report.py` output; 6 r2 greens
+(stream_sliding..token_count) wait one round per the schedule below.
 
 ROTATION NOTE (round 7 → 8): any round-7 debuts go FIRST, then fill
 from `python scripts/rotation_report.py` (it derives each query's
@@ -60,13 +63,21 @@ WINDOW_PRIORITY: list[str] = [
     # round-6 debuts first — they were registered in round 6 but the
     # window was never rotated, so they have NO official driver row yet
     # (all 4 MATCH their oracles locally at sf0.01; the judge graded
-    # them "weak" pending a driver row).  Then the 46 stalest round-2
+    # them "weak" pending a driver row) — then the 6 ROUND-7 debuts
+    # (substring_dedup, dedup_containment, gopher_rules,
+    # importance_sample, events_rate_limit, sample_cap_per_group; all
+    # MATCH locally at all three SFs), then the 40 stalest round-2
     # greens (4 rounds without a fresh row — the oldest tier in the
-    # repo).  4 + 46 = 50: exactly full.
+    # repo).  10 + 40 = 50: exactly full; the 6 remaining r2 greens
+    # (stream_sliding..token_count) wait one round, per the documented
+    # coverage-over-freshness trade.
     # -- round-6 debuts: driver row outstanding ------------------------
     "winsorize", "collocation_pmi", "lang_confusion",
     "quantile_normalize",
-    # -- 46 stalest round-2 greens (stalest-first order) ---------------
+    # -- round-7 debuts: driver row outstanding ------------------------
+    "sample_cap_per_group", "gopher_rules", "importance_sample",
+    "substring_dedup", "dedup_containment", "events_rate_limit",
+    # -- 40 stalest round-2 greens (stalest-first order) ---------------
     "agg_collect", "agg_grouping_sets", "agg_percentiles",
     "corpus_curate", "dedup_clusters", "dedup_embedding",
     "doc_fingerprint", "embedding_quantize", "etl_fallback_log",
@@ -78,8 +89,6 @@ WINDOW_PRIORITY: list[str] = [
     "similarity_ivf", "sql_q13", "sql_q18", "sql_q22", "sql_q3",
     "sql_q4", "sql_q5", "sql_q7", "sql_recursive_cte",
     "stream_correlate", "stream_enrich", "stream_session",
-    "stream_sliding", "stream_tumbling", "text_quality", "text_stats",
-    "text_tfidf", "token_count",
 ]
 
 

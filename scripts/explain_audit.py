@@ -53,6 +53,12 @@ AUDIT = [
     "quantile_normalize",  # round-6: single ranking exchange
     "collocation_pmi",    # round-6: reduced pair-table marginal joins
     "lang_confusion",     # round-6: map-side scoring + 25-cell window
+    "substring_dedup",    # round-7: one gram shuffle + reduced-df join
+    "dedup_containment",  # round-7: blocked equi-join, no cross product
+    "gopher_rules",       # round-7: map-side rules, source-cardinality agg
+    "importance_sample",  # round-7: broadcast max + map-side acceptance
+    "events_rate_limit",  # round-7: one user exchange, RANGE window
+    "sample_cap_per_group",  # round-7: one cell exchange, rank + agg
 ]
 
 

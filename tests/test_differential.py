@@ -31,7 +31,11 @@ EVENT_OPS = ["time_bucket_ohlc", "window_twap", "cusum_changepoint",
              "stream_tumbling", "events_sessionize",
              # r7: duplicate-value rank ties (the exact-duplicate value
              # clusters) are quantile_normalize's tie-safety surface
-             "quantile_normalize"]
+             "quantile_normalize",
+             # r7: burst corpora put many simultaneous events inside
+             # one user's trailing window — exactly the RANGE-frame
+             # peer semantics events_rate_limit must keep engine-equal
+             "events_rate_limit"]
 
 TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -106,7 +110,15 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            # NBSP-glued tokens hit collocation_pmi's support floor and
            # marginals; lang_confusion's marker argmax sees empty/
            # whitespace docs (all-zero scores -> tie rule)
-           "collocation_pmi", "lang_confusion"]
+           "collocation_pmi", "lang_confusion",
+           # r7: empty/whitespace docs (gram-less under the <n-token
+           # ANSI guard), NBSP-glued tokens and repetition storms are
+           # the shared-gram surface of the substring/containment
+           # audits; the rule thresholds and integer cross-multiplied
+           # ratios of gopher_rules see the same degenerate docs, and
+           # the two hash samplers exercise score=NULL/empty strata
+           "substring_dedup", "dedup_containment", "gopher_rules",
+           "importance_sample", "sample_cap_per_group"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 

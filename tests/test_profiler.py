@@ -460,3 +460,88 @@ def test_lang_confusion_aggregates_mapside_to_cells(spark, sf_dir):
     s = got["summary"]
     assert s["n_shuffles"] <= 2
     assert s["shuffle_records"] <= 25 * 32 + 25
+
+
+def test_gopher_rules_aggregates_mapside_to_sources(spark, sf_dir):
+    """gopher_rules' scale claim measured (r7): every rule is a narrow
+    per-row expression; the groupBy partial-aggs each partition down
+    to <= |sources| states, so the exchange carries source-cardinality
+    rows, never documents."""
+    n_sources = (load(spark, sf_dir, "documents")
+                 .select("source").distinct().count())
+    got = profile(all_queries()["gopher_rules"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_shuffles"] <= 1
+    assert s["shuffle_records"] <= n_sources * 32
+
+
+def test_importance_sample_is_scan_bound(spark, sf_dir):
+    """importance_sample's scale claim measured (r7): max_score is a
+    1-row broadcast agg (32 partial states), acceptance is map-side,
+    and the report groupBy partial-aggs to <= |langs| states per
+    partition — no exchange ever carries the document stream."""
+    got = profile(all_queries()["importance_sample"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= (5 + 1) * 32
+
+
+def test_events_rate_limit_is_one_user_exchange(spark, sf_dir):
+    """events_rate_limit's scale claim measured (r7): ONE hash
+    exchange on user_id feeds the sort and the RANGE window; the
+    filter is map-side after the window — shuffle carries each event
+    exactly once."""
+    n_events = load(spark, sf_dir, "events").count()
+    got = profile(all_queries()["events_rate_limit"](spark, sf_dir))
+    s = got["summary"]
+    assert s["n_shuffles"] == 1
+    assert s["shuffle_records"] == n_events
+
+
+def test_sample_cap_per_group_is_one_cell_exchange(spark, sf_dir):
+    """sample_cap_per_group's scale claim measured (r7): one hash
+    exchange on the (lang, source) cell key feeds row_number AND both
+    audit aggregates (the agg reuses the window's partitioning, no
+    second shuffle of the doc stream)."""
+    n_docs = load(spark, sf_dir, "documents").count()
+    got = profile(all_queries()["sample_cap_per_group"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= n_docs + 100 * 32
+
+
+def test_substring_dedup_shuffles_grams_linearly(spark, sf_dir):
+    """substring_dedup's scale claim measured (r7): cost is linear in
+    corpus grams — the gram stream is exchanged for the df aggregation
+    and for the df equi-join, and the per-doc verdict agg partial-aggs
+    to doc-cardinality states; nothing is ever quadratic in docs.
+    Bound: a small constant multiple of the distinct-gram volume."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        SUBSTR_N, _gram_array,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), r"\s+").alias("ws"))
+    n_grams = (toks.select(F.size(_gram_array("ws", SUBSTR_N))
+                           .alias("n")).agg(F.sum("n")).collect()[0][0])
+    got = profile(all_queries()["substring_dedup"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 4 * n_grams
+
+
+def test_dedup_containment_blocks_not_cross_joins(spark, sf_dir):
+    """dedup_containment's scale claim measured (r7): candidates come
+    from the inverted-index equi-join on (hot-pruned) grams — the plan
+    must contain no cartesian/nested-loop join, and the pair agg runs
+    on already-blocked candidates."""
+    df = all_queries()["dedup_containment"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are 1-ROW broadcasts: the
+    # n_docs totals folded into the hot-gram threshold (the same shape
+    # ngram_jaccard plans; it appears once per re-derivation of the
+    # unmaterialized gram branch).  Every one must be the Cross-with-
+    # tiny-build flavor; the candidate pair join itself must be a
+    # hash equi-join on gram, never a nested loop over docs.
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line and "n_docs" in line, line
+    assert "BroadcastHashJoin [gram" in plan
