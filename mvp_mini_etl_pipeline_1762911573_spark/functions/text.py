@@ -36,7 +36,7 @@ LANG_MARKERS = {
 
 
 def _tokens(col):
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.lower(col), WS_RUN), lambda t: t != "")
 
 
 # GPT-2-style pre-tokenizer split (public pattern family): contraction
@@ -45,7 +45,17 @@ def _tokens(col):
 # Real BPE would further split these pieces against a merges table —
 # the PIECE COUNT is the standard cheap upper-ish bound used for corpus
 # token budgeting.
-_BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+#: Whitespace, pinned to an EXPLICIT char class on BOTH engines.
+#: Java's \s is [ \t\n\x0B\f\r] but RE2's (DuckDB) omits \x0B
+#: (vertical tab), so any '\s' shared between a Spark regex and its
+#: oracle is a latent divergence on VT-bearing text (r7 review find;
+#: the udtf_tokens pair pins the RE2 class instead, its own contract).
+#: The explicit class keeps Spark behavior bit-identical (hashes
+#: stable) and drags DuckDB onto it.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_RUN = f"[{WS_CHARS}]+"        # tokenizer split run (both engines)
+_BPE_SPLIT = (r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+              + f"| ?[^{WS_CHARS}a-zA-Z0-9]+")
 
 
 def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,7 +654,7 @@ def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(F.col("text"))
     n = F.size(toks)
     # total word chars = non-whitespace chars (tokens are split on \s+)
-    sum_len = F.length(F.regexp_replace("text", r"\s", ""))
+    sum_len = F.length(F.regexp_replace("text", f"[{WS_CHARS}]", ""))
     alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     stop_hits = F.size(F.filter(
@@ -1364,7 +1374,8 @@ QUERIES = {
     "text_stats": _text_stats,
 }
 
-_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+_DUCK_TOKS = ("list_filter(string_split_regex(lower(text), "
+              f"'[{WS_CHARS}]+'), t -> t != '')")
 
 #: BM25 oracle per-query-term conditional-aggregation pivot (same
 #: explicit left-to-right sum as the Spark side)
@@ -1568,7 +1579,7 @@ FROM cbg JOIN cw1 USING (w1) JOIN cw2 USING (w2), n
     "gopher_rules": f"""
 WITH t AS (
   SELECT source, {_DUCK_TOKS} AS toks,
-         length(regexp_replace(text, '\\s', '', 'g')) AS sum_len
+         length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS sum_len
   FROM documents
 ), r AS (
   SELECT source,
@@ -1871,7 +1882,7 @@ SELECT doc_id,
        CAST(len(list_distinct({_DUCK_TOKS})) AS INTEGER)
          AS n_distinct_tokens,
        CAST(len(regexp_extract_all(text,
-         '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+'))
+         '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \t\n\x0B\f\ra-zA-Z0-9]+'))
          AS INTEGER) AS bpe_pieces,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
        CAST(length(text) AS INTEGER) AS n_chars

@@ -987,11 +987,24 @@ def _quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = Window.partitionBy("event_type")
     # value is RAW data quantized for display: floor(x*1e4 + 0.5)/1e4
     # (the benford cents idiom) — pure IEEE ops, identical bit on both
-    # engines at ANY input, unlike round(value, 4), whose exact-5th-
-    # decimal-half behavior is engine-specific (ADVICE r6: the same
-    # divergence class functions/exact.py documents; it only stayed
-    # green because the fixture doubles avoid 5th-decimal halves).
-    q4 = F.floor(F.col("value") * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    # engines, unlike round(value, 4), whose exact-5th-decimal-half
+    # behavior is engine-specific (ADVICE r6: the same divergence
+    # class functions/exact.py documents; it only stayed green
+    # because the fixture doubles avoid 5th-decimal halves).
+    # The idiom itself needs a domain guard (r7 review find): Spark's
+    # floor(DOUBLE) returns LONG and SATURATES at 2^63 while DuckDB's
+    # stays DOUBLE — so NaN (Spark long-casts to 0), ±Inf and
+    # |value|*1e4 beyond int64 all diverge.  Outside the safe domain
+    # the RAW parquet double passes through untouched — bit-identical
+    # on both engines by construction, so the hash contract holds at
+    # ANY input, and the fixture path (all values finite and small)
+    # is unchanged.
+    Q4_SAFE = 9.0e14  # |value|*1e4 + 0.5 must stay well under 2^63
+    q4 = F.when(
+        F.isnan("value") | (F.abs("value") >= F.lit(Q4_SAFE)),
+        F.col("value"),
+    ).otherwise(
+        F.floor(F.col("value") * 10000 + F.lit(0.5)) / F.lit(10000.0))
     return (ev
             .withColumn("rk", F.rank().over(part.orderBy("value")))
             .withColumn("n", F.count("*").over(part))
@@ -1174,7 +1187,10 @@ FROM obs, t
     # NULL-bucketing trap); n = 1 groups yield NULL via the b = 0 guard
     "quantile_normalize": f"""
 SELECT event_id, event_type,
-       floor(value * 10000 + 0.5) / 10000.0 AS value,
+       -- same NaN/±Inf/magnitude guard as the Spark side: outside
+       -- the floor-quantize safe domain the raw double passes through
+       CASE WHEN isnan(value) OR abs(value) >= 9.0e14 THEN value
+            ELSE floor(value * 10000 + 0.5) / 10000.0 END AS value,
        {round4_ratio_sql("rk - 1", "n - 1")} AS qnorm
 FROM (
   SELECT event_id, event_type, value,

@@ -35,6 +35,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.exact import round4_ratio, round4_ratio_sql
+from ..functions.text import WS_RUN
 from ..oracles import USERS_CTE
 from ..tables import load, users_valid
 from .similarity import DUCK_CELLS_CTE, SIM_THRESHOLD
@@ -112,7 +113,7 @@ def _shingled(docs: DataFrame) -> DataFrame:
     """Word n-gram shingle set per document (narrow, map-side)."""
     toks = docs.select(
         "doc_id",
-        F.filter(F.split(F.lower("text"), r"\s+"),
+        F.filter(F.split(F.lower("text"), WS_RUN),
                  lambda t: t != "").alias("ws"),
     )
     return toks.select(
@@ -250,7 +251,7 @@ def simhash_fingerprints(docs: DataFrame,
     (explode + groupBy + bit ops) — stays in codegen."""
     tokens = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower("text"), WS_RUN)).alias("tok"),
     ).where(F.col("tok") != "")
     tok_hash = tokens.groupBy("doc_id", "tok").agg(
         F.count("*").alias("tf")).withColumn("h", F.xxhash64("tok"))
@@ -320,6 +321,58 @@ def _dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pruned_gram_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) stream of word-3-grams with corpus-frequent
+    (stopword-like) grams pruned — the ONE candidate-generation
+    implementation behind `_dedup_ngram_jaccard` AND
+    `_dedup_containment` (r7 review: the two hand-kept copies of the
+    df-threshold block are exactly the drift class the `_gram_array`
+    docstring records; the containment-⊇-Jaccard property test
+    depends on both ops sharing one gram universe).
+
+    Pruning: df per gram, hot list = df > max(NGRAM_DF_FLOOR,
+    NGRAM_DF_FRAC·n_docs); n_docs is folded into the same DAG via a
+    broadcast 1-row agg (no separate driver-side count action), and
+    the hot list is tiny (heavy-hitter tail) → broadcast anti-join,
+    no extra shuffle of the gram index."""
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
+    grams = toks.select(
+        "doc_id", F.explode(_gram_array("ws", 3)).alias("gram"))
+    n_docs_df = docs.agg(F.count("*").alias("n_docs"))
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    hot = (
+        gram_df.crossJoin(F.broadcast(n_docs_df))
+        .where(F.col("df") > F.greatest(
+            F.lit(NGRAM_DF_FLOOR),
+            F.col("n_docs") * F.lit(NGRAM_DF_FRAC)))
+        .select("gram")
+    )
+    return grams.join(F.broadcast(hot), "gram", "left_anti")
+
+
+#: The DuckDB mirror of _pruned_gram_stream, shared by the jaccard and
+#: containment oracles (ends defining CTE `gramsf`).
+DUCK_PRUNED_GRAMS_CTE = f"""toks AS (
+  SELECT doc_id, string_split_regex(lower(text),
+                                    '[ \\t\\n\\x0B\\f\\r]+') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 1, 1)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+  FROM toks
+), hot AS (
+  SELECT gram FROM (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
+  WHERE df > greatest({NGRAM_DF_FLOOR},
+                      {NGRAM_DF_FRAC} * (SELECT count(*) FROM documents))
+), gramsf AS (
+  SELECT g.doc_id, g.gram FROM grams g
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.gram = g.gram)
+)"""
+
+
 def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard similarity for doc pairs sharing ≥1
     gram (inverted-index candidate generation — equi-join on gram, no
@@ -336,30 +389,11 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry no pair-specific signal — planted ~0.98-Jaccard dup pairs
     lose at most the same few grams from numerator and denominator and
     stay ≳0.97.  The hot list is tiny (heavy-hitter tail) → broadcast
-    anti-join, no extra shuffle of the gram index."""
+    anti-join, no extra shuffle of the gram index.  Candidate
+    generation + pruning shared with `_dedup_containment` via
+    `_pruned_gram_stream`."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            _gram_array("ws", 3)
-        ).alias("gram"),
-    )
-    # prune corpus-frequent (stopword-like) grams before the self-join:
-    # df per gram, hot list = df > max(floor, frac*n_docs); n_docs is
-    # folded into the same DAG via a broadcast 1-row agg (no separate
-    # driver-side count action)
-    n_docs_df = docs.agg(F.count("*").alias("n_docs"))
-    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
-    hot = (
-        gram_df.crossJoin(F.broadcast(n_docs_df))
-        .where(F.col("df") > F.greatest(
-            F.lit(NGRAM_DF_FLOOR),
-            F.col("n_docs") * F.lit(NGRAM_DF_FRAC)))
-        .select("gram")
-    )
-    grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+    grams = _pruned_gram_stream(docs)
     gram_counts = grams.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"))
     inter = (
@@ -419,7 +453,7 @@ def _substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalization a training pipeline needs."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
+        "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
     grams = toks.select(
         "doc_id", F.explode(_gram_array("ws", SUBSTR_N)).alias("gram"))
     # grams are distinct per doc (_gram_array array_distincts), so
@@ -464,22 +498,10 @@ def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: identical to the Jaccard audit — one shuffle of the
     gram stream to build df, a broadcast anti-join against the tiny
     hot list, one equi-join on gram (never a cross product), pair agg
-    on already-blocked candidates."""
+    on already-blocked candidates.  Candidate generation + pruning
+    shared with `_dedup_ngram_jaccard` via `_pruned_gram_stream`."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
-    grams = toks.select(
-        "doc_id", F.explode(_gram_array("ws", 3)).alias("gram"))
-    n_docs_df = docs.agg(F.count("*").alias("n_docs"))
-    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
-    hot = (
-        gram_df.crossJoin(F.broadcast(n_docs_df))
-        .where(F.col("df") > F.greatest(
-            F.lit(NGRAM_DF_FLOOR),
-            F.col("n_docs") * F.lit(NGRAM_DF_FRAC)))
-        .select("gram")
-    )
-    grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+    grams = _pruned_gram_stream(docs)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     inter = (
         grams.alias("l")
@@ -821,7 +843,7 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped by the tiny benchmark corpus."""
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
+        "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
     grams = toks.select(
         "doc_id",
         F.explode(_gram_array("ws", DECON_N)).alias("gram"),
@@ -1187,7 +1209,7 @@ QUERIES = {
 ORACLES = {
     "decontaminate": f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+  SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws
   FROM documents
 ), grams AS (
   SELECT doc_id,
@@ -1344,23 +1366,8 @@ FROM documents
 GROUP BY sha256(text)
 """,
     # dedup_near / dedup_simhash: rows-only (engine-local hash perms)
-    "dedup_ngram_jaccard": """
-WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
-  FROM documents
-), grams AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           range(1, greatest(len(ws) - 1, 1)),
-           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
-  FROM toks
-), hot AS (
-  SELECT gram FROM (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
-  WHERE df > greatest(5, 0.01 * (SELECT count(*) FROM documents))
-), gramsf AS (
-  SELECT g.doc_id, g.gram FROM grams g
-  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.gram = g.gram)
-), gram_counts AS (
+    "dedup_ngram_jaccard": f"""
+WITH {DUCK_PRUNED_GRAMS_CTE}, gram_counts AS (
   SELECT doc_id, count(*) AS n_grams FROM gramsf GROUP BY doc_id
 ), inter AS (
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
@@ -1379,7 +1386,7 @@ WHERE round(inter / (ca.n_grams + cb.n_grams - inter), 4) >= 0.2
     # doc; dup_share goes through the exact-int rounding mirror
     "substring_dedup": f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+  SELECT doc_id, string_split_regex(lower(text), '[ \t\n\x0B\f\r]+') AS ws
   FROM documents
 ), grams AS (
   SELECT doc_id,
@@ -1405,23 +1412,7 @@ GROUP BY g.doc_id
     # asymmetric ratio divides by the LEFT doc's gram count only and
     # thresholds on the 4-dp-quantized value (identical cut set)
     "dedup_containment": f"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
-  FROM documents
-), grams AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           range(1, greatest(len(ws) - 1, 1)),
-           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
-  FROM toks
-), hot AS (
-  SELECT gram FROM (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
-  WHERE df > greatest({NGRAM_DF_FLOOR},
-                      {NGRAM_DF_FRAC} * (SELECT count(*) FROM documents))
-), gramsf AS (
-  SELECT g.doc_id, g.gram FROM grams g
-  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.gram = g.gram)
-), sizes AS (
+WITH {DUCK_PRUNED_GRAMS_CTE}, sizes AS (
   SELECT doc_id, count(*) AS n_grams FROM gramsf GROUP BY doc_id
 ), inter AS (
   SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter

@@ -153,15 +153,18 @@ def nan_count_conflicts(sdf_pd_like, odf_pd_like):
     is faithful there.  But in OBJECT-dtype columns None and float
     NaN stay distinct Python objects, and a genuine NaN-on-one-engine
     vs NULL-on-the-other divergence would be silently hashed equal.
-    This companion check compares per-column NaN totals (float cols:
-    NULL+NaN combined, the best pandas can see; object cols: real
-    float-NaN cells only) so a count asymmetry is flagged by name
-    instead of slipping through.  Takes (cols, kinds, rows) triples
-    plus the source frames' columns — implemented over the row tuples
-    so it needs no extra fetch."""
-    (scols, skinds, srows), (ocols, okinds, orows) = sdf_pd_like, odf_pd_like
+    This companion check counts float-NaN cells per column (the count
+    is kind-agnostic: in a float64 column that total is NULL+NaN
+    combined — the best pandas can see — while in an object column it
+    is real float-NaN cells only; both fall out of the same isnan test
+    over the row tuples, no kind inspection needed) so a count
+    asymmetry is flagged by name instead of slipping through.  Takes
+    (cols, kinds, rows) triples — kinds is carried for signature
+    symmetry with dtype_conflicts' inputs but unused here."""
+    (scols, _skinds, srows), (ocols, _okinds, orows) = \
+        sdf_pd_like, odf_pd_like
 
-    def counts(cols, kinds, rows):
+    def counts(cols, rows):
         idx = {c: i for i, c in enumerate(cols)}
         out = {}
         for c in cols:
@@ -171,7 +174,7 @@ def nan_count_conflicts(sdf_pd_like, odf_pd_like):
                 if isinstance(r[i], float) and r[i] != r[i])
         return out
 
-    sc, oc = counts(scols, skinds, srows), counts(ocols, okinds, orows)
+    sc, oc = counts(scols, srows), counts(ocols, orows)
     return [f"{c}: spark NaN-count={sc[c]} vs oracle={oc.get(c)}"
             for c in scols if c in oc and sc[c] != oc[c]]
 

@@ -343,3 +343,68 @@ def test_gini_and_benford_degenerate_inputs_match_oracle(spark, tmp_path):
             all_oracles()["gini_concentration"], "gini@zero-revenue")
     compare(all_queries()["benford_digits"](spark, str(d)), con,
             all_oracles()["benford_digits"], "benford@sub-cent")
+
+
+def test_quantile_normalize_guards_floor_domain(spark, tmp_path):
+    """Latent (r7 review find #1): the floor(x*1e4+0.5) quantization
+    diverges cross-engine outside its domain — Spark's floor(DOUBLE)
+    returns LONG (saturates at 2^63; NaN long-casts to 0) while
+    DuckDB's stays DOUBLE.  NaN, ±Inf and >=9e14-magnitude values must
+    pass through RAW (bit-identical parquet doubles) and still hash
+    equal; in-domain values keep the quantized path."""
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import (
+        all_oracles, all_queries,
+    )
+    d = tmp_path
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.25),
+        (2, "2024-01-01 00:01:00", 10, "view", float("nan")),
+        (3, "2024-01-01 00:02:00", 10, "view", 9.3e14),
+        (4, "2024-01-01 00:03:00", 10, "view", float("inf")),
+        (5, "2024-01-01 00:04:00", 10, "view", -9.9e15),
+        (6, "2024-01-01 00:05:00", 10, "view", 2.51075),
+        (7, "2024-01-01 00:06:00", 11, "click", 0.0001),
+        (8, "2024-01-01 00:07:00", 11, "click", None),
+    ]
+    spark.createDataFrame(
+        [(i, ts, u, t, v) for (i, ts, u, t, v) in rows],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double",
+    ).select("event_id", F.to_timestamp("ts_s").cast("timestamp_ntz")
+             .alias("ts"), "user_id", "event_type", "value",
+             F.lit("{}").alias("props")) \
+     .coalesce(1).write.parquet(f"{d}/events.parquet")
+    con = _duck_with_views(str(d), ["events"])
+    from tests.oracle_utils import compare
+    compare(all_queries()["quantile_normalize"](spark, str(d)), con,
+            all_oracles()["quantile_normalize"], "qnorm@floor-domain")
+
+
+def test_tokenizers_agree_on_vertical_tab(spark, tmp_path):
+    """Latent (r7 review find #2): Java's \\s includes \\x0B (vertical
+    tab), RE2's does not — a '\\s' shared between a Spark regex and
+    its DuckDB oracle silently tokenizes VT-bearing text differently.
+    The explicit WS class closed it; this pins the whole tokenizer
+    family on a VT-bearing corpus."""
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import (
+        all_oracles, all_queries,
+    )
+    from tests.oracle_utils import compare
+    docs = [
+        (0, "foo\x0bbar the and of baz", "en", "web", 22),
+        (1, "a\x0b\x0bb c d the of and is it", "en", "web", 25),
+        (2, "the and of in is it normal words here", "en", "book", 37),
+        (3, "el la de\x0bel la de el la de", "es", "web", 26),
+        (4, "\x0b", "en", "web", 1),
+        (5, "tab\tand\x0bvt and\fff the of", "en", "web", 24),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    con = _duck_with_views(str(tmp_path), ["documents"])
+    for name in ("token_count", "text_stats", "gopher_rules", "lang_id",
+                 "text_quality", "vocab_topk", "substring_dedup",
+                 "dedup_containment", "importance_sample"):
+        compare(all_queries()[name](spark, str(tmp_path)), con,
+                all_oracles()[name], f"{name}@vt-corpus")

@@ -297,7 +297,6 @@ def test_substring_dedup_share_bounds_and_doc_conservation(spark, sf_dir):
     from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
         SUBSTR_N, _substring_dedup,
     )
-    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import _tokens
 
     rows = _substring_dedup(spark, sf_dir).collect()
     assert rows
@@ -305,7 +304,6 @@ def test_substring_dedup_share_bounds_and_doc_conservation(spark, sf_dir):
         assert 0 <= r.n_dup <= r.n_grams
         assert 0.0 <= r.dup_share <= 1.0
     n_eligible = (load(spark, sf_dir, "documents")
-                  .where(F.size(_tokens(F.col("text"))) >= 0)
                   .where(F.size(F.split(F.lower("text"), r"\s+"))
                          >= SUBSTR_N).count())
     # raw-split tokenization feeds the gram array, so eligibility is
@@ -366,6 +364,10 @@ def test_importance_sample_is_monotone_in_score(spark, sf_dir):
         _importance_sample,
     )
 
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        IMP_BUCKETS, STOPWORDS, _tokens,
+    )
+
     rows = _importance_sample(spark, sf_dir).collect()
     assert rows
     tot = sum(r.n_docs for r in rows)
@@ -373,6 +375,25 @@ def test_importance_sample_is_monotone_in_score(spark, sf_dir):
     assert 0 < kept <= tot
     for r in rows:
         assert 0 <= r.n_kept <= r.n_docs
+    # max-score docs are always kept: threshold = B > every bucket
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    score = (F.size(F.filter(_tokens(F.col("text")),
+                             lambda t: F.array_contains(stop, t))) + 1)
+    scores = (load(spark, sf_dir, "documents")
+              .select("lang", score.alias("s")).collect())
+    mx = max(r.s for r in scores)
+    mean = sum(r.s for r in scores) / len(scores)
+    n_max_by_lang = {}
+    for r in scores:
+        if r.s == mx:
+            n_max_by_lang[r.lang] = n_max_by_lang.get(r.lang, 0) + 1
+    for r in rows:
+        assert r.n_kept >= n_max_by_lang.get(r.lang, 0)
+    # kept share ~= E[score]/max_score under hash uniformity (each
+    # doc kept iff bucket < floor(B*s/mx), bucket ~U[0,B)); loose
+    # 3x band so the test never flakes on corpus shape
+    expected = mean / mx
+    assert expected / 3 <= kept / tot <= min(1.0, expected * 3)
 
 
 def test_events_rate_limit_flags_are_consistent(spark, sf_dir):
@@ -385,11 +406,22 @@ def test_events_rate_limit_flags_are_consistent(spark, sf_dir):
 
     rows = _events_rate_limit(spark, sf_dir).collect()
     assert rows
-    ev_ids = {r.event_id for r in
-              load(spark, sf_dir, "events").select("event_id").collect()}
+    ev = load(spark, sf_dir, "events")
+    ev_ids = {r.event_id for r in ev.select("event_id").collect()}
     for r in rows:
         assert r.n_in_window > RATE_LIMIT_N
         assert r.event_id in ev_ids
+    # per-user flagged counts never exceed that user's event count,
+    # and a user needs > RATE_LIMIT_N events to have ANY flags
+    per_user = {r.user_id: r.cnt for r in
+                ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+                .collect()}
+    flagged = {}
+    for r in rows:
+        flagged[r.user_id] = flagged.get(r.user_id, 0) + 1
+    for u, n in flagged.items():
+        assert per_user[u] > RATE_LIMIT_N
+        assert n <= per_user[u] - RATE_LIMIT_N
 
 
 def test_sample_cap_per_group_caps_and_conserves(spark, sf_dir):
