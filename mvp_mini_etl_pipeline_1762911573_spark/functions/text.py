@@ -412,6 +412,73 @@ def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_D, CMS_W = 4, 256   # count-min sketch geometry: depth x width
+CMS_TOPK = 20           # report the exact top-K with their estimates
+
+
+def _cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): count-min sketch frequency estimation
+    (Cormode & Muthukrishnan 2005, public) expressed relationally —
+    the bounded-state mergeable sketch a streaming/multi-tenant
+    pipeline keeps when even the heavy-hitter candidate list is too
+    hot to re-count.  The sketch is a d×w counter matrix: token t
+    increments row j at bucket h_j(t); the estimate is
+    min_j counts[j][h_j(t)] — an overestimate by construction, never
+    an undercount.  Emitted: the exact top-K tokens (freq desc, token
+    asc — deterministic cut) with true count, CMS estimate, and the
+    structural est >= true invariant as a checked column.
+
+    Cross-engine exactness: h_j(t) = sha256(j || ':' || t) first-8-hex
+    mod w — the `sample_hash` public-hash idiom, so BOTH engines build
+    the IDENTICAL sketch and read the identical estimates: a FULL
+    value oracle over a sketch, no accuracy-contract encoding needed
+    (contrast agg_approx_percentiles, whose GK internals are
+    engine-local).
+
+    100 TB shape: the token stream is exploded ×d but partial-agg'd
+    to ≤ d·w counter states per partition before the ONE tiny
+    exchange (the sketch is the aggregation state — this is what
+    'mergeable' buys); the top-K candidates come from the exact vocab
+    count reduced the usual way, and the estimate lookup joins K·d
+    rows against the d·w sketch — both model-sized."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+
+    def bucket(j, tok_col):
+        return F.pmod(
+            F.conv(F.substring(
+                F.sha2(F.concat(F.lit(f"{j}:"), tok_col), 256), 1, 8),
+                16, 10).cast("long"),
+            F.lit(CMS_W))
+
+    sketch = (
+        toks.select(F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     bucket(j, F.col("tok")).alias("bucket"))
+            for j in range(CMS_D)])).alias("p"))
+        .select(F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt")))
+    top = (toks.groupBy("tok").agg(F.count("*").alias("freq"))
+           .orderBy(F.col("freq").desc(), F.col("tok").asc())
+           .limit(CMS_TOPK))
+    probes = top.select(
+        "tok", "freq",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     bucket(j, F.col("tok")).alias("bucket"))
+            for j in range(CMS_D)])).alias("p")
+    ).select("tok", "freq", F.col("p.j").alias("j"),
+             F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("tok", "freq")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select("tok", "freq", "cms_est",
+                (F.col("cms_est") >= F.col("freq")).alias("never_under"))
+    )
+
+
 def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: unigram language-model scoring — the cheap stand-in for
     the KenLM-style perplexity filter every LLM data pipeline runs
@@ -1355,6 +1422,7 @@ QUERIES = {
     "lang_confusion": _lang_confusion,
     "gopher_rules": _gopher_rules,
     "importance_sample": _importance_sample,
+    "cms_topk": _cms_topk,
     "text_repetition": _text_repetition,
     "bpe_pair_stats": _bpe_pair_stats,
     "bpe_encode": _bpe_encode,
@@ -1610,6 +1678,33 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            "count(*)")} AS pass_share
 FROM r
 GROUP BY source
+""",
+    # identical public-hash sketch on both engines -> FULL value
+    # oracle over a sketch (no accuracy contract needed); top-K cut is
+    # deterministic (freq desc, token asc)
+    "cms_topk": f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+), sketch AS (
+  SELECT j, CAST(concat('0x', substr(sha256(CAST(j AS VARCHAR) || ':' || tok), 1, 8))
+                 AS BIGINT) % {CMS_W} AS bucket,
+         count(*) AS cnt
+  FROM toks, range(0, {CMS_D}) r(j)
+  GROUP BY 1, 2
+), top AS (
+  SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+  ORDER BY freq DESC, tok ASC LIMIT {CMS_TOPK}
+), probes AS (
+  SELECT tok, freq, j,
+         CAST(concat('0x', substr(sha256(CAST(j AS VARCHAR) || ':' || tok), 1, 8))
+              AS BIGINT) % {CMS_W} AS bucket
+  FROM top, range(0, {CMS_D}) r(j)
+)
+SELECT p.tok, CAST(p.freq AS BIGINT) AS freq,
+       CAST(min(s.cnt) AS BIGINT) AS cms_est,
+       min(s.cnt) >= p.freq AS never_under
+FROM probes p JOIN sketch s USING (j, bucket)
+GROUP BY p.tok, p.freq
 """,
     # pure-integer acceptance threshold (score*B // max_score) against
     # the public sha256 bucket — no float until the final exact ratio

@@ -767,10 +767,70 @@ def _embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): one Lloyd iteration over the deterministic
+    stride-seeded quantizer — the centroid-refinement step an IVF /
+    SemDeDup pipeline runs to improve its coarse cells (k-means IS
+    the training loop of both; this op is that loop's body as a
+    query).  Per cell: member count, the re-estimated centroid (first
+    4 dims, the embedding_centroids reporting convention) and the
+    centroid SHIFT — the convergence signal a training driver reads
+    to decide whether to iterate again.
+
+    Cross-engine exactness: assignment is the shared `assign_cells`
+    quantizer (bit-reproducible by construction, same as the whole
+    SemDeDup family); the per-dim means round to 6dp before any
+    further use (the embedding_centroids precedent: double-precision
+    sum error ~1e-12 over unit-scale f32 values is absorbed by the
+    1e-6 quantum); the shift is computed FROM the rounded means
+    against the exact f32 old-centroid components in a fixed
+    left-to-right order, so sqrt sees the identical double on both
+    engines.
+
+    100 TB shape: assignment is the map-side pandas-UDF pass (zero
+    corpus shuffle, profiler-pinned in test_profiler.py for IVF);
+    the re-estimation is ONE partial-agg'd groupBy(cell) whose state
+    is K×(4+1) values, K ≤ IVF_K_MAX — the exchange carries
+    model-sized aggregates, never vectors; the old-centroid join is
+    a broadcast of K rows.  Iterating = re-running with the emitted
+    centroids as the new model (driver-side parameter update, the
+    FAISS training shape)."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = assign_cells(emb)
+    v = F.col("embedding").cast("array<double>")
+    agg = (
+        assigned
+        .select("cell",
+                *[F.element_at(v, d + 1).alias(f"x{d}")
+                  for d in range(4)])
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"),
+             *[F.round(F.avg(f"x{d}"), 6).alias(f"c{d}")
+               for d in range(4)])
+    )
+    old = emb.where(F.col("vec_id") % _ivf_stride_for(emb) == 0).select(
+        F.col("vec_id").alias("cell"),
+        *[F.element_at(F.col("embedding").cast("array<double>"), d + 1)
+          .alias(f"o{d}") for d in range(4)])
+    # fixed left-to-right sum of squared deltas: identical operand
+    # order on both engines -> identical double -> identical sqrt
+    d2 = None
+    for d in range(4):
+        term = (F.col(f"c{d}") - F.col(f"o{d}")) \
+             * (F.col(f"c{d}") - F.col(f"o{d}"))
+        d2 = term if d2 is None else d2 + term
+    return (
+        agg.join(F.broadcast(old), "cell")
+        .select("cell", "n_vecs", "c0", "c1", "c2", "c3",
+                F.round(F.sqrt(d2), 6).alias("shift"))
+    )
+
+
 QUERIES = {
     # similarity_ivf leads: it debuts in round 2's verification window
     # and must stay inside the driver's 50-query cap (see registry.py)
     "similarity_ivf": _similarity_ivf,
+    "kmeans_step": _kmeans_step,
     "array_cosine": _array_cosine,
     "embedding_normalize": _embedding_normalize,
     "similarity_topk": _similarity_topk,
@@ -908,6 +968,30 @@ SELECT vec_id,
        round(list_sum(list_transform(range(1, len(v) + 1),
                i -> abs(v[i] - (lo + codes[i] * s)))) / len(v), 8) AS mae
 FROM coded
+""",
+    # same cells CTE as the SemDeDup oracles; per-dim means round to
+    # 6dp BEFORE the shift so sqrt sees identical doubles; fixed
+    # left-to-right squared-delta sum mirrors the Spark side
+    "kmeans_step": f"""
+WITH {DUCK_CELLS_CTE}, assigned AS (
+  SELECT c.cell, e.embedding
+  FROM cells c JOIN embeddings e USING (vec_id)
+), agg AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+         round(avg(embedding[1]::DOUBLE), 6) AS c0,
+         round(avg(embedding[2]::DOUBLE), 6) AS c1,
+         round(avg(embedding[3]::DOUBLE), 6) AS c2,
+         round(avg(embedding[4]::DOUBLE), 6) AS c3
+  FROM assigned GROUP BY cell
+)
+SELECT a.cell, a.n_vecs, a.c0, a.c1, a.c2, a.c3,
+       round(sqrt(
+         (((a.c0 - ct.c_vec[1]::DOUBLE) * (a.c0 - ct.c_vec[1]::DOUBLE)
+         + (a.c1 - ct.c_vec[2]::DOUBLE) * (a.c1 - ct.c_vec[2]::DOUBLE))
+         + (a.c2 - ct.c_vec[3]::DOUBLE) * (a.c2 - ct.c_vec[3]::DOUBLE))
+         + (a.c3 - ct.c_vec[4]::DOUBLE) * (a.c3 - ct.c_vec[4]::DOUBLE)
+       ), 6) AS shift
+FROM agg a JOIN cents ct ON ct.c_id = a.cell
 """,
     "embedding_centroids": """
 SELECT label, CAST(i - 1 AS INTEGER) AS dim,

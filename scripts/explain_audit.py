@@ -59,6 +59,8 @@ AUDIT = [
     "importance_sample",  # round-7: broadcast max + map-side acceptance
     "events_rate_limit",  # round-7: one user exchange, RANGE window
     "sample_cap_per_group",  # round-7: one cell exchange, rank + agg
+    "cms_topk",           # round-7: sketch-state partial agg + broadcast
+    "kmeans_step",        # round-7: map-side assign, K-state agg
 ]
 
 

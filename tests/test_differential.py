@@ -118,7 +118,10 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            # ratios of gopher_rules see the same degenerate docs, and
            # the two hash samplers exercise score=NULL/empty strata
            "substring_dedup", "dedup_containment", "gopher_rules",
-           "importance_sample", "sample_cap_per_group"]
+           "importance_sample", "sample_cap_per_group",
+           # r7: the sketch and its probes must stay bit-identical on
+           # NBSP/empty/repetition corpora (hash-input surface)
+           "cms_topk"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 
@@ -191,7 +194,9 @@ def test_differential_on_generated_docs(spark, diff_doc_dirs, name, seed):
 #: embedding operators under differential test — float-parity-
 #: sensitive surfaces (left-to-right accumulation contracts)
 EMB_OPS = ["array_cosine", "embedding_normalize", "embedding_quantize",
-           "similarity_topk", "embedding_centroids", "similarity_ivf"]
+           "similarity_topk", "embedding_centroids", "similarity_ivf",
+           # r7: one Lloyd step over the same quantizer cells
+           "kmeans_step"]
 
 
 def _gen_embeddings(seed: int, n: int = 300, dim: int = 64):

@@ -438,3 +438,40 @@ def test_sample_cap_per_group_caps_and_conserves(spark, sf_dir):
         assert r.n_kept == min(r.n_total, CAP_PER_CELL)
     docs = load(spark, sf_dir, "documents")
     assert sum(r.n_total for r in rows) == docs.count()
+
+
+def test_cms_topk_never_underestimates(spark, sf_dir):
+    """CMS structural law: est >= true for every reported token (the
+    min over depth rows can only include collision mass, never lose
+    own mass); overestimate is bounded by the total stream mass, and
+    the K-cut is exactly K rows on a vocab-rich corpus."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        CMS_TOPK, _cms_topk, _tokens,
+    )
+
+    rows = _cms_topk(spark, sf_dir).collect()
+    assert len(rows) == CMS_TOPK
+    n_total = (load(spark, sf_dir, "documents")
+               .select(F.explode(_tokens(F.col("text"))).alias("t"))
+               .count())
+    for r in rows:
+        assert r.never_under
+        assert r.freq <= r.cms_est <= n_total
+
+
+def test_kmeans_step_conserves_vectors_and_shift_bounds(spark, sf_dir):
+    """One Lloyd step: cell member counts partition the corpus, every
+    centroid has >= 1 member (its seed vector assigns to itself at
+    cosine 1), and the shift is a finite non-negative distance bounded
+    by the 4-dim box diagonal of unit-ish embeddings."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        _kmeans_step,
+    )
+
+    rows = _kmeans_step(spark, sf_dir).collect()
+    assert rows
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    for r in rows:
+        assert r.n_vecs >= 1
+        assert r.shift is not None and 0.0 <= r.shift < 10.0
