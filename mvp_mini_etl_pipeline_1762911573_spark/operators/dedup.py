@@ -525,6 +525,96 @@ def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_JACCARD_T = 0.5  # similarity threshold for the prefix-filter join
+
+
+def _join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): prefix-filtering set-similarity self-join
+    (Chaudhuri et al. SSJoin / Bayardo AllPairs, public) — the
+    candidate-generation algorithm that replaces the full inverted
+    index when the threshold is high: order the gram universe by
+    ascending document frequency, and block each document ONLY on the
+    first |G| − ceil(t·|G|) + 1 grams of its set in that order (its
+    RAREST grams).  The prefix-filter theorem guarantees completeness:
+    two sets with Jaccard ≥ t must share at least one prefix gram
+    under a common global ordering — so the result EQUALS the naive
+    all-shared-grams join, while candidates shrink by orders of
+    magnitude AND the skew bomb disappears structurally (hot grams are
+    by definition never in a prefix).
+
+    Cross-paradigm oracle: DuckDB computes the SPEC — the unpruned
+    inverted-index join over full gram sets with the same threshold —
+    so the driver compare IS the completeness theorem checked on real
+    data.  Verification arithmetic: candidate pairs join the two
+    docs' full gram ARRAYS (array_intersect, map-side) and the final
+    Jaccard is int/int via `round4_ratio`, thresholded on the
+    quantized value (identical cut set cross-engine).
+
+    100 TB shape: df table = one partial-agg'd shuffle of the gram
+    stream; the global (df, gram) rank joins back against the
+    already-reduced df table; prefix extraction is one bounded
+    per-doc sort (array-sized, map-side after a collect_list per
+    doc); the candidate join keys on RARE grams only — per-gram
+    fan-out is capped by rarity, the quadratic hot-gram blowup of the
+    naive index cannot occur.  The verify step touches candidates ×
+    two array lookups, not the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
+    grams = toks.select(
+        "doc_id", F.explode(_gram_array("ws", 3)).alias("gram"))
+    df_tbl = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    # global rarity order: (df asc, gram asc) — total and shared by
+    # every document, the precondition of the prefix theorem
+    ranked = grams.join(df_tbl, "gram").select(
+        "doc_id", "gram",
+        F.struct(F.col("df").alias("df"), F.col("gram").alias("g"))
+        .alias("key"))
+    per_doc = (ranked.groupBy("doc_id")
+               .agg(F.array_sort(F.collect_list("key")).alias("keys"))
+               .select(
+                   "doc_id",
+                   F.transform("keys", lambda k: k.getField("g"))
+                   .alias("grams"),
+                   F.size("keys").alias("n_grams")))
+    # prefix length p = n - ceil(t*n) + 1, in pure integer arithmetic:
+    # ceil(n/2) = (n+1) div 2 for t = 0.5 (general: ceil(t*n) with t a
+    # ratio a/b is (a*n + b - 1) div b)
+    p = (F.col("n_grams")
+         - F.floor((F.col("n_grams") + 1) / 2).cast("int") + 1)
+    prefixes = per_doc.select(
+        "doc_id",
+        F.explode(F.slice("grams", 1, p)).alias("gram"))
+    cand = (prefixes.alias("l")
+            .join(prefixes.alias("r"),
+                  (F.col("l.gram") == F.col("r.gram"))
+                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"))
+            .distinct())
+    sets = per_doc.select("doc_id", "grams", "n_grams")
+    verified = (
+        cand
+        .join(sets.select(F.col("doc_id").alias("doc_a"),
+                          F.col("grams").alias("ga"),
+                          F.col("n_grams").alias("na")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"),
+                          F.col("grams").alias("gb"),
+                          F.col("n_grams").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", "na", "nb",
+                F.size(F.array_intersect("ga", "gb")).alias("inter"))
+    )
+    return (
+        verified
+        .select("doc_a", "doc_b", "inter",
+                round4_ratio(
+                    F.col("inter"),
+                    F.col("na") + F.col("nb") - F.col("inter"))
+                .alias("jaccard"))
+        .where(F.col("jaccard") >= PREFIX_JACCARD_T)
+    )
+
+
 def _embedding_pair_edges(spark: SparkSession, sf_dir: str,
                           threshold: float | None = None) -> DataFrame:
     """Document pairs (keep_id < dup_id) whose embedding cosine
@@ -1204,6 +1294,7 @@ QUERIES = {
     "dedup_ngram_jaccard": _dedup_ngram_jaccard,
     "substring_dedup": _substring_dedup,
     "dedup_containment": _dedup_containment,
+    "join_prefix_filter": _join_prefix_filter,
 }
 
 ORACLES = {
@@ -1407,6 +1498,39 @@ SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
            "count(*)")} AS dup_share
 FROM grams g JOIN gram_df d USING (gram)
 GROUP BY g.doc_id
+""",
+    # cross-paradigm: the oracle states the SPEC (unpruned inverted-
+    # index join over FULL gram sets), the Spark side runs prefix
+    # filtering — the driver compare checks the completeness theorem
+    # on real data.  No hot pruning on either side (pruning would
+    # change the answer; prefix filtering provably does not).
+    "join_prefix_filter": f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text),
+                                    '[ \\t\\n\\x0B\\f\\r]+') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 1, 1)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS inter
+  FROM grams l JOIN grams r
+    ON l.gram = r.gram AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       {round4_ratio_sql("inter", "sa.n_grams + sb.n_grams - inter")}
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {round4_ratio_sql("inter", "sa.n_grams + sb.n_grams - inter")}
+      >= {PREFIX_JACCARD_T}
 """,
     # same gram universe + hot pruning as the jaccard oracle; the
     # asymmetric ratio divides by the LEFT doc's gram count only and

@@ -61,6 +61,7 @@ AUDIT = [
     "sample_cap_per_group",  # round-7: one cell exchange, rank + agg
     "cms_topk",           # round-7: sketch-state partial agg + broadcast
     "kmeans_step",        # round-7: map-side assign, K-state agg
+    "join_prefix_filter",  # round-7: rare-prefix blocking, no hot-gram skew
 ]
 
 

@@ -121,7 +121,11 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            "importance_sample", "sample_cap_per_group",
            # r7: the sketch and its probes must stay bit-identical on
            # NBSP/empty/repetition corpora (hash-input surface)
-           "cms_topk"]
+           "cms_topk",
+           # r7: prefix-filter completeness vs the naive-spec oracle on
+           # adversarial corpora — repetition storms make near-dup sets,
+           # empty/short docs stress the p = n - ceil(tn) + 1 edge
+           "join_prefix_filter"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 

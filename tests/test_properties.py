@@ -475,3 +475,44 @@ def test_kmeans_step_conserves_vectors_and_shift_bounds(spark, sf_dir):
     for r in rows:
         assert r.n_vecs >= 1
         assert r.shift is not None and 0.0 <= r.shift < 10.0
+
+
+def test_prefix_filter_equals_naive_jaccard_join(spark, sf_dir):
+    """The prefix-filter completeness theorem checked in-engine: the
+    pruned-candidate result must EQUAL a naive Spark all-shared-grams
+    join over the same (unpruned) gram universe at the same
+    threshold — no pair lost, none invented, Jaccards identical."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.exact import (
+        round4_ratio,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        PREFIX_JACCARD_T, _gram_array, _join_prefix_filter,
+    )
+
+    got = sorted((r.doc_a, r.doc_b, r.inter, r.jaccard) for r in
+                 _join_prefix_filter(spark, sf_dir).collect())
+
+    docs = load(spark, sf_dir, "documents")
+    grams = (docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("ws"))
+        .select("doc_id", F.explode(_gram_array("ws", 3)).alias("gram")))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    naive = (grams.alias("l")
+             .join(grams.alias("r"),
+                   (F.col("l.gram") == F.col("r.gram"))
+                   & (F.col("l.doc_id") < F.col("r.doc_id")))
+             .groupBy(F.col("l.doc_id").alias("doc_a"),
+                      F.col("r.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter"))
+             .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+             .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                   .withColumnRenamed("n", "nb"), "doc_b")
+             .select("doc_a", "doc_b", "inter",
+                     round4_ratio(F.col("inter"),
+                                  F.col("na") + F.col("nb")
+                                  - F.col("inter")).alias("jaccard"))
+             .where(F.col("jaccard") >= PREFIX_JACCARD_T))
+    want = sorted((r.doc_a, r.doc_b, r.inter, r.jaccard)
+                  for r in naive.collect())
+    assert got == want
