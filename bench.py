@@ -59,6 +59,11 @@ HEADLINE = [
     "gini_concentration",   # round 5: DECIMAL-exact Lorenz/Gini
     "benford_digits",       # round 5: integer-cents first-digit audit
     "text_entropy",         # round 5: map-side char-entropy HOFs
+    "substring_dedup",      # round 7: gram-df join substring audit
+    "join_prefix_filter",   # round 7: rare-prefix similarity join
+    "cms_topk",             # round 7: count-min sketch build + probe
+    "events_rate_limit",    # round 7: RANGE-window throttling
+    "kmeans_step",          # round 7: map-side assign + K-state agg
 ]
 
 

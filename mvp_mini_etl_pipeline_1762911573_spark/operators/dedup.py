@@ -583,12 +583,18 @@ def _join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (F.col("n_grams")
          - F.floor((F.col("n_grams") + 1) / 2).cast("int") + 1)
     prefixes = per_doc.select(
-        "doc_id",
+        "doc_id", "n_grams",
         F.explode(F.slice("grams", 1, p)).alias("gram"))
+    # PPJoin length filter inside the candidate join: J >= t forces
+    # t*|A| <= |B| <= |A|/t, so wildly different set sizes can never
+    # verify — pruned BEFORE the distinct/verify work (integer
+    # cross-multiplication, t = 1/2: 2*min >= max)
     cand = (prefixes.alias("l")
             .join(prefixes.alias("r"),
                   (F.col("l.gram") == F.col("r.gram"))
-                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+                  & (F.col("l.doc_id") < F.col("r.doc_id"))
+                  & (F.col("l.n_grams") * 2 >= F.col("r.n_grams"))
+                  & (F.col("r.n_grams") * 2 >= F.col("l.n_grams")))
             .select(F.col("l.doc_id").alias("doc_a"),
                     F.col("r.doc_id").alias("doc_b"))
             .distinct())
