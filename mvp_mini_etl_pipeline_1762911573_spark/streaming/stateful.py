@@ -120,3 +120,76 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+RL_OUT_SCHEMA = ("user_id bigint, event_id bigint, ts_us bigint, "
+                 "n_in_window bigint")
+RL_STATE_SCHEMA = "ts_us array<bigint>, ev array<bigint>"
+
+
+def rate_limit_stream(events: DataFrame) -> DataFrame:
+    """Streaming flavor of the batch `events_rate_limit` operator
+    (operators/analytics.py): per-user trailing-24 h event counts
+    maintained across micro-batches — the live ingest-side throttle
+    (the batch flavor is the audit/backfill pass).
+
+    Convergence contract: state keeps the user's full (ts, event_id)
+    multiset, and every batch that touches a user re-derives the
+    trailing-window count for ALL of that user's events and re-emits
+    them keyed by event_id (update mode).  Adding events can only
+    GROW a window count, so the MAX emission per event_id is the
+    converged value under ANY micro-batch split or arrival order —
+    late events with earlier timestamps retro-correct previously
+    emitted counts, exactly matching the batch RANGE window on the
+    drained log (the convergence pytest replays one log as one and as
+    three source files).
+
+    Scale: state is bounded by per-user event count; a production
+    deployment bounds it further by evicting timestamps older than
+    (max seen ts − 24 h − allowed lateness) per key — the watermark
+    argument — and emits only changed rows.  The demo keeps the full
+    multiset so convergence is provable row-for-row."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    from ..operators.analytics import RATE_LIMIT_US
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            ts_list, ev_list = state.get
+            pairs = list(zip(list(ts_list), list(ev_list)))
+        else:
+            pairs = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                pairs.append((int(r.ts_us), int(r.event_id)))
+        pairs.sort()
+        state.update(([t for t, _ in pairs], [e for _, e in pairs]))
+        ts_sorted = [t for t, _ in pairs]
+        rows = {
+            "user_id": [], "event_id": [], "ts_us": [], "n_in_window": [],
+        }
+        for t, e in pairs:
+            lo = bisect.bisect_left(ts_sorted, t - RATE_LIMIT_US)
+            hi = bisect.bisect_right(ts_sorted, t)
+            rows["user_id"].append(user_id)
+            rows["event_id"].append(e)
+            rows["ts_us"].append(t)
+            rows["n_in_window"].append(hi - lo)
+        yield pd.DataFrame(rows)
+
+    keyed = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+    return (
+        keyed.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RL_OUT_SCHEMA,
+            stateStructType=RL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -50,7 +50,14 @@ HEAVY = ["dedup_near", "dedup_clusters_star", "similarity_join",
          # round 4: blocked posting lists — per-shard vocabularies are
          # disjoint (suffixed tokens), so index work is exactly 10
          # isomorphic builds
-         "inverted_index"]
+         "inverted_index",
+         # round 7: the bijective vocabulary rename preserves per-shard
+         # gram-set structure exactly (df per renamed gram == base df,
+         # cross-shard gram sets disjoint) — substring dup shares and
+         # prefix-join results are 10 isomorphic copies; cms_topk's
+         # top-K cut changes (10 renamed variants compete) but its
+         # sketch/probe work is what the linear bound asserts
+         "substring_dedup", "join_prefix_filter", "cms_topk"]
 
 
 @pytest.fixture(scope="module")
@@ -120,7 +127,11 @@ def sf1_events_dir(spark, tmp_path_factory):
                                   # round 4: time-shifted shards give
                                   # disjoint 6 h buckets — exactly 10x
                                   # rollup groups
-                                  "time_bucket_ohlc"])
+                                  "time_bucket_ohlc",
+                                  # round 7: disjoint users + shifted
+                                  # days -> per-user trailing windows
+                                  # identical to base, flags exactly 10x
+                                  "events_rate_limit"])
 def test_interval_ops_scale_at_most_linearly(spark, sf1_events_dir, name):
     fn = all_queries()[name]
     fn(spark, BASE_SF).count()

@@ -164,3 +164,62 @@ def test_cdc_state_stream_converges_across_batch_splits(spark, sf_dir,
     b = sorted(tuple(r) for r in want.collect())
     assert a and a == b
     assert any(r[3] for r in b), "log subset should contain tombstones"
+
+
+def test_rate_limit_stream_converges_across_batch_splits(spark, sf_dir,
+                                                         tmp_path):
+    """The streaming rate limiter (`stateful.rate_limit_stream`) must
+    converge to the batch RANGE-window answer when the SAME log
+    arrives split across three micro-batches in event_id (NOT time)
+    order — late earlier-timestamp arrivals retro-correct previously
+    emitted counts, and since window counts only grow as events land,
+    the MAX emission per event_id is the converged value."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        RATE_LIMIT_N, _events_rate_limit,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.streaming.stateful import (
+        rate_limit_stream,
+    )
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 5 == 3)
+
+    src = tmp_path / "rl_src"
+    src.mkdir()
+    pa_schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    cols = [f.name for f in pa_schema]
+    for i in range(3):
+        part = str(src / f"chunk{i}.parquet")
+        pdf = ev.where(F.col("event_id") % 3 == i).toPandas()[cols]
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=pa_schema,
+                                 preserve_index=False), part)
+        os.utime(part, (1_000_000 + 60 * i, 1_000_000 + 60 * i))
+
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    got = jobs.run_to_memory(rate_limit_stream(stream), "t_rl", "update")
+
+    final = (got.groupBy("event_id")
+             .agg(F.max("n_in_window").alias("n_in_window")))
+    # compare the flagged subset against the batch operator run on a
+    # matching parquet dir (same filtered log)
+    batch_dir = tmp_path / "rl_batch"
+    ev.coalesce(1).write.parquet(f"{batch_dir}/events.parquet")
+    want = (_events_rate_limit(spark, str(batch_dir))
+            .select("event_id", "n_in_window"))
+    a = sorted(tuple(r) for r in
+               final.where(F.col("n_in_window") > RATE_LIMIT_N).collect())
+    b = sorted(tuple(r) for r in want.collect())
+    assert a and a == b
