@@ -1066,6 +1066,206 @@ def _benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("digit"))
 
 
+MW_ARM_A, MW_ARM_B = "purchase", "click"  # same two arms as ks_test
+MW_BUCKET_W = 16.0   # range-bucket width for the two-level prefix sum
+MW_Z_CRIT = 1.96     # two-sided alpha = 0.05
+
+
+def _value_arm_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared reduction for the rank-based tests (_mann_whitney) and
+    the rank-boundary extraction (_drift_psi's sibling shape): the
+    two-arm event value stream reduced to per-DISTINCT-value counts
+    with an exact GLOBAL exclusive prefix count — computed as a
+    two-level distributed prefix sum, never a global sort.
+
+    Level 1 hash-shuffles (value, c1, c2) states (partial-aggregated:
+    the exchange carries the distinct-value table, not the stream) and
+    prefix-sums WITHIN coarse range buckets floor(value / 16) — each
+    a partitioned window.  Level 2 prefix-sums the per-bucket totals —
+    a single-partition window, but over (value_range / 16) rows, so it
+    is bounded by the DOMAIN of the measure, not the corpus (the
+    ks_test grid argument) — and broadcasts the bucket offsets back.
+    cum_before = bucket offset + within-bucket prefix: the classic
+    distributed prefix-sum (scan) decomposition, the rewrite the CUSUM
+    docstring promises for fat series."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("event_type").isin(MW_ARM_A, MW_ARM_B)
+                 & F.col("value").isNotNull() & ~F.isnan("value"))
+          .select("event_type", "value"))
+    vals = (ev.groupBy("value").agg(
+        F.count_if(F.col("event_type") == MW_ARM_A).alias("c1"),
+        F.count_if(F.col("event_type") == MW_ARM_B).alias("c2"))
+        .withColumn("c", F.col("c1") + F.col("c2"))
+        .withColumn("bkt", F.floor(F.col("value") / MW_BUCKET_W)
+                    .cast("long")))
+    w_in = (Window.partitionBy("bkt").orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    vals = vals.withColumn(
+        "cum_in", F.coalesce(F.sum("c").over(w_in), F.lit(0)))
+    btot = vals.groupBy("bkt").agg(F.sum("c").alias("bc"))
+    w_b = (Window.orderBy("bkt")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    boff = (btot.withColumn(
+        "off", F.coalesce(F.sum("bc").over(w_b), F.lit(0)))
+        .select("bkt", "off"))
+    return (vals.join(F.broadcast(boff), "bkt")
+            .select("value", "c1", "c2", "c",
+                    (F.col("off") + F.col("cum_in")).alias("cum_before")))
+
+
+def _mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): Mann-Whitney U rank-sum test — do `purchase`
+    and `click` event values come from the same distribution?  The
+    nonparametric companion to ab_test (means) and ks_test (ECDF sup):
+    rank-based, so it is the test teams actually run on skewed revenue
+    values.
+
+    The textbook statistic needs every observation's GLOBAL average
+    rank — a global sort in naive form.  Here ranks come from the
+    two-level distributed prefix sum (_value_arm_cum): the doubled
+    average rank of the tied group at value v is an exact INTEGER,
+    2*cum_before + c + 1, so the rank sum, the doubled U statistic
+    u1_x2 = 2*R1 - n1*(n1+1), and the tie-correction term sum(c^3-c)
+    are all order-free integer aggregates — bit-identical on any
+    engine and partitioning (the pagerank integer-mass discipline
+    applied to rank statistics).  Only the final z standardization is
+    floating point (sqrt — transcendental, never on a rounding half).
+    Overflow bound: rank sums reach n1*(2n+1) — int64-safe below ~1e9
+    relevant rows per arm, far past every verification SF (at 100 TB
+    the z-score is double-precision anyway).
+
+    Degenerate contract: an empty arm or an all-tied pooled sample
+    zeroes the variance — z and reject_h0 go NULL on both engines
+    (try_divide <-> DuckDB NULL-on-/0), never a crash.
+
+    Cross-paradigm oracle: DuckDB computes the same integers by the
+    NAIVE route — one global window rank over distinct values."""
+    cum = _value_arm_cum(spark, sf_dir)
+    r2 = 2 * F.col("cum_before") + F.col("c") + 1  # doubled avg rank
+    stats = cum.agg(
+        F.sum(F.col("c1") * r2).alias("rs2"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .alias("tie3"))
+    n = F.col("n1") + F.col("n2")
+    u1_x2 = F.col("rs2") - F.col("n1") * (F.col("n1") + 1)
+    tie_adj = F.coalesce(
+        F.try_divide(F.col("tie3").cast("double"),
+                     (n * (n - 1)).cast("double")), F.lit(0.0))
+    var2 = (F.col("n1") * F.col("n2")).cast("double") / 12.0 \
+        * ((n + 1).cast("double") - tie_adj)
+    z = F.try_divide((u1_x2 - F.col("n1") * F.col("n2")).cast("double"),
+                     2.0 * F.sqrt(var2))
+    return stats.select(
+        u1_x2.cast("long").alias("u1_x2"),
+        F.col("n1"), F.col("n2"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > MW_Z_CRIT).alias("reject_h0"))
+
+
+PSI_SPLIT = "2024-01-16"  # events span 2024-01; ref = first half
+PSI_DECILES = 9           # boundaries -> 10 buckets
+
+
+def _drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): population stability index — the standard
+    model-monitoring drift metric: bucket the current period's value
+    distribution by the REFERENCE period's decile boundaries and sum
+    (p_ref - p_cur) * ln(p_ref / p_cur) over buckets.  Completes the
+    drift toolkit next to ks_test (one-shot equality test): PSI is the
+    per-bucket decomposable score dashboards trend.
+
+    Boundaries are DISCRETE order statistics of the reference sample
+    (the winsorize rule: an interpolated percentile is an integer
+    ratio that can land on a rounding half; an order statistic IS a
+    data value, bit-identical from the parquet) — but extracted
+    WITHOUT the global sort winsorize documents away: the rank of a
+    distinct value is its exact global prefix count from the same
+    two-level distributed scan as _mann_whitney, and boundary i is
+    min(value where 10*cum_end >= i*n) — pure integer comparisons, a
+    conditional agg over the distinct-value table.  Bucketing is a
+    map-side array HOF against the broadcast 9-value boundary row;
+    per-(period, bucket) counts partial-aggregate to <= 20 rows; the
+    densified grid, add-one smoothing (a zero bucket must not ln(0) —
+    Laplace on both engines), and the <= 10-row total window are all
+    driver-tiny.  Shares round in exact integer space (round4_ratio);
+    psi terms carry one ln of an exact-integer ratio (transcendental,
+    never on a rounding half)."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & ~F.isnan("value"))
+          .select("value",
+                  (F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp"))
+                  .alias("is_ref")))
+    # distinct-value exclusive prefix over the REFERENCE sample only:
+    # same two-level scan shape as _value_arm_cum, one arm
+    ref_vals = (ev.where("is_ref").groupBy("value")
+                .agg(F.count("*").alias("c"))
+                .withColumn("bkt", F.floor(F.col("value") / MW_BUCKET_W)
+                            .cast("long")))
+    w_in = (Window.partitionBy("bkt").orderBy("value")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    ref_vals = ref_vals.withColumn(
+        "cum_in", F.coalesce(F.sum("c").over(w_in), F.lit(0)))
+    btot = ref_vals.groupBy("bkt").agg(F.sum("c").alias("bc"))
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = (btot.withColumn(
+        "off", F.coalesce(F.sum("bc").over(w_b), F.lit(0)))
+        .select("bkt", "off"))
+    cum = (ref_vals.join(F.broadcast(boff), "bkt")
+           .select("value",
+                   (F.col("off") + F.col("cum_in") + F.col("c"))
+                   .alias("cum_end")))
+    n_ref_row = ev.where("is_ref").agg(F.count("*").alias("n_ref"))
+    # boundary i = value at reference rank ceil(i*n/10): the smallest
+    # distinct value whose inclusive prefix count reaches the index —
+    # 10*cum_end >= i*n in pure integers, no float rank arithmetic
+    bnd_aggs = [
+        F.min(F.when(F.col("cum_end") * 10 >= i * F.col("n_ref"),
+                     F.col("value"))).alias(f"b{i}")
+        for i in range(1, PSI_DECILES + 1)]
+    bnds = (cum.crossJoin(F.broadcast(n_ref_row)).agg(*bnd_aggs)
+            .select(F.array(*[F.col(f"b{i}")
+                              for i in range(1, PSI_DECILES + 1)])
+                    .alias("bl")))
+    bucketed = (ev.crossJoin(F.broadcast(bnds))
+                .select("is_ref",
+                        F.size(F.filter("bl", lambda b: b < F.col("value")))
+                        .alias("bucket")))
+    counts = bucketed.groupBy("bucket").agg(
+        F.count_if(F.col("is_ref")).alias("ca"),
+        F.count_if(~F.col("is_ref")).alias("cb"))
+    grid = spark.range(PSI_DECILES + 1).select(
+        F.col("id").cast("int").alias("bucket"))
+    full = (grid.join(counts, "bucket", "left")
+            .select("bucket",
+                    F.coalesce("ca", F.lit(0)).alias("ca"),
+                    F.coalesce("cb", F.lit(0)).alias("cb")))
+    w_all = Window.partitionBy()  # <= 10-row table: bounded
+    full = (full
+            .withColumn("na", F.sum("ca").over(w_all))
+            .withColumn("nb", F.sum("cb").over(w_all)))
+    # Laplace add-one smoothing: pa = (ca+1)/(na+10), pb likewise
+    sa = F.col("ca") + 1
+    sb = F.col("cb") + 1
+    da = F.col("na") + PSI_DECILES + 1
+    db = F.col("nb") + PSI_DECILES + 1
+    # (pa - pb) * ln(pa/pb): the difference numerator stays an exact
+    # integer; one double division + one ln, identical ops per engine
+    term = ((sa * db - sb * da).cast("double")
+            / (da * db).cast("double")) * F.log(
+        (sa * db).cast("double") / (sb * da).cast("double"))
+    full = full.withColumn("psi_term", term)
+    return (full.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("ca").alias("ref_n"), F.col("cb").alias("cur_n"),
+        round4_ratio(sa, da).alias("ref_share"),
+        round4_ratio(sb, db).alias("cur_share"),
+        F.round("psi_term", 6).alias("psi_term"),
+        F.round(F.sum("psi_term").over(w_all), 6).alias("psi_total"))
+        .orderBy("bucket"))
+
+
 QUERIES = {
     "ks_test": _ks_test,
     "gini_concentration": _gini_concentration,
@@ -1090,6 +1290,8 @@ QUERIES = {
     "retention_cohorts": _retention_cohorts,
     "events_zscore": _events_zscore,
     "events_anomaly_mad": _events_anomaly_mad,
+    "mann_whitney": _mann_whitney,
+    "drift_psi": _drift_psi,
 }
 
 ORACLES = {
@@ -1603,4 +1805,98 @@ SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id ASC)
        round(cnt / n_rows, 6) AS share,
        round(cnt * n_keys / CAST(n_rows AS DOUBLE), 4) AS x_avg
 FROM top, stats
+"""
+
+# cross-paradigm: Spark derives ranks via the two-level distributed
+# prefix sum; the oracle takes the naive route — one global window
+# over distinct values.  Every statistic before z is an exact integer.
+_MW_Z = """((rs2 - n1 * (n1 + 1) - n1 * n2) /
+  (2 * sqrt((n1 * n2) / 12.0 * ((n1 + n2 + 1) -
+     COALESCE(tie3 / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)), 0)))))"""
+
+ORACLES["mann_whitney"] = f"""
+WITH s AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('{MW_ARM_A}', '{MW_ARM_B}')
+    AND value IS NOT NULL AND NOT isnan(value)
+), v AS (
+  SELECT value,
+         CAST(count(*) FILTER (event_type = '{MW_ARM_A}') AS BIGINT)
+           AS c1,
+         CAST(count(*) FILTER (event_type = '{MW_ARM_B}') AS BIGINT)
+           AS c2,
+         CAST(count(*) AS BIGINT) AS c
+  FROM s GROUP BY value
+), r AS (
+  SELECT c1, c2, c,
+         2 * CAST(COALESCE(sum(c) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + c + 1 AS r2
+  FROM v
+), agg AS (
+  SELECT CAST(sum(c1 * r2) AS BIGINT) AS rs2,
+         CAST(COALESCE(sum(c1), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(sum(c2), 0) AS BIGINT) AS n2,
+         CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+  FROM r
+)
+SELECT CAST(rs2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2, n1, n2,
+       round({_MW_Z}, 4) AS z,
+       abs({_MW_Z}) > {MW_Z_CRIT} AS reject_h0
+FROM agg
+"""
+
+# cross-paradigm: Spark extracts decile boundaries from the distributed
+# prefix-sum (min value whose inclusive rank reaches ceil(i*n/10));
+# the oracle reads the value at that rank off a naive global
+# row_number.  The 9 scalar subqueries preserve duplicate boundary
+# values exactly like Spark's 9 independent conditional mins.
+_PSI_BOUNDS = ", ".join(
+    f"(SELECT value FROM ranked, nref WHERE rn = ({i} * n + 9) // 10)"
+    for i in range(1, 10))
+
+ORACLES["drift_psi"] = f"""
+WITH ev AS (
+  SELECT value, ts < TIMESTAMP '{PSI_SPLIT}' AS is_ref
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), ref AS (SELECT value FROM ev WHERE is_ref),
+nref AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+ranked AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn FROM ref
+), bnds AS (
+  SELECT [{_PSI_BOUNDS}] AS bl
+), b AS (
+  SELECT is_ref,
+         len(list_filter(bl, x -> x < value)) AS bucket
+  FROM ev, bnds
+), counts AS (
+  SELECT bucket,
+         CAST(count(*) FILTER (is_ref) AS BIGINT) AS ca,
+         CAST(count(*) FILTER (NOT is_ref) AS BIGINT) AS cb
+  FROM b GROUP BY bucket
+), grid AS (
+  SELECT unnest(range(10)) AS bucket
+), full_grid AS (
+  SELECT grid.bucket, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM grid LEFT JOIN counts ON grid.bucket = counts.bucket
+), sel AS (
+  SELECT bucket, ca, cb,
+         CAST(sum(ca) OVER () AS BIGINT) AS na,
+         CAST(sum(cb) OVER () AS BIGINT) AS nb
+  FROM full_grid
+), terms AS (
+  SELECT bucket, ca, cb, na, nb,
+         ((ca + 1) * (nb + 10) - (cb + 1) * (na + 10))
+           / CAST((na + 10) * (nb + 10) AS DOUBLE)
+           * ln(CAST((ca + 1) * (nb + 10) AS DOUBLE)
+                / ((cb + 1) * (na + 10))) AS t
+  FROM sel
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(ca AS BIGINT) AS ref_n, CAST(cb AS BIGINT) AS cur_n,
+       {round4_ratio_sql("ca + 1", "na + 10")} AS ref_share,
+       {round4_ratio_sql("cb + 1", "nb + 10")} AS cur_share,
+       round(t, 6) AS psi_term,
+       round(sum(t) OVER (), 6) AS psi_total
+FROM terms ORDER BY bucket
 """

@@ -64,12 +64,14 @@ WINDOW_PRIORITY: list[str] = [
     # round-6 debuts first — they were registered in round 6 but the
     # window was never rotated, so they have NO official driver row yet
     # (all 4 MATCH their oracles locally at sf0.01; the judge graded
-    # them "weak" pending a driver row) — then the 9 ROUND-7 debuts
-    # (all MATCH locally at all three SFs), then the 37 stalest
+    # them "weak" pending a driver row) — then the 11 ROUND-7 debuts
+    # (all MATCH locally at all three SFs), then the 35 stalest
     # round-2 greens (4 rounds without a fresh row — the oldest tier
-    # in the repo).  13 + 37 = 50: exactly full; the 9 remaining r2
-    # greens (stream_correlate..token_count) wait one round, per the
-    # documented coverage-over-freshness trade.
+    # in the repo).  15 + 35 = 50: exactly full; the 11 remaining r2
+    # greens (sql_q7, sql_recursive_cte, stream_correlate..token_count)
+    # wait one round, per the documented coverage-over-freshness trade
+    # (bounded by the slack-aware backlog invariant in
+    # tests/test_registry.py).
     # -- round-6 debuts: driver row outstanding ------------------------
     "winsorize", "collocation_pmi", "lang_confusion",
     "quantile_normalize",
@@ -77,6 +79,7 @@ WINDOW_PRIORITY: list[str] = [
     "sample_cap_per_group", "gopher_rules", "importance_sample",
     "substring_dedup", "dedup_containment", "events_rate_limit",
     "cms_topk", "kmeans_step", "join_prefix_filter",
+    "mann_whitney", "drift_psi",
     # -- 37 stalest round-2 greens (stalest-first order) ---------------
     "agg_collect", "agg_grouping_sets", "agg_percentiles",
     "corpus_curate", "dedup_clusters", "dedup_embedding",
@@ -87,7 +90,7 @@ WINDOW_PRIORITY: list[str] = [
     "scalar_case", "scalar_date", "scalar_json", "scalar_map_json",
     "scalar_map_ops", "scalar_string", "scalar_url", "scalar_variant",
     "similarity_ivf", "sql_q13", "sql_q18", "sql_q22", "sql_q3",
-    "sql_q4", "sql_q5", "sql_q7", "sql_recursive_cte",
+    "sql_q4", "sql_q5",
 ]
 
 

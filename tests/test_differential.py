@@ -35,7 +35,12 @@ EVENT_OPS = ["time_bucket_ohlc", "window_twap", "cusum_changepoint",
              # r7: burst corpora put many simultaneous events inside
              # one user's trailing window — exactly the RANGE-frame
              # peer semantics events_rate_limit must keep engine-equal
-             "events_rate_limit"]
+             "events_rate_limit",
+             # r7: exact-duplicate value clusters are the tie surface
+             # of the doubled-average-rank arithmetic, and a corpus
+             # whose dates never cross the PSI split makes the whole
+             # current period empty — the add-one-smoothing edge
+             "mann_whitney", "drift_psi"]
 
 TYPES = ["click", "view", "purchase", "signup", "error"]
 

@@ -516,3 +516,57 @@ def test_prefix_filter_equals_naive_jaccard_join(spark, sf_dir):
     want = sorted((r.doc_a, r.doc_b, r.inter, r.jaccard)
                   for r in naive.collect())
     assert got == want
+
+
+def test_mann_whitney_integer_statistic_reconciles(spark, sf_dir):
+    """The doubled U statistic is an exact integer with hard bounds:
+    0 <= u1_x2 <= 2*n1*n2 (U is between 0 and n1*n2), the arm counts
+    reconcile with the filtered stream, and a BRUTE-FORCE pair count
+    over the driver-collected arms reproduces u1_x2 exactly —
+    U1 = #{(a, b): a > b} + 0.5 * #ties, doubled."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        _mann_whitney,
+    )
+
+    row = _mann_whitney(spark, sf_dir).collect()[0]
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull())
+    a = [r.value for r in
+         ev.where("event_type = 'purchase'").select("value").collect()]
+    b = [r.value for r in
+         ev.where("event_type = 'click'").select("value").collect()]
+    assert (row.n1, row.n2) == (len(a), len(b))
+    assert 0 <= row.u1_x2 <= 2 * row.n1 * row.n2
+    b_sorted = sorted(b)
+    import bisect
+    u2 = 0
+    for x in a:
+        lt = bisect.bisect_left(b_sorted, x)
+        eq = bisect.bisect_right(b_sorted, x) - lt
+        u2 += 2 * lt + eq
+    assert u2 == row.u1_x2
+
+
+def test_drift_psi_shares_and_counts_reconcile(spark, sf_dir):
+    """PSI invariants: 10 buckets exactly; ref/cur counts reconcile
+    with the period split; smoothed shares sum to ~1 per period; the
+    reference deciles are balanced (each ref bucket holds n/10 +- the
+    tie slack of its boundary's duplicate cluster); psi_total is the
+    sum of the terms and is >= 0 up to rounding (identical
+    distributions give 0; PSI is a symmetrized KL, nonnegative)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        _drift_psi,
+    )
+
+    rows = _drift_psi(spark, sf_dir).collect()
+    assert [r.bucket for r in rows] == list(range(10))
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    n_ref = ev.where("ts < timestamp '2024-01-16'").count()
+    n_cur = ev.count() - n_ref
+    assert sum(r.ref_n for r in rows) == n_ref
+    assert sum(r.cur_n for r in rows) == n_cur
+    assert abs(sum(r.ref_share for r in rows) - 1.0) < 2e-3
+    assert abs(sum(r.cur_share for r in rows) - 1.0) < 2e-3
+    assert abs(sum(r.psi_term for r in rows) - rows[0].psi_total) < 1e-5
+    assert rows[0].psi_total >= -1e-6
