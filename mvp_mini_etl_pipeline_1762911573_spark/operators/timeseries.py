@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.exact import round4_ratio_dec, round4_ratio_dec_sql
 from ..tables import load
 
 OHLC_BUCKET_S = 21600  # 6-hour buckets, epoch-aligned on both engines
@@ -157,10 +158,66 @@ def _cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACF_MAX_LAG = 3  # autocorrelation horizon; the oracle unrolls lags 1..3
+
+
+def _acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): per-series autocorrelation function — r_k for
+    lags 1..ACF_MAX_LAG of each event_type's value series in time
+    order, the first diagnostic a forecasting pipeline reads (is this
+    series momentum, mean-reverting, or noise?).  Completes the
+    time-series family: OHLC summarizes levels, TWAP weights them,
+    CUSUM finds a break, ACF measures memory.
+
+    Engine-invariance discipline (the pagerank/lm_score pattern):
+    r_k = sum(u_t * u_{t+k}) / sum(u_t^2) where u_t = n*c_t - S over
+    integer CENTS c_t (floor(v*100+0.5), the benford idiom) — i.e.
+    the mean-centered terms scaled through by n so EVERYTHING is an
+    exact integer (a double mean would leak order-dependent ulps into
+    every product).  Sums accumulate in DECIMAL(38,0) (order-free;
+    u^2 ~ 1e20 passes int64), and the single division per lag rounds
+    half-up in exact decimal space (round4_ratio_dec).  A constant
+    series has denominator 0 -> NULL acf on both engines (the
+    round4_ratio_dec guard), never a crash.
+
+    Scale: ONE hash exchange on event_type feeds the whole-partition
+    moments window, the lead() windows and the final agg (same key ->
+    Catalyst reuses the partitioning; the profiler pin asserts it).
+    Series count bounds parallelism — for few fat series the
+    chunk-plus-offset split (the _value_arm_cum two-level scan) is
+    the documented rewrite, as in CUSUM."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & ~F.isnan("value"))
+          .select("event_type", "ts", "event_id",
+                  F.floor(F.col("value") * 100 + 0.5).alias("c")))
+    part = Window.partitionBy("event_type")
+    ordered = part.orderBy("ts", "event_id")
+    d = (ev
+         .withColumn("n", F.count("*").over(part))
+         .withColumn("s", F.sum("c").over(part))
+         .withColumn("u", (F.col("n") * F.col("c") - F.col("s"))
+                     .cast("decimal(19,0)")))
+    for k in range(1, ACF_MAX_LAG + 1):
+        d = d.withColumn(f"u{k}", F.lead("u", k).over(ordered))
+    aggs = [F.count("*").alias("n_obs"),
+            F.sum((F.col("u") * F.col("u")).cast("decimal(38,0)"))
+            .alias("den")]
+    for k in range(1, ACF_MAX_LAG + 1):
+        aggs.append(F.sum((F.col("u") * F.col(f"u{k}"))
+                          .cast("decimal(38,0)")).alias(f"num{k}"))
+    out = d.groupBy("event_type").agg(*aggs)
+    sel = [F.col("event_type"), F.col("n_obs")]
+    for k in range(1, ACF_MAX_LAG + 1):
+        sel.append(round4_ratio_dec(
+            F.col(f"num{k}"), F.col("den")).alias(f"acf{k}"))
+    return out.select(*sel).orderBy("event_type")
+
+
 QUERIES = {
     "time_bucket_ohlc": _time_bucket_ohlc,
     "window_twap": _window_twap,
     "cusum_changepoint": _cusum_changepoint,
+    "acf_lags": _acf_lags,
 }
 
 ORACLES = {
@@ -227,3 +284,39 @@ SELECT event_type, n_events,
 FROM ranked WHERE rn = 1
 """,
 }
+
+# identical integer recurrence: u = n*c - S in int64, products summed
+# exactly (HUGEINT here, DECIMAL(38,0) on the Spark side), one
+# half-up division per lag in exact wide-integer space
+ORACLES["acf_lags"] = f"""
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), st AS (
+  SELECT event_type, ts, event_id, c,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s
+  FROM e
+), u AS (
+  SELECT event_type, n, n * c - s AS u,
+         lead(n * c - s, 1) OVER w AS u1,
+         lead(n * c - s, 2) OVER w AS u2,
+         lead(n * c - s, 3) OVER w AS u3
+  FROM st
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_obs,
+         sum(CAST(u AS HUGEINT) * u) AS den,
+         sum(CAST(u AS HUGEINT) * u1) AS num1,
+         sum(CAST(u AS HUGEINT) * u2) AS num2,
+         sum(CAST(u AS HUGEINT) * u3) AS num3
+  FROM u GROUP BY event_type
+)
+SELECT event_type, n_obs,
+       {round4_ratio_dec_sql("num1", "den")} AS acf1,
+       {round4_ratio_dec_sql("num2", "den")} AS acf2,
+       {round4_ratio_dec_sql("num3", "den")} AS acf3
+FROM agg ORDER BY event_type
+"""

@@ -40,7 +40,13 @@ EVENT_OPS = ["time_bucket_ohlc", "window_twap", "cusum_changepoint",
              # of the doubled-average-rank arithmetic, and a corpus
              # whose dates never cross the PSI split makes the whole
              # current period empty — the add-one-smoothing edge
-             "mann_whitney", "drift_psi"]
+             "mann_whitney", "drift_psi",
+             # r7: same-µs timestamp ties make the (ts, event_id) lag
+             # ordering tie-break load-bearing, and duplicate-value
+             # clusters stress the all-integer mean-centering — the
+             # exact shapes acf_lags's lead() recurrence must keep
+             # engine-equal
+             "acf_lags"]
 
 TYPES = ["click", "view", "purchase", "signup", "error"]
 

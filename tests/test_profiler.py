@@ -639,3 +639,20 @@ def test_drift_psi_shuffles_reference_values_not_periods(spark, sf_dir):
     assert s["shuffle_records"] <= 4 * n_distinct_ref + 64 * 32
     assert s["shuffle_records"] < n_rows
     assert s["spill_disk_bytes"] == 0
+
+
+def test_acf_lags_reuses_series_partitioning(spark, sf_dir):
+    """acf_lags's scale claim measured (r7): the moments window
+    (partitionBy only), the three lead() windows (same key, ordered)
+    and the final groupBy all cluster on event_type — the stream
+    crosses ONE hash exchange; only the 5-row result crosses the final
+    ordering exchange.  If the moment aggregation ran as a separate
+    groupBy-and-rejoin, or any window picked a different clustering,
+    records would cross twice."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value"))
+    n_rows = ev.count()
+    got = profile(all_queries()["acf_lags"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= n_rows + 5 * 32 + 5
+    assert s["spill_disk_bytes"] == 0

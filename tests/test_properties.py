@@ -570,3 +570,44 @@ def test_drift_psi_shares_and_counts_reconcile(spark, sf_dir):
     assert abs(sum(r.cur_share for r in rows) - 1.0) < 2e-3
     assert abs(sum(r.psi_term for r in rows) - rows[0].psi_total) < 1e-5
     assert rows[0].psi_total >= -1e-6
+
+
+def test_acf_lags_brute_force_replay(spark, sf_dir):
+    """ACF invariants: a driver-side brute-force replay over the
+    collected per-series values (time order, (ts, event_id)
+    tie-break) reproduces every acf_k exactly through the same
+    integer recurrence (c = floor(100v + 0.5), u = n*c − S, half-up
+    division), and Cauchy-Schwarz bounds each lag: |r_k| <= 1 up to
+    the 1e-4 rounding grid."""
+    import math
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.timeseries import (
+        ACF_MAX_LAG, _acf_lags,
+    )
+
+    rows = {r.event_type: r for r in _acf_lags(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value"))
+    series = {}
+    for r in ev.select("event_type", "ts", "event_id", "value").collect():
+        series.setdefault(r.event_type, []).append(
+            (r.ts, r.event_id, math.floor(r.value * 100 + 0.5)))
+    assert set(series) == set(rows)
+    for etype, pts in series.items():
+        pts.sort(key=lambda t: (t[0], t[1]))
+        c = [p[2] for p in pts]
+        n, s = len(c), sum(c)
+        u = [n * ci - s for ci in c]
+        den = sum(x * x for x in u)
+        row = rows[etype]
+        assert row.n_obs == n
+        for k in range(1, ACF_MAX_LAG + 1):
+            num = sum(u[i] * u[i + k] for i in range(n - k))
+            got = getattr(row, f"acf{k}")
+            if den <= 0:
+                assert got is None
+            else:
+                want = ((num * 20000 + den)
+                        - ((num * 20000 + den) % (2 * den))) // (2 * den)
+                assert got == want / 1e4
+                assert abs(got) <= 1.0001
