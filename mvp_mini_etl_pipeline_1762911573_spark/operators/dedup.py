@@ -1281,6 +1281,50 @@ def _dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_true_dup", "n_false_pos", "n_missed"))
 
 
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): per-document n-gram novelty — the fraction of a
+    doc's distinct word-3-grams whose FIRST corpus occurrence (min
+    doc_id over the whole corpus) is this doc.  The curation signal
+    between exact dedup and near-dup: a scraped page that is 90%
+    boilerplate scores near 0 without needing any pairwise comparison,
+    and an incremental crawl can rank each batch by how much genuinely
+    new text it contributes.
+
+    Unlike the jaccard/containment family this needs NO hot-gram
+    pruning: the per-gram reduce is an aggregation (min + count), so a
+    stopword-gram shared by k docs costs k partial-agg rows and k join
+    rows — linear, never the k² a candidate self-join pays.  The gram
+    universe therefore stays complete (true novelty, no df-threshold
+    parameter).
+
+    All outputs exact: counts are BIGINTs, the single ratio rounds
+    half-up in pure integer space (round4_ratio, zero-gram docs are
+    absent by construction — a <3-token doc has no grams).
+
+    Scale: text collapses to distinct (gram, doc_id) pairs map-side
+    (_gram_array is per-doc distinct); ONE hash exchange on gram feeds
+    both the min-reduce and the join back (same key → Catalyst reuses
+    the partitioning); the per-doc agg shuffles one row per pair.
+    Document text never crosses an exchange."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
+    grams = toks.select(
+        "doc_id", F.explode(_gram_array("ws", 3)).alias("gram"))
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum((F.col("doc_id") == F.col("first_doc"))
+                   .cast("long")).alias("n_novel"))
+        .select("doc_id", "n_grams", "n_novel",
+                round4_ratio(F.col("n_novel"), F.col("n_grams"))
+                .alias("novelty"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "graph_pagerank": _graph_pagerank,
     "graph_bfs": _graph_bfs,
@@ -1301,6 +1345,7 @@ QUERIES = {
     "substring_dedup": _substring_dedup,
     "dedup_containment": _dedup_containment,
     "join_prefix_filter": _join_prefix_filter,
+    "ngram_novelty": _ngram_novelty,
 }
 
 ORACLES = {
@@ -1677,4 +1722,34 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM existing) AS n_existing,
        CAST(sum(CASE WHEN all_hit = 0 AND bucket < {BLOOM_EXISTING_HI}
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
 FROM flags
+"""
+
+# identical recurrence over the UNPRUNED distinct gram universe (the
+# min+count reduce is linear in shared grams, so novelty needs no
+# df-threshold — see _ngram_novelty); tokenization is the raw
+# WS_CHARS split shared with the jaccard oracles
+ORACLES["ngram_novelty"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text),
+                                    '[ \\t\\n\\x0B\\f\\r]+') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(ws) - 1, 1)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+  FROM toks
+), first AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       {round4_ratio_sql(
+           "CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT)",
+           "CAST(count(*) AS BIGINT)")} AS novelty
+FROM grams g JOIN first f USING (gram)
+GROUP BY g.doc_id
+ORDER BY doc_id
 """

@@ -136,7 +136,12 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            # r7: prefix-filter completeness vs the naive-spec oracle on
            # adversarial corpora — repetition storms make near-dup sets,
            # empty/short docs stress the p = n - ceil(tn) + 1 edge
-           "join_prefix_filter"]
+           "join_prefix_filter",
+           # r7: repetition storms collapse the gram universe (many
+           # docs, few grams → novelty concentrates in the lowest
+           # doc_ids) and empty/whitespace docs fall out gram-less —
+           # the min-doc tie and absent-row edges of ngram_novelty
+           "ngram_novelty"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 

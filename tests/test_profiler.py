@@ -656,3 +656,31 @@ def test_acf_lags_reuses_series_partitioning(spark, sf_dir):
     s = got["summary"]
     assert s["shuffle_records"] <= n_rows + 5 * 32 + 5
     assert s["spill_disk_bytes"] == 0
+
+
+def test_ngram_novelty_shuffles_pairs_never_text(spark, sf_dir):
+    """ngram_novelty's scale claim measured (r7): the text stream
+    collapses to distinct (gram, doc_id) pairs map-side; one gram
+    exchange feeds both the min-reduce and the join back, and the
+    per-doc agg moves one row per pair — total shuffle traffic is
+    LINEAR in the pair count (a candidate self-join would be
+    quadratic in shared grams), and whole documents never cross an
+    exchange.  No bytes-vs-corpus bound: a 3-word gram key is ~3×
+    its source text by construction, so pair bytes legitimately
+    exceed corpus bytes on short docs — the scale lever at 100 TB is
+    a 64-bit gram fingerprint as the shuffle key (same plan), kept
+    as raw strings here for the collision-free oracle."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        _gram_array,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import WS_RUN
+
+    docs = load(spark, sf_dir, "documents")
+    n_pairs = (docs
+               .select("doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
+               .select(F.explode(_gram_array("ws", 3)).alias("gram"))
+               .count())
+    got = profile(all_queries()["ngram_novelty"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 5 * n_pairs + 64 * 32
+    assert s["spill_disk_bytes"] == 0

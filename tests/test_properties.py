@@ -611,3 +611,41 @@ def test_acf_lags_brute_force_replay(spark, sf_dir):
                         - ((num * 20000 + den) % (2 * den))) // (2 * den)
                 assert got == want / 1e4
                 assert abs(got) <= 1.0001
+
+
+def test_ngram_novelty_brute_force_replay(spark, sf_dir):
+    """Novelty invariants: a driver-side replay over the collected
+    texts (same WS split, distinct 3-grams, min-doc-id first-seen)
+    reproduces every row; the doc with the smallest doc_id that has
+    grams is 100% novel; n_novel sums to the distinct-gram-universe
+    size (each gram is novel in exactly one doc); gram-less docs
+    (<3 tokens) are absent."""
+    import re
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        _ngram_novelty,
+    )
+
+    rows = {r.doc_id: r for r in _ngram_novelty(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+    per_doc, first_seen = {}, {}
+    for d in sorted(docs, key=lambda r: r.doc_id):
+        ws = ws_re.split(d.text.lower())
+        grams = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)} \
+            if len(ws) >= 3 else set()
+        per_doc[d.doc_id] = grams
+        for g in grams:
+            first_seen.setdefault(g, d.doc_id)
+    expected_ids = {i for i, g in per_doc.items() if g}
+    assert set(rows) == expected_ids
+    for doc_id, grams in per_doc.items():
+        if not grams:
+            continue
+        novel = sum(1 for g in grams if first_seen[g] == doc_id)
+        r = rows[doc_id]
+        assert (r.n_grams, r.n_novel) == (len(grams), novel)
+        num, den = novel * 20000 + len(grams), 2 * len(grams)
+        assert r.novelty == (num - num % den) // den / 1e4
+    assert rows[min(expected_ids)].novelty == 1.0
+    assert sum(r.n_novel for r in rows.values()) == len(first_seen)
