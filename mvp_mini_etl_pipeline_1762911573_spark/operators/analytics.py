@@ -320,6 +320,76 @@ def _events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): Kaplan-Meier survival curve for time-to-first-
+    purchase — the censoring-aware conversion analysis (a plain
+    conversion-time average silently drops every user who has not
+    converted YET; KM keeps them at risk until their last observed
+    event).  Per user: enter at their first event, 'die' at their
+    first purchase, else right-censored at their last event; time is
+    whole DAYS (integer µs div 86400e6 — exact on both engines).
+
+    Survival is a cumulative PRODUCT, which floats make order-
+    dependent — so it runs through the lm_score idiom: each step's
+    ln((n_risk − d)/n_risk) is ln of ONE IEEE division of two exact
+    BIGINTs (bit-identical input on both engines), quantized to
+    integer micro-units (floor(ln·1e6 + 0.5); |ln·1e6| < 2e7, far
+    inside the quantizer's domain), summed EXACTLY in int64 down the
+    curve, and exponentiated once per row (transcendental output —
+    never on a rounding half).  A step that kills the last subjects
+    at risk (d = n_risk) is exact 0, bypassing ln(0).
+
+    Standard KM conventions: subjects censored at t are still at risk
+    AT t (cum-prev exclusive window); only death times emit rows.
+
+    Scale: one user_id exchange builds subjects, one per-time agg
+    reduces them to ≤ |distinct day durations| rows, and the two
+    single-partition windows run over THAT table (bounded by the
+    censoring horizon in days, never by users; at a longer horizon
+    the two-level prefix scan — mann_whitney's — is the documented
+    rewrite)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"))
+    subjects = ev.groupBy("user_id").agg(
+        F.min("us").alias("enter"),
+        F.max("us").alias("last"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us")))
+        .alias("conv"))
+    subjects = subjects.select(
+        F.when(F.col("conv").isNotNull(), F.col("conv") - F.col("enter"))
+        .otherwise(F.col("last") - F.col("enter")).alias("dur_us"),
+        F.col("conv").isNotNull().cast("long").alias("event"))
+    per_t = (subjects
+             .select(F.expr("dur_us div 86400000000").alias("t_days"),
+                     "event")
+             .groupBy("t_days")
+             .agg(F.sum("event").alias("n_events"),
+                  F.sum(1 - F.col("event")).alias("n_censored")))
+    w_all = Window.orderBy("t_days")
+    at_risk = per_t.withColumn(
+        "n_risk",
+        F.sum(F.col("n_events") + F.col("n_censored")).over(
+            w_all.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    deaths = at_risk.where(F.col("n_events") > 0)
+    li = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.floor(F.log((F.col("n_risk") - F.col("n_events"))
+                      / F.col("n_risk")) * 1e6 + 0.5).cast("long"))
+    curve = deaths.withColumn(
+        "cum_li",
+        F.sum(li).over(w_all.rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)))
+    survival = F.when(
+        F.sum((F.col("n_events") == F.col("n_risk")).cast("int")).over(
+            w_all.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)) > 0,
+        F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("cum_li") / 1e6), 4))
+    return (curve.select("t_days", "n_risk", "n_events", "n_censored",
+                         survival.alias("survival"))
+            .orderBy("t_days"))
+
+
 MAD_K = 1.4826  # normal-consistency constant: MAD * 1.4826 ≈ sigma
 
 
@@ -1292,6 +1362,7 @@ QUERIES = {
     "events_anomaly_mad": _events_anomaly_mad,
     "mann_whitney": _mann_whitney,
     "drift_psi": _drift_psi,
+    "kaplan_meier": _kaplan_meier,
 }
 
 ORACLES = {
@@ -1899,4 +1970,48 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        round(t, 6) AS psi_term,
        round(sum(t) OVER (), 6) AS psi_total
 FROM terms ORDER BY bucket
+"""
+
+# identical KM recurrence: day durations by integer div, at-risk via a
+# FOLLOWING-inclusive window sum, each step's ln quantized to integer
+# micro-units off ONE int/int IEEE division (the lm_score idiom), exact
+# int64 cumulative sum, one exp per row; d = n_risk short-circuits to 0
+ORACLES["kaplan_meier"] = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), subj AS (
+  SELECT min(us) AS enter, max(us) AS last,
+         min(CASE WHEN event_type = 'purchase' THEN us END) AS conv
+  FROM ev GROUP BY user_id
+), subjects AS (
+  SELECT CASE WHEN conv IS NOT NULL THEN conv - enter
+              ELSE last - enter END AS dur_us,
+         CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM subj
+), per_t AS (
+  SELECT dur_us // 86400000000 AS t_days,
+         CAST(sum(event) AS BIGINT) AS n_events,
+         CAST(sum(1 - event) AS BIGINT) AS n_censored
+  FROM subjects GROUP BY 1
+), at_risk AS (
+  SELECT *, CAST(sum(n_events + n_censored) OVER
+    (ORDER BY t_days ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    AS BIGINT) AS n_risk
+  FROM per_t
+), deaths AS (
+  SELECT * FROM at_risk WHERE n_events > 0
+), curve AS (
+  SELECT *,
+    sum(CASE WHEN n_events < n_risk THEN
+        CAST(floor(ln((n_risk - n_events) / CAST(n_risk AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT) END) OVER w AS cum_li,
+    sum(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER w AS n_zero
+  FROM deaths
+  WINDOW w AS (ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t_days, n_risk, n_events, n_censored,
+       CASE WHEN n_zero > 0 THEN 0.0
+            ELSE round(exp(cum_li / 1e6), 4) END AS survival
+FROM curve ORDER BY t_days
 """

@@ -28,6 +28,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.exact import round4_ratio_dec, round4_ratio_dec_sql
 from ..tables import load
 
 LSH_TABLES = 4  # L independent hash tables ...
@@ -826,10 +827,64 @@ def _kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): one power-iteration step toward the corpus's top
+    principal component — w = Σ_i (u_i·v0) u_i over mean-centered
+    vectors with v0 = 1 — the building block of distributed PCA
+    (dimensionality audit, whitening, spectral dedup).  Sibling of
+    kmeans_step: that one advances Lloyd's, this one advances the
+    leading eigenvector; both are one exact step a driver loop would
+    repeat.
+
+    Engine-invariance: embeddings quantize to an integer grid
+    (floor(x·1000 + 0.5) on the float32→double widened value — one
+    IEEE op), and centering is scaled through by n (u_i = n·q_i − S,
+    all-integer, the acf_lags pattern).  Because Σ_i u_i = 0 exactly,
+    (u_i·v0) collapses to n·T_i − G with per-vector T_i = Σ_k q_ik
+    and corpus G = Σ T — so the step needs NO per-dimension mean
+    join: one broadcast 1-row (n, G) agg, a map-side per-vector
+    coefficient r_i, and a single per-dimension reduce of r_i·q_ij in
+    DECIMAL(38,0) (n factors out of the direction, so w'_j = Σ r_i
+    q_ij is reported).  Outputs are scale-free exact ratios
+    (round4_ratio_dec): direction_j = w'_j / max|w'| ∈ [−1, 1] and
+    share_j = |w'_j| / Σ|w'| — an all-zero w' (degenerate corpus)
+    yields NULLs, never /0.
+
+    Scale: the vector table is touched ONCE map-side (quantize, T_i,
+    r_i), then posexplode shuffles (dim, term) partials that partial-
+    aggregate to ≤ d states per partition — shuffle is O(d · parts),
+    never O(n·d); the 1-row totals agg broadcasts.  d iterations of
+    the driver loop reuse the same plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    qa = F.transform(F.col("embedding").cast("array<double>"),
+                     lambda x: F.floor(x * 1000 + 0.5).cast("long"))
+    q = emb.select("vec_id", qa.alias("qa"),
+                   F.aggregate(qa, F.lit(0).cast("long"),
+                               lambda acc, x: acc + x).alias("ti"))
+    totals = q.agg(F.count("*").alias("n"), F.sum("ti").alias("g"))
+    r = (q.crossJoin(F.broadcast(totals))
+         .select("qa", (F.col("n") * F.col("ti") - F.col("g"))
+                 .cast("decimal(19,0)").alias("ri")))
+    terms = r.select(F.posexplode("qa").alias("dim", "qv"), "ri")
+    w = terms.groupBy("dim").agg(
+        F.sum(F.col("ri") * F.col("qv").cast("decimal(19,0)"))
+        .alias("wj"))
+    norms = w.agg(F.max(F.abs(F.col("wj"))).alias("mx"),
+                  F.sum(F.abs(F.col("wj"))).alias("tot"))
+    return (w.crossJoin(F.broadcast(norms))
+            .select(F.col("dim").cast("long").alias("dim"),
+                    round4_ratio_dec(F.col("wj"), F.col("mx"))
+                    .alias("direction"),
+                    round4_ratio_dec(F.abs(F.col("wj")), F.col("tot"))
+                    .alias("share"))
+            .orderBy("dim"))
+
+
 QUERIES = {
     # similarity_ivf leads: it debuts in round 2's verification window
     # and must stay inside the driver's 50-query cap (see registry.py)
     "similarity_ivf": _similarity_ivf,
+    "pca_power_iter": _pca_power_iter,
     "kmeans_step": _kmeans_step,
     "array_cosine": _array_cosine,
     "embedding_normalize": _embedding_normalize,
@@ -1000,3 +1055,35 @@ FROM embeddings, generate_series(1, 8) AS t(i)
 GROUP BY label, i
 """,
 }
+
+# identical integer recurrence: quantize -> per-vector T -> r = n*T - G
+# -> per-dim sum of r*q in HUGEINT (mirrors Spark's DECIMAL(38,0)),
+# scale-free half-up ratios; 1-based range indexing -> 0-based dim
+ORACLES["pca_power_iter"] = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qa
+  FROM embeddings
+), t AS (
+  SELECT vec_id, qa,
+         CAST(list_sum(qa) AS BIGINT) AS ti
+  FROM q
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(ti) AS BIGINT) AS gg
+  FROM t
+), r AS (
+  SELECT qa, g.n * ti - g.gg AS ri FROM t, g
+), terms AS (
+  SELECT j - 1 AS dim, CAST(ri AS HUGEINT) * qa[CAST(j AS INT)] AS term
+  FROM r, unnest(range(1, len(qa) + 1)) AS rj(j)
+), w AS (
+  SELECT dim, sum(term) AS wj FROM terms GROUP BY dim
+), norms AS (
+  SELECT max(abs(wj)) AS mx, sum(abs(wj)) AS tot FROM w
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       {round4_ratio_dec_sql("wj", "mx")} AS direction,
+       {round4_ratio_dec_sql("abs(wj)", "tot")} AS share
+FROM w, norms ORDER BY dim
+"""

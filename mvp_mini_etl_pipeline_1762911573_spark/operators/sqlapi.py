@@ -475,6 +475,93 @@ def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOT_B = 50  # bootstrap replicates; ranks derive from B by integer ceil
+#: Poisson(1) CDF cut points scaled to the 1e6 hash-bucket grid
+#: (floor(cdf·1e6), computed once offline): a bucket below POISSON_CUM[k]
+#: draws weight ≤ k.  Truncated at w = 5 (tail mass 6e-4, documented).
+POISSON_CUM = [367879, 735758, 919698, 981011, 996340]
+
+
+def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): percentile-bootstrap confidence interval for the
+    per-status mean order price via the POISSON bootstrap — the
+    resampling scheme that actually distributes: classical bootstrap
+    draws n-out-of-n WITH replacement (a global, stateful operation),
+    Poisson bootstrap gives every (row, replicate) an independent
+    Poisson(1) weight, making resampling a pure MAP over the stream.
+
+    Determinism: the weight is NOT an RNG draw — it is a public-hash
+    bucket (sha256(o_orderkey ':' b) first 8 hex chars mod 1e6, the
+    sample_hash idiom both engines compute bit-identically) cut at
+    the Poisson(1) CDF grid POISSON_CUM.  The 2^32→1e6 modulo bias
+    (~2e-4 relative) and the w ≤ 5 truncation (tail mass 6e-4) are
+    accepted, documented approximations — identical on both engines,
+    so the oracle stays exact.
+
+    Replicate means are exact integer-cent ratios (round4_ratio_dec;
+    an all-zero-weight replicate is NULL and is excluded from the
+    rank on BOTH engines — the NULL-ordering trap).  The CI bounds
+    are DISCRETE order statistics of the replicate means (the
+    winsorize idiom): ranks ceil(0.025·B_eff) / ceil(0.975·B_eff) in
+    pure-integer ceil division — never interpolated percentiles.
+
+    Scale: the n×B expanded stream never materializes — it partial-
+    aggregates map-side to ≤ groups×B states per partition, so the
+    one exchange carries O(groups·B·parts) rows no matter the corpus;
+    the point-estimate agg reuses the same base scan.  B scales the
+    map CPU (one sha256 per row-replicate), not the shuffle."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"), "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"))
+    rep = o.select(
+        "status", "o_orderkey", "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(BOOT_B))).alias("b"))
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.sha2(F.concat(F.col("o_orderkey").cast("string"),
+                            F.lit(":"), F.col("b").cast("string")), 256),
+            1, 8), 16, 10).cast("long"),
+        F.lit(1000000))
+    w = (F.when(bucket < POISSON_CUM[0], 0)
+         .when(bucket < POISSON_CUM[1], 1)
+         .when(bucket < POISSON_CUM[2], 2)
+         .when(bucket < POISSON_CUM[3], 3)
+         .when(bucket < POISSON_CUM[4], 4)
+         .otherwise(5)).cast("long")
+    means = (rep.withColumn("w", w)
+             .groupBy("status", "b")
+             .agg(F.sum("w").alias("sw"),
+                  F.sum(F.col("w") * F.col("cents")).alias("swc"))
+             .select("status", "b",
+                     round4_ratio_dec(
+                         F.col("swc"), F.col("sw") * 100).alias("m"))
+             .where(F.col("m").isNotNull()))
+    part = Window.partitionBy("status")
+    ranked = (means
+              .withColumn("rn", F.row_number().over(
+                  part.orderBy("m", "b")))
+              .withColumn("beff", F.count("*").over(part)))
+    ci = (ranked
+          .withColumn("lo", F.max(F.when(
+              F.col("rn") == F.expr("(beff * 25 + 999) div 1000"),
+              F.col("m"))).over(part))
+          .withColumn("hi", F.max(F.when(
+              F.col("rn") == F.expr("(beff * 975 + 999) div 1000"),
+              F.col("m"))).over(part))
+          .groupBy("status")
+          .agg(F.max("beff").alias("b_eff"),
+               F.max("lo").alias("ci_lo"),
+               F.max("hi").alias("ci_hi")))
+    point = o.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        round4_ratio_dec(F.sum("cents"),
+                         F.count("*") * 100).alias("mean_price"))
+    return (point.join(ci, "status")
+            .select("status", "n_orders", "mean_price",
+                    "ci_lo", "ci_hi", "b_eff")
+            .orderBy("status"))
+
+
 CAP_PER_CELL = 200  # max docs retained per (lang, source) cell
 
 
@@ -919,6 +1006,7 @@ QUERIES = {
     "agg_collect": _agg_collect,
     "sample_stratified": _sample_stratified,
     "sample_hash": _sample_hash,
+    "bootstrap_ci": _bootstrap_ci,
     "sample_cap_per_group": _sample_cap_per_group,
     "sample_priority": _sample_priority,
     "chain_rcte": _chain_rcte,
@@ -1387,3 +1475,57 @@ SELECT status,
 FROM bounded GROUP BY status
 """,
 }
+
+# identical Poisson-bootstrap recurrence: public-hash bucket -> CDF-grid
+# weight, exact integer-cent replicate means (NULL replicates excluded
+# on both sides), discrete-order-statistic CI at integer ceil ranks
+ORACLES["bootstrap_ci"] = f"""
+WITH o AS (
+  SELECT o_orderstatus AS status, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), rep AS (
+  SELECT status, o_orderkey, cents, b
+  FROM o, unnest(range(1, {BOOT_B} + 1)) AS rb(b)
+), weighted AS (
+  SELECT status, b, cents,
+    CASE
+      WHEN bucket < {POISSON_CUM[0]} THEN 0
+      WHEN bucket < {POISSON_CUM[1]} THEN 1
+      WHEN bucket < {POISSON_CUM[2]} THEN 2
+      WHEN bucket < {POISSON_CUM[3]} THEN 3
+      WHEN bucket < {POISSON_CUM[4]} THEN 4
+      ELSE 5 END AS w
+  FROM (
+    SELECT status, b, cents,
+           CAST(concat('0x', substr(sha256(
+             CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+             1, 8)) AS BIGINT) % 1000000 AS bucket
+    FROM rep)
+), means AS (
+  SELECT status, b,
+         {round4_ratio_dec_sql("CAST(sum(w * cents) AS HUGEINT)",
+                               "CAST(sum(w) AS HUGEINT) * 100")} AS m
+  FROM weighted GROUP BY status, b
+), ranked AS (
+  SELECT status, m,
+         row_number() OVER (PARTITION BY status ORDER BY m, b) AS rn,
+         count(*) OVER (PARTITION BY status) AS beff
+  FROM means WHERE m IS NOT NULL
+), ci AS (
+  SELECT status,
+         CAST(max(beff) AS BIGINT) AS b_eff,
+         max(CASE WHEN rn = (beff * 25 + 999) // 1000 THEN m END) AS ci_lo,
+         max(CASE WHEN rn = (beff * 975 + 999) // 1000 THEN m END) AS ci_hi
+  FROM ranked GROUP BY status
+), point AS (
+  SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+         {round4_ratio_dec_sql("CAST(sum(cents) AS HUGEINT)",
+                               "CAST(count(*) AS HUGEINT) * 100")}
+         AS mean_price
+  FROM o GROUP BY status
+)
+SELECT p.status, p.n_orders, p.mean_price, c.ci_lo, c.ci_hi, c.b_eff
+FROM point p JOIN ci c USING (status)
+ORDER BY status
+"""

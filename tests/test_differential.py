@@ -46,7 +46,12 @@ EVENT_OPS = ["time_bucket_ohlc", "window_twap", "cusum_changepoint",
              # clusters stress the all-integer mean-centering — the
              # exact shapes acf_lags's lead() recurrence must keep
              # engine-equal
-             "acf_lags"]
+             "acf_lags",
+             # r7: purchase-free corpora make every subject censored
+             # (zero death rows → empty curve on both engines), and
+             # single-event users land whole day-0 tie clusters on the
+             # first KM step — the d = n_risk exact-zero edge
+             "kaplan_meier"]
 
 TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -216,7 +221,11 @@ def test_differential_on_generated_docs(spark, diff_doc_dirs, name, seed):
 EMB_OPS = ["array_cosine", "embedding_normalize", "embedding_quantize",
            "similarity_topk", "embedding_centroids", "similarity_ivf",
            # r7: one Lloyd step over the same quantizer cells
-           "kmeans_step"]
+           "kmeans_step",
+           # r7: constant/duplicate vectors zero the centered terms
+           # (all-zero w → NULL direction/share via the b>0 guard) and
+           # extreme coordinates stress the DECIMAL(38,0) per-dim sums
+           "pca_power_iter"]
 
 
 def _gen_embeddings(seed: int, n: int = 300, dim: int = 64):
@@ -308,7 +317,11 @@ REL_OPS = ["rfm_segments", "agg_histogram", "table_diff", "dq_check",
            # r7: winsorize's discrete order-statistic bounds landing ON
            # tied cent values (the tiny price palette) and clip counts
            # with negative/zero prices are this corpus's exact shapes
-           "winsorize"]
+           "winsorize",
+           # r7: the tiny price palette makes replicate means COLLIDE
+           # (the (m, b) rank tie-break goes load-bearing) and small
+           # strata stress the integer-ceil CI ranks at b_eff edges
+           "bootstrap_ci"]
 
 STATUSES = ["F", "O", "P", "F", "O", "P", "Q"]  # Q = domain violation
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",

@@ -684,3 +684,49 @@ def test_ngram_novelty_shuffles_pairs_never_text(spark, sf_dir):
     s = got["summary"]
     assert s["shuffle_records"] <= 5 * n_pairs + 64 * 32
     assert s["spill_disk_bytes"] == 0
+
+
+def test_kaplan_meier_shuffles_subjects_not_curve(spark, sf_dir):
+    """kaplan_meier's scale claim measured (r7): one user_id exchange
+    builds subjects (map-side partial agg bounds records by the event
+    stream), the per-time agg reduces them to day-duration states, and
+    the curve windows run over THAT tiny table — total shuffle traffic
+    is a small multiple of the event count, never events × steps."""
+    n_events = load(spark, sf_dir, "events").count()
+    got = profile(all_queries()["kaplan_meier"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 2 * n_events + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_pca_power_iter_shuffles_model_not_matrix(spark, sf_dir):
+    """pca_power_iter's scale claim measured (r7): the vector table is
+    touched once map-side (quantize, T_i, r_i from the broadcast 1-row
+    totals), and the exploded (dim, term) stream partial-aggregates to
+    ≤ d states per partition before its exchange — shuffle records are
+    O(d · partitions), never O(n · d)."""
+    emb = load(spark, sf_dir, "embeddings")
+    n, d = emb.count(), 64
+    got = profile(all_queries()["pca_power_iter"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 4 * d * 32 + 64
+    assert s["shuffle_records"] < n * d
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_bootstrap_ci_never_shuffles_the_expanded_stream(spark, sf_dir):
+    """bootstrap_ci's scale claim measured (r7): the n×B Poisson-
+    weighted stream partial-aggregates map-side to ≤ groups×B states
+    per partition, so its exchange carries O(groups·B·parts) rows; the
+    point-estimate agg adds ≤ groups per partition — total shuffle is
+    orders of magnitude below n×B."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.sqlapi import (
+        BOOT_B,
+    )
+
+    n_orders = load(spark, sf_dir, "orders").count()
+    got = profile(all_queries()["bootstrap_ci"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 4 * 3 * BOOT_B * 32 + 64 * 32
+    assert s["shuffle_records"] < n_orders * BOOT_B
+    assert s["spill_disk_bytes"] == 0

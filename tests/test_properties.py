@@ -649,3 +649,150 @@ def test_ngram_novelty_brute_force_replay(spark, sf_dir):
         assert r.novelty == (num - num % den) // den / 1e4
     assert rows[min(expected_ids)].novelty == 1.0
     assert sum(r.n_novel for r in rows.values()) == len(first_seen)
+
+
+def test_kaplan_meier_brute_force_replay(spark, sf_dir):
+    """KM invariants: a driver-side replay over the collected events
+    (per-user first/last/first-purchase µs, day durations, at-risk
+    counts, the quantized-ln product) reproduces every row; survival
+    is non-increasing and in [0, 1]; n_risk strictly decreases down
+    the curve; row 1's n_risk counts every subject still at risk at
+    the first death time."""
+    import math
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        _kaplan_meier,
+    )
+
+    rows = _kaplan_meier(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros("ts").alias("us")).collect()
+    per_user = {}
+    for r in ev:
+        lo, hi, conv = per_user.get(r.user_id, (r.us, r.us, None))
+        lo, hi = min(lo, r.us), max(hi, r.us)
+        if r.event_type == "purchase":
+            conv = min(conv, r.us) if conv is not None else r.us
+        per_user[r.user_id] = (lo, hi, conv)
+    subjects = [((conv - lo if conv is not None else hi - lo)
+                 // 86400000000, conv is not None)
+                for lo, hi, conv in per_user.values()]
+    times = sorted({t for t, _ in subjects})
+    surv, prev_risk, want = 1.0, None, []
+    cum_li = 0
+    for t in times:
+        d = sum(1 for tt, e in subjects if tt == t and e)
+        n_risk = sum(1 for tt, _ in subjects if tt >= t)
+        if d == 0:
+            continue
+        if d == n_risk:
+            s_t = 0.0
+        else:
+            cum_li += math.floor(math.log((n_risk - d) / n_risk)
+                                 * 1e6 + 0.5)
+            s_t = round(math.exp(cum_li / 1e6), 4)
+        want.append((t, n_risk, d))
+        if prev_risk is not None:
+            assert n_risk < prev_risk
+        prev_risk = n_risk
+        assert 0.0 <= s_t <= surv + 1e-9
+        surv = s_t
+    assert [(r.t_days, r.n_risk, r.n_events) for r in rows] == want
+    assert all(0.0 <= r.survival <= 1.0 for r in rows)
+
+
+def test_pca_power_iter_brute_force_replay(spark, sf_dir):
+    """Power-step invariants: an exact-integer driver-side replay (quantize,
+    T_i, r_i = n·T_i − G, per-dim Σ r_i·q_ij in Python bigints)
+    reproduces direction and share for all 64 dims; the max-|w| dim
+    reports direction ±1.0 exactly; shares sum to 1 within the 64-term
+    rounding slack; direction is bounded by [−1, 1]."""
+    import math
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        _pca_power_iter,
+    )
+
+    rows = {r.dim: r for r in _pca_power_iter(spark, sf_dir).collect()}
+    emb = load(spark, sf_dir, "embeddings").select("embedding").collect()
+    q = [[math.floor(float(x) * 1000 + 0.5) for x in r.embedding]
+         for r in emb]
+    n, d = len(q), len(q[0])
+    t = [sum(row) for row in q]
+    g = sum(t)
+    r_coef = [n * ti - g for ti in t]
+    w = [sum(r_coef[i] * q[i][j] for i in range(n)) for j in range(d)]
+    mx, tot = max(abs(x) for x in w), sum(abs(x) for x in w)
+    assert set(rows) == set(range(d))
+
+    def half_up(a, b):
+        num = a * 20000 + b
+        return (num - num % (2 * b)) // (2 * b) / 1e4
+
+    for j in range(d):
+        got = rows[j]
+        if mx == 0:
+            assert got.direction is None and got.share is None
+            continue
+        assert got.direction == half_up(w[j], mx)
+        assert got.share == half_up(abs(w[j]), tot)
+        assert -1.0 <= got.direction <= 1.0
+    if mx > 0:
+        assert any(abs(rows[j].direction) == 1.0 for j in range(d))
+        assert abs(sum(rows[j].share for j in range(d)) - 1.0) <= d * 1e-4
+
+
+def test_bootstrap_ci_brute_force_replay(spark, sf_dir):
+    """Poisson-bootstrap invariants: a driver-side replay of the
+    public-hash weights (hashlib sha256, the same first-8-hex bucket)
+    and integer-cent replicate means reproduces ci_lo/ci_hi/b_eff for
+    every status; ci_lo ≤ ci_hi; the point mean is the exact cent
+    ratio of the raw group."""
+    import hashlib
+    import math
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.sqlapi import (
+        BOOT_B, POISSON_CUM, _bootstrap_ci,
+    )
+
+    rows = {r.status: r for r in _bootstrap_ci(spark, sf_dir).collect()}
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice").collect()
+    groups = {}
+    for o in orders:
+        groups.setdefault(o.o_orderstatus, []).append(
+            (o.o_orderkey, math.floor(o.o_totalprice * 100 + 0.5)))
+
+    def half_up(a, b):
+        num = a * 20000 + b
+        return (num - num % (2 * b)) // (2 * b) / 1e4
+
+    def weight(key, b):
+        h = hashlib.sha256(f"{key}:{b}".encode()).hexdigest()
+        bucket = int(h[:8], 16) % 1000000
+        for wv, cut in enumerate(POISSON_CUM):
+            if bucket < cut:
+                return wv
+        return 5
+
+    for status, rowset in groups.items():
+        got = rows[status]
+        assert got.n_orders == len(rowset)
+        assert got.mean_price == half_up(sum(c for _, c in rowset),
+                                         100 * len(rowset))
+        means = []
+        for b in range(1, BOOT_B + 1):
+            sw = swc = 0
+            for k, c in rowset:
+                wv = weight(k, b)
+                sw += wv
+                swc += wv * c
+            if sw > 0:
+                means.append((half_up(swc, 100 * sw), b))
+        means.sort()
+        beff = len(means)
+        lo = means[(beff * 25 + 999) // 1000 - 1][0]
+        hi = means[(beff * 975 + 999) // 1000 - 1][0]
+        assert (got.b_eff, got.ci_lo, got.ci_hi) == (beff, lo, hi)
+        assert got.ci_lo <= got.ci_hi
