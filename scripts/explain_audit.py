@@ -62,6 +62,13 @@ AUDIT = [
     "cms_topk",           # round-7: sketch-state partial agg + broadcast
     "kmeans_step",        # round-7: map-side assign, K-state agg
     "join_prefix_filter",  # round-7: rare-prefix blocking, no hot-gram skew
+    "mann_whitney",       # round-7: distinct-value prefix sum, no global sort
+    "drift_psi",          # round-7: broadcast decile row, map-side bucketing
+    "acf_lags",           # round-7: one series exchange feeds all windows
+    "ngram_novelty",      # round-7: one gram exchange, reduce + join reuse
+    "kaplan_meier",       # round-7: user agg -> tiny curve-table windows
+    "pca_power_iter",     # round-7: map-side coefficients, d-state reduce
+    "bootstrap_ci",       # round-7: n×B partial-aggs to groups×B states
 ]
 
 
