@@ -1189,6 +1189,70 @@ def _text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") <= 20))
 
 
+RRF_K = 60           # the standard reciprocal-rank-fusion constant
+RRF_SCALE = 10 ** 12  # exact-ordering key scale (see _rank_fusion)
+
+
+def _rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): reciprocal rank fusion of two retrievers — the
+    standard way a RAG / training-data search stack merges rankings
+    whose scores live on incomparable scales (Cormack et al.'s RRF:
+    score(d) = Σ_lists 1/(K + rank)).  List A is the BM25 top-20;
+    list B is a query-term DENSITY top-20 (Σ tf_q / dl — the
+    length-normalized lexical signal BM25's saturation deliberately
+    dampens), so the two disagree exactly where fusion matters.
+
+    Engine-invariance: RRF values are tiny rationals whose 4-dp
+    rounding collapses distinct ranks into ties, so the FUSED ORDER
+    is computed on an exact integer key instead — for ranks present
+    in both lists rrf = (2K+ra+rb)/((K+ra)(K+rb)), else 1/(K+r); the
+    key floor(num·10^12/den) separates ANY two distinct rationals at
+    these denominators ((K+r) ≤ 80 ⇒ gaps ≥ 1/6400² ≈ 2.4e-8 ≫
+    1e-12), making the integer order THE rational order.  The 4-dp
+    display value rounds half-up in integer space (round4_ratio).
+    Ranks are nullable BIGINTs on both engines.
+
+    Scale: both input rankings are top-20 sort-limits
+    (TakeOrderedAndProject over pre-reduced per-doc scores — never a
+    global sort); the fusion itself is a 20∪20-row outer join and
+    window, driver-trivial regardless of corpus size."""
+    bm = _text_bm25(spark, sf_dir).select(
+        "doc_id", F.col("rnk").cast("long").alias("rank_bm25"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks"))
+    density = (docs
+               .select("doc_id", F.size("toks").alias("dl"),
+                       F.size(F.filter(
+                           "toks",
+                           lambda t: t.isin(*BM25_QUERY))).alias("tfq"))
+               .where(F.col("tfq") > 0)
+               .select("doc_id",
+                       round4_ratio(F.col("tfq"), F.col("dl"))
+                       .alias("density")))
+    wd = Window.orderBy(F.col("density").desc(), F.col("doc_id").asc())
+    dn = (density.withColumn("rnk", F.row_number().over(wd))
+          .where(F.col("rnk") <= 20)
+          .select("doc_id", F.col("rnk").cast("long").alias("rank_density")))
+    fused = bm.join(dn, "doc_id", "full_outer")
+    ka = F.lit(RRF_K) + F.col("rank_bm25")
+    kb = F.lit(RRF_K) + F.col("rank_density")
+    num = (F.when(ka.isNotNull() & kb.isNotNull(), ka + kb)
+           .otherwise(F.lit(1)))
+    den = F.coalesce(ka, F.lit(1)) * F.coalesce(kb, F.lit(1))
+    key = F.expr(f"(num * {RRF_SCALE}) div den")
+    wf = Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+    return (fused
+            .withColumn("num", num).withColumn("den", den)
+            .withColumn("key", key)
+            .withColumn("fused_rnk",
+                        F.row_number().over(wf).cast("long"))
+            .select("doc_id", "rank_bm25", "rank_density",
+                    F.col("key").alias("rrf_key"),
+                    round4_ratio(F.col("num"), F.col("den")).alias("rrf"),
+                    "fused_rnk")
+            .orderBy("fused_rnk"))
+
+
 #: Fixed public logistic-regression weights for the quality
 #: classifier — heuristic magnitudes in the C4/Gopher feature space
 #: (more stopwords/alpha → keep; heavy punctuation → drop).  Embedded
@@ -1417,6 +1481,7 @@ QUERIES = {
     "feature_hash": _feature_hash,
     "quality_logit": _quality_logit,
     "text_bm25": _text_bm25,
+    "rank_fusion": _rank_fusion,
     "lm_score_bigram": _lm_score_bigram,
     "collocation_pmi": _collocation_pmi,
     "lang_confusion": _lang_confusion,
@@ -1450,6 +1515,40 @@ _DUCK_TOKS = ("list_filter(string_split_regex(lower(text), "
 _BM25_SUM = " + ".join(
     f"coalesce(max(CASE WHEN term = '{t}' THEN s END), 0.0)"
     for t in BM25_QUERY)
+
+#: The BM25 derivation as a shared CTE chain (ends defining
+#: `bm_ranked`): the text_bm25 oracle reads its top-20 off it, and the
+#: rank_fusion oracle fuses it with the density ranking — ONE SQL
+#: implementation, no hand-kept copy to drift.
+_DUCK_BM25_CTES = f"""docs AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS dl, text FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs
+), terms AS (
+  SELECT doc_id, dl, unnest({_DUCK_TOKS}) AS term FROM docs
+), qterms AS (
+  SELECT * FROM terms WHERE term IN {BM25_QUERY!r}
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM qterms GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM qterms) GROUP BY term
+), part AS (
+  SELECT doc_id, term,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * {BM25_K1 + 1.0!r})
+           / (tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                                  + {BM25_B!r} * dl / avgdl)) AS s
+  FROM tf JOIN df USING (term), stats
+), scored AS (
+  SELECT doc_id, round({_BM25_SUM}, 4) AS bm25
+  FROM part GROUP BY doc_id
+), bm_ranked AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk
+  FROM scored
+)"""
 
 ORACLES = {
     # cross-paradigm: Spark stays map-side with array HOFs; the oracle
@@ -1547,37 +1646,8 @@ SELECT doc_id,
        round(1.0 / (1.0 + exp(-({_QUALITY_LOGIT_Z}))), 4) >= 0.5 AS keep
 FROM feats
 """,
-    "text_bm25": f"""
-WITH docs AS (
-  SELECT doc_id, len({_DUCK_TOKS}) AS dl, text FROM documents
-), stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM docs
-), terms AS (
-  SELECT doc_id, dl, unnest({_DUCK_TOKS}) AS term FROM docs
-), qterms AS (
-  SELECT * FROM terms WHERE term IN {BM25_QUERY!r}
-), tf AS (
-  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
-  FROM qterms GROUP BY doc_id, term
-), df AS (
-  SELECT term, CAST(count(*) AS DOUBLE) AS df
-  FROM (SELECT DISTINCT doc_id, term FROM qterms) GROUP BY term
-), part AS (
-  SELECT doc_id, term,
-         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-           * (tf * {BM25_K1 + 1.0!r})
-           / (tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
-                                  + {BM25_B!r} * dl / avgdl)) AS s
-  FROM tf JOIN df USING (term), stats
-), scored AS (
-  SELECT doc_id, round({_BM25_SUM}, 4) AS bm25
-  FROM part GROUP BY doc_id
-)
-SELECT doc_id, bm25, CAST(rnk AS INTEGER) AS rnk
-FROM (SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
-        AS rnk FROM scored)
-WHERE rnk <= 20
-""",
+    "text_bm25": None,  # assigned below from _DUCK_BM25_CTES (shared
+                        # with the rank_fusion oracle)
     "heavy_hitters": f"""
 WITH toks AS (
   SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
@@ -2046,3 +2116,49 @@ FROM documents
 GROUP BY lang, source
 """,
 }
+
+ORACLES["text_bm25"] = f"""
+WITH {_DUCK_BM25_CTES}
+SELECT doc_id, bm25, CAST(rnk AS INTEGER) AS rnk
+FROM bm_ranked WHERE rnk <= 20
+"""
+
+# identical fusion recurrence off the shared BM25 CTE chain: density
+# ranking via round4_ratio, exact integer RRF key, nullable BIGINT ranks
+_QLIST = " + ".join(
+    f"len(list_filter(toks, t -> t = '{t}'))" for t in BM25_QUERY)
+ORACLES["rank_fusion"] = f"""
+WITH {_DUCK_BM25_CTES}, bm AS (
+  SELECT doc_id, CAST(rnk AS BIGINT) AS rank_bm25
+  FROM bm_ranked WHERE rnk <= 20
+), dtoks AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), dens AS (
+  SELECT doc_id, len(toks) AS dl, {_QLIST} AS tfq
+  FROM dtoks
+), dscored AS (
+  SELECT doc_id, {round4_ratio_sql("tfq", "dl")} AS density
+  FROM dens WHERE tfq > 0
+), dn AS (
+  SELECT doc_id, CAST(rnk AS BIGINT) AS rank_density
+  FROM (SELECT doc_id, row_number() OVER
+          (ORDER BY density DESC, doc_id ASC) AS rnk FROM dscored)
+  WHERE rnk <= 20
+), fused AS (
+  SELECT coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+         rank_bm25, rank_density,
+         CASE WHEN rank_bm25 IS NOT NULL AND rank_density IS NOT NULL
+              THEN (60 + rank_bm25) + (60 + rank_density)
+              ELSE 1 END AS num,
+         coalesce(60 + rank_bm25, 1)
+           * coalesce(60 + rank_density, 1) AS den
+  FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+)
+SELECT doc_id, rank_bm25, rank_density,
+       (num * 1000000000000) // den AS rrf_key,
+       {round4_ratio_sql("num", "den")} AS rrf,
+       CAST(row_number() OVER
+         (ORDER BY (num * 1000000000000) // den DESC, doc_id ASC)
+         AS BIGINT) AS fused_rnk
+FROM fused ORDER BY fused_rnk
+"""

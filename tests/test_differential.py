@@ -146,7 +146,12 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            # docs, few grams → novelty concentrates in the lowest
            # doc_ids) and empty/whitespace docs fall out gram-less —
            # the min-doc tie and absent-row edges of ngram_novelty
-           "ngram_novelty"]
+           "ngram_novelty",
+           # r7: repetition storms make DENSITY ties (many docs with
+           # the identical tfq/dl rational) and corpora where <20 docs
+           # match a query term exercise the one-list-only RRF branch
+           # and the short-list integer-key ordering
+           "rank_fusion"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 

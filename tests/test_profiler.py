@@ -730,3 +730,26 @@ def test_bootstrap_ci_never_shuffles_the_expanded_stream(spark, sf_dir):
     assert s["shuffle_records"] <= 4 * 3 * BOOT_B * 32 + 64 * 32
     assert s["shuffle_records"] < n_orders * BOOT_B
     assert s["spill_disk_bytes"] == 0
+
+
+def test_rank_fusion_never_globally_sorts(spark, sf_dir):
+    """rank_fusion's scale claim measured (r7): both input rankings
+    are top-20 sort-limits over pre-reduced per-doc scores, so no
+    exchange ever carries more than the per-doc score tables (bounded
+    by matching docs, far below the token stream), and the fusion
+    join/window moves ≤ 40 rows."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _tokens, BM25_QUERY,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = docs.select(
+        F.size(_tokens(F.col("text"))).alias("n")).agg(F.sum("n")).first()[0]
+    n_match = docs.where(
+        F.size(F.filter(_tokens(F.col("text")),
+                        lambda t: t.isin(*BM25_QUERY))) > 0).count()
+    got = profile(all_queries()["rank_fusion"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 8 * n_match + 64 * 32
+    assert s["shuffle_records"] < n_tokens
+    assert s["spill_disk_bytes"] == 0

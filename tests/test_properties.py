@@ -796,3 +796,44 @@ def test_bootstrap_ci_brute_force_replay(spark, sf_dir):
         hi = means[(beff * 975 + 999) // 1000 - 1][0]
         assert (got.b_eff, got.ci_lo, got.ci_hi) == (beff, lo, hi)
         assert got.ci_lo <= got.ci_hi
+
+
+def test_rank_fusion_brute_force_replay(spark, sf_dir):
+    """RRF invariants: the fused order equals the exact-rational RRF
+    order recomputed driver-side with Python Fractions from the two
+    input rankings; every rrf_key is floor(num·10^12/den) of those
+    rationals; a doc in both lists always outranks the same-rank
+    singleton (1/(K+r) < 1/(K+r) + 1/(K+r')); fused_rnk is a dense
+    1..n permutation."""
+    from fractions import Fraction
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        RRF_K, RRF_SCALE, _rank_fusion,
+    )
+
+    rows = _rank_fusion(spark, sf_dir).collect()
+    assert [r.fused_rnk for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        terms = []
+        if r.rank_bm25 is not None:
+            terms.append(Fraction(1, RRF_K + r.rank_bm25))
+        if r.rank_density is not None:
+            terms.append(Fraction(1, RRF_K + r.rank_density))
+        assert terms, "row in neither ranking"
+        frac = sum(terms)
+        assert r.rrf_key == (frac.numerator * RRF_SCALE) // frac.denominator
+        num, den = frac.numerator, frac.denominator
+        q = num * 20000 + den
+        assert r.rrf == (q - q % (2 * den)) // (2 * den) / 1e4
+    keys = [(r.rrf_key, -r.doc_id) for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    both = {r.doc_id: r for r in rows
+            if r.rank_bm25 is not None and r.rank_density is not None}
+    only = [r for r in rows
+            if (r.rank_bm25 is None) != (r.rank_density is None)]
+    for b in both.values():
+        for o in only:
+            solo_rank = o.rank_bm25 if o.rank_bm25 is not None \
+                else o.rank_density
+            if min(b.rank_bm25, b.rank_density) <= solo_rank:
+                assert b.rrf_key > o.rrf_key
