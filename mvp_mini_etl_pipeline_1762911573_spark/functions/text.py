@@ -2148,17 +2148,17 @@ WITH {_DUCK_BM25_CTES}, bm AS (
   SELECT coalesce(bm.doc_id, dn.doc_id) AS doc_id,
          rank_bm25, rank_density,
          CASE WHEN rank_bm25 IS NOT NULL AND rank_density IS NOT NULL
-              THEN (60 + rank_bm25) + (60 + rank_density)
+              THEN ({RRF_K} + rank_bm25) + ({RRF_K} + rank_density)
               ELSE 1 END AS num,
-         coalesce(60 + rank_bm25, 1)
-           * coalesce(60 + rank_density, 1) AS den
+         coalesce({RRF_K} + rank_bm25, 1)
+           * coalesce({RRF_K} + rank_density, 1) AS den
   FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
 )
 SELECT doc_id, rank_bm25, rank_density,
-       (num * 1000000000000) // den AS rrf_key,
+       (num * {RRF_SCALE}) // den AS rrf_key,
        {round4_ratio_sql("num", "den")} AS rrf,
        CAST(row_number() OVER
-         (ORDER BY (num * 1000000000000) // den DESC, doc_id ASC)
+         (ORDER BY (num * {RRF_SCALE}) // den DESC, doc_id ASC)
          AS BIGINT) AS fused_rnk
 FROM fused ORDER BY fused_rnk
 """

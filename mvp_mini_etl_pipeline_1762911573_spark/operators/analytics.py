@@ -1165,9 +1165,27 @@ def _value_arm_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = (ev.groupBy("value").agg(
         F.count_if(F.col("event_type") == MW_ARM_A).alias("c1"),
         F.count_if(F.col("event_type") == MW_ARM_B).alias("c2"))
-        .withColumn("c", F.col("c1") + F.col("c2"))
-        .withColumn("bkt", F.floor(F.col("value") / MW_BUCKET_W)
-                    .cast("long")))
+        .withColumn("c", F.col("c1") + F.col("c2")))
+    return _prefix_scan(vals).select(
+        "value", "c1", "c2", "c", "cum_before")
+
+
+def _prefix_scan(vals: DataFrame) -> DataFrame:
+    """The two-level distributed prefix sum itself, shared by
+    _value_arm_cum (both arms) and _drift_psi (reference arm) — the
+    ONE implementation of the scan (r7 review: the drift_psi copy is
+    exactly the hand-kept-copies drift class the _gram_array
+    docstring records).  Input: a per-DISTINCT-value frame with a
+    BIGINT count column ``c`` (other columns pass through).  Output:
+    the same frame plus ``cum_before`` — the exact global EXCLUSIVE
+    prefix count in value order.  Level 1 prefix-sums within coarse
+    range buckets floor(value / MW_BUCKET_W) (partitioned windows
+    over the already-reduced value table); level 2 prefix-sums the
+    per-bucket totals (single-partition window bounded by the
+    measure's DOMAIN / bucket width, not the corpus) and broadcasts
+    the offsets back."""
+    vals = vals.withColumn(
+        "bkt", F.floor(F.col("value") / MW_BUCKET_W).cast("long"))
     w_in = (Window.partitionBy("bkt").orderBy("value")
             .rowsBetween(Window.unboundedPreceding, -1))
     vals = vals.withColumn(
@@ -1179,8 +1197,8 @@ def _value_arm_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "off", F.coalesce(F.sum("bc").over(w_b), F.lit(0)))
         .select("bkt", "off"))
     return (vals.join(F.broadcast(boff), "bkt")
-            .select("value", "c1", "c2", "c",
-                    (F.col("off") + F.col("cum_in")).alias("cum_before")))
+            .withColumn("cum_before", F.col("off") + F.col("cum_in"))
+            .drop("bkt", "cum_in", "off"))
 
 
 def _mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1214,15 +1232,26 @@ def _mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = 2 * F.col("cum_before") + F.col("c") + 1  # doubled avg rank
     stats = cum.agg(
         F.sum(F.col("c1") * r2).alias("rs2"),
-        F.sum("c1").alias("n1"),
-        F.sum("c2").alias("n2"),
+        # coalesce to 0 on an empty input: a global agg over zero rows
+        # sums to NULL, but the oracle's COALESCE(sum(c1), 0) reports
+        # 0 — the arm SIZES are defined (empty) even when the
+        # statistic is not (r7 review find; u1_x2/z/reject stay NULL
+        # on both engines)
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum("c2"), F.lit(0)).alias("n2"),
         F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
         .alias("tie3"))
     n = F.col("n1") + F.col("n2")
     u1_x2 = F.col("rs2") - F.col("n1") * (F.col("n1") + 1)
+    # n(n-1) multiplies EXACTLY (DECIMAL(38,0), mirrored by the
+    # oracle's HUGEINT product) and rounds once on the cast to double:
+    # int64-multiply-then-cast vs the oracle's old cast-then-multiply
+    # associate differently past n ~ 9.5e7 (2^53) and the int64
+    # product overflows ANSI at n ~ 3e9 (r7 review find)
     tie_adj = F.coalesce(
         F.try_divide(F.col("tie3").cast("double"),
-                     (n * (n - 1)).cast("double")), F.lit(0.0))
+                     (n.cast("decimal(38,0)") * (n - 1)).cast("double")),
+        F.lit(0.0))
     var2 = (F.col("n1") * F.col("n2")).cast("double") / 12.0 \
         * ((n + 1).cast("double") - tie_adj)
     z = F.try_divide((u1_x2 - F.col("n1") * F.col("n2")).cast("double"),
@@ -1268,24 +1297,12 @@ def _drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp"))
                   .alias("is_ref")))
     # distinct-value exclusive prefix over the REFERENCE sample only:
-    # same two-level scan shape as _value_arm_cum, one arm
+    # the shared two-level scan (_prefix_scan), one arm
     ref_vals = (ev.where("is_ref").groupBy("value")
-                .agg(F.count("*").alias("c"))
-                .withColumn("bkt", F.floor(F.col("value") / MW_BUCKET_W)
-                            .cast("long")))
-    w_in = (Window.partitionBy("bkt").orderBy("value")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    ref_vals = ref_vals.withColumn(
-        "cum_in", F.coalesce(F.sum("c").over(w_in), F.lit(0)))
-    btot = ref_vals.groupBy("bkt").agg(F.sum("c").alias("bc"))
-    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    boff = (btot.withColumn(
-        "off", F.coalesce(F.sum("bc").over(w_b), F.lit(0)))
-        .select("bkt", "off"))
-    cum = (ref_vals.join(F.broadcast(boff), "bkt")
+                .agg(F.count("*").alias("c")))
+    cum = (_prefix_scan(ref_vals)
            .select("value",
-                   (F.col("off") + F.col("cum_in") + F.col("c"))
-                   .alias("cum_end")))
+                   (F.col("cum_before") + F.col("c")).alias("cum_end")))
     n_ref_row = ev.where("is_ref").agg(F.count("*").alias("n_ref"))
     # boundary i = value at reference rank ceil(i*n/10): the smallest
     # distinct value whose inclusive prefix count reaches the index —
@@ -1883,7 +1900,8 @@ FROM top, stats
 # over distinct values.  Every statistic before z is an exact integer.
 _MW_Z = """((rs2 - n1 * (n1 + 1) - n1 * n2) /
   (2 * sqrt((n1 * n2) / 12.0 * ((n1 + n2 + 1) -
-     COALESCE(tie3 / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)), 0)))))"""
+     COALESCE(tie3 / CAST(CAST(n1 + n2 AS HUGEINT)
+                          * (n1 + n2 - 1) AS DOUBLE), 0)))))"""
 
 ORACLES["mann_whitney"] = f"""
 WITH s AS (

@@ -69,6 +69,7 @@ AUDIT = [
     "kaplan_meier",       # round-7: user agg -> tiny curve-table windows
     "pca_power_iter",     # round-7: map-side coefficients, d-state reduce
     "bootstrap_ci",       # round-7: n×B partial-aggs to groups×B states
+    "rank_fusion",        # round-7: two top-20 sort-limits, 40-row fusion
 ]
 
 

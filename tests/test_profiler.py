@@ -617,8 +617,16 @@ def test_mann_whitney_shuffles_distinct_values_not_samples(spark, sf_dir):
     n_distinct = ev.select("value").distinct().count()
     got = profile(all_queries()["mann_whitney"](spark, sf_dir))
     s = got["summary"]
+    # the load-bearing bound: a small multiple of DISTINCT values plus
+    # constant per-partition window/bucket states.  No rows comparison:
+    # the dedup win over the raw stream only materializes when values
+    # repeat — on a mostly-unique fixture the scan's ~4 passes over the
+    # per-value table legitimately exceed the row count, while at real
+    # scale (money values, bounded palettes) distinct ≪ rows (r7
+    # review find: the old `< n_rows` assertion encoded the favorable
+    # case, not the invariant)
     assert s["shuffle_records"] <= 4 * n_distinct + 64 * 32
-    assert s["shuffle_records"] < n_rows
+    assert n_rows > 0
     assert s["spill_disk_bytes"] == 0
 
 
@@ -636,8 +644,11 @@ def test_drift_psi_shuffles_reference_values_not_periods(spark, sf_dir):
         .select("value").distinct().count()
     got = profile(all_queries()["drift_psi"](spark, sf_dir))
     s = got["summary"]
+    # distinct-cardinality bound only — see the note in
+    # test_mann_whitney_shuffles_distinct_values_not_samples for why
+    # there is no rows comparison (r7 review find)
     assert s["shuffle_records"] <= 4 * n_distinct_ref + 64 * 32
-    assert s["shuffle_records"] < n_rows
+    assert n_rows > 0
     assert s["spill_disk_bytes"] == 0
 
 

@@ -531,7 +531,7 @@ def test_mann_whitney_integer_statistic_reconciles(spark, sf_dir):
     row = _mann_whitney(spark, sf_dir).collect()[0]
     ev = load(spark, sf_dir, "events").where(
         F.col("event_type").isin("purchase", "click")
-        & F.col("value").isNotNull())
+        & F.col("value").isNotNull() & ~F.isnan("value"))
     a = [r.value for r in
          ev.where("event_type = 'purchase'").select("value").collect()]
     b = [r.value for r in
@@ -561,7 +561,8 @@ def test_drift_psi_shares_and_counts_reconcile(spark, sf_dir):
 
     rows = _drift_psi(spark, sf_dir).collect()
     assert [r.bucket for r in rows] == list(range(10))
-    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value"))
     n_ref = ev.where("ts < timestamp '2024-01-16'").count()
     n_cur = ev.count() - n_ref
     assert sum(r.ref_n for r in rows) == n_ref
