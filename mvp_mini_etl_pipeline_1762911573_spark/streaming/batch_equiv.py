@@ -226,7 +226,12 @@ WITH b AS (
   SELECT event_type,
          strftime(time_bucket(INTERVAL 1 HOUR, ts),
                   '%Y-%m-%d %H:%M:%S') AS window_start,
-         (epoch_us(ts) % 3600000000) * 16777216
+         -- sign-safe floor mod (mirrors Spark's pmod): DuckDB's %
+         -- truncates, so a pre-1970 negative epoch_us would yield a
+         -- NEGATIVE within-hour offset and corrupt the packed key
+         -- (r7 negative-epoch differential find)
+         (((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000)
+           * 16777216
          + least(greatest(CAST(round(value * 100) AS BIGINT), 0),
                  16777215) AS ordk,
          value

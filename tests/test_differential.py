@@ -298,6 +298,69 @@ EVENT_OPS_EXTRA = ["cdc_apply", "window_lag", "window_running_sum",
                    "ks_test"]
 
 
+#: time-arithmetic operators under the PRE-1970 corpus (r7, per the
+#: r6 verdict's standing suggestion): negative epoch seconds/µs cross
+#: zero mid-corpus, so any truncate-vs-floor division, sign-unsafe
+#: mod, or epoch-aligned bucketing divergence between the engines
+#: surfaces here.  Ops with hardcoded 2024 period constants (drift_psi,
+#: funnel windows) stay out — they'd compare empty-vs-empty.
+NEG_EPOCH_OPS = ["time_bucket_ohlc", "window_twap", "cusum_changepoint",
+                 "events_debounce", "events_rate_limit", "stream_tumbling",
+                 "stream_sliding", "stream_session", "gap_fill",
+                 "events_sessionize", "rolling_mau", "acf_lags",
+                 "kaplan_meier", "stream_ohlc", "window_fill_forward",
+                 "mann_whitney", "events_zscore", "attribution"]
+
+
+def _gen_events_pre1970(seed: int, n: int = 400):
+    """The _gen_events shapes shifted to straddle the epoch: base
+    1969-12-28, ~9 days of traffic crossing 1970-01-01 00:00:00 UTC —
+    negative unix_timestamp/unix_micros before the boundary, positive
+    after, plus the same same-µs ties and duplicate-value clusters."""
+    rng = random.Random(seed)
+    base = dt.datetime(1969, 12, 28)
+    rows = []
+    ts = base
+    for i in range(n):
+        if rng.random() < 0.8:
+            ts = ts + dt.timedelta(microseconds=rng.randint(1, 2_000_000_000))
+        value = rng.choice([
+            round(rng.uniform(0, 100), 2),
+            10.0, 10.004, 0.0,
+            round(rng.uniform(150000, 200000), 2),
+        ])
+        rows.append((i, ts, rng.randint(1, 8), rng.choice(TYPES),
+                     value, '{"k": %d}' % rng.randint(0, 99)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def diff_neg_dirs(spark, tmp_path_factory):
+    out = {}
+    con = duckdb.connect()
+    for seed in (41, 42):
+        d = tmp_path_factory.mktemp(f"diffneg{seed}")
+        df = spark.createDataFrame(
+            _gen_events_pre1970(seed),
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string")
+        df.coalesce(2).write.parquet(f"{d}/events.parquet")
+        out[seed] = str(d)
+    return out, con
+
+
+@pytest.mark.parametrize("name", NEG_EPOCH_OPS)
+@pytest.mark.parametrize("seed", [41, 42])
+def test_differential_on_pre1970_events(spark, diff_neg_dirs, name, seed):
+    dirs, con = diff_neg_dirs
+    sf_dir = dirs[seed]
+    con.execute("DROP VIEW IF EXISTS events")
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{sf_dir}/events.parquet/*.parquet'")
+    df = all_queries()[name](spark, sf_dir)
+    compare(df, con, all_oracles()[name], f"{name}@neg{seed}")
+
+
 @pytest.mark.parametrize("name", EVENT_OPS_EXTRA)
 @pytest.mark.parametrize("seed", [1, 2])
 def test_differential_extra_event_ops(spark, diff_dirs, name, seed):
