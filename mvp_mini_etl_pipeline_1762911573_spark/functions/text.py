@@ -18,7 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..tables import load
-from .exact import round4_ratio, round4_ratio_sql
+from .exact import (round4_ratio, round4_ratio_dec,
+                    round4_ratio_dec_sql, round4_ratio_sql)
 
 # Tiny stopword list for the quality score (public, generic).
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
@@ -1253,6 +1254,71 @@ def _rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("fused_rnk"))
 
 
+def _mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): mutual information between the lang and source
+    columns — the corpus-composition association audit (is language
+    driven by the crawl source?  NMI → 1 means one predicts the
+    other, → 0 means independent) that decides whether a mixing
+    weight on source silently reweights languages.  Completes the
+    association family: chi_square tests INDEPENDENCE, collocation_pmi
+    scores per-pair lift, this one gives the global information-
+    theoretic measures (MI, H(lang), H(source), NMI).
+
+    Exactness: MI and both entropies are SUMS of transcendental
+    terms, which floats make order-dependent — so each term runs
+    through the lm_score idiom: ln of ONE IEEE division whose
+    operands are exact wide-integer products cast to double
+    (bit-identical both engines), quantized to integer micro-units
+    (|ln|·1e6 ≤ ~4e7, inside the quantizer domain), weighted by the
+    exact cell count, summed in DECIMAL(38,0).  The reported values
+    divide by the shared scale n·1e6 via round4_ratio_dec; NMI is the
+    exact integer ratio mi_q / min(h_q) — the scale cancels — and a
+    degenerate corpus (single lang or single source → min H = 0)
+    yields NULL through the b > 0 guard, never /0.
+
+    Scale: three partial-agg'd counts over the corpus (cell/lang/
+    source keys — AQE absorbs skew), the term computation on the
+    ALREADY-reduced cell table (model-sized), three 1-row reductions
+    crossJoined at the end.  The corpus is scanned once per marginal;
+    a single-pass grouping-sets rewrite is the documented variant."""
+    docs = load(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("nxy"))
+    nl = docs.groupBy("lang").agg(F.count("*").alias("nx"))
+    ns = docs.groupBy("source").agg(F.count("*").alias("ny"))
+    tot = docs.agg(F.count("*").alias("n"))
+    dec = "decimal(19,0)"
+    num = (F.col("nxy").cast(dec) * F.col("n").cast(dec)).cast("double")
+    den = (F.col("nx").cast(dec) * F.col("ny").cast(dec)).cast("double")
+    li = F.floor(F.log(num / den) * 1e6 + 0.5).cast("long")
+    mi = (cells.join(nl, "lang").join(ns, "source")
+          .crossJoin(F.broadcast(tot))
+          .agg(F.sum((F.col("nxy") * li).cast("decimal(38,0)"))
+               .alias("mi_q"),
+               F.count("*").alias("n_cells")))
+
+    def h_q(counts: DataFrame, c: str):
+        t = F.floor(-F.log(F.col(c) / F.col("n")) * 1e6 + 0.5) \
+            .cast("long")
+        return (counts.crossJoin(F.broadcast(tot))
+                .agg(F.sum((F.col(c) * t).cast("decimal(38,0)"))
+                     .alias(f"h_{c}"), F.count("*").alias(f"k_{c}")))
+
+    scale = (F.col("n") * 1000000).cast("decimal(38,0)")
+    return (tot.crossJoin(F.broadcast(mi))
+            .crossJoin(F.broadcast(h_q(nl, "nx")))
+            .crossJoin(F.broadcast(h_q(ns, "ny")))
+            .select(
+                F.col("n").alias("n_docs"), "n_cells",
+                F.col("k_nx").alias("n_langs"),
+                F.col("k_ny").alias("n_sources"),
+                round4_ratio_dec(F.col("mi_q"), scale).alias("mi"),
+                round4_ratio_dec(F.col("h_nx"), scale).alias("h_lang"),
+                round4_ratio_dec(F.col("h_ny"), scale).alias("h_source"),
+                round4_ratio_dec(
+                    F.col("mi_q"),
+                    F.least("h_nx", "h_ny")).alias("nmi")))
+
+
 #: Fixed public logistic-regression weights for the quality
 #: classifier — heuristic magnitudes in the C4/Gopher feature space
 #: (more stopwords/alpha → keep; heavy punctuation → drop).  Embedded
@@ -1482,6 +1548,7 @@ QUERIES = {
     "quality_logit": _quality_logit,
     "text_bm25": _text_bm25,
     "rank_fusion": _rank_fusion,
+    "mutual_info": _mutual_info,
     "lm_score_bigram": _lm_score_bigram,
     "collocation_pmi": _collocation_pmi,
     "lang_confusion": _lang_confusion,
@@ -2161,4 +2228,49 @@ SELECT doc_id, rank_bm25, rank_density,
          (ORDER BY (num * {RRF_SCALE}) // den DESC, doc_id ASC)
          AS BIGINT) AS fused_rnk
 FROM fused ORDER BY fused_rnk
+"""
+
+# identical information-theoretic recurrence: wide-int products -> one
+# IEEE division -> ln quantized to micro-units -> count-weighted exact
+# HUGEINT sums; reported values share the n*1e6 scale, NMI's cancels
+ORACLES["mutual_info"] = f"""
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS nxy
+  FROM documents GROUP BY lang, source
+), nl AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS nx FROM documents GROUP BY lang
+), ns AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ny
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), mi AS (
+  SELECT sum(CAST(nxy AS HUGEINT) * CAST(floor(ln(
+           CAST(CAST(nxy AS HUGEINT) * n AS DOUBLE)
+           / CAST(CAST(nx AS HUGEINT) * ny AS DOUBLE)) * 1e6 + 0.5)
+           AS BIGINT)) AS mi_q,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM cells JOIN nl USING (lang) JOIN ns USING (source), tot
+), hl AS (
+  SELECT sum(CAST(nx AS HUGEINT)
+             * CAST(floor(-ln(nx / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT)) AS h_nx,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM nl, tot
+), hs AS (
+  SELECT sum(CAST(ny AS HUGEINT)
+             * CAST(floor(-ln(ny / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT)) AS h_ny,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM ns, tot
+)
+SELECT n AS n_docs, n_cells, n_langs, n_sources,
+       {round4_ratio_dec_sql("mi_q", "CAST(n AS HUGEINT) * 1000000")}
+         AS mi,
+       {round4_ratio_dec_sql("h_nx", "CAST(n AS HUGEINT) * 1000000")}
+         AS h_lang,
+       {round4_ratio_dec_sql("h_ny", "CAST(n AS HUGEINT) * 1000000")}
+         AS h_source,
+       {round4_ratio_dec_sql("mi_q", "least(h_nx, h_ny)")} AS nmi
+FROM tot, mi, hl, hs
 """

@@ -213,11 +213,62 @@ def _acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*sel).orderBy("event_type")
 
 
+def _seasonal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): seasonal percentile envelope — p10/p50/p90
+    bands of value per (event_type, hour-of-day), the baseline a
+    monitoring pipeline draws before flagging 'today at 14:00 is
+    outside the envelope'.  Completes the time-series family sideways:
+    OHLC/TWAP/ACF walk calendar time, this one folds it onto the
+    24-hour clock to expose the daily seasonality profile.
+
+    Exactness is the winsorize discipline end-to-end: integer CENTS
+    (floor(100v + 0.5)), band edges as DISCRETE order statistics at
+    pure-integer ceil ranks ((n·k + 99) div 100 — never interpolated
+    percentiles, never float rank arithmetic), edges REPORTED as
+    cents BIGINTs, and the mean as an exact cent-sum ratio
+    (round4_ratio_dec).  Hour-of-day comes from the NTZ timestamp —
+    both engines read the same wall-clock field, no zone arithmetic.
+
+    Scale: ONE hash exchange on the ≤ types×24 composite key feeds
+    the ranking window, the three band extractions (same partition →
+    the windows share the sort) and the final agg.  Each cell sorts
+    independently in parallel; at 100 TB swap the exact order
+    statistics for approx_percentile sketches — identical downstream
+    shape, exactness kept here for the oracle (the winsorize note)."""
+    ev = (load(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & ~F.isnan("value"))
+          .select("event_type", F.hour("ts").alias("hr"), "event_id",
+                  F.floor(F.col("value") * 100 + 0.5).alias("cents")))
+    part = Window.partitionBy("event_type", "hr")
+    ranked = (ev
+              .withColumn("rn", F.row_number().over(
+                  part.orderBy("cents", "event_id")))
+              .withColumn("n", F.count("*").over(part)))
+    band = lambda k: F.max(F.when(                      # noqa: E731
+        F.col("rn") == F.expr(f"(n * {k} + 99) div 100"),
+        F.col("cents"))).over(part)
+    return (ranked
+            .withColumn("p10", band(10))
+            .withColumn("p50", band(50))
+            .withColumn("p90", band(90))
+            .groupBy("event_type", "hr")
+            .agg(F.count("*").alias("n_obs"),
+                 F.max("p10").alias("p10_cents"),
+                 F.max("p50").alias("p50_cents"),
+                 F.max("p90").alias("p90_cents"),
+                 round4_ratio_dec(
+                     F.sum(F.col("cents").cast("decimal(38,0)")),
+                     (F.count("*") * 100).cast("decimal(38,0)"))
+                 .alias("mean_value"))
+            .orderBy("event_type", "hr"))
+
+
 QUERIES = {
     "time_bucket_ohlc": _time_bucket_ohlc,
     "window_twap": _window_twap,
     "cusum_changepoint": _cusum_changepoint,
     "acf_lags": _acf_lags,
+    "seasonal_envelope": _seasonal_envelope,
 }
 
 ORACLES = {
@@ -319,4 +370,33 @@ SELECT event_type, n_obs,
        {round4_ratio_dec_sql("num2", "den")} AS acf2,
        {round4_ratio_dec_sql("num3", "den")} AS acf3
 FROM agg ORDER BY event_type
+"""
+
+# identical winsorize-style recurrence: cents, row_number ranks with
+# (event_id) tie-break, integer ceil-rank band extraction, exact mean
+ORACLES["seasonal_envelope"] = f"""
+WITH e AS (
+  SELECT event_type, hour(ts) AS hr, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+), ranked AS (
+  SELECT event_type, hr, cents,
+         row_number() OVER w AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type, hr) AS BIGINT) AS n
+  FROM e
+  WINDOW w AS (PARTITION BY event_type, hr ORDER BY cents, event_id)
+)
+SELECT event_type, CAST(hr AS INTEGER) AS hr,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       max(CASE WHEN rn = (n * 10 + 99) // 100 THEN cents END)
+         AS p10_cents,
+       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END)
+         AS p50_cents,
+       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN cents END)
+         AS p90_cents,
+       {round4_ratio_dec_sql("CAST(sum(cents) AS HUGEINT)",
+                             "CAST(count(*) AS HUGEINT) * 100")}
+         AS mean_value
+FROM ranked GROUP BY event_type, hr
+ORDER BY event_type, hr
 """

@@ -51,7 +51,11 @@ EVENT_OPS = ["time_bucket_ohlc", "window_twap", "cusum_changepoint",
              # (zero death rows → empty curve on both engines), and
              # single-event users land whole day-0 tie clusters on the
              # first KM step — the d = n_risk exact-zero edge
-             "kaplan_meier"]
+             "kaplan_meier",
+             # r7: duplicate-value clusters land the ceil-rank band
+             # edges ON ties, and sparse (type, hour) cells hit the
+             # n = 1 order-statistic degenerate (all three bands equal)
+             "seasonal_envelope"]
 
 TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -151,7 +155,12 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            # the identical tfq/dl rational) and corpora where <20 docs
            # match a query term exercise the one-list-only RRF branch
            # and the short-list integer-key ordering
-           "rank_fusion"]
+           "rank_fusion",
+           # r7: generated corpora concentrate lang×source into few
+           # cells (near-deterministic association → NMI ~ 1, min-H
+           # denominators tiny) — the quantized-term sums and the
+           # b>0 NULL guard under near-degenerate marginals
+           "mutual_info"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 
@@ -309,7 +318,9 @@ NEG_EPOCH_OPS = ["time_bucket_ohlc", "window_twap", "cusum_changepoint",
                  "stream_sliding", "stream_session", "gap_fill",
                  "events_sessionize", "rolling_mau", "acf_lags",
                  "kaplan_meier", "stream_ohlc", "window_fill_forward",
-                 "mann_whitney", "events_zscore", "attribution"]
+                 "mann_whitney", "events_zscore", "attribution",
+                 # hour() on pre-1970 wall clocks feeds the envelope key
+                 "seasonal_envelope"]
 
 
 def _gen_events_pre1970(seed: int, n: int = 400):

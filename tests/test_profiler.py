@@ -764,3 +764,35 @@ def test_rank_fusion_never_globally_sorts(spark, sf_dir):
     assert s["shuffle_records"] <= 8 * n_match + 64 * 32
     assert s["shuffle_records"] < n_tokens
     assert s["spill_disk_bytes"] == 0
+
+
+def test_mutual_info_reduces_before_term_math(spark, sf_dir):
+    """mutual_info's scale claim measured (r7): the corpus reduces to
+    cell/lang/source count tables via partial-agg'd groupBys, the
+    quantized-term computation runs on the already-reduced cell table,
+    and the final reductions are 1-row — total shuffle traffic is a
+    small multiple of the corpus scans' partial states, bounded by the
+    (cells + langs + sources) cardinality per partition."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_cells = docs.select("lang", "source").distinct().count()
+    got = profile(all_queries()["mutual_info"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 4 * n_cells * 32 + 64 * 32
+    assert s["shuffle_records"] < n_docs * 3
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_seasonal_envelope_reuses_one_cell_partitioning(spark, sf_dir):
+    """seasonal_envelope's scale claim measured (r7): ONE hash
+    exchange on (event_type, hour) feeds the ranking window, the three
+    band extractions and the final agg — the filtered stream crosses
+    exactly once; the ≤ types×24-row result crosses the ordering
+    exchange."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value"))
+    n_rows = ev.count()
+    got = profile(all_queries()["seasonal_envelope"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= n_rows + 5 * 24 * 32 + 5 * 24
+    assert s["spill_disk_bytes"] == 0

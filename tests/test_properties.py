@@ -838,3 +838,85 @@ def test_rank_fusion_brute_force_replay(spark, sf_dir):
                 else o.rank_density
             if min(b.rank_bm25, b.rank_density) <= solo_rank:
                 assert b.rrf_key > o.rrf_key
+
+
+def test_mutual_info_brute_force_replay(spark, sf_dir):
+    """MI invariants: a driver-side replay (exact counts, the same
+    micro-quantized ln terms, Python-int sums) reproduces every output
+    to the digit; information-theoretic bounds hold up to the 1e-6
+    quantization: 0 ≤ MI ≤ min(H) (so 0 ≤ NMI ≤ 1) and each entropy
+    ≤ ln(k) of its cardinality."""
+    import math
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _mutual_info,
+    )
+
+    row = _mutual_info(spark, sf_dir).collect()[0]
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", "source").collect()
+    n = len(docs)
+    cells, nl, ns = {}, {}, {}
+    for r in docs:
+        cells[(r.lang, r.source)] = cells.get((r.lang, r.source), 0) + 1
+        nl[r.lang] = nl.get(r.lang, 0) + 1
+        ns[r.source] = ns.get(r.source, 0) + 1
+    mi_q = sum(c * math.floor(math.log((c * n) / (nl[l] * ns[s]))
+                              * 1e6 + 0.5)
+               for (l, s), c in cells.items())
+    hl_q = sum(c * math.floor(-math.log(c / n) * 1e6 + 0.5)
+               for c in nl.values())
+    hs_q = sum(c * math.floor(-math.log(c / n) * 1e6 + 0.5)
+               for c in ns.values())
+
+    def half_up(a, b):
+        num = a * 20000 + b
+        return (num - num % (2 * b)) // (2 * b) / 1e4
+
+    assert (row.n_docs, row.n_cells) == (n, len(cells))
+    assert (row.n_langs, row.n_sources) == (len(nl), len(ns))
+    assert row.mi == half_up(mi_q, n * 1000000)
+    assert row.h_lang == half_up(hl_q, n * 1000000)
+    assert row.h_source == half_up(hs_q, n * 1000000)
+    mn = min(hl_q, hs_q)
+    assert row.nmi == (half_up(mi_q, mn) if mn > 0 else None)
+    assert -1e-4 <= row.mi <= min(row.h_lang, row.h_source) + 1e-4
+    if row.nmi is not None:
+        assert -1e-4 <= row.nmi <= 1 + 1e-4
+    assert row.h_lang <= math.log(len(nl)) + 1e-4
+    assert row.h_source <= math.log(len(ns)) + 1e-4
+
+
+def test_seasonal_envelope_brute_force_replay(spark, sf_dir):
+    """Envelope invariants: a driver-side replay (cents, sorted cell
+    values, the same integer ceil ranks) reproduces every band edge
+    and mean; bands are ordered p10 ≤ p50 ≤ p90 and sit inside the
+    cell's [min, max]; cell counts reconcile with the filtered
+    stream."""
+    import math
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.timeseries import (
+        _seasonal_envelope,
+    )
+
+    rows = {(r.event_type, r.hr): r
+            for r in _seasonal_envelope(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & ~F.isnan("value")).select(
+        "event_type", F.hour("ts").alias("hr"), "value").collect()
+    cells = {}
+    for r in ev:
+        cells.setdefault((r.event_type, r.hr), []).append(
+            math.floor(r.value * 100 + 0.5))
+    assert set(cells) == set(rows)
+    for key, vals in cells.items():
+        vals.sort()
+        n = len(vals)
+        got = rows[key]
+        assert got.n_obs == n
+        bands = [vals[(n * k + 99) // 100 - 1] for k in (10, 50, 90)]
+        assert [got.p10_cents, got.p50_cents, got.p90_cents] == bands
+        assert vals[0] <= bands[0] <= bands[1] <= bands[2] <= vals[-1]
+        num = sum(vals) * 20000 + n * 100
+        assert got.mean_value == \
+            (num - num % (2 * n * 100)) // (2 * n * 100) / 1e4
