@@ -768,6 +768,78 @@ def _regr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ATTR_WINDOW_H = 24  # attribution lookback horizon
+ATTR_Q = 10000      # linear-attribution credit quantum: 1e-4 cent
+
+
+def _attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): LINEAR multi-touch attribution — every
+    purchase's value split EQUALLY across all click/view touches in
+    the 24 h lookback ('direct' keeps full credit when there are
+    none).  The model marketing runs NEXT to last-touch
+    (_attribution) to see how much credit the last click steals from
+    upper-funnel views; shipping both is the point.
+
+    Exactness: per-(purchase, channel) credit is cents·k_c/n — a
+    rational whose denominator varies per purchase, so float credit
+    sums would be order-dependent and exact rational sums don't
+    exist in SQL.  Credits are therefore quantized to integer
+    MICRO-CREDITS: floor(cents·k_c·ATTR_Q / n) in exact DECIMAL(38,0)
+    floor division (positive operands; DuckDB mirrors in HUGEINT //).
+    The ≤ 1e-4-cent-per-cell truncation is deterministic and
+    identical on both engines; reported revenue divides the exact
+    micro-credit sum by ATTR_Q·100 (round4_ratio_dec), share by the
+    exact total.
+
+    Scale: unlike last-touch (two carry windows, zero joins), the
+    equal split NEEDS the purchase×touch fan-out — it IS the
+    semantics.  The join is user_id-equi + time-range (the
+    stream-stream correlate shape): one exchange per side, range
+    predicate prunes within user groups, fan-out bounded by touches
+    within the horizon (bot users → salting, as documented on
+    join_salted).  Everything after is purchase-grained aggregation."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    horizon_us = ATTR_WINDOW_H * 3600 * 1_000_000
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("p_id"),
+                 F.col("us").alias("p_us"),
+                 F.floor(F.col("value") * 100 + 0.5).alias("cents")))
+    t = (ev.where(F.col("event_type").isin("click", "view"))
+         .select(F.col("user_id").alias("t_user"),
+                 F.col("us").alias("t_us"),
+                 F.col("event_type").alias("channel")))
+    j = p.join(t, (F.col("user_id") == F.col("t_user"))
+               & (F.col("t_us") < F.col("p_us"))
+               & (F.col("t_us") >= F.col("p_us") - horizon_us))
+    pc = j.groupBy("p_id", "cents", "channel").agg(
+        F.count("*").alias("k"))
+    pn = pc.groupBy("p_id").agg(F.sum("k").alias("n"))
+    num = (F.col("cents").cast("decimal(19,0)") * F.col("k")
+           * ATTR_Q).cast("decimal(38,0)")
+    den = F.col("n").cast("decimal(38,0)")
+    credit = (pc.join(pn, "p_id")
+              .select("p_id", "channel",
+                      ((num - F.pmod(num, den)) / den)
+                      .cast("decimal(38,0)").alias("q")))
+    direct = (p.join(j.select("p_id").distinct(), "p_id", "left_anti")
+              .select("p_id", F.lit("direct").alias("channel"),
+                      (F.col("cents").cast("decimal(38,0)") * ATTR_Q)
+                      .alias("q")))
+    per_chan = (credit.unionByName(direct)
+                .groupBy("channel")
+                .agg(F.countDistinct("p_id").alias("n_purchases"),
+                     F.sum("q").alias("qs")))
+    total = per_chan.agg(F.sum("qs").alias("q_total"))
+    return (per_chan.crossJoin(F.broadcast(total))
+            .select("channel", "n_purchases",
+                    round4_ratio_dec(F.col("qs"),
+                                     F.lit(ATTR_Q * 100)
+                                     .cast("decimal(38,0)"))
+                    .alias("revenue_attr"),
+                    round4_ratio_dec(F.col("qs"), F.col("q_total"))
+                    .alias("rev_share"))
+            .orderBy("channel"))
 
 
 def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1380,6 +1452,7 @@ QUERIES = {
     "mann_whitney": _mann_whitney,
     "drift_psi": _drift_psi,
     "kaplan_meier": _kaplan_meier,
+    "attribution_linear": _attribution_linear,
 }
 
 ORACLES = {
@@ -2032,4 +2105,50 @@ SELECT t_days, n_risk, n_events, n_censored,
        CASE WHEN n_zero > 0 THEN 0.0
             ELSE round(exp(cum_li / 1e6), 4) END AS survival
 FROM curve ORDER BY t_days
+"""
+
+# identical linear-attribution recurrence: user-equi + range join,
+# per-(purchase, channel) touch counts, exact HUGEINT floor-division
+# micro-credits (positive operands: // == floor), direct = anti-join
+ORACLES["attribution_linear"] = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+  FROM events
+), p AS (
+  SELECT user_id, event_id AS p_id, us AS p_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM ev WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id AS t_user, us AS t_us, event_type AS channel
+  FROM ev WHERE event_type IN ('click', 'view')
+), j AS (
+  SELECT p.p_id, p.cents, t.channel
+  FROM p JOIN t ON p.user_id = t.t_user
+       AND t.t_us < p.p_us
+       AND t.t_us >= p.p_us - {ATTR_WINDOW_H * 3600 * 1000000}
+), pc AS (
+  SELECT p_id, cents, channel, CAST(count(*) AS BIGINT) AS k
+  FROM j GROUP BY p_id, cents, channel
+), pn AS (
+  SELECT p_id, CAST(sum(k) AS BIGINT) AS n FROM pc GROUP BY p_id
+), credit AS (
+  SELECT pc.p_id, pc.channel,
+         (CAST(pc.cents AS HUGEINT) * pc.k * {ATTR_Q}) // pn.n AS q
+  FROM pc JOIN pn USING (p_id)
+  UNION ALL
+  SELECT p.p_id, 'direct' AS channel,
+         CAST(p.cents AS HUGEINT) * {ATTR_Q} AS q
+  FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.p_id = p.p_id)
+), per_chan AS (
+  SELECT channel, CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+         sum(q) AS qs
+  FROM credit GROUP BY channel
+), total AS (
+  SELECT sum(qs) AS q_total FROM per_chan
+)
+SELECT channel, n_purchases,
+       {round4_ratio_dec_sql("qs", str(ATTR_Q * 100))} AS revenue_attr,
+       {round4_ratio_dec_sql("qs", "q_total")} AS rev_share
+FROM per_chan, total
+ORDER BY channel
 """

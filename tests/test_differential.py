@@ -55,7 +55,11 @@ EVENT_OPS = ["time_bucket_ohlc", "window_twap", "cusum_changepoint",
              # r7: duplicate-value clusters land the ceil-rank band
              # edges ON ties, and sparse (type, hour) cells hit the
              # n = 1 order-statistic degenerate (all three bands equal)
-             "seasonal_envelope"]
+             "seasonal_envelope",
+             # r7: burst corpora put MANY touches in one purchase's
+             # window (fan-out + varying credit denominators) while
+             # touch-free purchases exercise the direct anti-join arm
+             "attribution_linear"]
 
 TYPES = ["click", "view", "purchase", "signup", "error"]
 

@@ -796,3 +796,18 @@ def test_seasonal_envelope_reuses_one_cell_partitioning(spark, sf_dir):
     s = got["summary"]
     assert s["shuffle_records"] <= n_rows + 5 * 24 * 32 + 5 * 24
     assert s["spill_disk_bytes"] == 0
+
+
+def test_attribution_linear_joins_on_user_never_cartesian(spark, sf_dir):
+    """attribution_linear's scale claim measured (r7): the purchase×
+    touch fan-out comes from a user_id EQUI join (range predicate
+    inside key groups) — each side crosses one exchange, and total
+    shuffle traffic is bounded by the event stream plus the joined
+    pair count; no broadcast nested loop over the streams."""
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    got = profile(all_queries()["attribution_linear"](spark, sf_dir))
+    s = got["summary"]
+    n_pairs = s["output_rows"]  # ≤ channels+1 rows out; use events bound
+    assert s["shuffle_records"] <= 6 * n_events + 64 * 32
+    assert s["spill_disk_bytes"] == 0

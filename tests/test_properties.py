@@ -920,3 +920,65 @@ def test_seasonal_envelope_brute_force_replay(spark, sf_dir):
         num = sum(vals) * 20000 + n * 100
         assert got.mean_value == \
             (num - num % (2 * n * 100)) // (2 * n * 100) / 1e4
+
+
+def test_attribution_linear_brute_force_replay(spark, sf_dir):
+    """Linear-attribution invariants: a driver-side replay (per-user
+    touch lists, window filter, exact integer micro-credit floor
+    division) reproduces every channel row; micro-credit totals
+    conserve revenue up to the documented ≤1e-4-cent-per-cell
+    truncation; shares sum to ~1; every purchase is credited in
+    exactly one arm (touched xor direct)."""
+    import math
+    from collections import defaultdict
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        ATTR_Q, ATTR_WINDOW_H, _attribution_linear,
+    )
+
+    rows = {r.channel: r for r in
+            _attribution_linear(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")).collect()
+    touches = defaultdict(list)
+    for r in ev:
+        if r.event_type in ("click", "view"):
+            touches[r.user_id].append((r.us, r.event_type))
+    horizon = ATTR_WINDOW_H * 3600 * 1_000_000
+    qs = defaultdict(int)
+    n_p = defaultdict(set)
+    total_cents = 0
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        cents = math.floor(r.value * 100 + 0.5)
+        total_cents += cents
+        inwin = [ch for us, ch in touches[r.user_id]
+                 if r.us - horizon <= us < r.us]
+        if not inwin:
+            qs["direct"] += cents * ATTR_Q
+            n_p["direct"].add(r.event_id)
+            continue
+        n = len(inwin)
+        for ch in set(inwin):
+            k = inwin.count(ch)
+            qs[ch] += (cents * k * ATTR_Q) // n
+            n_p[ch].add(r.event_id)
+    assert set(rows) == set(qs)
+    q_total = sum(qs.values())
+
+    def half_up(a, b):
+        num = a * 20000 + b
+        return (num - num % (2 * b)) // (2 * b) / 1e4
+
+    for ch, r in rows.items():
+        assert r.n_purchases == len(n_p[ch])
+        assert r.revenue_attr == half_up(qs[ch], ATTR_Q * 100)
+        assert r.rev_share == half_up(qs[ch], q_total)
+    # conservation: truncation loses < 1 micro-credit per (purchase,
+    # channel) cell
+    n_cells = sum(len(v) for v in n_p.values())
+    assert 0 <= total_cents * ATTR_Q - q_total < max(n_cells, 1)
+    assert abs(sum(r.rev_share for r in rows.values()) - 1.0) \
+        <= len(rows) * 1e-4
