@@ -64,6 +64,8 @@ HEADLINE = [
     "cms_topk",             # round 7: count-min sketch build + probe
     "events_rate_limit",    # round 7: RANGE-window throttling
     "kmeans_step",          # round 7: map-side assign + K-state agg
+    "mann_whitney",         # round 7: distributed prefix-sum rank test
+    "ngram_novelty",        # round 7: linear gram reduce + join-back
 ]
 
 

@@ -70,6 +70,9 @@ AUDIT = [
     "pca_power_iter",     # round-7: map-side coefficients, d-state reduce
     "bootstrap_ci",       # round-7: n×B partial-aggs to groups×B states
     "rank_fusion",        # round-7: two top-20 sort-limits, 40-row fusion
+    "mutual_info",        # round-7: reduced cell table, 1-row reductions
+    "seasonal_envelope",  # round-7: one (type, hour) exchange, 3 bands
+    "attribution_linear",  # round-7: user-equi range join, no cartesian
 ]
 
 
