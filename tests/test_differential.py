@@ -200,6 +200,14 @@ def _gen_docs(seed: int, n: int = 120):
         elif k < 0.34:
             text = ("reach me at bob@example.com or 555-0101 "
                     + " ".join(rng.choices(WORDS, k=5)))
+        elif k < 0.38:
+            # astral-plane emoji (UTF-16 surrogate pairs on the JVM),
+            # CJK, and combining marks: pins that every tokenizer/
+            # length/char-split surface counts CODEPOINTS identically
+            # on both engines (probed equal; this keeps it that way)
+            text = ("naïve café \U0001F600\U0001F680 "
+                    + "中文 文本 " + "\U0001F44D" * rng.randint(1, 4)
+                    + " " + " ".join(rng.choices(WORDS, k=3)))
         else:
             text = " ".join(rng.choices(WORDS, k=rng.randint(5, 60)))
         rows.append((i, text, rng.choice(["en", "de", "fr"]),
