@@ -1254,6 +1254,41 @@ def _rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("fused_rnk"))
 
 
+def _collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r7 debut): adjacent-repeat token collapse — runs of the
+    same token squeeze to one occurrence ('the the the' → 'the'), the
+    C4-style stutter cleaner that text_repetition SCORES but nothing
+    yet REWRITES; this op emits the transform's audit row plus a
+    sha256 of the cleaned token stream so the driver hash-verifies
+    the rewritten TEXT itself, not just counts.
+
+    Cross-engine mechanics: keep token i iff it differs from its
+    predecessor — an indexed HOF filter on both engines (Spark
+    0-based filter() + 1-based element_at guarded by a lazily-
+    evaluated when(); DuckDB 1-based list_filter + ws[i-1], the NULL
+    predecessor at i=1 absorbed by OR).  Counts are exact BIGINTs;
+    repeat_ratio is an int/int round4_ratio (empty doc → 0 tokens →
+    NULL via the b > 0 guard); the cleaned stream hashes through the
+    shared WS_CHARS tokenizer, so both engines hash identical bytes.
+
+    Scale: pure narrow map (HOFs + one sha256 per doc) — zero
+    shuffle except the output ordering; the profiler pin asserts
+    no data-sized exchange exists."""
+    docs = load(spark, sf_dir, "documents")
+    ws = _tokens(F.col("text"))
+    keep = F.filter(
+        ws, lambda x, i: F.when(i == 0, F.lit(True))
+        .otherwise(x != F.element_at(ws, i)))
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        (F.size(ws) - F.size(keep)).alias("n_collapsed"),
+        round4_ratio(F.size(ws) - F.size(keep), F.size(ws))
+        .alias("repeat_ratio"),
+        F.sha2(F.concat_ws(" ", keep), 256).alias("cleaned_sha"),
+    ).orderBy("doc_id")
+
+
 def _mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT (r7 debut): mutual information between the lang and source
     columns — the corpus-composition association audit (is language
@@ -1549,6 +1584,7 @@ QUERIES = {
     "text_bm25": _text_bm25,
     "rank_fusion": _rank_fusion,
     "mutual_info": _mutual_info,
+    "collapse_repeats": _collapse_repeats,
     "lm_score_bigram": _lm_score_bigram,
     "collocation_pmi": _collocation_pmi,
     "lang_confusion": _lang_confusion,
@@ -2273,4 +2309,28 @@ SELECT n AS n_docs, n_cells, n_langs, n_sources,
          AS h_source,
        {round4_ratio_dec_sql("mi_q", "least(h_nx, h_ny)")} AS nmi
 FROM tot, mi, hl, hs
+"""
+
+# identical keep-first-of-run recurrence: 1-based indexed list_filter
+# (the NULL predecessor at i=1 absorbed by OR), shared tokenizer,
+# sha256 of the space-rejoined cleaned stream.  COALESCE on the
+# rejoin: DuckDB's array_to_string([]) is NULL while Spark's
+# concat_ws of an empty array is '' — a 0-token (empty/whitespace)
+# doc must hash sha256('') on both engines (r7 differential find;
+# the fixtures have no empty docs, the adversarial corpora do)
+ORACLES["collapse_repeats"] = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS ws FROM documents
+), k AS (
+  SELECT doc_id, ws,
+         list_filter(ws, (x, i) -> i = 1 OR x != ws[i - 1]) AS keep
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(ws) AS INTEGER) AS n_tokens,
+       CAST(len(ws) - len(keep) AS INTEGER) AS n_collapsed,
+       {round4_ratio_sql("len(ws) - len(keep)", "len(ws)")}
+         AS repeat_ratio,
+       sha256(COALESCE(array_to_string(keep, ' '), '')) AS cleaned_sha
+FROM k ORDER BY doc_id
 """

@@ -20,17 +20,18 @@ Round-7 window (current): the 4 round-6 debuts FIRST (winsorize,
 collocation_pmi, lang_confusion, quantile_normalize — registered in
 round 6 but the window was never rotated, so they entered round 7
 with no official driver row; rotating them in was the round's first
-edit), then the 20 ROUND-7 debuts (substring_dedup, dedup_containment,
+edit), then the 21 ROUND-7 debuts (substring_dedup, dedup_containment,
 gopher_rules, importance_sample, events_rate_limit,
 sample_cap_per_group, cms_topk, kmeans_step, join_prefix_filter,
 mann_whitney, drift_psi, acf_lags, ngram_novelty, kaplan_meier,
 pca_power_iter, bootstrap_ci, rank_fusion, mutual_info,
-seasonal_envelope, attribution_linear), then the 26 stalest round-2
-greens (4 rounds without a fresh row).  24 + 26 = 50: exactly full
-per `rotation_report.py`; 20 r2 greens (scalar_url, scalar_variant,
-similarity_ivf, sql_q3, sql_q4, sql_q5, sql_q7, sql_q13, sql_q18,
-sql_q22, sql_recursive_cte, stream_correlate..token_count) wait one
-round per the schedule below.
+seasonal_envelope, attribution_linear, collapse_repeats), then the
+25 stalest round-2 greens (4 rounds without a fresh row).
+25 + 25 = 50: exactly full per `rotation_report.py`; 21 r2 greens
+(scalar_string, scalar_url, scalar_variant, similarity_ivf, sql_q3,
+sql_q4, sql_q5, sql_q7, sql_q13, sql_q18, sql_q22, sql_recursive_cte,
+stream_correlate..token_count) wait one round per the schedule
+below.
 
 ROTATION NOTE (round 7 → 8): any round-7 debuts go FIRST, then fill
 from `python scripts/rotation_report.py` (it derives each query's
@@ -68,7 +69,7 @@ WINDOW_PRIORITY: list[str] = [
     # round-6 debuts first — they were registered in round 6 but the
     # window was never rotated, so they have NO official driver row yet
     # (all 4 MATCH their oracles locally at sf0.01; the judge graded
-    # them "weak" pending a driver row) — then the 20 ROUND-7 debuts
+    # them "weak" pending a driver row) — then the 21 ROUND-7 debuts
     # (all MATCH locally at all three SFs), then the 26 stalest
     # round-2 greens (4 rounds without a fresh row — the oldest tier
     # in the repo).  24 + 26 = 50: exactly full; the 20 remaining r2
@@ -87,7 +88,8 @@ WINDOW_PRIORITY: list[str] = [
     "mann_whitney", "drift_psi", "acf_lags", "ngram_novelty",
     "kaplan_meier", "pca_power_iter", "bootstrap_ci", "rank_fusion",
     "mutual_info", "seasonal_envelope", "attribution_linear",
-    # -- 26 stalest round-2 greens (stalest-first order) ---------------
+    "collapse_repeats",
+    # -- 25 stalest round-2 greens (stalest-first order) ---------------
     "agg_collect", "agg_grouping_sets", "agg_percentiles",
     "corpus_curate", "dedup_clusters", "dedup_embedding",
     "doc_fingerprint", "embedding_quantize", "etl_fallback_log",
@@ -95,7 +97,7 @@ WINDOW_PRIORITY: list[str] = [
     "multimodal_frames", "multimodal_schema", "pivot_events",
     "quality_audit", "raw_modal", "sample_hash", "sample_stratified",
     "scalar_case", "scalar_date", "scalar_json", "scalar_map_json",
-    "scalar_map_ops", "scalar_string",
+    "scalar_map_ops",
 ]
 
 

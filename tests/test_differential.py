@@ -164,7 +164,12 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            # cells (near-deterministic association → NMI ~ 1, min-H
            # denominators tiny) — the quantized-term sums and the
            # b>0 NULL guard under near-degenerate marginals
-           "mutual_info"]
+           "mutual_info",
+           # r7: repetition storms ARE the collapse surface (whole-doc
+           # runs of one token → near-total collapse), empty/whitespace
+           # docs hit the 0-token NULL-ratio arm, and the cleaned-text
+           # sha pins the rewrite byte-for-byte on every shape
+           "collapse_repeats"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 

@@ -811,3 +811,17 @@ def test_attribution_linear_joins_on_user_never_cartesian(spark, sf_dir):
     n_pairs = s["output_rows"]  # ≤ channels+1 rows out; use events bound
     assert s["shuffle_records"] <= 6 * n_events + 64 * 32
     assert s["spill_disk_bytes"] == 0
+
+
+def test_collapse_repeats_is_pure_map(spark, sf_dir):
+    """collapse_repeats' scale claim measured (r7): the transform is
+    one narrow map pass (HOF filter + sha256 per doc) — the only
+    exchange is the output ordering, carrying one audit row per doc,
+    never document text at stream scale."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    got = profile(all_queries()["collapse_repeats"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= n_docs
+    assert s["n_broadcasts"] == 0
+    assert s["spill_disk_bytes"] == 0

@@ -982,3 +982,42 @@ def test_attribution_linear_brute_force_replay(spark, sf_dir):
     assert 0 <= total_cents * ATTR_Q - q_total < max(n_cells, 1)
     assert abs(sum(r.rev_share for r in rows.values()) - 1.0) \
         <= len(rows) * 1e-4
+
+
+def test_collapse_repeats_brute_force_replay(spark, sf_dir):
+    """Collapse invariants: a driver-side replay (same WS split,
+    keep-first-of-run, sha256 of the space-rejoined stream)
+    reproduces every row; the transform is idempotent (collapsing the
+    collapsed stream removes nothing); counts reconcile
+    (n_tokens - n_collapsed = len(kept))."""
+    import hashlib
+    import re
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _collapse_repeats,
+    )
+
+    rows = {r.doc_id: r for r in
+            _collapse_repeats(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text").collect()
+    ws_re = re.compile("[ \t\n\x0b\f\r]+")
+    assert set(rows) == {d.doc_id for d in docs}
+    for d in docs:
+        toks = [t for t in ws_re.split(d.text.lower()) if t]
+        kept = [t for i, t in enumerate(toks)
+                if i == 0 or t != toks[i - 1]]
+        r = rows[d.doc_id]
+        assert (r.n_tokens, r.n_collapsed) == \
+            (len(toks), len(toks) - len(kept))
+        assert r.cleaned_sha == hashlib.sha256(
+            " ".join(kept).encode()).hexdigest()
+        twice = [t for i, t in enumerate(kept)
+                 if i == 0 or t != kept[i - 1]]
+        assert twice == kept
+        if toks:
+            num = r.n_collapsed * 20000 + len(toks)
+            assert r.repeat_ratio == \
+                (num - num % (2 * len(toks))) // (2 * len(toks)) / 1e4
+        else:
+            assert r.repeat_ratio is None
