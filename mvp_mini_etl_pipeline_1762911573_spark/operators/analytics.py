@@ -784,7 +784,20 @@ def _attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums would be order-dependent and exact rational sums don't
     exist in SQL.  Credits are therefore quantized to integer
     MICRO-CREDITS: floor(cents·k_c·ATTR_Q / n) in exact DECIMAL(38,0)
-    floor division (positive operands; DuckDB mirrors in HUGEINT //).
+    floor division — num − pmod(num, den) is sign-safe floor on Spark,
+    and the oracle mirrors it with the explicit ((x%m)+m)%m positive
+    mod (DuckDB's bare // truncates toward zero on negatives, the
+    stream_ohlc pre-1970 lesson; moot under the positivity guard
+    below, kept as defense in depth).  Attributable purchases are
+    those with 0 < value < 9e6 (non-NaN, explicitly — both engines
+    order NaN above every number, so NaN > 0 alone would ADMIT it):
+    NaN/Inf/huge values would saturate Spark's floor(DOUBLE)→LONG
+    where DuckDB's BIGINT cast raises, refunds (v ≤ 0) are not
+    attributable revenue and would let credits cancel (q_total → 0
+    explodes the rev_share ratio past round4_ratio_dec's BIGINT
+    range), and the 9e6 cap keeps total·1e4 micro-dollars inside
+    int64 to ~1e8 purchases (envelope documented, hostile-value
+    differential corpus pins all three edges).
     The ≤ 1e-4-cent-per-cell truncation is deterministic and
     identical on both engines; reported revenue divides the exact
     micro-credit sum by ATTR_Q·100 (round4_ratio_dec), share by the
@@ -801,7 +814,9 @@ def _attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "event_type", "value",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
     horizon_us = ATTR_WINDOW_H * 3600 * 1_000_000
-    p = (ev.where(F.col("event_type") == "purchase")
+    p = (ev.where((F.col("event_type") == "purchase")
+                  & F.col("value").isNotNull() & ~F.isnan("value")
+                  & (F.col("value") > 0) & (F.col("value") < 9e6))
          .select("user_id", F.col("event_id").alias("p_id"),
                  F.col("us").alias("p_us"),
                  F.floor(F.col("value") * 100 + 0.5).alias("cents")))
@@ -2118,6 +2133,8 @@ WITH ev AS (
   SELECT user_id, event_id AS p_id, us AS p_us,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM ev WHERE event_type = 'purchase'
+    AND value IS NOT NULL AND NOT isnan(value)
+    AND value > 0 AND value < 9e6
 ), t AS (
   SELECT user_id AS t_user, us AS t_us, event_type AS channel
   FROM ev WHERE event_type IN ('click', 'view')
@@ -2131,10 +2148,18 @@ WITH ev AS (
   FROM j GROUP BY p_id, cents, channel
 ), pn AS (
   SELECT p_id, CAST(sum(k) AS BIGINT) AS n FROM pc GROUP BY p_id
-), credit AS (
+), pcn AS (
   SELECT pc.p_id, pc.channel,
-         (CAST(pc.cents AS HUGEINT) * pc.k * {ATTR_Q}) // pn.n AS q
+         CAST(pc.cents AS HUGEINT) * pc.k * {ATTR_Q} AS num,
+         CAST(pn.n AS HUGEINT) AS den
   FROM pc JOIN pn USING (p_id)
+), credit AS (
+  -- sign-safe floor division: bare // truncates toward zero on
+  -- negative numerators (refund credits) where Spark's
+  -- (num - pmod(num, den)) / den floors
+  SELECT p_id, channel,
+         (num - (((num % den) + den) % den)) // den AS q
+  FROM pcn
   UNION ALL
   SELECT p.p_id, 'direct' AS channel,
          CAST(p.cents AS HUGEINT) * {ATTR_Q} AS q

@@ -180,6 +180,15 @@ def _acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     series has denominator 0 -> NULL acf on both engines (the
     round4_ratio_dec guard), never a crash.
 
+    Domain guard: NULL/NaN excluded AND |v| < 9e6 — TIGHTER than the
+    floor-cents 9e14 quantizer bound, because u = n*c - S squares:
+    sum(u^2) ~ n^3 * var(cents) must stay inside DECIMAL(38,0), so
+    cents are capped at 9e8 (envelope: n^3 * var_cents < 1e38, i.e.
+    worst-case-adversarial-safe to ~1e6 rows/series, realistic-var-
+    safe far beyond; past that, chunk the series per the scale note).
+    The hostile-value differential corpus pins the bound (a 9e14 cap
+    overflows the u^2 accumulator with ~9e16-cent outliers).
+
     Scale: ONE hash exchange on event_type feeds the whole-partition
     moments window, the lead() windows and the final agg (same key ->
     Catalyst reuses the partitioning; the profiler pin asserts it).
@@ -187,7 +196,8 @@ def _acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-plus-offset split (the _value_arm_cum two-level scan) is
     the documented rewrite, as in CUSUM."""
     ev = (load(spark, sf_dir, "events")
-          .where(F.col("value").isNotNull() & ~F.isnan("value"))
+          .where(F.col("value").isNotNull() & ~F.isnan("value")
+                 & (F.abs(F.col("value")) < 9e6))
           .select("event_type", "ts", "event_id",
                   F.floor(F.col("value") * 100 + 0.5).alias("c")))
     part = Window.partitionBy("event_type")
@@ -236,7 +246,8 @@ def _seasonal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics for approx_percentile sketches — identical downstream
     shape, exactness kept here for the oracle (the winsorize note)."""
     ev = (load(spark, sf_dir, "events")
-          .where(F.col("value").isNotNull() & ~F.isnan("value"))
+          .where(F.col("value").isNotNull() & ~F.isnan("value")
+                 & (F.abs(F.col("value")) < 9e14))
           .select("event_type", F.hour("ts").alias("hr"), "event_id",
                   F.floor(F.col("value") * 100 + 0.5).alias("cents")))
     part = Window.partitionBy("event_type", "hr")
@@ -344,6 +355,7 @@ WITH e AS (
   SELECT event_type, ts, event_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
   FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    AND abs(value) < 9e6
 ), st AS (
   SELECT event_type, ts, event_id, c,
          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
@@ -379,6 +391,7 @@ WITH e AS (
   SELECT event_type, hour(ts) AS hr, event_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    AND abs(value) < 9e14
 ), ranked AS (
   SELECT event_type, hr, cents,
          row_number() OVER w AS rn,

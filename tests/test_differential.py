@@ -401,6 +401,74 @@ def test_differential_extra_event_ops(spark, diff_dirs, name, seed):
     compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
 
 
+#: value-quantizing / value-ranking operators under the HOSTILE value
+#: corpus (r8, pinning the r7 ADVICE latents): NULL, NaN, ±Inf,
+#: magnitudes at and beyond the floor-cents quantizer's 9e14 safety
+#: bound, and NEGATIVE values (refunds) — outside the guard Spark's
+#: floor(DOUBLE)→LONG saturates at ±2^63 while DuckDB's BIGINT cast
+#: raises, and DuckDB's bare // truncates toward zero where Spark's
+#: num − pmod floor division floors (attribution_linear's credits).
+#: Every op here must either guard-filter or raw-passthrough these
+#: rows identically on both engines.
+HOSTILE_VALUE_OPS = ["attribution_linear", "acf_lags",
+                     "seasonal_envelope", "quantile_normalize",
+                     "mann_whitney", "drift_psi"]
+
+
+def _gen_events_hostile(seed: int, n: int = 300):
+    """_gen_events shapes with a hostile value column: ~1/3 of rows
+    draw from {NULL, NaN, +Inf, -Inf, ±(9e14±ε), ±9.5e18, negatives},
+    the rest normal finite values (so guarded ops still have data)."""
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    hostile = [None, float("nan"), float("inf"), float("-inf"),
+               9e14, -9e14, 8.999999e14, 9.5e18, -9.5e18,
+               -123.45, -0.005, 1.7e308]
+    rows = []
+    ts = base
+    for i in range(n):
+        if rng.random() < 0.8:
+            ts = ts + dt.timedelta(microseconds=rng.randint(1, 3_000_000_000))
+        if rng.random() < 0.35:
+            value = rng.choice(hostile)
+        else:
+            value = rng.choice([
+                round(rng.uniform(0, 100), 2), 10.0, 10.004, 0.0,
+                round(rng.uniform(150000, 200000), 2),
+            ])
+        rows.append((i, ts, rng.randint(1, 8), rng.choice(TYPES),
+                     value, '{"k": %d}' % rng.randint(0, 99)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def diff_hostile_dirs(spark, tmp_path_factory):
+    out = {}
+    con = duckdb.connect()
+    for seed in (71, 72):
+        d = tmp_path_factory.mktemp(f"diffhostile{seed}")
+        df = spark.createDataFrame(
+            _gen_events_hostile(seed),
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string")
+        df.coalesce(2).write.parquet(f"{d}/events.parquet")
+        out[seed] = str(d)
+    return out, con
+
+
+@pytest.mark.parametrize("name", HOSTILE_VALUE_OPS)
+@pytest.mark.parametrize("seed", [71, 72])
+def test_differential_on_hostile_values(spark, diff_hostile_dirs, name,
+                                        seed):
+    dirs, con = diff_hostile_dirs
+    sf_dir = dirs[seed]
+    con.execute("DROP VIEW IF EXISTS events")
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{sf_dir}/events.parquet/*.parquet'")
+    df = all_queries()[name](spark, sf_dir)
+    compare(df, con, all_oracles()[name], f"{name}@hostile{seed}")
+
+
 #: relational operators on generated orders/customer — null keys,
 #: orphan references, out-of-domain statuses, negative prices and
 #: heavy price/date ties (quantile and recency tie-breaks)
