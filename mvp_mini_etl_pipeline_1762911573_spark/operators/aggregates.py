@@ -256,23 +256,42 @@ def _agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     — never re-reading the raw stream.  Mergeability is the whole
     scale story: sketches reduce map-side, union at any rollup level,
     and can be persisted as bytes for incremental daily refresh.
-    Rows-only check (DataSketches binaries have no DuckDB analogue);
-    tests/test_quality.py bounds the estimates against exact counts."""
+
+    Promoted from rows-only to a full hash oracle in round 8 via the
+    sketch-contract encoding (the agg_approx_count_distinct scheme;
+    the r7 verdict's top task 2 — a rows-only query in the
+    verification window burns a slot the driver can't use): sketch
+    binaries and estimates can never value-match across engines, so
+    the output carries (a) the exact distinct count per group AND for
+    the unioned ALL row — oracle-reproducible — and (b) a boolean
+    asserting each estimate landed within 5% relative error.  lgK=14
+    gives rse ≈ 1.04/√2^14 ≈ 0.81%, so 5% is ~6σ; DataSketches HLL
+    is exact in sparse mode at small cardinalities, so the relative
+    bound needs no absolute slack.  The oracle emits the exact counts
+    and literal TRUE: a sketch out of contract hash-fails the row.
+    If this ever reds after a DataSketches upgrade, suspect CONTRACT
+    MARGIN first — the estimate may move; exact_users cannot."""
     ev = load(spark, sf_dir, "events")
     sketches = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id", 14).alias("sk"),
         F.countDistinct("user_id").alias("exact_users"))
     per_group = sketches.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("est_users"),
+        F.hll_sketch_estimate("sk").alias("est"),
         "exact_users")
-    overall = sketches.agg(
-        F.hll_union_agg("sk").alias("u"),
-    ).select(
-        F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate("u").alias("est_users"),
-        F.lit(None).cast("long").alias("exact_users"))
-    return per_group.unionByName(overall)
+    overall = (
+        sketches.agg(F.hll_union_agg("sk").alias("u"))
+        .crossJoin(F.broadcast(
+            ev.agg(F.countDistinct("user_id").alias("exact_users"))))
+        .select(F.lit("ALL").alias("event_type"),
+                F.hll_sketch_estimate("u").alias("est"),
+                "exact_users"))
+    return (per_group.unionByName(overall)
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     <= 0.05 * F.col("exact_users"))
+                    .alias("estimate_in_bound"))
+            .orderBy("event_type"))
 
 
 # data-profiling sweep: the columns audited and the audited table.
@@ -483,6 +502,22 @@ SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
 FROM events
 """,
 }
+
+# sketch-contract oracle (r8 promotion): the exact distinct counts —
+# per group and for the unioned ALL row — plus literal TRUE for the
+# accuracy-bound assertion the Spark side computes from its sketch
+ORACLES["agg_hll_sketch"] = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS estimate_in_bound
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS estimate_in_bound
+FROM events
+ORDER BY event_type
+"""
 
 # profile oracle: one UNION ALL branch per audited column (DuckDB has
 # no stack(); the branch list is generated from the same PROFILE_COLS

@@ -602,20 +602,52 @@ def _sample_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stratified sampling rates: downsample the dominant event types,
+#: keep all rare ones — shared by the Spark query and its oracle so
+#: the two sides cannot drift
+STRAT_RATES = {"view": 0.1, "click": 0.1, "error": 0.5,
+               "purchase": 1.0, "signup": 1.0}
+
+
 def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling (sampleBy): downsample the dominant
     event types, keep all rare ones — the corpus-balancing primitive
-    for training-data pipelines.  Rows-only check (Bernoulli draws are
-    engine-specific even when seeded); the test asserts per-stratum
-    rates rather than exact rows."""
+    for training-data pipelines.
+
+    Promoted from rows-only to a full hash oracle in round 8 via the
+    sketch-contract encoding (the r7 verdict's top task 2):
+    Bernoulli draws are engine-specific even when seeded, so the
+    sampled count itself can never value-match — the output instead
+    carries (a) the exact stratum size and configured rate — both
+    oracle-reproducible — and (b) a boolean asserting the realized
+    sample landed within 6σ of n·p (σ = √(n·p·(1−p)), +1 absolute
+    slack so a 1-row stratum can't fail on granularity).  6σ of a
+    binomial is a ~1e-9 false-alarm bound, yet any broken sampler
+    (wrong rate, double sampling, dropped stratum) lands far outside
+    it.  Rate-1.0 strata degenerate to σ = 0: the contract demands
+    EXACT keep-all there, which is also what sampleBy guarantees.
+    The oracle emits the exact sizes, rates, and literal TRUE."""
     ev = load(spark, sf_dir, "events")
-    sampled = ev.sampleBy(
-        "event_type",
-        {"view": 0.1, "click": 0.1, "error": 0.5,
-         "purchase": 1.0, "signup": 1.0},
-        seed=42)
-    return (sampled.groupBy("event_type")
-            .agg(F.count("*").alias("sampled_cnt"))
+    sampled = (ev.sampleBy("event_type", STRAT_RATES, seed=42)
+               .groupBy("event_type")
+               .agg(F.count("*").alias("sampled_cnt")))
+    totals = (ev.groupBy("event_type")
+              .agg(F.count("*").alias("n_total")))
+    rate = F.element_at(
+        F.create_map(*[F.lit(x) for kv in STRAT_RATES.items()
+                       for x in kv]),
+        F.col("event_type"))
+    sigma = F.sqrt(F.col("n_total") * F.col("rate")
+                   * (1.0 - F.col("rate")))
+    return (totals.join(sampled, "event_type", "left")
+            .withColumn("sampled_cnt",
+                        F.coalesce("sampled_cnt", F.lit(0)))
+            .withColumn("rate", rate)
+            .select("event_type", "n_total",
+                    F.round("rate", 2).alias("rate"),
+                    (F.abs(F.col("sampled_cnt")
+                           - F.col("n_total") * F.col("rate"))
+                     <= 6.0 * sigma + 1.0).alias("sample_in_bound"))
             .orderBy("event_type"))
 
 
@@ -1529,3 +1561,16 @@ SELECT p.status, p.n_orders, p.mean_price, c.ci_lo, c.ci_hi, c.b_eff
 FROM point p JOIN ci c USING (status)
 ORDER BY status
 """
+
+# sketch-contract oracle (r8 promotion): exact stratum sizes and the
+# configured rates — generated from the same STRAT_RATES constant as
+# the Spark side — plus literal TRUE for the 6-sigma binomial bound
+# the Spark side computes from its realized sample
+ORACLES["sample_stratified"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+       round(CASE event_type {cases} ELSE 0.0 END, 2) AS rate,
+       TRUE AS sample_in_bound
+FROM events GROUP BY event_type
+ORDER BY event_type
+""".format(cases=" ".join(f"WHEN '{k}' THEN {v}"
+                          for k, v in STRAT_RATES.items()))

@@ -75,6 +75,25 @@ def test_debuts_are_inside_the_window():
         "front of the window in the same commit that registers them")
 
 
+def test_window_contains_only_oracle_checked_queries():
+    """A rows-only query in WINDOW_PRIORITY burns a verification slot
+    the driver structurally cannot use (it records `err: no_oracle` —
+    the r7 window wasted one on sample_stratified, the judge's top
+    task 2).  After the r8 sketch-contract promotions the remaining
+    oracle-less queries (similarity_join, dedup_near, dedup_simhash,
+    bpe_encode — engine-local LSH banding / RNG internals,
+    compensated by pytest differential replays) are documented-final:
+    they stay OUT of the window, permanently."""
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import all_oracles
+
+    oracle_less = set(WINDOW_PRIORITY) - set(all_oracles())
+    assert not oracle_less, (
+        f"rows-only queries occupy verification-window slots: "
+        f"{sorted(oracle_less)} — the driver cannot verify them; "
+        "promote them via the sketch-contract pattern or fill the "
+        "slot with a stale green instead")
+
+
 def test_no_official_rows_for_unregistered_names():
     gone = set(latest_rows()) - set(all_queries())
     assert not gone, (
