@@ -66,7 +66,16 @@ HEADLINE = [
     "kmeans_step",          # round 7: map-side assign + K-state agg
     "mann_whitney",         # round 7: distributed prefix-sum rank test
     "ngram_novelty",        # round 7: linear gram reduce + join-back
+    "logit_step",           # round 8: map-side quantized gradient step
 ]
+
+#: the cross-machine timing anchor (ADVICE/verdict r7: two rounds in a
+#: row, every query drifted by one uniform machine-speed factor and
+#: wall-second deltas read as regressions).  sql_q9 is the most stable
+#: heavyweight in the set (6-table join, no iterative jitter); the
+#: emitted `anchor_ratios` divide each query's seconds by its seconds,
+#: so cross-round comparison of RATIOS cancels the machine factor.
+ANCHOR = "sql_q9"
 
 
 def main() -> None:
@@ -170,11 +179,20 @@ def main() -> None:
               f"{repro['max_abs_delta_sec']}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    anchor_sec = timings.get(ANCHOR) or 1.0
     record = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # machine-speed-invariant view: seconds / sql_q9 seconds.
+        # Compare THESE across rounds; wall-second deltas on different
+        # machines are dominated by the host factor (r6->r7 lesson,
+        # twice).
+        "anchor": ANCHOR,
+        "anchor_sec": anchor_sec,
+        "anchor_ratios": {k: round(v / anchor_sec, 3)
+                          for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # methodology marker (ADVICE r3): totals before round 3 were
         # single cold runs — cross-round deltas spanning the switch

@@ -1405,6 +1405,118 @@ def _quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# logit_step (r8 debut): one full-batch gradient-descent step of the
+# quality classifier, trained as a LANGUAGE DISCRIMINATOR (y = 1 iff
+# lang = 'en' — the DSIR/importance-weighting shape: a linear model
+# telling in-domain from out-of-domain text).  Every per-row quantity
+# is quantized to exact integers BEFORE any sum, so both engines
+# accumulate bit-identical DECIMAL/HUGEINT totals in any order:
+#   pe   = floor(sigmoid(z)·1e4 + 0.5)        µ-probability (0..10000)
+#   xe_j = floor(x_j·1e4 + 0.5)               µ-feature units
+#   G_j  = Σ (pe − y·1e4)·xe_j                gradient in 1e8-units
+#   nll  = Σ floor(−ln(sel/1e4)·1e6 + 0.5)    log-loss µ-units
+#          (sel = pe clamped to [1, 9999], the lm_score ln idiom)
+# and the reported grad / updated weight divide exact integer ratios
+# (round4_ratio_dec): grad_j = G_j/(n·1e8), w'_j = w_j − η·grad_j =
+# (wq_j·n·1e7 − G_j)/(n·1e9) with η = 1/LOGIT_LR_INV and wq_j =
+# w_j·100 exact (all serving weights have ≤ 2dp).  The per-row exprs
+# are single strings shared verbatim with the oracle (the window_ewma
+# discipline).
+LOGIT_LR_INV = 10  # learning rate 1/10
+_LOGIT_Y = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+_LOGIT_PE = ("CAST(floor((1.0 / (1.0 + exp(-("
+             + _QUALITY_LOGIT_Z + ")))) * 1e4 + 0.5) AS BIGINT)")
+_LOGIT_XE = {
+    "intercept": "CAST(10000 AS BIGINT)",
+    "avg_word_len": "CAST(floor(avg_word_len * 1e4 + 0.5) AS BIGINT)",
+    "stopword_ratio":
+        "CAST(floor(stopword_ratio * 1e4 + 0.5) AS BIGINT)",
+    "punct_ratio": "CAST(floor(punct_ratio * 1e4 + 0.5) AS BIGINT)",
+    "alpha_ratio": "CAST(floor(alpha_ratio * 1e4 + 0.5) AS BIGINT)",
+    "log_tokens": ("CAST(floor(round(ln(1.0 + n_tokens), 4) * 1e4"
+                   " + 0.5) AS BIGINT)"),
+}
+_LOGIT_W100 = {k: (round(v * 100), v) for k, v in
+               QUALITY_LOGIT_W.items()}
+
+
+def _logit_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): one supervised training step as a query — the
+    piece that completes the curation loop (score → sample → TRAIN →
+    rescore): full-batch logistic-regression gradient descent on the
+    quality-signal features, labeled by the language column.  Emits
+    per feature: the current weight, the exact mean gradient, the
+    post-step weight, plus the corpus size and mean log-loss — the
+    numbers a training driver reads to decide whether to iterate
+    (the kmeans_step/pca_power_iter idiom applied to supervised
+    learning; iterating = re-running with the emitted weights as the
+    new model).
+
+    Exactness: see the module-level _LOGIT_* contract above — per-row
+    sigmoid/feature/log-loss terms quantize to integers before any
+    aggregation, sums accumulate in DECIMAL(38,0)/HUGEINT, and the
+    reported grad / w_new / mean_nll are exact integer ratios rounded
+    half-up in decimal space.  The one transcendental per row (exp in
+    the sigmoid; ln in the loss) evaluates on bit-identical double
+    inputs on both engines and is floor-quantized with the lm_score
+    tolerance precedent.
+
+    100 TB shape: ONE scan computes every per-row term map-side; the
+    only exchange is the partial-aggregated 1-row (count + 8 integer
+    sums) reduction — gradient state is MODEL-sized (6 features), not
+    data-sized, the same argument as kmeans_step's K×5 state.  The
+    6-row report explodes from that single row with stack();
+    broadcast/driver cost is nil."""
+    docs = load(spark, sf_dir, "documents")
+    cols = _quality_feature_cols()
+    feats = docs.select(
+        "lang", *[cols[c].alias(c) for c in
+                  ("n_tokens", "avg_word_len", "stopword_ratio",
+                   "punct_ratio", "alpha_ratio")])
+    rowterms = feats.selectExpr(
+        f"{_LOGIT_Y} AS y",
+        f"{_LOGIT_PE} AS lp",
+        *[f"{e} AS xe_{k}" for k, e in _LOGIT_XE.items()],
+    ).selectExpr(
+        "y", "lp",
+        "least(greatest(lp, CAST(1 AS BIGINT)), CAST(9999 AS BIGINT))"
+        " AS lpc",
+        *[f"xe_{k}" for k in _LOGIT_XE],
+    ).selectExpr(
+        "CAST(floor(-ln((CASE WHEN y = 1 THEN lpc"
+        " ELSE 10000 - lpc END) / 10000.0) * 1e6 + 0.5) AS BIGINT)"
+        " AS nll_u",
+        "lp - y * 10000 AS re",
+        *[f"xe_{k}" for k in _LOGIT_XE],
+    )
+    one = rowterms.agg(
+        F.count("*").alias("n"),
+        F.sum("nll_u").cast("decimal(38,0)").alias("snll"),
+        *[F.sum((F.col("re") * F.col(f"xe_{k}"))
+                .cast("decimal(38,0)")).alias(f"g_{k}")
+          for k in _LOGIT_XE])
+    stack = "stack({}, {}) as (feature, wq, g)".format(
+        len(_LOGIT_XE),
+        ", ".join(f"'{k}', CAST({_LOGIT_W100[k][0]} AS BIGINT), g_{k}"
+                  for k in _LOGIT_XE))
+    n8 = (F.col("n") * F.lit(100_000_000)).cast("decimal(38,0)")
+    n9 = (F.col("n").cast("decimal(38,0)") * 1_000_000_000)
+    wn_num = (F.col("wq").cast("decimal(38,0)")
+              * F.col("n") * 10_000_000 - F.col("g"))
+    return (one.selectExpr("n", "snll", stack)
+            .select(
+                "feature",
+                (F.col("wq") / 100.0).alias("w_old"),
+                round4_ratio_dec(F.col("g"), n8).alias("grad"),
+                round4_ratio_dec(wn_num, n9).alias("w_new"),
+                F.col("n").alias("n_docs"),
+                round4_ratio_dec(
+                    F.col("snll"),
+                    (F.col("n") * F.lit(1_000_000)).cast("decimal(38,0)"))
+                .alias("mean_nll"))
+            .orderBy("feature"))
+
+
 FH_BUCKETS = 64  # feature-hash dimensionality
 
 
@@ -1581,6 +1693,7 @@ QUERIES = {
     "inverted_index": _inverted_index,
     "feature_hash": _feature_hash,
     "quality_logit": _quality_logit,
+    "logit_step": _logit_step,
     "text_bm25": _text_bm25,
     "rank_fusion": _rank_fusion,
     "mutual_info": _mutual_info,
@@ -2333,4 +2446,63 @@ SELECT doc_id,
          AS repeat_ratio,
        sha256(COALESCE(array_to_string(keep, ' '), '')) AS cleaned_sha
 FROM k ORDER BY doc_id
+"""
+
+
+# logit_step oracle (r8): identical integer micro-unit recurrence —
+# per-row sigmoid/feature/log-loss quantization shared VERBATIM with
+# the Spark side via the _LOGIT_* expression strings; gradient and
+# weight-update sums in HUGEINT; per-feature UNION branches generated
+# from the same QUALITY_LOGIT_W constants so the sides cannot drift
+_LOGIT_XE_SQL = ",\n         ".join(
+    f"{e} AS xe_{k}" for k, e in _LOGIT_XE.items())
+_LOGIT_G_SQL = ",\n         ".join(
+    f"CAST(sum(CAST(re * xe_{k} AS HUGEINT)) AS HUGEINT) AS g_{k}"
+    for k in _LOGIT_XE)
+_LOGIT_BRANCHES = "\nUNION ALL\n".join(
+    f"""SELECT '{k}' AS feature, {_LOGIT_W100[k][1]!r} AS w_old,
+       {round4_ratio_dec_sql(f'g_{k}', 'n * 100000000')} AS grad,
+       {round4_ratio_dec_sql(
+           f'CAST({_LOGIT_W100[k][0]} AS HUGEINT) * n * 10000000'
+           f' - g_{k}', 'n * 1000000000')} AS w_new,
+       n AS n_docs,
+       {round4_ratio_dec_sql('snll', 'n * 1000000')} AS mean_nll
+FROM g"""
+    for k in _LOGIT_XE)
+ORACLES["logit_step"] = f"""
+WITH t AS (
+  SELECT doc_id, text, lang, {_DUCK_TOKS} AS toks, length(text) AS nc
+  FROM documents
+), feats AS (
+  SELECT lang, len(toks) AS n_tokens,
+         round(nc / greatest(len(toks), 1), 4) AS avg_word_len,
+         round(len(list_filter(toks, x -> list_contains(
+             ['the','a','of','and','to','in','is','it'], x)))
+           / greatest(len(toks), 1), 4) AS stopword_ratio,
+         round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+           / greatest(nc, 1), 4) AS punct_ratio,
+         round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+           / greatest(nc, 1), 4) AS alpha_ratio
+  FROM t
+), rt AS (
+  SELECT {_LOGIT_Y} AS y, {_LOGIT_PE} AS lp,
+         {_LOGIT_XE_SQL}
+  FROM feats
+), rt2 AS (
+  SELECT y, lp,
+         least(greatest(lp, CAST(1 AS BIGINT)), CAST(9999 AS BIGINT))
+           AS lpc,
+         lp - y * 10000 AS re,
+         {", ".join(f"xe_{k}" for k in _LOGIT_XE)}
+  FROM rt
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(-ln((CASE WHEN y = 1 THEN lpc
+             ELSE 10000 - lpc END) / 10000.0) * 1e6 + 0.5) AS BIGINT))
+           AS HUGEINT) AS snll,
+         {_LOGIT_G_SQL}
+  FROM rt2
+)
+{_LOGIT_BRANCHES}
+ORDER BY feature
 """

@@ -16,24 +16,22 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-7 window (current): the 4 round-6 debuts FIRST (winsorize,
-collocation_pmi, lang_confusion, quantile_normalize — registered in
-round 6 but the window was never rotated, so they entered round 7
-with no official driver row; rotating them in was the round's first
-edit), then the 21 ROUND-7 debuts (substring_dedup, dedup_containment,
-gopher_rules, importance_sample, events_rate_limit,
-sample_cap_per_group, cms_topk, kmeans_step, join_prefix_filter,
-mann_whitney, drift_psi, acf_lags, ngram_novelty, kaplan_meier,
-pca_power_iter, bootstrap_ci, rank_fusion, mutual_info,
-seasonal_envelope, attribution_linear, collapse_repeats), then the
-25 stalest round-2 greens (4 rounds without a fresh row).
-25 + 25 = 50: exactly full per `rotation_report.py`; 21 r2 greens
-(scalar_string, scalar_url, scalar_variant, similarity_ivf, sql_q3,
-sql_q4, sql_q5, sql_q7, sql_q13, sql_q18, sql_q22, sql_recursive_cte,
-stream_correlate..token_count) wait one round per the schedule
-below.
+Round-8 window (current): the r8 debut(s) and re-contracted
+promotions FIRST (logit_step; agg_hll_sketch and sample_stratified
+were promoted from rows-only to full sketch-contract oracles this
+round — their output schemas changed, so each needs a fresh green
+row under the new contract), then the ENTIRE 23-query round-2-stale
+tier (5 rounds without a fresh row — retired in one beat: the
+sql_q3/4/5/7/13/18/22 TPC-H group, the five stream_* batch-equiv
+queries, scalar_string/url/variant, text_quality/stats/tfidf,
+token_count, udaf_mode, unpivot_metrics, similarity_ivf,
+sql_recursive_cte), then the 24 stalest round-3 greens.  Rows-only
+queries (similarity_join, dedup_near, dedup_simhash, bpe_encode) are
+permanently excluded from the window — the driver records only
+`err: no_oracle` for them, a wasted slot (r7's lesson; enforced by
+test_window_contains_only_oracle_checked_queries).
 
-ROTATION NOTE (round 7 → 8): any round-7 debuts go FIRST, then fill
+ROTATION NOTE (round 8 → 9): any round-8 debuts go FIRST, then fill
 from `python scripts/rotation_report.py` (it derives each query's
 latest official row from CORRECTNESS_r*.json and prints the
 stalest-first candidate list sized to the window; rounds 2, 3 AND 6
@@ -65,39 +63,39 @@ from pyspark.sql import DataFrame, SparkSession
 # size so placement is deliberate, not accidental.
 WINDOW_SIZE = 50
 WINDOW_PRIORITY: list[str] = [
-    # ROUND-7 WINDOW (rotation_report.py output, verbatim).  The 4
-    # round-6 debuts first — they were registered in round 6 but the
-    # window was never rotated, so they have NO official driver row yet
-    # (all 4 MATCH their oracles locally at sf0.01; the judge graded
-    # them "weak" pending a driver row) — then the 21 ROUND-7 debuts
-    # (all MATCH locally at all three SFs), then the 26 stalest
-    # round-2 greens (4 rounds without a fresh row — the oldest tier
-    # in the repo).  24 + 26 = 50: exactly full; the 20 remaining r2
-    # greens (scalar_url, scalar_variant, similarity_ivf, sql_q3,
-    # sql_q4, sql_q5, sql_q7, sql_q13, sql_q18, sql_q22,
-    # sql_recursive_cte, stream_correlate..token_count) wait one round,
-    # per the documented coverage-over-freshness trade (bounded by the
-    # slack-aware backlog invariant in tests/test_registry.py).
-    # -- round-6 debuts: driver row outstanding ------------------------
-    "winsorize", "collocation_pmi", "lang_confusion",
-    "quantile_normalize",
-    # -- round-7 debuts: driver row outstanding ------------------------
-    "sample_cap_per_group", "gopher_rules", "importance_sample",
-    "substring_dedup", "dedup_containment", "events_rate_limit",
-    "cms_topk", "kmeans_step", "join_prefix_filter",
-    "mann_whitney", "drift_psi", "acf_lags", "ngram_novelty",
-    "kaplan_meier", "pca_power_iter", "bootstrap_ci", "rank_fusion",
-    "mutual_info", "seasonal_envelope", "attribution_linear",
-    "collapse_repeats",
-    # -- 25 stalest round-2 greens (stalest-first order) ---------------
-    "agg_collect", "agg_grouping_sets", "agg_percentiles",
-    "corpus_curate", "dedup_clusters", "dedup_embedding",
-    "doc_fingerprint", "embedding_quantize", "etl_fallback_log",
-    "etl_fallback_metrics", "join_salted", "lang_id", "merge_upsert",
-    "multimodal_frames", "multimodal_schema", "pivot_events",
-    "quality_audit", "raw_modal", "sample_hash", "sample_stratified",
-    "scalar_case", "scalar_date", "scalar_json", "scalar_map_json",
-    "scalar_map_ops",
+    # ROUND-8 WINDOW (rotation_report.py's r8 plan, verbatim, per the
+    # r7 verdict's top task 1).  Debuts and contract changes first:
+    # logit_step (r8 debut) plus the two r8 sketch-contract
+    # promotions (agg_hll_sketch, sample_stratified — their outputs
+    # changed, so they need a fresh green row under the new
+    # contract).  Then the full 23-query round-2-stale tier (5 rounds
+    # without a fresh row — retired in one beat) and the stalest
+    # round-3 greens.  3 + 23 + 24 = 50: exactly full; the 2
+    # freshest-waiting r3 greens (seq_pack, split_assign)
+    # wait one round, per the documented coverage-over-freshness
+    # trade (bounded by the slack-aware backlog invariant in
+    # tests/test_registry.py).  Rows-only queries are structurally
+    # excluded from this list (test_window_contains_only_oracle_
+    # checked_queries) — a slot the driver can't verify is a slot
+    # wasted.
+    # -- r8 debuts + re-contracted promotions --------------------------
+    "logit_step", "agg_hll_sketch", "sample_stratified",
+    # -- the entire 23-query round-2-stale tier (stalest-first) --------
+    "scalar_string", "scalar_url", "scalar_variant", "similarity_ivf",
+    "sql_q13", "sql_q18", "sql_q22", "sql_q3", "sql_q4", "sql_q5",
+    "sql_q7", "sql_recursive_cte", "stream_correlate", "stream_enrich",
+    "stream_session", "stream_sliding", "stream_tumbling",
+    "text_quality", "text_stats", "text_tfidf", "token_count",
+    "udaf_mode", "unpivot_metrics",
+    # -- 24 stalest round-3 greens (alphabetical within the tier) ------
+    "agg_corr", "agg_histogram", "asof_forward", "bpe_pair_stats",
+    "coalesce_id", "decontaminate", "decontaminate_filter",
+    "dedup_clusters_star", "dedup_keep_best", "doc_chunk",
+    "events_anomaly_mad", "events_zscore", "funnel_steps", "gap_fill",
+    "join_null_safe", "join_range_binned", "lm_score",
+    "lm_score_bigram", "mix_sources", "project_nested",
+    "retention_cohorts", "rolling_mau", "scd2_intervals",
+    "scrub_pii",
 ]
 
 

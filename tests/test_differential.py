@@ -127,6 +127,12 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            "text_tfidf", "text_bm25", "corpus_curate",
            "udtf_tokens", "feature_hash", "bpe_pair_stats",
            "quality_logit",
+           # r8: empty/whitespace docs zero every feature (sigmoid of
+           # the bare intercept), the mixed en/de/fr labels make both
+           # gradient signs live, and degenerate texts land pe at the
+           # [1, 9999] log-loss clamp — logit_step's quantized
+           # gradient recurrence must keep all of it engine-equal
+           "logit_step",
            # r5: empty/whitespace/NBSP/repetition docs are exactly the
            # entropy edge cases (0-entropy runs, unicode char split)
            "text_entropy",

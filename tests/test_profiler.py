@@ -825,3 +825,18 @@ def test_collapse_repeats_is_pure_map(spark, sf_dir):
     assert s["shuffle_records"] <= n_docs
     assert s["n_broadcasts"] == 0
     assert s["spill_disk_bytes"] == 0
+
+
+def test_logit_step_shuffles_model_not_corpus(spark, sf_dir):
+    """logit_step's scale claim measured (r8): every per-row term
+    (sigmoid, feature micro-units, gradient products, log-loss)
+    computes map-side in one scan; the ONLY exchange carries the
+    partial-aggregated 1-row gradient state (count + 8 integer sums)
+    per map partition — model-sized, never document-sized.  The
+    6-row report explodes from that single row with stack(), and no
+    broadcast of anything data-sized occurs."""
+    got = profile(all_queries()["logit_step"](spark, sf_dir))
+    s = got["summary"]
+    # one partial state per map partition, far below corpus size
+    assert s["shuffle_records"] <= 64
+    assert s["spill_disk_bytes"] == 0

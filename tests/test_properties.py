@@ -1021,3 +1021,66 @@ def test_collapse_repeats_brute_force_replay(spark, sf_dir):
                 (num - num % (2 * len(toks))) // (2 * len(toks)) / 1e4
         else:
             assert r.repeat_ratio is None
+
+
+def test_logit_step_brute_force_replay(spark, sf_dir):
+    """Replay the whole quantized-gradient recurrence in plain Python
+    integers over the collected per-doc features: per-row µ-sigmoid,
+    µ-features, residual×feature products, clamped log-loss terms,
+    then the exact integer ratios for grad / w_new / mean_nll — and
+    require equality with every emitted cell."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        LOGIT_LR_INV, QUALITY_LOGIT_W, _LOGIT_W100,
+        _quality_feature_cols, _logit_step)
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    assert LOGIT_LR_INV == 10
+    cols = _quality_feature_cols()
+    feats = load(spark, sf_dir, "documents").select(
+        "lang", *[cols[c].alias(c) for c in
+                  ("n_tokens", "avg_word_len", "stopword_ratio",
+                   "punct_ratio", "alpha_ratio")]).collect()
+    W = QUALITY_LOGIT_W
+    n = len(feats)
+    G = {k: 0 for k in W}
+    snll = 0
+    for r in feats:
+        z = (W["intercept"] + W["avg_word_len"] * r.avg_word_len
+             + W["stopword_ratio"] * r.stopword_ratio
+             + W["punct_ratio"] * r.punct_ratio
+             + W["alpha_ratio"] * r.alpha_ratio
+             + W["log_tokens"] * math.log(1.0 + r.n_tokens))
+        pe = math.floor((1.0 / (1.0 + math.exp(-z))) * 1e4 + 0.5)
+        y = 1 if r.lang == "en" else 0
+        re_ = pe - y * 10000
+        xe = {"intercept": 10000,
+              "avg_word_len": math.floor(r.avg_word_len * 1e4 + 0.5),
+              "stopword_ratio":
+                  math.floor(r.stopword_ratio * 1e4 + 0.5),
+              "punct_ratio": math.floor(r.punct_ratio * 1e4 + 0.5),
+              "alpha_ratio": math.floor(r.alpha_ratio * 1e4 + 0.5),
+              "log_tokens": math.floor(
+                  round(math.log(1.0 + r.n_tokens), 4) * 1e4 + 0.5)}
+        for k in W:
+            G[k] += re_ * xe[k]
+        lpc = min(max(pe, 1), 9999)
+        sel = lpc if y == 1 else 10000 - lpc
+        snll += math.floor(-math.log(sel / 10000.0) * 1e6 + 0.5)
+
+    def r4(a, b):
+        num = a * 20000 + b
+        return (num - num % (2 * b)) // (2 * b) / 1e4
+
+    got = {r.feature: r for r in _logit_step(spark, sf_dir).collect()}
+    assert set(got) == set(W)
+    for k, r in got.items():
+        wq = _LOGIT_W100[k][0]
+        assert r.n_docs == n
+        assert r.w_old == wq / 100.0
+        assert r.grad == r4(G[k], n * 10**8)
+        assert r.w_new == r4(wq * n * 10**7 - G[k], n * 10**9)
+        assert r.mean_nll == r4(snll, n * 10**6)

@@ -75,6 +75,23 @@ def test_debuts_are_inside_the_window():
         "front of the window in the same commit that registers them")
 
 
+def test_survey_section2_operator_ids_are_unique():
+    """SURVEY §2 is the judge-facing operator contract; rounds 6-7
+    accumulated seven reused row IDs (S7, A11, ST8, D19, D20, D25,
+    D30) plus one stray fragment row — renumbered in r8.  Pin
+    uniqueness so new rows can't silently reuse an ID again."""
+    import os
+    import re
+    from collections import Counter
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    s = open(os.path.join(root, "SURVEY.md")).read()
+    sec2 = s[s.index("## 2."):s.index("## 3.")]
+    ids = re.findall(r"^\| ([A-Z]{1,2}\d+[a-z]?) \|", sec2, re.M)
+    dupes = {k: v for k, v in Counter(ids).items() if v > 1}
+    assert not dupes, f"SURVEY §2 reuses operator-row IDs: {dupes}"
+
+
 def test_window_contains_only_oracle_checked_queries():
     """A rows-only query in WINDOW_PRIORITY burns a verification slot
     the driver structurally cannot use (it records `err: no_oracle` —
