@@ -584,17 +584,41 @@ def _join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.floor((F.col("n_grams") + 1) / 2).cast("int") + 1)
     prefixes = per_doc.select(
         "doc_id", "n_grams",
-        F.explode(F.slice("grams", 1, p)).alias("gram"))
-    # PPJoin length filter inside the candidate join: J >= t forces
-    # t*|A| <= |B| <= |A|/t, so wildly different set sizes can never
-    # verify — pruned BEFORE the distinct/verify work (integer
-    # cross-multiplication, t = 1/2: 2*min >= max)
+        F.posexplode(F.slice("grams", 1, p)).alias("pos", "gram"))
+    # Two prunes inside the candidate join, both BEFORE the
+    # distinct/verify work:
+    # * PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t, so
+    #   wildly different set sizes can never verify (integer
+    #   cross-multiplication, t = 1/2: 2*min >= max);
+    # * PPJoin POSITION filter (r8, cut verify volume ~20x): for the
+    #   SMALLEST common gram (global (df, gram) order), every other
+    #   common gram sorts after it in BOTH arrays, so the distinct
+    #   overlap I <= 1 + min(na - i, nb - j) at its 1-based positions
+    #   (i, j) — and the prefix theorem already guarantees that gram
+    #   sits inside both prefixes, so the pair ALWAYS survives via
+    #   that row (any-match semantics through the distinct): rows for
+    #   later common grams may fail the bound, the first-common row
+    #   cannot.  Required overlap for J >= 1/2 is I >= (na+nb)/3;
+    #   alpha = (na+nb) div 3 - 1 under-approximates it with a whole
+    #   unit of slack so the verifier's 4-dp half-up quantization
+    #   boundary (J = 0.49995 rounds UP to 0.5000) can never be
+    #   position-pruned.  posexplode's pos is 0-based: na - i =
+    #   na - pos - 1.  Completeness stays machine-checked: the DuckDB
+    #   oracle is the UNPRUNED naive spec, so an over-prune here is a
+    #   driver hash mismatch, and the differential doc corpora replay
+    #   the compare on adversarial shapes.
+    ub = F.lit(1) + F.least(
+        F.col("l.n_grams") - F.col("l.pos") - 1,
+        F.col("r.n_grams") - F.col("r.pos") - 1)
+    alpha = ((F.col("l.n_grams") + F.col("r.n_grams"))
+             - F.pmod(F.col("l.n_grams") + F.col("r.n_grams"), 3)) / 3 - 1
     cand = (prefixes.alias("l")
             .join(prefixes.alias("r"),
                   (F.col("l.gram") == F.col("r.gram"))
                   & (F.col("l.doc_id") < F.col("r.doc_id"))
                   & (F.col("l.n_grams") * 2 >= F.col("r.n_grams"))
-                  & (F.col("r.n_grams") * 2 >= F.col("l.n_grams")))
+                  & (F.col("r.n_grams") * 2 >= F.col("l.n_grams"))
+                  & (ub >= alpha))
             .select(F.col("l.doc_id").alias("doc_a"),
                     F.col("r.doc_id").alias("doc_b"))
             .distinct())
