@@ -67,6 +67,9 @@ HEADLINE = [
     "mann_whitney",         # round 7: distributed prefix-sum rank test
     "ngram_novelty",        # round 7: linear gram reduce + join-back
     "logit_step",           # round 8: map-side quantized gradient step
+    "naive_bayes_train",    # round 8: class-vocab reduce NB trainer
+    "source_overlap",       # round 8: source-pair gram overlap matrix
+    "minhash_lsh_join",     # round 8: deterministic MinHash LSH join
 ]
 
 #: the cross-machine timing anchor (ADVICE/verdict r7: two rounds in a

@@ -1405,6 +1405,65 @@ def _quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NB_TOPK = 5  # per-class report rows from the trained NB model
+
+
+def _naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): multinomial naive-Bayes training as a query —
+    the GENERATIVE counterpart to `logit_step`'s discriminative
+    gradient (both complete the curation loop's train stage, from
+    opposite modeling families): class priors and Laplace-smoothed
+    token log-likelihoods ln((c_{t,cls}+1)/(T_cls+V)) for a
+    language-ID / domain classifier, with the model reported as each
+    class's NB_TOPK most frequent tokens (ties: count desc, token
+    asc — deterministic) plus the class-level statistics.
+
+    Exactness: counts/totals/V are exact integers; the prior is an
+    int ratio → round4_ratio (engine round() on exact decimal halves
+    is the r5 divergence class); the log-likelihood is ONE ln of an
+    exact int ratio rounded at 6dp — a transcendental of a rational
+    can't land on a rounding half (the lm_score tolerance precedent).
+    Classes whose corpus has zero tokens carry no likelihood rows on
+    either engine (inner-join semantics, mirrored).
+
+    100 TB shape: tokenize-once + ONE partial-agg'd groupBy(class,
+    token) shuffle is the whole training pass (the shuffle carries
+    per-partition class-vocab counts, not the token stream); the
+    top-K runs inside the per-class window with WindowGroupLimit
+    pushing the heap map-side; class totals, doc counts, corpus size
+    and vocab size are 1-row/`classes`-row broadcast aggregates.
+    Model state is O(classes × vocab) — persisted, it IS the
+    classifier (serving = the quality_logit map-side-expression
+    shape)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("tok"))
+    cls_tok = tok.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    cls = cls_tok.groupBy("lang").agg(
+        F.sum("cnt").alias("total_tokens"))
+    cls_docs = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs_class"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    vocab = cls_tok.select("tok").distinct().agg(
+        F.count("*").alias("v"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc())
+    top = (cls_tok.withColumn("rnk", F.row_number().over(w))
+           .where(F.col("rnk") <= NB_TOPK))
+    return (top.join(cls, "lang").join(cls_docs, "lang")
+            .crossJoin(F.broadcast(nd)).crossJoin(F.broadcast(vocab))
+            .select(
+                "lang", "n_docs_class",
+                round4_ratio(F.col("n_docs_class"),
+                             F.col("n_docs")).alias("prior"),
+                "total_tokens", "rnk", "tok",
+                F.col("cnt").alias("tok_cnt"),
+                F.round(F.log((F.col("cnt") + 1)
+                              / (F.col("total_tokens") + F.col("v"))),
+                        6).alias("loglik"))
+            .orderBy("lang", "rnk"))
+
+
 # logit_step (r8 debut): one full-batch gradient-descent step of the
 # quality classifier, trained as a LANGUAGE DISCRIMINATOR (y = 1 iff
 # lang = 'en' — the DSIR/importance-weighting shape: a linear model
@@ -1711,6 +1770,7 @@ QUERIES = {
     "mix_sources": _mix_sources,
     "lm_score": _lm_score,
     "vocab_topk": _vocab_topk,
+    "naive_bayes_train": _naive_bayes_train,
     "heavy_hitters": _heavy_hitters,
     "doc_chunk": _doc_chunk,
     "seq_pack": _seq_pack,
@@ -2505,4 +2565,41 @@ WITH t AS (
 )
 {_LOGIT_BRANCHES}
 ORDER BY feature
+"""
+
+# naive_bayes_train oracle (r8): same exact-count pipeline — one
+# class×token aggregation, Laplace-smoothed ln of an int ratio at 6dp,
+# int-ratio prior via the shared half-up helper, deterministic
+# (count desc, token asc) per-class top-K
+ORACLES["naive_bayes_train"] = f"""
+WITH tok AS (
+  SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM documents
+), ct AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY lang, tok
+), cls AS (
+  SELECT lang, CAST(sum(cnt) AS BIGINT) AS total_tokens
+  FROM ct GROUP BY lang
+), cd AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_class
+  FROM documents GROUP BY lang
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM ct
+), top AS (
+  SELECT lang, tok, cnt,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY cnt DESC, tok ASC) AS INTEGER) AS rnk
+  FROM ct
+)
+SELECT t.lang, cd.n_docs_class,
+       {round4_ratio_sql('cd.n_docs_class', 'nd.n_docs')} AS prior,
+       cls.total_tokens, t.rnk, t.tok, t.cnt AS tok_cnt,
+       round(ln((t.cnt + 1) / (cls.total_tokens + v.v)), 6) AS loglik
+FROM top t
+JOIN cls USING (lang)
+JOIN cd USING (lang), nd, v
+WHERE t.rnk <= {NB_TOPK}
+ORDER BY lang, rnk
 """

@@ -622,17 +622,26 @@ def _join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("l.doc_id").alias("doc_a"),
                     F.col("r.doc_id").alias("doc_b"))
             .distinct())
-    sets = per_doc.select("doc_id", "grams", "n_grams")
+    # verify on the GRAM STREAM (join-count of shared distinct grams
+    # == array_intersect size, same shape as the oracle): rejoining
+    # the per_doc ARRAY table twice re-ran its collect_list+sort
+    # derivation per side — the stream join re-reads only the already
+    # -exploded gram pipeline and carries (pair, gram) matches, never
+    # arrays (r8, with the position filter: 7.7 s -> ~3.5 s at sf0.1)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    inter = (cand
+             .join(grams.select(F.col("doc_id").alias("doc_a"),
+                                "gram"), "doc_a")
+             .join(grams.select(F.col("doc_id").alias("doc_b"),
+                                "gram"), ["doc_b", "gram"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
     verified = (
-        cand
-        .join(sets.select(F.col("doc_id").alias("doc_a"),
-                          F.col("grams").alias("ga"),
-                          F.col("n_grams").alias("na")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"),
-                          F.col("grams").alias("gb"),
-                          F.col("n_grams").alias("nb")), "doc_b")
-        .select("doc_a", "doc_b", "na", "nb",
-                F.size(F.array_intersect("ga", "gb")).alias("inter"))
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_grams").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_grams").alias("nb")), "doc_b")
     )
     return (
         verified
@@ -1349,9 +1358,170 @@ def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic MinHash-LSH geometry: K = B·R signature slots, sha-
+#: derived hash family h_i(g) = int64(sha256(i ':' g)[:8 hex]) — the
+#: PUBLIC hash both engines bit-agree on, which is what turns MinHash
+#: LSH from a rows-only op (Spark ML's engine-local permutations,
+#: `dedup_near`) into a FULL-oracle one: signatures, band buckets,
+#: candidates and verified pairs are all engine-identical by
+#: construction.
+MINHASH_B = 4   # bands
+MINHASH_R = 3   # rows (signature slots) per band
+MINHASH_K = MINHASH_B * MINHASH_R
+
+
+def _minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): MinHash-LSH near-dup self-join AS SPEC — the
+    whole banding pipeline (signature → band buckets → candidate
+    pairs → exact-Jaccard verify at PREFIX_JACCARD_T) is
+    deterministic and oracle-checked end to end, including its
+    recall misses: the driver compare certifies the exact LSH
+    pipeline, not just 'some plausible near-dups'.  Companion to
+    `join_prefix_filter` (same threshold, same verify arithmetic):
+    the prefix join is EXACT (theorem-complete candidates), this is
+    the sub-linear probabilistic recipe you run when even the
+    prefix-join's candidate volume is too hot; emitted pairs are a
+    subset of the prefix join's by construction (pinned in
+    tests/test_properties.py), with band-collision recall
+    1 − (1 − J^R)^B.
+
+    100 TB shape: signatures reduce map-side (min per slot — K
+    BIGINTs per doc, mergeable agg state); banding explodes each doc
+    to B bucket keys (linear); candidates come from bucket-equality
+    joins, fan-out bounded per bucket by collision count (tune B·R
+    to cap it — the standard LSH lever); the verify joins touch
+    candidates × gram arrays only.  No stage scales with doc-pairs.
+
+    Exactness: min over int64 sha slots is order-free; band keys are
+    string concat of exact ints; verify counts distinct shared grams
+    on the GRAM STREAM (join-count — identical to array_intersect on
+    the distinct arrays, and the same shape the oracle uses) with
+    round4_ratio Jaccard.
+
+    Plan note: the gram stream comes from a DIRECT generator explode
+    (`explode(_gram_array(...))` fused into the scan) — materializing
+    the array column, size-filtering, then exploding re-evaluates the
+    array-build chain per reference and blocks generator fusion,
+    measured 20× slower at sf0.1 (0.7 s → 14.5 s for the identical
+    260k-row stream).  Zero-gram docs vanish from the stream
+    naturally, so the explicit size filter bought nothing."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.split(F.lower("text"), WS_RUN).alias("ws"))
+    grams = toks.select("doc_id",
+                        F.explode(_gram_array("ws", 3)).alias("gram"))
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+
+    def slot(i):
+        return F.min(
+            F.conv(F.substring(
+                F.sha2(F.concat(F.lit(f"{i}:"), F.col("gram")), 256),
+                1, 8), 16, 10).cast("long")).alias(f"s{i}")
+
+    sig = grams.groupBy("doc_id").agg(*[slot(i)
+                                        for i in range(MINHASH_K)])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(":", *[
+                    F.col(f"s{b * MINHASH_R + r}").cast("string")
+                    for r in range(MINHASH_R)]).alias("key"))
+            for b in range(MINHASH_B)])).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.key") == F.col("b.key"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    inter = (cand
+             .join(grams.select(F.col("doc_id").alias("doc_a"),
+                                "gram"), "doc_a")
+             .join(grams.select(F.col("doc_id").alias("doc_b"),
+                                "gram"), ["doc_b", "gram"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    verified = (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_grams").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_grams").alias("nb")), "doc_b")
+    )
+    return (verified
+            .select("doc_a", "doc_b", "inter",
+                    round4_ratio(
+                        F.col("inter"),
+                        F.col("na") + F.col("nb") - F.col("inter"))
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= PREFIX_JACCARD_T)
+            .orderBy("doc_a", "doc_b"))
+
+
+def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): pairwise corpus-overlap matrix — for every
+    source pair, the Jaccard and both containments of their DISTINCT
+    word-3-gram sets.  The dedup-PLANNING query: before spending a
+    cross-corpus near-dup pass, this matrix says which source pairs
+    actually share text (mirror sites, syndication, scraped copies)
+    and in which direction the containment runs — decontaminate asks
+    'is the benchmark in the training set', this asks the same of
+    every source against every other, symmetrically.
+
+    100 TB shape: the (source, gram) distinct reduce is LINEAR in the
+    gram stream (one partial-agg'd shuffle); the overlap self-join
+    keys on gram with per-gram fan-out structurally bounded by
+    |sources|² (a gram shared by every source still yields ≤
+    |sources|² pairs — nothing scales with doc count); the result and
+    every later join are |sources|²-row model-sized tables.  Compare
+    join_prefix_filter, where candidates are doc-level and need the
+    prefix theorem — source-level overlap needs no pruning at all.
+
+    Exactness: distinct-gram counts are exact integers; Jaccard and
+    containments are int ratios via round4_ratio (half-up in int64;
+    engine round() diverges on exact decimal halves).  Pairs sharing
+    zero grams are absent on both engines (inner-join semantics)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("source",
+                       F.split(F.lower("text"), WS_RUN).alias("ws"))
+    dg = (toks.select("source",
+                      F.explode(_gram_array("ws", 3)).alias("gram"))
+          .distinct())
+    per_src = dg.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (dg.alias("a")
+             .join(dg.alias("b"),
+                   (F.col("a.gram") == F.col("b.gram"))
+                   & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("src_a"),
+                      F.col("b.source").alias("src_b"))
+             .agg(F.count("*").alias("inter")))
+    return (pairs
+            .join(per_src.select(F.col("source").alias("src_a"),
+                                 F.col("n").alias("na")), "src_a")
+            .join(per_src.select(F.col("source").alias("src_b"),
+                                 F.col("n").alias("nb")), "src_b")
+            .select("src_a", "src_b", "na", "nb", "inter",
+                    round4_ratio(
+                        F.col("inter"),
+                        F.col("na") + F.col("nb") - F.col("inter"))
+                    .alias("jaccard"),
+                    round4_ratio(F.col("inter"), F.col("na"))
+                    .alias("containment_a"),
+                    round4_ratio(F.col("inter"), F.col("nb"))
+                    .alias("containment_b"))
+            .orderBy("src_a", "src_b"))
+
+
 QUERIES = {
     "graph_pagerank": _graph_pagerank,
     "graph_bfs": _graph_bfs,
+    "source_overlap": _source_overlap,
+    "minhash_lsh_join": _minhash_lsh_join,
     "dedup_bloom": _dedup_bloom,
     "graph_triangles": _graph_triangles,
     "decontaminate": _decontaminate,
@@ -1776,4 +1946,98 @@ SELECT g.doc_id,
 FROM grams g JOIN first f USING (gram)
 GROUP BY g.doc_id
 ORDER BY doc_id
+"""
+
+# source_overlap oracle (r8): identical distinct-(source, gram)
+# reduce, gram-keyed pair join, exact int counts, shared half-up
+# int-ratio rounding
+ORACLES["source_overlap"] = f"""
+WITH toks AS (
+  SELECT source, string_split_regex(lower(text),
+                                    '[ \\t\\n\\x0B\\f\\r]+') AS ws
+  FROM documents
+), dg AS (
+  SELECT DISTINCT source, gram FROM (
+    SELECT source, unnest(list_distinct(list_transform(
+             range(1, greatest(len(ws) - 1, 1)),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+    FROM toks)
+), ps AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY source
+), pr AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM dg a JOIN dg b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT pr.src_a, pr.src_b, pa.n AS na, pb.n AS nb, pr.inter,
+       {round4_ratio_sql('pr.inter', 'pa.n + pb.n - pr.inter')}
+         AS jaccard,
+       {round4_ratio_sql('pr.inter', 'pa.n')} AS containment_a,
+       {round4_ratio_sql('pr.inter', 'pb.n')} AS containment_b
+FROM pr
+JOIN ps pa ON pa.source = pr.src_a
+JOIN ps pb ON pb.source = pr.src_b
+ORDER BY src_a, src_b
+"""
+
+
+# minhash_lsh_join oracle (r8): the identical deterministic pipeline —
+# sha-slot signatures (min per slot), band keys, bucket-equality
+# candidates, exact-Jaccard verify via the distinct-gram stream join
+# (== array_intersect on distinct arrays); slot and band SQL generated
+# from the same MINHASH_* constants as the Spark side
+_MH_SLOTS_SQL = ",\n         ".join(
+    f"min(CAST(concat('0x', substr(sha256('{i}:' || gram), 1, 8)) "
+    f"AS BIGINT)) AS s{i}"
+    for i in range(MINHASH_K))
+_MH_BANDS_SQL = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, {b} AS band, "
+    + " || ':' || ".join(f"CAST(s{b * MINHASH_R + r} AS VARCHAR)"
+                         for r in range(MINHASH_R))
+    + " AS key FROM sig"
+    for b in range(MINHASH_B))
+ORACLES["minhash_lsh_join"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text),
+                                    '[ \\t\\n\\x0B\\f\\r]+') AS ws
+  FROM documents
+), pd AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(ws) - 1, 1)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM toks
+), pdn AS (
+  SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS n_grams
+  FROM pd WHERE len(grams) > 0
+), dg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM pdn
+), sig AS (
+  SELECT doc_id,
+         {_MH_SLOTS_SQL}
+  FROM dg GROUP BY doc_id
+), bands AS (
+  {_MH_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), ver AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM cand c
+  JOIN dg ga ON ga.doc_id = c.doc_a
+  JOIN dg gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+  GROUP BY c.doc_a, c.doc_b
+), res AS (
+  SELECT v.doc_a, v.doc_b, v.inter,
+         {round4_ratio_sql('v.inter',
+                            'pa.n_grams + pb.n_grams - v.inter')}
+           AS jaccard
+  FROM ver v
+  JOIN pdn pa ON pa.doc_id = v.doc_a
+  JOIN pdn pb ON pb.doc_id = v.doc_b
+)
+SELECT doc_a, doc_b, inter, jaccard
+FROM res WHERE jaccard >= {PREFIX_JACCARD_T}
+ORDER BY doc_a, doc_b
 """

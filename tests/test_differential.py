@@ -133,6 +133,20 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            # [1, 9999] log-loss clamp — logit_step's quantized
            # gradient recurrence must keep all of it engine-equal
            "logit_step",
+           # r8: heavy-repetition docs concentrate class-token counts
+           # into tie clusters (the top-K tie-break surface), empty
+           # docs exercise the zero-token class-prior split, and the
+           # 3-class labels keep all priors live
+           "naive_bayes_train",
+           # r8: the 4-source corpora share most grams (near-complete
+           # overlap matrix) while empty/whitespace docs produce
+           # gram-free rows on both engines
+           "source_overlap",
+           # r8: repetition docs collapse to tiny gram sets whose
+           # sha-slot minima collide across docs — the band-bucket
+           # tie surface; NBSP/tab corpora pin the tokenizer parity
+           # the signatures inherit
+           "minhash_lsh_join",
            # r5: empty/whitespace/NBSP/repetition docs are exactly the
            # entropy edge cases (0-entropy runs, unicode char split)
            "text_entropy",

@@ -840,3 +840,78 @@ def test_logit_step_shuffles_model_not_corpus(spark, sf_dir):
     # one partial state per map partition, far below corpus size
     assert s["shuffle_records"] <= 64
     assert s["spill_disk_bytes"] == 0
+
+
+def test_naive_bayes_train_shuffles_class_vocab_not_tokens(spark, sf_dir):
+    """naive_bayes_train's scale claim measured (r8): the one
+    data-sized exchange carries per-partition (class, token) partial
+    counts — bounded by the class-vocab cardinality per partition,
+    never the token stream (repeats collapse map-side); everything
+    after is classes-row / 1-row model state."""
+    from pyspark.sql import functions as F
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import _tokens
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = (docs.select("lang",
+                         F.explode(_tokens(F.col("text"))).alias("t"))
+             .distinct())
+    n_pairs = pairs.count()
+    n_tok = (docs.select(F.explode(_tokens(F.col("text"))))
+             .count())
+    got = profile(all_queries()["naive_bayes_train"](spark, sf_dir))
+    s = got["summary"]
+    # partial-agg bound: <= distinct pairs per partition, x stages
+    assert s["shuffle_records"] <= 8 * n_pairs * 32
+    assert s["shuffle_records"] < 4 * n_tok
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_source_overlap_state_is_source_squared(spark, sf_dir):
+    """source_overlap's scale claim measured (r8): after the linear
+    distinct-(source, gram) reduce, every join/aggregate carries at
+    most |sources|^2-bounded pair state per gram — the shuffle stays
+    a small multiple of the distinct gram-stream size and never the
+    doc-pair volume."""
+    from pyspark.sql import functions as F
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import WS_RUN
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        _gram_array)
+
+    docs = load(spark, sf_dir, "documents")
+    dg = (docs.select("source",
+                      F.split(F.lower("text"), WS_RUN).alias("ws"))
+          .select("source", F.explode(_gram_array("ws", 3)).alias("g"))
+          .distinct())
+    n_dg = dg.count()
+    n_src = docs.select("source").distinct().count()
+    got = profile(all_queries()["source_overlap"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 8 * n_dg + 8 * n_src * n_src * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_minhash_lsh_join_shuffles_signatures_not_pairs(spark, sf_dir):
+    """minhash_lsh_join's scale claim measured (r8): the gram stream
+    reduces map-side to K-slot signature state (docs x K), banding is
+    linear (docs x B), and candidate volume is collision-bounded —
+    nothing shuffles at doc-pair scale."""
+    from pyspark.sql import functions as F
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import WS_RUN
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        MINHASH_B, MINHASH_K, _gram_array, _minhash_lsh_join)
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_grams = (docs.select(F.split(F.lower("text"), WS_RUN).alias("ws"))
+               .select(F.explode(_gram_array("ws", 3)))
+               .count())
+    n_pairs = _minhash_lsh_join(spark, sf_dir).count()
+    got = profile(all_queries()["minhash_lsh_join"](spark, sf_dir))
+    s = got["summary"]
+    bound = (8 * n_docs * (MINHASH_K + MINHASH_B)
+             + 4 * n_grams + 64 * n_pairs * 32)
+    assert s["shuffle_records"] <= bound
+    assert s["spill_disk_bytes"] == 0

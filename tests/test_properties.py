@@ -1084,3 +1084,62 @@ def test_logit_step_brute_force_replay(spark, sf_dir):
         assert r.grad == r4(G[k], n * 10**8)
         assert r.w_new == r4(wq * n * 10**7 - G[k], n * 10**9)
         assert r.mean_nll == r4(snll, n * 10**6)
+
+
+def test_minhash_join_is_subset_of_exact_prefix_join(spark, sf_dir):
+    """The LSH pipeline may MISS similar pairs (band-collision recall
+    1-(1-J^R)^B) but every pair it emits must appear, with identical
+    inter/jaccard, in the theorem-complete prefix-filter join at the
+    same threshold — LSH prunes candidates, never invents them."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        _join_prefix_filter, _minhash_lsh_join)
+
+    exact = {(r.doc_a, r.doc_b): (r.inter, r.jaccard)
+             for r in _join_prefix_filter(spark, sf_dir).collect()}
+    lsh = {(r.doc_a, r.doc_b): (r.inter, r.jaccard)
+           for r in _minhash_lsh_join(spark, sf_dir).collect()}
+    assert set(lsh) <= set(exact)
+    for pair, vals in lsh.items():
+        assert exact[pair] == vals
+
+
+def test_naive_bayes_model_is_a_valid_distribution(spark, sf_dir):
+    """Model sanity over the emitted rows: priors are per-class doc
+    shares that sum to ~1 (4-dp rounding slack), every smoothed
+    log-likelihood is negative (a probability < 1), per-class report
+    counts are non-increasing in rank, and the reported top token
+    count never exceeds the class's token total."""
+    from collections import defaultdict
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _naive_bayes_train)
+
+    rows = _naive_bayes_train(spark, sf_dir).collect()
+    assert rows
+    by_cls = defaultdict(list)
+    for r in rows:
+        by_cls[r.lang].append(r)
+        assert r.loglik < 0
+        assert 0 < r.tok_cnt <= r.total_tokens
+    assert abs(sum(c[0].prior for c in by_cls.values()) - 1.0) \
+        <= 1e-4 * len(by_cls)
+    for rs in by_cls.values():
+        rs.sort(key=lambda r: r.rnk)
+        cnts = [r.tok_cnt for r in rs]
+        assert cnts == sorted(cnts, reverse=True)
+
+
+def test_source_overlap_matrix_bounds(spark, sf_dir):
+    """Every emitted overlap row must satisfy the set-algebra bounds:
+    0 < inter <= min(na, nb), jaccard <= min(containment_a,
+    containment_b) <= 1, and the pair ordering src_a < src_b."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        _source_overlap)
+
+    rows = _source_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.inter <= min(r.na, r.nb)
+        assert r.jaccard <= min(r.containment_a, r.containment_b)
+        assert max(r.containment_a, r.containment_b) <= 1.0
