@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.exact import round4_ratio_dec, round4_ratio_dec_sql
 from ..oracles import USERS_CTE
 from ..tables import CURRENT_YEAR, load, users_clean, users_valid
 
@@ -249,6 +250,88 @@ def _agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared skewness/kurtosis closed form over DOUBLE power-sum columns
+#: (nD, s1D..s4D) — ONE string used verbatim by selectExpr and the
+#: DuckDB oracle (the window_ewma discipline): both engines start from
+#: identical exact-integer sums, so the fixed IEEE expression tree
+#: yields identical doubles, and the single pow() per statistic rounds
+#: at 6dp (a transcendental can't land on a rounding half)
+_MOM_MU = "(s1D / nD)"
+_MOM_M2 = f"(s2D / nD - {_MOM_MU} * {_MOM_MU})"
+_MOM_M3 = (f"(s3D / nD - 3.0 * {_MOM_MU} * s2D / nD"
+           f" + 2.0 * {_MOM_MU} * {_MOM_MU} * {_MOM_MU})")
+_MOM_M4 = (f"(s4D / nD - 4.0 * {_MOM_MU} * s3D / nD"
+           f" + 6.0 * {_MOM_MU} * {_MOM_MU} * s2D / nD"
+           f" - 3.0 * {_MOM_MU} * {_MOM_MU} * {_MOM_MU} * {_MOM_MU})")
+_MOM_SEL = (
+    f"CASE WHEN {_MOM_M2} > 0"
+    f" THEN round({_MOM_M3} / pow({_MOM_M2}, 1.5), 6) END AS skewness",
+    f"CASE WHEN {_MOM_M2} > 0"
+    f" THEN round({_MOM_M4} / pow({_MOM_M2}, 2.0), 6) END"
+    " AS kurtosis_raw",
+)
+
+
+def _agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): higher-moment distribution profile — population
+    variance, skewness and raw kurtosis of order totals per status,
+    the one-pass shape test a monitoring pipeline runs where
+    `agg_stats` stops at means (is the revenue distribution
+    right-tailed? heavier than normal?).
+
+    Exactness: prices quantize to integer DOLLARS (floor(p + 0.5) —
+    cents would push the 4th power sum past DECIMAL(38,0) at sf0.1;
+    dollars keep S4 = Σd⁴ ≤ n·1.3e23 inside it to ~1e14 rows/group),
+    the four power sums accumulate exactly in DECIMAL(38,0)
+    (order-free), and the closed-form combination runs over DOUBLE
+    casts of those exact integers through the ONE shared expression
+    string above.  A constant group (m2 = 0) yields NULL
+    skew/kurtosis on both engines, never a /0 crash (ANSI).
+
+    100 TB shape: ONE partial-agg'd groupBy carries 5 numbers per
+    (partition, status) — the canonical mergeable-moments pattern
+    (what Welford/DataSketches moments do with floats, done here in
+    exact integers because the domain is bounded); everything after
+    the shuffle is |statuses|-row arithmetic."""
+    orders = load(spark, sf_dir, "orders")
+    d = F.floor(F.col("o_totalprice") + 0.5)
+    dd = (d * d).alias("dd")
+    base = orders.select(F.col("o_orderstatus").alias("status"),
+                         d.alias("d"), dd)
+    sums = base.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("d").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("dd").cast("decimal(38,0)")).alias("s2"),
+        F.sum((F.col("dd").cast("decimal(38,0)") * F.col("d")))
+        .alias("s3"),
+        F.sum((F.col("dd").cast("decimal(38,0)") * F.col("dd")))
+        .alias("s4"))
+    # mean and variance are RATIOS OF EXACT INTEGERS — engine round()
+    # diverges on exact decimal halves (the r5 class), so both go
+    # through the exact half-up helper: mean = s1/n, population
+    # variance = (n*s2 - s1^2) / n^2, both in DECIMAL space.  skew and
+    # kurtosis pass through pow() (irrational for any non-degenerate
+    # group), which cannot land on a rounding half — plain round(6) on
+    # the shared-expression double is engine-stable there.
+    casted = sums.select(
+        "status", "n",
+        round4_ratio_dec(F.col("s1"), F.col("n").cast("decimal(38,0)"))
+        .alias("mean_dollars"),
+        round4_ratio_dec(
+            F.col("s2") * F.col("n") - F.col("s1") * F.col("s1"),
+            (F.col("n").cast("decimal(38,0)")
+             * F.col("n")).cast("decimal(38,0)")).alias("variance"),
+        F.col("n").cast("double").alias("nD"),
+        F.col("s1").cast("double").alias("s1D"),
+        F.col("s2").cast("double").alias("s2D"),
+        F.col("s3").cast("double").alias("s3D"),
+        F.col("s4").cast("double").alias("s4D"))
+    return (casted.selectExpr(
+                "status", "n", "mean_dollars", "variance",
+                *_MOM_SEL)
+            .orderBy("status"))
+
+
 def _agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 at 100 TB, the MERGEABLE form: per-group Apache DataSketches
     HLL sketches (hll_sketch_agg) estimated per event_type, PLUS an
@@ -364,6 +447,7 @@ QUERIES = {
     "bitmap_days": _bitmap_days,
     "profile_columns": _profile_columns,
     "agg_hll_sketch": _agg_hll_sketch,
+    "agg_moments": _agg_moments,
     "agg_histogram": _agg_histogram,
     "agg_corr": _agg_corr,
     "agg_count": _agg_count,
@@ -532,3 +616,34 @@ ORACLES["profile_columns"] = "\nUNION ALL\n".join(
              / count(*), 4) AS null_frac
 FROM orders"""
     for c in PROFILE_COLS)
+
+# agg_moments oracle (r8): exact HUGEINT power sums, exact-ratio mean
+# and variance via the shared half-up helper, skew/kurtosis through
+# the SAME closed-form expression strings as the Spark side
+ORACLES["agg_moments"] = f"""
+WITH base AS (
+  SELECT o_orderstatus AS status,
+         CAST(floor(o_totalprice + 0.5) AS BIGINT) AS d
+  FROM orders
+), sums AS (
+  SELECT status, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(d AS HUGEINT)) AS s1,
+         sum(CAST(d AS HUGEINT) * d) AS s2,
+         sum(CAST(d AS HUGEINT) * d * d) AS s3,
+         sum(CAST(d AS HUGEINT) * d * d * d) AS s4
+  FROM base GROUP BY status
+), casted AS (
+  SELECT status, n,
+         {round4_ratio_dec_sql('s1', 'n')} AS mean_dollars,
+         {round4_ratio_dec_sql('s2 * n - s1 * s1', 'CAST(n AS HUGEINT) * n')}
+           AS variance,
+         CAST(n AS DOUBLE) AS nD, CAST(s1 AS DOUBLE) AS s1D,
+         CAST(s2 AS DOUBLE) AS s2D, CAST(s3 AS DOUBLE) AS s3D,
+         CAST(s4 AS DOUBLE) AS s4D
+  FROM sums
+)
+SELECT status, n, mean_dollars, variance,
+       {_MOM_SEL[0]},
+       {_MOM_SEL[1]}
+FROM casted ORDER BY status
+"""

@@ -16,9 +16,9 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-8 window (current): the 4 r8 debuts and re-contracted
+Round-8 window (current): the 5 r8 debuts and re-contracted
 promotions FIRST (logit_step, naive_bayes_train, source_overlap,
-minhash_lsh_join; agg_hll_sketch and sample_stratified
+minhash_lsh_join, agg_moments; agg_hll_sketch and sample_stratified
 were promoted from rows-only to full sketch-contract oracles this
 round — their output schemas changed, so each needs a fresh green
 row under the new contract), then the ENTIRE 23-query round-2-stale
@@ -26,7 +26,7 @@ tier (5 rounds without a fresh row — retired in one beat: the
 sql_q3/4/5/7/13/18/22 TPC-H group, the five stream_* batch-equiv
 queries, scalar_string/url/variant, text_quality/stats/tfidf,
 token_count, udaf_mode, unpivot_metrics, similarity_ivf,
-sql_recursive_cte), then the 21 stalest round-3 greens.  Rows-only
+sql_recursive_cte), then the 20 stalest round-3 greens.  Rows-only
 queries (similarity_join, dedup_near, dedup_simhash, bpe_encode) are
 permanently excluded from the window — the driver records only
 `err: no_oracle` for them, a wasted slot (r7's lesson; enforced by
@@ -66,15 +66,15 @@ WINDOW_SIZE = 50
 WINDOW_PRIORITY: list[str] = [
     # ROUND-8 WINDOW (rotation_report.py's r8 plan, verbatim, per the
     # r7 verdict's top task 1).  Debuts and contract changes first:
-    # the 4 r8 debuts (logit_step, naive_bayes_train,
-    # source_overlap, minhash_lsh_join) plus the two r8
+    # the 5 r8 debuts (logit_step, naive_bayes_train,
+    # source_overlap, minhash_lsh_join, agg_moments) plus the two r8
     # sketch-contract promotions (agg_hll_sketch, sample_stratified —
     # their outputs changed, so they need a fresh green row under the
     # new contract).  Then the full 23-query round-2-stale tier (5 rounds
     # without a fresh row — retired in one beat) and the stalest
-    # round-3 greens.  6 + 23 + 21 = 50: exactly full; the 5
-    # freshest-waiting r3 greens (rolling_mau, scd2_intervals,
-    # scrub_pii, seq_pack, split_assign)
+    # round-3 greens.  7 + 23 + 20 = 50: exactly full; the 6
+    # freshest-waiting r3 greens (retention_cohorts, rolling_mau,
+    # scd2_intervals, scrub_pii, seq_pack, split_assign)
     # wait one round, per the documented coverage-over-freshness
     # trade (bounded by the slack-aware backlog invariant in
     # tests/test_registry.py).  Rows-only queries are structurally
@@ -83,7 +83,8 @@ WINDOW_PRIORITY: list[str] = [
     # wasted.
     # -- r8 debuts + re-contracted promotions --------------------------
     "logit_step", "naive_bayes_train", "source_overlap",
-    "minhash_lsh_join", "agg_hll_sketch", "sample_stratified",
+    "minhash_lsh_join", "agg_moments", "agg_hll_sketch",
+    "sample_stratified",
     # -- the entire 23-query round-2-stale tier (stalest-first) --------
     "scalar_string", "scalar_url", "scalar_variant", "similarity_ivf",
     "sql_q13", "sql_q18", "sql_q22", "sql_q3", "sql_q4", "sql_q5",
@@ -91,14 +92,13 @@ WINDOW_PRIORITY: list[str] = [
     "stream_session", "stream_sliding", "stream_tumbling",
     "text_quality", "text_stats", "text_tfidf", "token_count",
     "udaf_mode", "unpivot_metrics",
-    # -- 21 stalest round-3 greens (alphabetical within the tier) ------
+    # -- 20 stalest round-3 greens (alphabetical within the tier) ------
     "agg_corr", "agg_histogram", "asof_forward", "bpe_pair_stats",
     "coalesce_id", "decontaminate", "decontaminate_filter",
     "dedup_clusters_star", "dedup_keep_best", "doc_chunk",
     "events_anomaly_mad", "events_zscore", "funnel_steps", "gap_fill",
     "join_null_safe", "join_range_binned", "lm_score",
     "lm_score_bigram", "mix_sources", "project_nested",
-    "retention_cohorts",
 ]
 
 

@@ -505,7 +505,12 @@ REL_OPS = ["rfm_segments", "agg_histogram", "table_diff", "dq_check",
            # r7: the tiny price palette makes replicate means COLLIDE
            # (the (m, b) rank tie-break goes load-bearing) and small
            # strata stress the integer-ceil CI ranks at b_eff edges
-           "bootstrap_ci"]
+           "bootstrap_ci",
+           # r8: negative prices sign the odd power sums (s1, s3),
+           # constant-price palettes land m2 on the = 0 NULL guard,
+           # and tiny groups make the exact-ratio mean/variance land
+           # on short-decimal values — agg_moments' divergence surface
+           "agg_moments"]
 
 STATUSES = ["F", "O", "P", "F", "O", "P", "Q"]  # Q = domain violation
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",

@@ -915,3 +915,14 @@ def test_minhash_lsh_join_shuffles_signatures_not_pairs(spark, sf_dir):
              + 4 * n_grams + 64 * n_pairs * 32)
     assert s["shuffle_records"] <= bound
     assert s["spill_disk_bytes"] == 0
+
+
+def test_agg_moments_shuffles_five_numbers_per_group(spark, sf_dir):
+    """agg_moments' scale claim measured (r8): the canonical mergeable
+    -moments pattern — each map partition reduces to (n, s1..s4) per
+    status before the exchange, so shuffle traffic is bounded by
+    groups x partitions, never rows."""
+    got = profile(all_queries()["agg_moments"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 8 * 32          # statuses x parts
+    assert s["spill_disk_bytes"] == 0

@@ -1143,3 +1143,51 @@ def test_source_overlap_matrix_bounds(spark, sf_dir):
         assert 0 < r.inter <= min(r.na, r.nb)
         assert r.jaccard <= min(r.containment_a, r.containment_b)
         assert max(r.containment_a, r.containment_b) <= 1.0
+
+
+def test_agg_moments_brute_force_replay(spark, sf_dir):
+    """Recompute every emitted statistic from the raw rows in plain
+    Python (exact int power sums, the same double closed form) and
+    require equality — including the exact-ratio mean/variance and
+    the m2 = 0 NULL guard."""
+    import math
+    from collections import defaultdict
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.aggregates import (
+        _agg_moments)
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    raw = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice").collect()
+    sums = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in raw:
+        d = math.floor(r.o_totalprice + 0.5)
+        st = sums[r.o_orderstatus]
+        st[0] += 1
+        st[1] += d
+        st[2] += d * d
+        st[3] += d * d * d
+        st[4] += d * d * d * d
+
+    def r4(a, b):
+        num = a * 20000 + b
+        return (num - num % (2 * b)) // (2 * b) / 1e4
+
+    got = {r.status: r for r in _agg_moments(spark, sf_dir).collect()}
+    assert set(got) == set(sums)
+    for status, (n, s1, s2, s3, s4) in sums.items():
+        r = got[status]
+        assert r.n == n
+        assert r.mean_dollars == r4(s1, n)
+        assert r.variance == r4(s2 * n - s1 * s1, n * n)
+        nD, s1D, s2D, s3D, s4D = map(float, (n, s1, s2, s3, s4))
+        mu = s1D / nD
+        m2 = s2D / nD - mu * mu
+        if m2 <= 0:
+            assert r.skewness is None and r.kurtosis_raw is None
+            continue
+        m3 = s3D / nD - 3.0 * mu * s2D / nD + 2.0 * mu * mu * mu
+        m4 = (s4D / nD - 4.0 * mu * s3D / nD
+              + 6.0 * mu * mu * s2D / nD - 3.0 * mu * mu * mu * mu)
+        assert r.skewness == round(m3 / math.pow(m2, 1.5), 6)
+        assert r.kurtosis_raw == round(m4 / math.pow(m2, 2.0), 6)
