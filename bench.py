@@ -182,7 +182,15 @@ def main() -> None:
               f"{repro['max_abs_delta_sec']}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    anchor_sec = timings.get(ANCHOR) or 1.0
+    # Fail LOUD if the anchor ever leaves HEADLINE or degenerates:
+    # a silent 1.0 fallback would make anchor_ratios equal raw wall
+    # seconds — machine-dependent again — with nothing flagging it
+    # (r8 review finding).
+    if ANCHOR not in timings or timings[ANCHOR] <= 0.0:
+        raise SystemExit(
+            f"bench anchor {ANCHOR!r} missing or zero-timed; "
+            "anchor_ratios would silently degrade to wall seconds")
+    anchor_sec = timings[ANCHOR]
     record = {
         "metric": "headline_total",
         "value": total,

@@ -281,7 +281,10 @@ def _agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: prices quantize to integer DOLLARS (floor(p + 0.5) —
     cents would push the 4th power sum past DECIMAL(38,0) at sf0.1;
-    dollars keep S4 = Σd⁴ ≤ n·1.3e23 inside it to ~1e14 rows/group),
+    in dollars the BINDING constraint is not S4 = Σd⁴ ≤ n·1.3e23 but
+    the variance numerator's cross terms s1² and s2·n, both ≤ n²·3.6e11
+    at d ≤ 6e5 — inside DECIMAL(38,0) to ~1.6e13 rows/group, still
+    ~2000× a 100 TB status-group's row count),
     the four power sums accumulate exactly in DECIMAL(38,0)
     (order-free), and the closed-form combination runs over DOUBLE
     casts of those exact integers through the ONE shared expression

@@ -577,57 +577,84 @@ def _join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.transform("keys", lambda k: k.getField("g"))
                    .alias("grams"),
                    F.size("keys").alias("n_grams")))
-    # prefix length p = n - ceil(t*n) + 1, in pure integer arithmetic:
-    # ceil(n/2) = (n+1) div 2 for t = 0.5 (general: ceil(t*n) with t a
-    # ratio a/b is (a*n + b - 1) div b)
+    # The verifier accepts iff round-half-up-4dp(I/U) >= t, which for
+    # t = 0.5 is EXACTLY the integer condition Q*I >= P*U with
+    # P = 49995, Q = 100000 (J = 0.49995 rounds UP to 0.5000) and
+    # U = na + nb - I.  Every prune below is derived from THAT
+    # condition, not from the nominal t — a prune derived from t = 1/2
+    # over-prunes the 4-dp boundary band once sets are large enough
+    # for the 0.00005 gap to exceed one gram (r8 review finding:
+    # the old one-unit alpha slack failed at na+nb >~ 45k, the old
+    # 2*min >= max length filter at max >~ 20k).
+    #
+    # prefix length: acceptance forces I(P+Q) >= P(na+nb) and nb >= I,
+    # hence Q*I >= P*na, i.e. I >= ceil(P*n/Q) for EVERY eligible
+    # partner — so blocking on the first n - ceil(P*n/Q) + 1 grams of
+    # the global (df, gram) order keeps the smallest common gram (at
+    # position <= n - I + 1) inside both prefixes.  Pure integer
+    # ceil: (P*n + Q - 1) div Q via the sign-safe x - pmod(x, Q).
+    PJ_P, PJ_Q = 49995, 100000
+    pn = F.col("n_grams") * PJ_P + (PJ_Q - 1)
     p = (F.col("n_grams")
-         - F.floor((F.col("n_grams") + 1) / 2).cast("int") + 1)
+         - ((pn - F.pmod(pn, PJ_Q)) / PJ_Q).cast("int") + 1)
     prefixes = per_doc.select(
         "doc_id", "n_grams",
         F.posexplode(F.slice("grams", 1, p)).alias("pos", "gram"))
     # Two prunes inside the candidate join, both BEFORE the
     # distinct/verify work:
-    # * PPJoin length filter: J >= t forces t*|A| <= |B| <= |A|/t, so
-    #   wildly different set sizes can never verify (integer
-    #   cross-multiplication, t = 1/2: 2*min >= max);
+    # * PPJoin length filter: max J over partners is min/max (full
+    #   containment), so acceptance is possible iff Q*min >= P*max;
     # * PPJoin POSITION filter (r8, cut verify volume ~20x): for the
     #   SMALLEST common gram (global (df, gram) order), every other
     #   common gram sorts after it in BOTH arrays, so the distinct
     #   overlap I <= 1 + min(na - i, nb - j) at its 1-based positions
-    #   (i, j) — and the prefix theorem already guarantees that gram
+    #   (i, j) — and the prefix argument above guarantees that gram
     #   sits inside both prefixes, so the pair ALWAYS survives via
     #   that row (any-match semantics through the distinct): rows for
     #   later common grams may fail the bound, the first-common row
-    #   cannot.  Required overlap for J >= 1/2 is I >= (na+nb)/3;
-    #   alpha = (na+nb) div 3 - 1 under-approximates it with a whole
-    #   unit of slack so the verifier's 4-dp half-up quantization
-    #   boundary (J = 0.49995 rounds UP to 0.5000) can never be
-    #   position-pruned.  posexplode's pos is 0-based: na - i =
-    #   na - pos - 1.  Completeness stays machine-checked: the DuckDB
-    #   oracle is the UNPRUNED naive spec, so an over-prune here is a
-    #   driver hash mismatch, and the differential doc corpora replay
-    #   the compare on adversarial shapes.
+    #   cannot.  Acceptance forces I >= alpha = ceil(P*(na+nb)/(P+Q))
+    #   exactly — no hand slack needed (and on small docs this is
+    #   TIGHTER than the old floor(s/3) - 1), no over-prune possible
+    #   (ub >= I >= alpha on the first-common row of any accepting
+    #   pair).  posexplode's pos is 0-based: na - i = na - pos - 1.
+    #   Completeness stays machine-checked: the DuckDB oracle is the
+    #   UNPRUNED naive spec, so an over-prune here is a driver hash
+    #   mismatch, and the differential doc corpora replay the compare
+    #   on adversarial shapes.
     ub = F.lit(1) + F.least(
         F.col("l.n_grams") - F.col("l.pos") - 1,
         F.col("r.n_grams") - F.col("r.pos") - 1)
-    alpha = ((F.col("l.n_grams") + F.col("r.n_grams"))
-             - F.pmod(F.col("l.n_grams") + F.col("r.n_grams"), 3)) / 3 - 1
+    s = F.col("l.n_grams") + F.col("r.n_grams")
+    sn = s * PJ_P + (PJ_P + PJ_Q - 1)
+    alpha = (sn - F.pmod(sn, PJ_P + PJ_Q)) / (PJ_P + PJ_Q)
     cand = (prefixes.alias("l")
             .join(prefixes.alias("r"),
                   (F.col("l.gram") == F.col("r.gram"))
                   & (F.col("l.doc_id") < F.col("r.doc_id"))
-                  & (F.col("l.n_grams") * 2 >= F.col("r.n_grams"))
-                  & (F.col("r.n_grams") * 2 >= F.col("l.n_grams"))
+                  & (F.col("l.n_grams") * PJ_Q >= F.col("r.n_grams") * PJ_P)
+                  & (F.col("r.n_grams") * PJ_Q >= F.col("l.n_grams") * PJ_P)
                   & (ub >= alpha))
             .select(F.col("l.doc_id").alias("doc_a"),
                     F.col("r.doc_id").alias("doc_b"))
             .distinct())
-    # verify on the GRAM STREAM (join-count of shared distinct grams
-    # == array_intersect size, same shape as the oracle): rejoining
-    # the per_doc ARRAY table twice re-ran its collect_list+sort
-    # derivation per side — the stream join re-reads only the already
-    # -exploded gram pipeline and carries (pair, gram) matches, never
-    # arrays (r8, with the position filter: 7.7 s -> ~3.5 s at sf0.1)
+    return _verify_gram_pairs(grams, cand)
+
+
+def _verify_gram_pairs(grams: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared exact-Jaccard verifier for candidate doc pairs, on the
+    GRAM STREAM: join-count of shared distinct grams == the
+    array_intersect size, the same shape the DuckDB oracles use.
+    Used by both `join_prefix_filter` and `minhash_lsh_join` — one
+    copy makes their documented 'same verify arithmetic' contract
+    structural instead of hand-synchronized (r8 review finding; the
+    subset property between the two joins is pinned in
+    tests/test_properties.py).
+
+    Rejoining a per-doc ARRAY table twice would re-run its
+    collect_list+sort derivation per side — the stream join re-reads
+    only the already-exploded gram pipeline and carries (pair, gram)
+    matches, never arrays (r8, with the position filter:
+    7.7 s -> ~3.5 s at sf0.1)."""
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     inter = (cand
              .join(grams.select(F.col("doc_id").alias("doc_a"),
@@ -1410,7 +1437,6 @@ def _minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.split(F.lower("text"), WS_RUN).alias("ws"))
     grams = toks.select("doc_id",
                         F.explode(_gram_array("ws", 3)).alias("gram"))
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
 
     def slot(i):
         return F.min(
@@ -1439,27 +1465,7 @@ def _minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    inter = (cand
-             .join(grams.select(F.col("doc_id").alias("doc_a"),
-                                "gram"), "doc_a")
-             .join(grams.select(F.col("doc_id").alias("doc_b"),
-                                "gram"), ["doc_b", "gram"])
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count("*").alias("inter")))
-    verified = (
-        inter
-        .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                           F.col("n_grams").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n_grams").alias("nb")), "doc_b")
-    )
-    return (verified
-            .select("doc_a", "doc_b", "inter",
-                    round4_ratio(
-                        F.col("inter"),
-                        F.col("na") + F.col("nb") - F.col("inter"))
-                    .alias("jaccard"))
-            .where(F.col("jaccard") >= PREFIX_JACCARD_T)
+    return (_verify_gram_pairs(grams, cand)
             .orderBy("doc_a", "doc_b"))
 
 

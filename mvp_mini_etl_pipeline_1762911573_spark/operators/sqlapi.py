@@ -624,8 +624,13 @@ def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     slack so a 1-row stratum can't fail on granularity).  6σ of a
     binomial is a ~1e-9 false-alarm bound, yet any broken sampler
     (wrong rate, double sampling, dropped stratum) lands far outside
-    it.  Rate-1.0 strata degenerate to σ = 0: the contract demands
-    EXACT keep-all there, which is also what sampleBy guarantees.
+    it.  The +1 granularity slack applies ONLY to fractional rates:
+    rate-1.0 (keep-all) and rate-0.0 (strata absent from STRAT_RATES,
+    which sampleBy drops entirely) have σ = 0 and the contract demands
+    the EXACT count — a sampler silently dropping one row of a
+    keep-all stratum must flip the boolean (r8 review finding).  The
+    rate for an unconfigured stratum coalesces to 0.0 to mirror both
+    sampleBy's missing-key semantics and the oracle's ELSE 0.0 branch.
     The oracle emits the exact sizes, rates, and literal TRUE."""
     ev = load(spark, sf_dir, "events")
     sampled = (ev.sampleBy("event_type", STRAT_RATES, seed=42)
@@ -633,12 +638,16 @@ def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count("*").alias("sampled_cnt")))
     totals = (ev.groupBy("event_type")
               .agg(F.count("*").alias("n_total")))
-    rate = F.element_at(
-        F.create_map(*[F.lit(x) for kv in STRAT_RATES.items()
-                       for x in kv]),
-        F.col("event_type"))
+    rate = F.coalesce(
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in STRAT_RATES.items()
+                           for x in kv]),
+            F.col("event_type")),
+        F.lit(0.0))
     sigma = F.sqrt(F.col("n_total") * F.col("rate")
                    * (1.0 - F.col("rate")))
+    slack = F.when((F.col("rate") > 0.0) & (F.col("rate") < 1.0),
+                   F.lit(1.0)).otherwise(F.lit(0.0))
     return (totals.join(sampled, "event_type", "left")
             .withColumn("sampled_cnt",
                         F.coalesce("sampled_cnt", F.lit(0)))
@@ -647,8 +656,11 @@ def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("rate", 2).alias("rate"),
                     (F.abs(F.col("sampled_cnt")
                            - F.col("n_total") * F.col("rate"))
-                     <= 6.0 * sigma + 1.0).alias("sample_in_bound"))
-            .orderBy("event_type"))
+                     <= 6.0 * sigma + slack).alias("sample_in_bound"))
+            # asc_nulls_last matches DuckDB's ASC default (NULLS LAST);
+            # Spark's bare asc is NULLS FIRST — a NULL event_type would
+            # otherwise land at opposite ends of the two row orders
+            .orderBy(F.col("event_type").asc_nulls_last()))
 
 
 def _sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -408,3 +408,69 @@ def test_tokenizers_agree_on_vertical_tab(spark, tmp_path):
                  "dedup_containment", "importance_sample"):
         compare(all_queries()[name](spark, str(tmp_path)), con,
                 all_oracles()[name], f"{name}@vt-corpus")
+
+
+def test_prefix_filter_prunes_are_exact_at_the_4dp_boundary():
+    """r8 review finding: all three SSJoin prunes in
+    `_join_prefix_filter` must be derived from the verifier's EXACT
+    accept condition Q*I >= P*(na+nb-I) with P=49995, Q=100000 (a
+    Jaccard of exactly 0.49995 rounds half-up to the 0.5000
+    threshold), not from the nominal t=1/2.  The t=1/2 forms
+    over-pruned once sets grew past the point where the 0.00005
+    rounding band exceeds one gram: the old one-unit alpha slack
+    failed at na+nb >= ~45k (na=nb=45000, I=29998 accepts but was
+    position-pruned), the old `2*min >= max` length filter at
+    max >= ~20k (na=9999, nb=20000, I=9999 accepts but was
+    length-pruned), and the old ceil(n/2) prefix was one gram short
+    of the theorem for n >= 20000.  This mirrors the column
+    arithmetic in pure Python and sweeps the boundary band so the
+    formulas cannot drift back."""
+    import math
+
+    P, Q = 49995, 100000
+
+    def accepts(i, na, nb):          # the verifier's exact cut
+        return Q * i >= P * (na + nb - i)
+
+    def alpha(na, nb):               # position-filter bound, as coded
+        sn = (na + nb) * P + (P + Q - 1)
+        return (sn - sn % (P + Q)) // (P + Q)
+
+    def prefix_len(n):               # blocking prefix, as coded
+        pn = n * P + (Q - 1)
+        return n - (pn - pn % Q) // Q + 1
+
+    def length_ok(na, nb):           # length filter, as coded
+        return na * Q >= nb * P and nb * Q >= na * P
+
+    for na, nb in [(9999, 20000), (45000, 45000), (3, 7), (1, 1),
+                   (20000, 20001), (2, 4), (60000, 119999),
+                   (100000, 100000), (5, 11), (199990, 100000)]:
+        lo = max(1, alpha(na, nb) - 3)
+        hi = min(na, nb, alpha(na, nb) + 3)
+        for i in range(lo, hi + 1):
+            if accepts(i, na, nb):
+                # completeness: an accepting overlap may never sit
+                # below the position-filter bound, and the pair must
+                # survive the length filter
+                assert i >= alpha(na, nb), (na, nb, i)
+                assert length_ok(na, nb), (na, nb, i)
+                # the smallest common gram sits at 1-based position
+                # <= n - I + 1 in each sorted array: inside the prefix
+                assert na - i + 1 <= prefix_len(na), (na, i)
+                assert nb - i + 1 <= prefix_len(nb), (nb, i)
+        # tightness: alpha is EXACTLY the least accepting overlap
+        # (when one exists at these sizes)
+        a = alpha(na, nb)
+        if a <= min(na, nb):
+            assert accepts(a, na, nb), (na, nb, a)
+            assert not accepts(a - 1, na, nb), (na, nb, a)
+        assert a == math.ceil(P * (na + nb) / (P + Q)), (na, nb)
+        for n in (na, nb):
+            assert prefix_len(n) == n - math.ceil(P * n / Q) + 1, n
+    # the old filters really were wrong at the documented shapes —
+    # keep the counterexamples executable
+    assert accepts(29998, 45000, 45000)
+    assert alpha(45000, 45000) == 29998          # old slack: 29999
+    assert accepts(9999, 9999, 20000)
+    assert length_ok(9999, 20000)                # old: 2*9999 < 20000

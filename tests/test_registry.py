@@ -90,6 +90,25 @@ def test_survey_section2_operator_ids_are_unique():
     ids = re.findall(r"^\| ([A-Z]{1,2}\d+[a-z]?) \|", sec2, re.M)
     dupes = {k: v for k, v in Counter(ids).items() if v > 1}
     assert not dupes, f"SURVEY §2 reuses operator-row IDs: {dupes}"
+    # Column-count discipline inside each table: a row with missing
+    # cells renders the impl text in the wrong column (the r8
+    # agg_moments debut row shipped with 4 cells where its table has
+    # 7 — silent under the ID check alone).  Compare every data row's
+    # cell count to its table's header row.
+    bad = []
+    header_cells = None
+    for line in sec2.splitlines():
+        if not line.startswith("|"):
+            header_cells = None
+            continue
+        cells = line.count("|") - line.count("\\|") - 1
+        if header_cells is None:
+            header_cells = cells
+        elif set(line.replace("|", "").strip()) <= {"-", " ", ":"}:
+            continue  # separator row
+        elif cells != header_cells:
+            bad.append((line[:60], cells, header_cells))
+    assert not bad, f"SURVEY §2 rows with missing/extra cells: {bad}"
 
 
 def test_window_contains_only_oracle_checked_queries():
