@@ -70,6 +70,12 @@ HEADLINE = [
     "naive_bayes_train",    # round 8: class-vocab reduce NB trainer
     "source_overlap",       # round 8: source-pair gram overlap matrix
     "minhash_lsh_join",     # round 8: deterministic MinHash LSH join
+    "roc_auc",              # round 8: domain-bounded rank AUC eval
+    "spearman_corr",        # round 8: doubled-rank correlation
+    "winnow_fingerprint",   # round 8: windowed-min gram fingerprints
+    "winnow_join",          # round 8: df-pruned fingerprint pairing
+    "simhash_join",         # round 8: banded 60-bit popcount join
+    "js_divergence",        # round 8: source-pair JS divergence
 ]
 
 #: the cross-machine timing anchor (ADVICE/verdict r7: two rounds in a

@@ -174,6 +174,302 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 3        # word k-gram size fed to the winnower
+WINNOW_W = 4        # winnowing window: hashes per selection window
+_WINNOW_POS_M = 1 << 21  # pos packing modulus (docs capped ~2M grams)
+
+
+def _winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): robust winnowing fingerprints (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm, public):
+    hash every POSITIONAL word-3-gram, slide a window of WINNOW_W
+    consecutive hashes, and keep each window's minimum — guaranteeing
+    at least one fingerprint per WINNOW_W+WINNOW_K-1 words while
+    selecting the SAME grams no matter where a copied passage lands
+    in a document.  This is the position-robust layer between
+    `doc_fingerprint` (one whole-doc rolling hash — any edit changes
+    it) and the set-similarity joins (which compare whole gram SETS):
+    matching fingerprint rows localize WHICH passages two docs share.
+
+    Determinism/exactness: the gram hash is the shared sha256-prefix
+    idiom (public, bit-identical on both engines); ties inside a
+    window break to the LEFTMOST smallest via the packed key
+    c = h·2^21 + pos (winnowing only needs a CONSISTENT tie-break;
+    the original paper picks rightmost, leftmost is the same
+    guarantee), and the whole selection is integer min — no floats
+    anywhere.  pos stays below 2^21 by documented cap (a 2M-gram
+    document would need a >10 MB text cell); the oracle packs
+    identically, so even a violation diverges nowhere.
+
+    Degenerate contract: docs shorter than WINNOW_K words produce no
+    grams (they vanish from the stream, matching the oracle's empty
+    generate_series); docs with fewer than WINNOW_W grams yield ONE
+    window spanning what exists (the pos-0 frame min, which the
+    start-row filter keeps via greatest(n-w, 0)).
+
+    100 TB shape: the gram stream is a fused generator explode (no
+    array materialization); the ONLY exchange is the hash-partition
+    by doc_id that the per-doc ordered window needs, and both window
+    functions (count, frame min) share that one sort; the distinct
+    collapses selected duplicates per doc before the output.  Output
+    is ~2·L/(W+1) rows per doc — the paper's expected density —
+    never the full gram stream."""
+    docs = load(spark, sf_dir, "documents")
+    return _winnow_rows(docs).orderBy("doc_id", "pos")
+
+
+def _winnow_rows(docs: DataFrame) -> DataFrame:
+    """The winnowing selection pipeline itself (doc_id, fp, pos) —
+    shared by `winnow_fingerprint` (the per-doc report) and
+    `winnow_join` (the fingerprint-overlap candidate join built on
+    it); one copy mirroring the one _DUCK_WINNOW_CTES oracle chain."""
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
+    # positional (NOT distinct) gram stream — _gram_array dedups, the
+    # winnower must see every occurrence in order
+    gram_arr = F.when(
+        F.size("ws") >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (WINNOW_K - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("ws", i + j)
+                       for j in range(WINNOW_K)]),
+        )).otherwise(F.array().cast("array<string>"))
+    g = toks.select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gram"))
+    h = F.conv(F.substring(F.sha2(F.col("gram"), 256), 1, 8),
+               16, 10).cast("long")
+    c = (h * F.lit(_WINNOW_POS_M) + F.col("pos")).alias("c")
+    wdoc = Window.partitionBy("doc_id")
+    wmin = (Window.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(Window.currentRow, WINNOW_W - 1))
+    sel = (g.select("doc_id", "pos", c)
+           .withColumn("n_grams", F.count("*").over(wdoc))
+           .withColumn("wmin", F.min("c").over(wmin))
+           .where(F.col("pos")
+                  <= F.greatest(F.col("n_grams") - WINNOW_W, F.lit(0)))
+           .select("doc_id", "wmin").distinct())
+    return sel.select(
+        "doc_id",
+        ((F.col("wmin") - F.pmod("wmin", _WINNOW_POS_M))
+         / _WINNOW_POS_M).cast("long").alias("fp"),
+        F.pmod("wmin", _WINNOW_POS_M).cast("int").alias("pos"))
+
+
+WJ_MIN_SHARED = 3    # near-dup candidates must share >= this many fps
+WJ_DF_FLOOR = 10     # hot-fingerprint prune: df > max(floor, ...
+WJ_DF_FRAC = 0.10    # ... frac * n_docs) fingerprints are dropped
+
+
+def _winnow_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): fingerprint-overlap near-dup join — the MOSS
+    pairing step on top of `winnow_fingerprint`: two documents are
+    candidates iff they share >= WJ_MIN_SHARED distinct winnowed
+    fingerprint HASHES.  This is the cheapest rung of the near-dup
+    ladder: the fingerprint stream is already ~(W+1)/2× smaller than
+    the gram stream the MinHash/prefix joins consume, and the
+    winnowing guarantee makes the match count a length-proportional
+    proxy for shared-passage volume (every >= W+K-1-word shared
+    passage contributes at least one common fingerprint).
+
+    Determinism/exactness: fingerprints are the integer sha-prefix
+    hashes from `_winnow_rows` (positions dropped — relocation
+    invariance is the point); counts are exact integers.  Hot
+    fingerprints (boilerplate selected everywhere) are pruned by
+    document frequency BEFORE the self-join — the `_pruned_gram_
+    stream` discipline: df > max(WJ_DF_FLOOR, WJ_DF_FRAC·n_docs)
+    drops them on BOTH engines, killing the quadratic hot-bucket
+    blowup structurally (MOSS does the same: ignore fingerprints in
+    too many submissions).
+
+    100 TB shape: winnow selection is one doc exchange (see
+    `winnow_fingerprint`); the distinct (doc, fp) reduce is linear;
+    the df table is one partial-agg'd shuffle of it, the hot list is
+    heavy-hitter-tail tiny (broadcast anti-join); the pair self-join
+    keys on PRUNED fingerprints with per-fp fan-out capped by the df
+    threshold, and the pair aggregate touches candidates only."""
+    docs = load(spark, sf_dir, "documents")
+    f = _winnow_rows(docs).select("doc_id", "fp").distinct()
+    n_docs_df = docs.agg(F.count("*").alias("n_docs"))
+    fp_df = f.groupBy("fp").agg(F.count("*").alias("df"))
+    hot = (fp_df.crossJoin(F.broadcast(n_docs_df))
+           .where(F.col("df") > F.greatest(
+               F.lit(WJ_DF_FLOOR),
+               F.col("n_docs") * F.lit(WJ_DF_FRAC)))
+           .select("fp"))
+    ff = f.join(F.broadcast(hot), "fp", "left_anti")
+    pairs = (ff.alias("a")
+             .join(ff.alias("b"),
+                   (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("shared_fps")))
+    return (pairs.where(F.col("shared_fps") >= WJ_MIN_SHARED)
+            .orderBy("doc_a", "doc_b"))
+
+
+ZIPF_TOPK = 100  # vocabulary head fitted per source
+
+
+def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): Zipf-law fit per source — OLS of ln(frequency)
+    on ln(rank) over the top-ZIPF_TOPK vocabulary: slope (Zipf
+    exponent, ~ -1 for natural language), intercept, and r² — the
+    corpus-forensics query that flags machine-generated/boilerplate
+    sources (their head distribution is too flat or too steep) before
+    any model sees them.
+
+    Exactness: ranks are exact integers (count desc, token asc —
+    deterministic ties); x = floor(ln(rank)·1e6 + 0.5) and y =
+    floor(ln(cnt)·1e6 + 0.5) quantize the one transcendental per
+    term to integer µ-nats (the lm_score ln idiom); every OLS sum
+    (Σx, Σy, Σxy, Σx², Σy²) accumulates exactly in DECIMAL(38,0)/
+    HUGEINT, and slope / intercept / r² are exact half-up integer
+    ratios of the closed forms — slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²),
+    intercept likewise, r² = num²/(d1·d2).  µ-nat magnitudes keep
+    num² inside DECIMAL(38,0) for K = 100 (documented envelope:
+    |x|,|y| <= ~4e7 ⇒ num, d <= ~3e17 ⇒ products <= ~1e35).
+
+    Degenerate contract: a source with a single distinct token has
+    d1 = 0 → slope/intercept/r² NULL on both engines (zero-denominator
+    NULL in the half-up helpers), never a crash.
+
+    100 TB shape: ONE (source, token) partial-agg'd reduce carries
+    the vocabulary, the per-source top-K window runs on the reduced
+    table (WindowGroupLimit forwards K+ rows per source), and the OLS
+    reduce is 6 numbers per source."""
+    docs = load(spark, sf_dir, "documents")
+    ct = (docs.select("source",
+                      F.explode(_tokens(F.col("text"))).alias("tok"))
+          .groupBy("source", "tok").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc())
+    top = (ct.withColumn("rnk", F.row_number().over(w))
+           .where(F.col("rnk") <= ZIPF_TOPK))
+    x = F.floor(F.log(F.col("rnk").cast("double")) * 1e6 + 0.5)
+    y = F.floor(F.log(F.col("cnt").cast("double")) * 1e6 + 0.5)
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    sums = (top.select("source", x.alias("x"), y.alias("y"))
+            .groupBy("source")
+            .agg(F.count("*").alias("n"),
+                 F.sum(dec(F.col("x"))).alias("sx"),
+                 F.sum(dec(F.col("y"))).alias("sy"),
+                 F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+                 F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+                 F.sum(dec(F.col("y")) * F.col("y")).alias("syy")))
+    n = F.col("n").cast("decimal(38,0)")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return (sums.select(
+                "source", "n",
+                round4_ratio_dec(num, d1).alias("slope"),
+                round4_ratio_dec(
+                    (F.col("sy") * F.col("sxx")
+                     - F.col("sx") * F.col("sxy")),
+                    (d1 * 1_000_000).cast("decimal(38,0)"))
+                .alias("intercept"),
+                round4_ratio_dec((num * num).cast("decimal(38,0)"),
+                                 (d1 * d2).cast("decimal(38,0)"))
+                .alias("r2"))
+            .orderBy("source"))
+
+
+LN2_U = 693147  # floor(ln(2)*1e6 + 0.5): the disjoint-token JS term
+
+
+def _js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): pairwise Jensen-Shannon divergence between the
+    unigram word distributions of every source pair — the
+    DISTRIBUTIONAL companion to `source_overlap`'s set view: overlap
+    says which sources share text verbatim, JS says how differently
+    they USE language (mixture planning reads this to pick diverse
+    sources; drift monitoring reads it across crawls).  Symmetric and
+    bounded in [0, ln 2] nats, unlike raw KL.
+
+    Exactness (the mutual_info idiom): for shared tokens the per-term
+    logs are ln of EXACT integer ratios — term_P = a·ln(2aB/(aB+bA)),
+    term_Q = b·ln(2bA/(aB+bA)) with a,b the token counts and A,B the
+    source totals — quantized to integer µ-nats (floor(ln·1e6+0.5) on
+    one shared expression), weighted by exact counts and summed in
+    DECIMAL(38,0)/HUGEINT; tokens private to one source contribute
+    exactly count·ln2, folded in CLOSED FORM as (A−sha)·LN2_U — no
+    outer join needed.  JSD = (S_P/A + S_Q/B)/2 is then ONE exact
+    half-up ratio (S_P·B + S_Q·A) / (2AB·1e6).
+
+    Degenerate contract: a token pair cell never divides by zero
+    (aB+bA > 0 whenever the row exists); single-source corpora emit
+    zero rows (no pairs).
+
+    100 TB shape: ONE (source, token) partial-agg'd reduce (shared
+    shape with zipf_fit/naive_bayes); the pair join keys on token
+    with fan-out structurally <= |sources|² per token; per-source
+    totals join back broadcast-sized; everything downstream is
+    |sources|²-row arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    ct = (docs.select("source",
+                      F.explode(_tokens(F.col("text"))).alias("tok"))
+          .groupBy("source", "tok").agg(F.count("*").alias("cnt")))
+    tot = ct.groupBy("source").agg(F.sum("cnt").alias("total"))
+    a = ct.select(F.col("source").alias("src_a"), "tok",
+                  F.col("cnt").alias("ca"))
+    b = ct.select(F.col("source").alias("src_b"), "tok",
+                  F.col("cnt").alias("cb"))
+    shared = (a.join(b, "tok")
+              .where(F.col("src_a") < F.col("src_b"))
+              .join(F.broadcast(tot.select(
+                  F.col("source").alias("src_a"),
+                  F.col("total").alias("ta"))), "src_a")
+              .join(F.broadcast(tot.select(
+                  F.col("source").alias("src_b"),
+                  F.col("total").alias("tb"))), "src_b"))
+    # exact wide-int ratio arguments, ONE shared ln expression shape:
+    # den = a·B + b·A; µln(2aB/den), µln(2bA/den)
+    aB = F.col("ca").cast("decimal(38,0)") * F.col("tb")
+    bA = F.col("cb").cast("decimal(38,0)") * F.col("ta")
+    den = (aB + bA).cast("double")
+    tp = F.floor(F.log((2 * aB).cast("double") / den) * 1e6 + 0.5)
+    tq = F.floor(F.log((2 * bA).cast("double") / den) * 1e6 + 0.5)
+    cell = shared.groupBy("src_a", "src_b").agg(
+        F.sum(F.col("ca").cast("decimal(38,0)") * tp).alias("sp_sh"),
+        F.sum(F.col("cb").cast("decimal(38,0)") * tq).alias("sq_sh"),
+        F.sum("ca").alias("sha"), F.sum("cb").alias("shb"))
+    full = (cell
+            .join(F.broadcast(tot.select(
+                F.col("source").alias("src_a"),
+                F.col("total").alias("ta"))), "src_a")
+            .join(F.broadcast(tot.select(
+                F.col("source").alias("src_b"),
+                F.col("total").alias("tb"))), "src_b"))
+    sp = (F.col("sp_sh")
+          + (F.col("ta") - F.col("sha")).cast("decimal(38,0)") * LN2_U)
+    sq = (F.col("sq_sh")
+          + (F.col("tb") - F.col("shb")).cast("decimal(38,0)") * LN2_U)
+    return (full.select(
+                "src_a", "src_b",
+                F.col("ta").alias("tokens_a"),
+                F.col("tb").alias("tokens_b"),
+                round4_ratio_dec(
+                    sp, (F.col("ta").cast("decimal(38,0)")
+                         * 1_000_000).cast("decimal(38,0)"))
+                .alias("kl_p_m"),
+                round4_ratio_dec(
+                    sq, (F.col("tb").cast("decimal(38,0)")
+                         * 1_000_000).cast("decimal(38,0)"))
+                .alias("kl_q_m"),
+                round4_ratio_dec(
+                    (sp * F.col("tb") + sq * F.col("ta"))
+                    .cast("decimal(38,0)"),
+                    (F.col("ta").cast("decimal(38,0)") * F.col("tb")
+                     * 2_000_000).cast("decimal(38,0)"))
+                .alias("jsd"))
+            .orderBy("src_a", "src_b"))
+
+
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F16: corpus stats by (lang, source): doc count, char/token
     totals, avg doc length — the shuffle is a few agg states per
@@ -1499,6 +1795,20 @@ _LOGIT_W100 = {k: (round(v * 100), v) for k, v in
                QUALITY_LOGIT_W.items()}
 
 
+def quality_feats_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (lang, quality-signal features) — the shared first
+    stage of the supervised family: `logit_step` trains on it,
+    `roc_auc` / `calibration_bins` (operators/analytics.py) evaluate
+    the same µ-sigmoid score on it.  One Spark-side copy mirroring the
+    one DUCK_QFEATS_CTES oracle string."""
+    docs = load(spark, sf_dir, "documents")
+    cols = _quality_feature_cols()
+    return docs.select(
+        "lang", *[cols[c].alias(c) for c in
+                  ("n_tokens", "avg_word_len", "stopword_ratio",
+                   "punct_ratio", "alpha_ratio")])
+
+
 def _logit_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT (r8 debut): one supervised training step as a query — the
     piece that completes the curation loop (score → sample → TRAIN →
@@ -1526,12 +1836,7 @@ def _logit_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized, the same argument as kmeans_step's K×5 state.  The
     6-row report explodes from that single row with stack();
     broadcast/driver cost is nil."""
-    docs = load(spark, sf_dir, "documents")
-    cols = _quality_feature_cols()
-    feats = docs.select(
-        "lang", *[cols[c].alias(c) for c in
-                  ("n_tokens", "avg_word_len", "stopword_ratio",
-                   "punct_ratio", "alpha_ratio")])
+    feats = quality_feats_frame(spark, sf_dir)
     rowterms = feats.selectExpr(
         f"{_LOGIT_Y} AS y",
         f"{_LOGIT_PE} AS lp",
@@ -1780,11 +2085,47 @@ QUERIES = {
     "text_quality": _text_quality,
     "lang_id": _lang_id,
     "doc_fingerprint": _doc_fingerprint,
+    "winnow_fingerprint": _winnow_fingerprint,
+    "winnow_join": _winnow_join,
+    "zipf_fit": _zipf_fit,
+    "js_divergence": _js_divergence,
     "text_stats": _text_stats,
 }
 
 _DUCK_TOKS = ("list_filter(string_split_regex(lower(text), "
               f"'[{WS_CHARS}]+'), t -> t != '')")
+
+#: RAW whitespace split (empty tokens kept) — mirrors the Spark-side
+#: bare F.split(lower, WS_RUN) used by the gram pipelines
+_DUCK_TOKS_RAW = f"string_split_regex(lower(text), '[{WS_CHARS}]+')"
+
+#: The DuckDB mirror of `_winnow_rows` up to the per-row window
+#: minima (ends defining CTE `w` with doc_id/pos/n_grams/wmin) —
+#: shared by the winnow_fingerprint and winnow_join oracles.
+#: range(1, n) is end-EXCLUSIVE: i = 1..len(ws)-2 for 3-grams;
+#: zipped unnests pair each gram with its 0-based position.
+_DUCK_WINNOW_CTES = f"""wtoks AS (
+  SELECT doc_id, {_DUCK_TOKS_RAW} AS ws FROM documents
+), wg AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(ws) - 1, 1))) - 1 AS pos,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+           AS gram
+  FROM wtoks
+), wh AS (
+  SELECT doc_id, pos,
+         CAST(concat('0x', substr(sha256(gram), 1, 8)) AS BIGINT)
+           * {_WINNOW_POS_M} + pos AS c
+  FROM wg
+), w AS (
+  SELECT doc_id, pos, c,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams,
+         min(c) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {WINNOW_W - 1} FOLLOWING) AS wmin
+  FROM wh
+)"""
 
 #: BM25 oracle per-query-term conditional-aggregation pivot (same
 #: explicit left-to-right sum as the Spark side)
@@ -2382,6 +2723,131 @@ FROM documents
 """,
     # → rows-only for the hash; content_sha IS checkable but the one
     # query returns both, so it stays rows-only.
+    # winnow_fingerprint (r8): the identical winnowing pipeline —
+    # positional gram stream via zipped unnests, sha-prefix hash
+    # packed with the position (c = h·2^21 + pos, leftmost-min
+    # tie-break), frame-min windows, start-row filter, distinct;
+    # the selection chain is the shared _DUCK_WINNOW_CTES
+    "winnow_fingerprint": f"""
+WITH {_DUCK_WINNOW_CTES}
+SELECT DISTINCT doc_id,
+       CAST(wmin // {_WINNOW_POS_M} AS BIGINT) AS fp,
+       CAST(wmin % {_WINNOW_POS_M} AS INTEGER) AS pos
+FROM w
+WHERE w.pos <= greatest(n_grams - {WINNOW_W}, 0)
+ORDER BY doc_id, pos
+""",
+    # winnow_join (r8): the same selection chain, positions dropped,
+    # hot fingerprints pruned by df on BOTH engines, pair-counted
+    "winnow_join": f"""
+WITH {_DUCK_WINNOW_CTES}, fsel AS (
+  SELECT DISTINCT doc_id,
+         CAST(wmin // {_WINNOW_POS_M} AS BIGINT) AS fp
+  FROM w WHERE w.pos <= greatest(n_grams - {WINNOW_W}, 0)
+), fhot AS (
+  SELECT fp FROM (SELECT fp, count(*) AS df FROM fsel GROUP BY fp)
+  WHERE df > greatest({WJ_DF_FLOOR},
+                      {WJ_DF_FRAC} * (SELECT count(*) FROM documents))
+), ff AS (
+  SELECT f.doc_id, f.fp FROM fsel f
+  WHERE NOT EXISTS (SELECT 1 FROM fhot h WHERE h.fp = f.fp)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WJ_MIN_SHARED}
+ORDER BY doc_a, doc_b
+""",
+    # zipf_fit (r8): identical rank/µ-nat quantization and exact OLS
+    # closed forms over HUGEINT sums
+    "zipf_fit": f"""
+WITH zt AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+), zc AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM zt GROUP BY source, tok
+), ztop AS (
+  SELECT source, cnt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, tok ASC) AS rnk
+  FROM zc
+), zq AS (
+  SELECT source,
+         CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT)
+           AS x,
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT)
+           AS y
+  FROM ztop WHERE rnk <= {ZIPF_TOPK}
+), zs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM zq GROUP BY source
+)
+SELECT source, n,
+       {round4_ratio_dec_sql('n * sxy - sx * sy',
+                             'n * sxx - sx * sx')} AS slope,
+       {round4_ratio_dec_sql(
+           'sy * sxx - sx * sxy',
+           '(n * sxx - sx * sx) * 1000000')} AS intercept,
+       {round4_ratio_dec_sql(
+           '(n * sxy - sx * sy) * (n * sxy - sx * sy)',
+           '(n * sxx - sx * sx) * (n * syy - sy * sy)')} AS r2
+FROM zs ORDER BY source
+""",
+    # js_divergence (r8): exact-integer ratio arguments into ONE
+    # shared ln shape, count-weighted µ-nat sums in HUGEINT, the
+    # disjoint-token mass folded in closed form via LN2_U
+    "js_divergence": f"""
+WITH jt AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+), jc AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM jt GROUP BY source, tok
+), jtot AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS total
+  FROM jc GROUP BY source
+), jsh AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(a.cnt AS HUGEINT) * tb.total AS aB,
+         CAST(b.cnt AS HUGEINT) * ta.total AS bA,
+         a.cnt AS ca, b.cnt AS cb
+  FROM jc a
+  JOIN jc b ON a.tok = b.tok AND a.source < b.source
+  JOIN jtot ta ON ta.source = a.source
+  JOIN jtot tb ON tb.source = b.source
+), jcell AS (
+  SELECT src_a, src_b,
+         CAST(sum(CAST(ca AS HUGEINT)
+           * CAST(floor(ln(CAST(2 * aB AS DOUBLE)
+                            / CAST(aB + bA AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT)) AS HUGEINT) AS sp_sh,
+         CAST(sum(CAST(cb AS HUGEINT)
+           * CAST(floor(ln(CAST(2 * bA AS DOUBLE)
+                            / CAST(aB + bA AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT)) AS HUGEINT) AS sq_sh,
+         CAST(sum(ca) AS BIGINT) AS sha,
+         CAST(sum(cb) AS BIGINT) AS shb
+  FROM jsh GROUP BY src_a, src_b
+), jfull AS (
+  SELECT c.*, ta.total AS ta, tb.total AS tb,
+         c.sp_sh + CAST(ta.total - c.sha AS HUGEINT) * {LN2_U} AS sp,
+         c.sq_sh + CAST(tb.total - c.shb AS HUGEINT) * {LN2_U} AS sq
+  FROM jcell c
+  JOIN jtot ta ON ta.source = c.src_a
+  JOIN jtot tb ON tb.source = c.src_b
+)
+SELECT src_a, src_b, ta AS tokens_a, tb AS tokens_b,
+       {round4_ratio_dec_sql('sp', 'CAST(ta AS HUGEINT) * 1000000')}
+         AS kl_p_m,
+       {round4_ratio_dec_sql('sq', 'CAST(tb AS HUGEINT) * 1000000')}
+         AS kl_q_m,
+       {round4_ratio_dec_sql(
+           'sp * tb + sq * ta',
+           'CAST(ta AS HUGEINT) * tb * 2000000')} AS jsd
+FROM jfull ORDER BY src_a, src_b
+""",
     "text_stats": f"""
 SELECT lang, source,
        CAST(count(*) AS BIGINT) AS docs,
@@ -2529,8 +2995,12 @@ _LOGIT_BRANCHES = "\nUNION ALL\n".join(
        {round4_ratio_dec_sql('snll', 'n * 1000000')} AS mean_nll
 FROM g"""
     for k in _LOGIT_XE)
-ORACLES["logit_step"] = f"""
-WITH t AS (
+# Shared quality-feature CTE chain for the supervised family —
+# logit_step (training), roc_auc and calibration_bins (evaluation,
+# operators/analytics.py) all start from these per-doc features, one
+# string so the three oracles cannot drift from each other or from
+# the Spark-side _quality_feature_cols contract
+DUCK_QFEATS_CTES = f"""t AS (
   SELECT doc_id, text, lang, {_DUCK_TOKS} AS toks, length(text) AS nc
   FROM documents
 ), feats AS (
@@ -2544,7 +3014,10 @@ WITH t AS (
          round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
            / greatest(nc, 1), 4) AS alpha_ratio
   FROM t
-), rt AS (
+)"""
+
+ORACLES["logit_step"] = f"""
+WITH {DUCK_QFEATS_CTES}, rt AS (
   SELECT {_LOGIT_Y} AS y, {_LOGIT_PE} AS lp,
          {_LOGIT_XE_SQL}
   FROM feats

@@ -1440,7 +1440,186 @@ def _drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket"))
 
 
+def _logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (label, µ-sigmoid score) of the quality classifier —
+    the shared evaluation input of roc_auc and calibration_bins:
+    y = the logit_step training label (lang = 'en'), lp = the exact
+    integer µ-probability (0..10000) from the shared _LOGIT_PE
+    contract (functions/text.py), so both engines score every doc
+    bit-identically."""
+    from ..functions.text import _LOGIT_PE, _LOGIT_Y, quality_feats_frame
+
+    return quality_feats_frame(spark, sf_dir).selectExpr(
+        f"{_LOGIT_Y} AS y", f"{_LOGIT_PE} AS lp")
+
+
+def _roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): ROC AUC of the quality classifier as an
+    English-discriminator — the evaluation half of the training loop
+    (`logit_step` emits the gradient, this scores the model): AUC =
+    P(score_pos > score_neg) + ½·P(tie), computed from tie-averaged
+    ranks, plus the Gini coefficient 2·AUC − 1.
+
+    Exactly the Mann-Whitney machinery re-pointed at classifier
+    evaluation (AUC = U1/(n1·n0) is the textbook identity): the
+    µ-sigmoid score lp is an exact integer, the distinct-score table
+    (≤ 10001 rows by construction) flows through the shared two-level
+    prefix scan, the doubled average rank 2·cum_before + c + 1 is an
+    exact integer, and AUC = (rs2 − n1(n1+1)) / (2·n1·n0) and
+    gini = (rs2 − n1(n1+1) − n1·n0) / (n1·n0) are exact half-up
+    integer ratios (round4_ratio_dec / HUGEINT) — no float anywhere.
+    Rank sums stay int64-safe below ~2e9 docs (the mann_whitney
+    bound); the DECIMAL ratios never overflow.
+
+    Degenerate contract: a single-class corpus (n1 or n0 = 0) yields
+    NULL auc/gini on both engines (zero denominator -> NULL in the
+    half-up helpers), never a crash.
+
+    100 TB shape: scoring is map-side; each scan branch partial-aggs
+    to <= 10001 distinct-score rows immediately (the plan carries TWO
+    corpus scans — _prefix_scan's bucket-offset branch re-derives the
+    score table, the same trade mann_whitney ships; a cache() of the
+    value table trades memory for the second scan at extreme scale),
+    the prefix scan runs on the bounded table, and the final
+    statistic is a 1-row aggregate — nothing after the first reduce
+    scales with corpus size."""
+    s = _logit_scores(spark, sf_dir)
+    v = (s.groupBy("lp")
+         .agg(F.count("*").alias("c"),
+              F.coalesce(F.sum("y"), F.lit(0)).alias("c1"))
+         .select(F.col("lp").cast("double").alias("value"), "c", "c1"))
+    cum = _prefix_scan(v)
+    r2 = 2 * F.col("cum_before") + F.col("c") + 1
+    agg = cum.agg(
+        F.sum(F.col("c1") * r2).alias("rs2"),
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum(F.col("c") - F.col("c1")), F.lit(0))
+        .alias("n0"))
+    u2 = (F.col("rs2")
+          - F.col("n1") * (F.col("n1") + 1)).cast("decimal(38,0)")
+    d = F.col("n1").cast("decimal(38,0)") * F.col("n0")
+    return agg.select(
+        F.col("n1").alias("n_pos"), F.col("n0").alias("n_neg"),
+        round4_ratio_dec(u2, (d * 2).cast("decimal(38,0)")).alias("auc"),
+        round4_ratio_dec(u2 - d, d).alias("gini"))
+
+
+CALIB_BINS = 10  # reliability-diagram bins over the µ-score range
+
+
+def _calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): reliability diagram of the quality classifier —
+    per predicted-probability decile: row count, positives, mean
+    predicted probability, empirical positive rate, and the
+    calibration gap between them.  The companion eval to `roc_auc`
+    (AUC measures ranking, this measures whether the probabilities
+    MEAN anything — the sigmoid can rank perfectly yet be wildly
+    miscalibrated, and a curation pipeline thresholding on p > 0.8
+    cares about the latter).
+
+    Exactness: the bin is integer floor-division of the exact µ-score
+    (lp div 1000, clamped so lp = 10000 joins the top bin); mean_pred
+    = Σlp/(n·10⁴) and frac_pos = pos/n are exact half-up integer
+    ratios; the gap subtracts two already-4dp-quantized doubles
+    (identical values cross-engine, so the one float subtraction is
+    bit-identical too).
+
+    100 TB shape: map-side scoring, ONE partial-agg'd groupBy onto
+    <= 10 bins, arithmetic on the 10-row result."""
+    s = _logit_scores(spark, sf_dir)
+    b = s.select(
+        "y", "lp",
+        F.least(F.expr("lp div 1000"),
+                F.lit(CALIB_BINS - 1)).cast("int").alias("bin"))
+    agg = (b.groupBy("bin")
+           .agg(F.count("*").alias("n"),
+                F.sum("lp").cast("decimal(38,0)").alias("slp"),
+                F.sum("y").alias("n_pos")))
+    scored = agg.select(
+        "bin", "n", "n_pos",
+        round4_ratio_dec(
+            F.col("slp"),
+            (F.col("n").cast("decimal(38,0)") * 10_000)
+            .cast("decimal(38,0)")).alias("mean_pred"),
+        round4_ratio(F.col("n_pos"), F.col("n")).alias("frac_pos"))
+    return (scored
+            .select("bin", "n", "n_pos", "mean_pred", "frac_pos",
+                    F.round(F.col("mean_pred") - F.col("frac_pos"), 4)
+                    .alias("gap"))
+            .orderBy("bin"))
+
+
+def _spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): Spearman rank correlation per order status —
+    does basket size (line items per order) move with order value?
+    The monotone-association companion to `regr_by_group` (Pearson
+    slope on raw values): rank-based, so one whale order cannot swamp
+    the statistic — the flavor analysts actually use on skewed
+    money/size measures.
+
+    Exactness: y quantizes to exact cents; both measures get DOUBLED
+    tie-averaged ranks 2·rank() + count(tied) − 1 — exact integers,
+    the mann_whitney rank discipline — so every Pearson-on-ranks sum
+    (Σr, Σr², Σrxry) accumulates exactly in DECIMAL(38,0)/HUGEINT and
+    the three covariance terms n·Σxy − ΣxΣy are exact integers.  Only
+    the final ρ = num / sqrt(d1·d2) is floating point: one shared
+    cast-to-double + sqrt expression per engine on identical exact
+    integers (the agg_moments skew/kurtosis precedent), rounded at
+    6dp.  Doubled ranks ≤ 2n keep every sum inside DECIMAL(38,0) to
+    n ~ 1e9 rows per status group.
+
+    Degenerate contract: a constant measure within a group (all ranks
+    tied) zeroes d1 or d2 — ρ is NULL on both engines (try_divide /
+    NULLIF), never a crash; single-row groups likewise.
+
+    100 TB shape: the per-order item count is one partial-agg'd
+    groupBy; both rank windows share the ONE hash-exchange on status
+    (two sorts inside it); the moment reduce is 6 numbers per group.
+    A hot status at extreme scale splits via the same two-level scan
+    trick mann_whitney uses — documented trade, not a rewrite."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("x"))
+    base = (orders
+            .join(cnt, orders["o_orderkey"] == cnt["l_orderkey"])
+            .select(F.col("o_orderstatus").alias("status"),
+                    F.col("x"),
+                    F.floor(F.col("o_totalprice") * 100 + 0.5)
+                    .alias("y")))
+    wx = Window.partitionBy("status").orderBy("x")
+    wxc = Window.partitionBy("status", "x")
+    wy = Window.partitionBy("status").orderBy("y")
+    wyc = Window.partitionBy("status", "y")
+    r = base.select(
+        "status",
+        (2 * F.rank().over(wx) + F.count("*").over(wxc) - 1)
+        .alias("rx"),
+        (2 * F.rank().over(wy) + F.count("*").over(wyc) - 1)
+        .alias("ry"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    sums = r.groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(F.col("rx")) * F.col("ry")).alias("sxy"),
+        F.sum(dec(F.col("rx"))).alias("sx"),
+        F.sum(dec(F.col("ry"))).alias("sy"),
+        F.sum(dec(F.col("rx")) * F.col("rx")).alias("sxx"),
+        F.sum(dec(F.col("ry")) * F.col("ry")).alias("syy"))
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    rho = F.try_divide(num, F.sqrt(d1 * d2))
+    return (sums.select("status", "n", F.round(rho, 6).alias("rho"))
+            .orderBy("status"))
+
+
 QUERIES = {
+    "roc_auc": _roc_auc,
+    "calibration_bins": _calibration_bins,
+    "spearman_corr": _spearman_corr,
     "ks_test": _ks_test,
     "gini_concentration": _gini_concentration,
     "benford_digits": _benford_digits,
@@ -2176,4 +2355,99 @@ SELECT channel, n_purchases,
        {round4_ratio_dec_sql("qs", "q_total")} AS rev_share
 FROM per_chan, total
 ORDER BY channel
+"""
+
+
+# roc_auc / calibration_bins oracles (r8): the per-doc (y, lp) score
+# table comes from the SAME quality-feature CTE chain and _LOGIT_*
+# expression strings as logit_step's oracle (functions/text.py), so
+# training and evaluation cannot drift; the rank pipeline below is
+# the mann_whitney naive-rank oracle re-pointed at AUC.  The import
+# is acyclic: functions/text.py never imports operators/analytics.
+from ..functions.text import (_LOGIT_PE, _LOGIT_Y,  # noqa: E402
+                              DUCK_QFEATS_CTES)
+
+_DUCK_SCORES_CTE = (f"{DUCK_QFEATS_CTES}, s AS (\n"
+                    f"  SELECT {_LOGIT_Y} AS y, {_LOGIT_PE} AS lp"
+                    f" FROM feats\n)")
+
+ORACLES["roc_auc"] = f"""
+WITH {_DUCK_SCORES_CTE}, v AS (
+  SELECT lp, CAST(count(*) AS BIGINT) AS c,
+         CAST(COALESCE(sum(y), 0) AS BIGINT) AS c1
+  FROM s GROUP BY lp
+), r AS (
+  SELECT c, c1,
+         2 * CAST(COALESCE(sum(c) OVER (ORDER BY lp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) + c + 1 AS r2
+  FROM v
+), agg AS (
+  SELECT CAST(sum(c1 * r2) AS HUGEINT) AS rs2,
+         CAST(COALESCE(sum(c1), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(sum(c - c1), 0) AS BIGINT) AS n0
+  FROM r
+)
+SELECT n1 AS n_pos, n0 AS n_neg,
+       {round4_ratio_dec_sql('rs2 - n1 * (n1 + 1)',
+                             'CAST(n1 AS HUGEINT) * n0 * 2')} AS auc,
+       {round4_ratio_dec_sql(
+           'rs2 - n1 * (n1 + 1) - CAST(n1 AS HUGEINT) * n0',
+           'CAST(n1 AS HUGEINT) * n0')} AS gini
+FROM agg
+"""
+
+ORACLES["calibration_bins"] = f"""
+WITH {_DUCK_SCORES_CTE}, b AS (
+  SELECT y, lp, CAST(least(lp // 1000, {CALIB_BINS - 1}) AS INTEGER)
+           AS bin
+  FROM s
+), a AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lp) AS HUGEINT) AS slp,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM b GROUP BY bin
+)
+SELECT bin, n, n_pos,
+       {round4_ratio_dec_sql('slp', 'CAST(n AS HUGEINT) * 10000')}
+         AS mean_pred,
+       {round4_ratio_sql('n_pos', 'n')} AS frac_pos,
+       round({round4_ratio_dec_sql('slp', 'CAST(n AS HUGEINT) * 10000')}
+             - {round4_ratio_sql('n_pos', 'n')}, 4) AS gap
+FROM a ORDER BY bin
+"""
+
+# spearman oracle: identical doubled tie-averaged ranks (the
+# mann_whitney rank discipline) through naive global windows, HUGEINT
+# moment sums, one shared cast-to-double + sqrt expression at the end
+ORACLES["spearman_corr"] = """
+WITH cnt AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+  FROM lineitem GROUP BY l_orderkey
+), base AS (
+  SELECT o.o_orderstatus AS status, c.x,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM orders o JOIN cnt c ON c.l_orderkey = o.o_orderkey
+), r AS (
+  SELECT status,
+         2 * rank() OVER (PARTITION BY status ORDER BY x)
+           + count(*) OVER (PARTITION BY status, x) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY status ORDER BY y)
+           + count(*) OVER (PARTITION BY status, y) - 1 AS ry
+  FROM base
+), sums AS (
+  SELECT status, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(rx AS HUGEINT) * ry) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(rx AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(ry AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(rx AS HUGEINT) * rx) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(ry AS HUGEINT) * ry) AS HUGEINT) AS syy
+  FROM r GROUP BY status
+)
+SELECT status, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)), 0), 6)
+         AS rho
+FROM sums ORDER BY status
 """

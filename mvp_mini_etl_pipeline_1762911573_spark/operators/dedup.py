@@ -321,6 +321,99 @@ def _dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_SHA_BITS = 60   # 15 sha hex chars: positive BIGINT on both engines
+SIMHASH_SHA_HAM = 3     # Hamming cut; 4x15 bands are pigeonhole-complete
+
+
+def _simhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r8 debut): deterministic SimHash near-dup join WITH a
+    full oracle — the sha-derived counterpart to the rows-only
+    `dedup_simhash`, exactly the relationship `minhash_lsh_join` has
+    to `dedup_near`: swapping xxhash64 (Spark-local bit patterns) for
+    the public sha256-prefix hash makes signatures, band buckets,
+    candidates and verified pairs engine-identical, so the driver
+    certifies the ENTIRE Charikar recipe — votes, sign packing,
+    banding, popcount verify — on real data.
+
+    Completeness is a theorem, not a recall curve: 60-bit prints in
+    4 bands of 15 bits — any pair at Hamming distance <= 3 differs in
+    at most 3 bands, so at least one band matches exactly
+    (pigeonhole) and the bucket join CANNOT miss a qualifying pair.
+    The DuckDB oracle replays the banded recipe AS SPEC (the
+    minhash_lsh_join contract — engine parity of every stage); the
+    pigeonhole claim itself is machine-checked where all-pairs is
+    affordable: tests/test_properties.py compares the banded join to
+    the UNBANDED all-pairs popcount at sf0.001 and requires exact
+    equality.  15 hex chars keep the per-token hash (and the packed
+    print) strictly below 2^60 — positive in BIGINT on both engines,
+    no sign-bit traps.  Vote ties (sum == 0) pack bit 0 under the
+    shared `> 0` rule.
+
+    100 TB shape: identical to `dedup_simhash` — one (doc, token)
+    reduce, 60 integer vote states per doc (mergeable partial agg),
+    4 band keys per doc (linear), bucket-equality candidates with
+    fan-out bounded per bucket, popcount verify on candidate rows
+    only.  No stage scales with doc pairs."""
+    docs = load(spark, sf_dir, "documents")
+    bits = SIMHASH_SHA_BITS
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), WS_RUN)).alias("tok"),
+    ).where(F.col("tok") != "")
+    tok_hash = tokens.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf")).withColumn(
+        "h", F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 15),
+                    16, 10).cast("long"))
+    bit_votes = tok_hash.select(
+        "doc_id",
+        *[
+            (F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                    F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    ).groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
+    fp = bit_votes.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i))
+              .otherwise(F.lit(0)).cast("long")
+             for i in range(bits)),
+            F.lit(0).cast("long"),
+        ).alias("simhash"))
+    chunks = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.shiftright("simhash", c * 15)
+                 .bitwiseAND(F.lit(0x7FFF)).alias("chunk"),
+            )
+            for c in range(4)
+        ])).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk_id", "cc.chunk")
+    cand = (
+        chunks.alias("l")
+        .join(chunks.alias("r"),
+              (F.col("l.chunk_id") == F.col("r.chunk_id"))
+              & (F.col("l.chunk") == F.col("r.chunk"))
+              & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                F.col("l.simhash").alias("fp_a"),
+                F.col("r.simhash").alias("fp_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .where(F.col("hamming") <= SIMHASH_SHA_HAM)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _pruned_gram_stream(docs: DataFrame) -> DataFrame:
     """(doc_id, gram) stream of word-3-grams with corpus-frequent
     (stopword-like) grams pruned — the ONE candidate-generation
@@ -1528,6 +1621,7 @@ QUERIES = {
     "graph_bfs": _graph_bfs,
     "source_overlap": _source_overlap,
     "minhash_lsh_join": _minhash_lsh_join,
+    "simhash_join": _simhash_join,
     "dedup_bloom": _dedup_bloom,
     "graph_triangles": _graph_triangles,
     "decontaminate": _decontaminate,
@@ -2045,5 +2139,53 @@ WITH toks AS (
 )
 SELECT doc_a, doc_b, inter, jaccard
 FROM res WHERE jaccard >= {PREFIX_JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+# simhash_join oracle (r8): the identical banded Charikar recipe —
+# sha-prefix 60-bit token hashes, per-bit tf votes, `> 0` sign
+# packing, 4x15 band buckets, popcount verify — generated from the
+# same SIMHASH_SHA_* constants so the sides cannot drift
+_SH_VOTES_SQL = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+    for i in range(SIMHASH_SHA_BITS))
+_SH_PACK_SQL = "\n           + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+    for i in range(SIMHASH_SHA_BITS))
+_SH_BANDS_SQL = "\n  UNION ALL\n  ".join(
+    f"SELECT doc_id, simhash, {c} AS chunk_id, "
+    f"(simhash >> {c * 15}) & 32767 AS chunk FROM fp"
+    for c in range(4))
+ORACLES["simhash_join"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text),
+             '[ \\t\\n\\x0B\\f\\r]+'), t -> t != '')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf,
+         CAST(concat('0x', substr(sha256(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks GROUP BY doc_id, tok
+), votes AS (
+  SELECT doc_id,
+         {_SH_VOTES_SQL}
+  FROM th GROUP BY doc_id
+), fp AS (
+  SELECT doc_id,
+         {_SH_PACK_SQL} AS simhash
+  FROM votes
+), ch AS (
+  {_SH_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.simhash AS fp_a, r.simhash AS fp_b
+  FROM ch l JOIN ch r
+    ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= {SIMHASH_SHA_HAM}
 ORDER BY doc_a, doc_b
 """

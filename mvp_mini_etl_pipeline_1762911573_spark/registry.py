@@ -16,17 +16,20 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-8 window (current): the 5 r8 debuts and re-contracted
+Round-8 window (current): the 13 r8 debuts and re-contracted
 promotions FIRST (logit_step, naive_bayes_train, source_overlap,
-minhash_lsh_join, agg_moments; agg_hll_sketch and sample_stratified
-were promoted from rows-only to full sketch-contract oracles this
-round — their output schemas changed, so each needs a fresh green
-row under the new contract), then the ENTIRE 23-query round-2-stale
-tier (5 rounds without a fresh row — retired in one beat: the
+minhash_lsh_join, agg_moments, then the session-2 debuts roc_auc,
+calibration_bins, spearman_corr, winnow_fingerprint, winnow_join,
+zipf_fit, js_divergence, simhash_join; agg_hll_sketch and
+sample_stratified were
+promoted from rows-only to full sketch-contract oracles this round —
+their output schemas changed, so each needs a fresh green row under
+the new contract), then the ENTIRE 23-query round-2-stale tier
+(5 rounds without a fresh row — retired in one beat: the
 sql_q3/4/5/7/13/18/22 TPC-H group, the five stream_* batch-equiv
 queries, scalar_string/url/variant, text_quality/stats/tfidf,
 token_count, udaf_mode, unpivot_metrics, similarity_ivf,
-sql_recursive_cte), then the 20 stalest round-3 greens.  Rows-only
+sql_recursive_cte), then the 12 stalest round-3 greens.  Rows-only
 queries (similarity_join, dedup_near, dedup_simhash, bpe_encode) are
 permanently excluded from the window — the driver records only
 `err: no_oracle` for them, a wasted slot (r7's lesson; enforced by
@@ -70,14 +73,20 @@ WINDOW_PRIORITY: list[str] = [
     # source_overlap, minhash_lsh_join, agg_moments) plus the two r8
     # sketch-contract promotions (agg_hll_sketch, sample_stratified —
     # their outputs changed, so they need a fresh green row under the
-    # new contract).  Then the full 23-query round-2-stale tier (5 rounds
-    # without a fresh row — retired in one beat) and the stalest
-    # round-3 greens.  7 + 23 + 20 = 50: exactly full; the 6
-    # freshest-waiting r3 greens (retention_cohorts, rolling_mau,
-    # scd2_intervals, scrub_pii, seq_pack, split_assign)
-    # wait one round, per the documented coverage-over-freshness
-    # trade (bounded by the slack-aware backlog invariant in
-    # tests/test_registry.py).  Rows-only queries are structurally
+    # new contract), plus the 8 session-2 debuts (roc_auc,
+    # calibration_bins, spearman_corr, winnow_fingerprint,
+    # winnow_join, zipf_fit, js_divergence, simhash_join).  Then
+    # the full 23-query
+    # round-2-stale tier (5 rounds without a fresh row — retired in
+    # one beat) and the stalest round-3 greens.
+    # 15 + 23 + 12 = 50: exactly full; the 14 freshest-waiting r3
+    # greens (funnel_steps, gap_fill, join_null_safe,
+    # join_range_binned, lm_score,
+    # lm_score_bigram, mix_sources, project_nested,
+    # retention_cohorts, rolling_mau, scd2_intervals, scrub_pii,
+    # seq_pack, split_assign) wait one round, per the documented
+    # coverage-over-freshness trade (bounded by the slack-aware
+    # backlog invariant in tests/test_registry.py).  Rows-only queries are structurally
     # excluded from this list (test_window_contains_only_oracle_
     # checked_queries) — a slot the driver can't verify is a slot
     # wasted.
@@ -85,6 +94,9 @@ WINDOW_PRIORITY: list[str] = [
     "logit_step", "naive_bayes_train", "source_overlap",
     "minhash_lsh_join", "agg_moments", "agg_hll_sketch",
     "sample_stratified",
+    # -- r8 session-2 debuts (evaluation + fingerprint family) ---------
+    "roc_auc", "calibration_bins", "spearman_corr", "winnow_fingerprint",
+    "winnow_join", "zipf_fit", "js_divergence", "simhash_join",
     # -- the entire 23-query round-2-stale tier (stalest-first) --------
     "scalar_string", "scalar_url", "scalar_variant", "similarity_ivf",
     "sql_q13", "sql_q18", "sql_q22", "sql_q3", "sql_q4", "sql_q5",
@@ -92,13 +104,15 @@ WINDOW_PRIORITY: list[str] = [
     "stream_session", "stream_sliding", "stream_tumbling",
     "text_quality", "text_stats", "text_tfidf", "token_count",
     "udaf_mode", "unpivot_metrics",
-    # -- 20 stalest round-3 greens (alphabetical within the tier) ------
+    # -- 12 stalest round-3 greens (alphabetical within the tier; the
+    # 8 session-2 debuts evicted the tier's last 8 names —
+    # funnel_steps, gap_fill, join_null_safe, join_range_binned,
+    # lm_score, lm_score_bigram, mix_sources, project_nested wait one
+    # round per the debuts-first rule) --------------------------------------------------------------
     "agg_corr", "agg_histogram", "asof_forward", "bpe_pair_stats",
     "coalesce_id", "decontaminate", "decontaminate_filter",
     "dedup_clusters_star", "dedup_keep_best", "doc_chunk",
-    "events_anomaly_mad", "events_zscore", "funnel_steps", "gap_fill",
-    "join_null_safe", "join_range_binned", "lm_score",
-    "lm_score_bigram", "mix_sources", "project_nested",
+    "events_anomaly_mad", "events_zscore",
 ]
 
 

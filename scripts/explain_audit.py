@@ -73,6 +73,19 @@ AUDIT = [
     "mutual_info",        # round-7: reduced cell table, 1-row reductions
     "seasonal_envelope",  # round-7: one (type, hour) exchange, 3 bands
     "attribution_linear",  # round-7: user-equi range join, no cartesian
+    "logit_step",         # round-8: map-side terms, 1-row gradient state
+    "naive_bayes_train",  # round-8: class-vocab reduce, top-K window
+    "source_overlap",     # round-8: distinct gram reduce, |src|² fan-out
+    "minhash_lsh_join",   # round-8: slot-min agg, band keys, stream verify
+    "agg_moments",        # round-8: 5-number mergeable moment states
+    "roc_auc",            # round-8: domain-bounded score table prefix sum
+    "calibration_bins",   # round-8: map-side scoring, 10-bin agg
+    "spearman_corr",      # round-8: shared status exchange, 6-number reduce
+    "winnow_fingerprint",  # round-8: one doc exchange, two shared windows
+    "winnow_join",        # round-8: df-pruned fingerprint self-join
+    "simhash_join",       # round-8: vote agg, band buckets, popcount
+    "zipf_fit",           # round-8: vocab reduce, WindowGroupLimit top-K
+    "js_divergence",      # round-8: vocab reduce, |src|²-bounded pair join
 ]
 
 

@@ -189,7 +189,42 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            # runs of one token → near-total collapse), empty/whitespace
            # docs hit the 0-token NULL-ratio arm, and the cleaned-text
            # sha pins the rewrite byte-for-byte on every shape
-           "collapse_repeats"]
+           "collapse_repeats",
+           # r8: degenerate texts concentrate the µ-sigmoid into few
+           # distinct scores (massive rank ties — the tie-averaged-rank
+           # surface of AUC) and the en/de/fr label mix keeps both
+           # classes live; the same score collisions pile rows into
+           # few calibration bins, exercising bin-boundary clamping
+           # and the exact mean_pred/frac_pos ratios on tiny n
+           "roc_auc", "calibration_bins",
+           # r8: repetition storms produce runs of IDENTICAL gram
+           # hashes (the winnower's tie surface — packed-pos minima
+           # must break ties identically), empty/whitespace/short docs
+           # hit the no-gram and fewer-grams-than-window degenerate
+           # windows, and NBSP corpora pin tokenizer parity upstream
+           "winnow_fingerprint",
+           # r8: the 120-doc corpora push shared boilerplate
+           # fingerprints over the df prune threshold (both engines
+           # must drop the SAME hot list) while repetition families
+           # produce genuinely-shared fingerprints over the >= 3 cut
+           "winnow_join",
+           # r8: tiny vocabularies (n << TOPK), count-tie clusters
+           # (the rank tie-break surface), and repetition storms where
+           # one token carries most mass (near-degenerate d2) — plus
+           # single-token sources landing on the d1 = 0 NULL guard
+           "zipf_fit",
+           # r8: 4-source corpora with near-identical vocabularies
+           # (JSD ~ 0: the µ-quantized terms hover at 0 boundary) and
+           # sources dominated by disjoint repetition tokens (the
+           # closed-form ln2 mass) — both KL halves and the pooled
+           # ratio must stay engine-equal on every shape
+           "js_divergence",
+           # r8: repetition docs concentrate tf mass onto one token
+           # (votes dominated by a single hash — band buckets collide
+           # heavily) and empty/whitespace docs vanish pre-vote; every
+           # stage (votes, sign packing, bands, popcount) must stay
+           # bit-equal on the adversarial shapes
+           "simhash_join"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 
@@ -585,7 +620,13 @@ def test_differential_on_generated_orders(spark, diff_rel_dirs, name, seed):
 
 #: lineitem/part operators — percentile-boundary, correlation and
 #: support-count tie sensitivity
-LINE_OPS = ["quantile_bins", "agg_corr", "agg_stats", "basket_pairs"]
+LINE_OPS = ["quantile_bins", "agg_corr", "agg_stats", "basket_pairs",
+            # r8: the integer quantity palette and ~5 items/order make
+            # MASSIVE basket-size rank ties (the doubled tie-averaged
+            # rank surface), the tiny price palette ties y ranks too,
+            # constant-measure groups land on the d=0 NULL guard, and
+            # itemless/orderless keys exercise the inner-join edge
+            "spearman_corr"]
 PART_OPS = ["join_range", "join_range_binned"]
 
 
@@ -644,6 +685,20 @@ def diff_line_dirs(spark, tmp_path_factory):
             "p_partkey long, p_name string, p_brand string, "
             "p_type string, p_size int, p_retailprice double"
         ).coalesce(1).write.parquet(f"{d}/part.parquet")
+        # orders for spearman_corr: keys 1..140 over lineitem's
+        # 1..119 range — itemless orders (120..140, dropped by the
+        # inner join on both engines), a tiny tie-heavy price palette
+        # including zero and negative totals, and statuses so one
+        # group can go constant-measure
+        rng = random.Random(seed * 100)
+        spark.createDataFrame(
+            [(k, rng.choice(["F", "O", "P"]),
+              rng.choice([100.0, 100.0, 0.0, -5.0, 250.5,
+                          round(rng.uniform(10, 2000), 2)]))
+             for k in range(1, 141)],
+            "o_orderkey long, o_orderstatus string, "
+            "o_totalprice double"
+        ).coalesce(1).write.parquet(f"{d}/orders.parquet")
         out[seed] = str(d)
     return out, con
 
@@ -654,7 +709,7 @@ def test_differential_on_generated_lineitem(spark, diff_line_dirs,
                                             name, seed):
     dirs, con = diff_line_dirs
     sf_dir = dirs[seed]
-    for t in ("lineitem", "part"):
+    for t in ("lineitem", "part", "orders"):
         con.execute(f"DROP VIEW IF EXISTS {t}")
         con.execute(f"CREATE VIEW {t} AS SELECT * "
                     f"FROM '{sf_dir}/{t}.parquet/*.parquet'")

@@ -926,3 +926,174 @@ def test_agg_moments_shuffles_five_numbers_per_group(spark, sf_dir):
     s = got["summary"]
     assert s["shuffle_records"] <= 8 * 32          # statuses x parts
     assert s["spill_disk_bytes"] == 0
+
+
+def test_roc_auc_shuffles_distinct_scores_not_docs(spark, sf_dir):
+    """roc_auc's scale claim measured (r8): the µ-sigmoid score is an
+    integer in [0, 10000], so the first partial aggregation collapses
+    the corpus onto the distinct-score table (≤ 10001 rows BY
+    CONSTRUCTION) and every later exchange — the prefix-scan bucket
+    windows, bucket totals, the final 1-row statistic — is bounded by
+    that domain, never the doc count (the mann_whitney invariant with
+    a structurally capped value domain)."""
+    got = profile(all_queries()["roc_auc"](spark, sf_dir))
+    s = got["summary"]
+    # domain-bounded: a small multiple of the 10001-value score domain
+    # plus per-partition partial states — holds at ANY corpus size
+    assert s["shuffle_records"] <= 4 * 10_001 + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_calibration_bins_shuffles_ten_bins(spark, sf_dir):
+    """calibration_bins' scale claim measured (r8): scoring and bin
+    assignment are map-side; the ONE exchange carries ≤ CALIB_BINS
+    partial states per map partition."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        CALIB_BINS,
+    )
+    got = profile(all_queries()["calibration_bins"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= CALIB_BINS * 64
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_spearman_corr_shuffles_orders_once(spark, sf_dir):
+    """spearman_corr's scale claim measured (r8): the per-order item
+    count partial-aggregates before its exchange, both rank windows
+    share the ONE hash exchange on status, and the moment reduce
+    carries 6 numbers per (status, partition) — so total shuffle
+    traffic is a small multiple of the ORDER count (the windowed
+    frame), never the lineitem count."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n_orders = orders.count()
+    n_items = li.count()
+    got = profile(all_queries()["spearman_corr"](spark, sf_dir))
+    s = got["summary"]
+    # per-order rows cross: the count partials (≤ orders), the joined
+    # frame into the status exchange (≤ orders), the ranked frame into
+    # the second window sort (≤ orders), plus bounded partials
+    assert s["shuffle_records"] <= 4 * n_orders + 64 * 32
+    assert n_items > n_orders  # the claim is meaningful: items ≫ orders
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_winnow_fingerprint_shuffles_gram_stream_once(spark, sf_dir):
+    """winnow_fingerprint's scale claim measured (r8): the positional
+    gram stream crosses ONE doc_id hash exchange (both window
+    functions share its sort), and the distinct on selected
+    fingerprints partial-aggregates map-side first — so shuffle
+    traffic is bounded by the gram stream plus the (much smaller)
+    selected-fingerprint stream, with no pairwise or repeated-scan
+    stage anywhere."""
+    from pyspark.sql import functions as SF
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        WINNOW_K, WS_RUN,
+    )
+    docs = load(spark, sf_dir, "documents")
+    n_grams = docs.select(
+        SF.greatest(
+            SF.size(SF.split(SF.lower("text"), WS_RUN)) - (WINNOW_K - 1),
+            SF.lit(0)).alias("g")
+    ).agg(SF.sum("g")).collect()[0][0]
+    got = profile(all_queries()["winnow_fingerprint"](spark, sf_dir))
+    s = got["summary"]
+    # gram stream once + selected fingerprints (≤ grams) + partials
+    assert s["shuffle_records"] <= 3 * n_grams + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_winnow_join_prunes_hot_fingerprints_before_pairing(spark, sf_dir):
+    """winnow_join's scale claim measured (r8): the pair self-join
+    keys only on df-pruned fingerprints, so shuffle traffic is the
+    fingerprint stream (~2/(W+1) of the gram stream) plus candidate
+    pairs whose per-fingerprint fan-out the df threshold caps — never
+    a hot-bucket quadratic."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _winnow_rows)
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_fps = _winnow_rows(docs).select("doc_id", "fp").distinct().count()
+    n_pairs = all_queries()["winnow_join"](spark, sf_dir).count()
+    got = profile(all_queries()["winnow_join"](spark, sf_dir))
+    s = got["summary"]
+    # fingerprint stream crosses a bounded number of stages (distinct
+    # partials, df reduce, pair join input) plus the candidate pairs
+    assert s["shuffle_records"] <= 6 * n_fps + 4 * n_pairs + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_zipf_fit_shuffles_vocab_not_tokens(spark, sf_dir):
+    """zipf_fit's scale claim measured (r8): the token stream
+    partial-aggregates onto the (source, token) vocabulary before its
+    one exchange; the top-K window and OLS reduce run on that table
+    (WindowGroupLimit forwards ~K rows per source)."""
+    from pyspark.sql import functions as SF
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _tokens)
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_vocab = (docs.select("source",
+                           SF.explode(_tokens(SF.col("text")))
+                           .alias("tok"))
+               .select("source", "tok").distinct().count())
+    n_tokens = docs.select(
+        SF.sum(SF.size(_tokens(SF.col("text"))))).collect()[0][0]
+    got = profile(all_queries()["zipf_fit"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 3 * n_vocab + 64 * 32
+    assert n_tokens > n_vocab  # the reduction claim is meaningful
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_js_divergence_shuffles_vocab_and_pair_cells(spark, sf_dir):
+    """js_divergence's scale claim measured (r8): one (source, token)
+    vocab reduce; the pair join fans each token out to at most
+    |sources|² cells; everything downstream is |sources|²-row
+    arithmetic with broadcast total joins."""
+    from pyspark.sql import functions as SF
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _tokens)
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_vocab = (docs.select("source",
+                           SF.explode(_tokens(SF.col("text")))
+                           .alias("tok"))
+               .select("source", "tok").distinct().count())
+    n_sources = docs.select("source").distinct().count()
+    got = profile(all_queries()["js_divergence"](spark, sf_dir))
+    s = got["summary"]
+    # vocab crosses the reduce + both join sides; pair rows are
+    # bounded by vocab * sources (each (tok, src_a) meets < |sources|
+    # partners); the cell table adds |sources|^2 states per partition
+    assert s["shuffle_records"] <= (3 + n_sources) * n_vocab \
+        + 64 * n_sources * n_sources + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_simhash_join_shuffles_votes_and_bands_not_pairs(spark, sf_dir):
+    """simhash_join's scale claim measured (r8): the token stream
+    partial-aggregates onto (doc, token) once, the 60 vote sums are
+    one mergeable state per doc, banding is 4 linear rows per doc,
+    and the popcount verify touches bucket-collision candidates only
+    — no stage scales with doc pairs."""
+    from pyspark.sql import functions as SF
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_doc_tok = (docs.select(
+        "doc_id",
+        SF.explode(SF.split(SF.lower("text"), r"[ \t\n\x0B\f\r]+"))
+        .alias("tok"))
+        .where(SF.col("tok") != "")
+        .select("doc_id", "tok").distinct().count())
+    n_pairs = all_queries()["simhash_join"](spark, sf_dir).count()
+    got = profile(all_queries()["simhash_join"](spark, sf_dir))
+    s = got["summary"]
+    # (doc, tok) partials once, vote states once, 4 band rows twice
+    # (both join sides), candidates + final sort
+    assert s["shuffle_records"] <= 4 * n_doc_tok + 8 * n_pairs + 64 * 32
+    assert s["spill_disk_bytes"] == 0

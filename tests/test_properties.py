@@ -1191,3 +1191,358 @@ def test_agg_moments_brute_force_replay(spark, sf_dir):
               + 6.0 * mu * mu * s2D / nD - 3.0 * mu * mu * mu * mu)
         assert r.skewness == round(m3 / math.pow(m2, 1.5), 6)
         assert r.kurtosis_raw == round(m4 / math.pow(m2, 2.0), 6)
+
+
+def test_roc_auc_brute_force_replay(spark, sf_dir):
+    """Replay the AUC rank machinery in plain Python over the
+    collected (label, µ-score) pairs: tie-averaged doubled ranks,
+    rank-sum U statistic, then the exact half-up integer ratios —
+    equality required with both emitted cells.  (The scoring stage
+    itself is replayed by test_logit_step_brute_force_replay; this
+    pins the rank/ratio half.)"""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        _logit_scores, _roc_auc)
+
+    rows = _logit_scores(spark, sf_dir).collect()
+    n1 = sum(r.y for r in rows)
+    n0 = len(rows) - n1
+    from collections import Counter
+    cnt = Counter(r.lp for r in rows)
+    pos = Counter(r.lp for r in rows if r.y == 1)
+    rs2, cum = 0, 0
+    for v in sorted(cnt):
+        rs2 += pos.get(v, 0) * (2 * cum + cnt[v] + 1)
+        cum += cnt[v]
+
+    def r4(a, b):
+        num = a * 20000 + b
+        return (num - num % (2 * b)) // (2 * b) / 1e4
+
+    got = _roc_auc(spark, sf_dir).collect()[0]
+    assert got.n_pos == n1 and got.n_neg == n0
+    u2 = rs2 - n1 * (n1 + 1)
+    assert got.auc == r4(u2, 2 * n1 * n0)
+    assert got.gini == r4(u2 - n1 * n0, n1 * n0)
+    assert 0.0 <= got.auc <= 1.0
+    assert -1.0 <= got.gini <= 1.0
+
+
+def test_calibration_bins_brute_force_replay(spark, sf_dir):
+    """Replay the reliability binning in plain Python integers over
+    the collected (label, µ-score) pairs; the bin populations must
+    partition the corpus and every exact ratio must match."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        CALIB_BINS, _calibration_bins, _logit_scores)
+
+    rows = _logit_scores(spark, sf_dir).collect()
+    agg = {}
+    for r in rows:
+        b = min(r.lp // 1000, CALIB_BINS - 1)
+        n, slp, np_ = agg.get(b, (0, 0, 0))
+        agg[b] = (n + 1, slp + r.lp, np_ + r.y)
+
+    def r4(a, b):
+        num = a * 20000 + b
+        return (num - num % (2 * b)) // (2 * b) / 1e4
+
+    got = _calibration_bins(spark, sf_dir).collect()
+    assert sum(r.n for r in got) == len(rows)
+    assert [r.bin for r in got] == sorted(agg)
+    for r in got:
+        n, slp, np_ = agg[r.bin]
+        assert (r.n, r.n_pos) == (n, np_)
+        assert r.mean_pred == r4(slp, n * 10000)
+        assert r.frac_pos == r4(np_, n)
+        assert r.gap == round(r.mean_pred - r.frac_pos, 4)
+
+
+def test_spearman_corr_monotone_and_degenerate_contracts(
+        spark, tmp_path):
+    """Constructed invariants: a perfectly monotone (status F) group
+    yields ρ = 1, perfectly anti-monotone (O) ρ = -1, and a
+    constant-measure group (P: every order has the same item count)
+    yields NULL — d1 = 0 must hit the try_divide guard, not crash
+    under ANSI."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        _spearman_corr)
+
+    orders, items = [], []
+    k = 0
+    for st, slope in (("F", 1), ("O", -1)):
+        for i in range(1, 8):
+            k += 1
+            orders.append((k, st, 100.0 * i))
+            cnt = i if slope == 1 else 8 - i
+            items.extend((k, j) for j in range(cnt))
+    for i in range(1, 5):
+        k += 1
+        orders.append((k, "P", 50.0 * i))
+        items.extend((k, j) for j in range(3))  # constant x
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderstatus string, "
+                "o_totalprice double"
+    ).coalesce(1).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        items, "l_orderkey long, l_linenumber int"
+    ).coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = {r.status: r for r in
+           _spearman_corr(spark, str(tmp_path)).collect()}
+    assert got["F"].rho == 1.0
+    assert got["O"].rho == -1.0
+    assert got["P"].rho is None
+
+
+def test_winnow_fingerprint_brute_force_replay(spark, sf_dir):
+    """Replay the whole winnowing selection in plain Python (regex
+    split, sha256-prefix gram hashes, packed leftmost-min windows,
+    start-row filter, dedup) over the collected texts and require the
+    exact emitted row set — then check the paper's guarantee on the
+    replay: every window of WINNOW_W consecutive gram positions
+    contains at least one selected position."""
+    import hashlib
+    import re
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        WINNOW_K, WINNOW_W, WS_RUN, _WINNOW_POS_M, _winnow_fingerprint)
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    expect = set()
+    for d in docs:
+        ws = re.split(WS_RUN, d.text.lower())
+        grams = [" ".join(ws[i:i + WINNOW_K])
+                 for i in range(len(ws) - WINNOW_K + 1)] \
+            if len(ws) >= WINNOW_K else []
+        if not grams:
+            continue
+        cs = [int(hashlib.sha256(g.encode()).hexdigest()[:8], 16)
+              * _WINNOW_POS_M + p for p, g in enumerate(grams)]
+        sel = {min(cs[s:s + WINNOW_W])
+               for s in range(max(len(cs) - WINNOW_W, 0) + 1)}
+        for c in sel:
+            expect.add((d.doc_id, c // _WINNOW_POS_M,
+                        c % _WINNOW_POS_M))
+        # the winnowing coverage guarantee, on the replay
+        sel_pos = {c % _WINNOW_POS_M for c in sel}
+        for s in range(max(len(cs) - WINNOW_W, 0) + 1):
+            assert sel_pos & set(range(s, s + WINNOW_W))
+    got = {(r.doc_id, r.fp, r.pos)
+           for r in _winnow_fingerprint(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_winnow_fingerprints_survive_passage_relocation(spark, tmp_path):
+    """The property that makes winnowing the plagiarism/dedup
+    primitive: relocating a passage preserves its selected gram
+    HASHES.  A document and a copy with 8 words prepended must share
+    every fingerprint hash the original selected from windows fully
+    interior to the copied region (boundary windows may differ)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _winnow_fingerprint)
+
+    body = ("the quick brown fox jumps over the lazy dog while "
+            "seven wizards brew strong black coffee at dawn near "
+            "the old stone bridge by the river bend every single day")
+    shifted = "alpha beta gamma delta epsilon zeta eta theta " + body
+    spark.createDataFrame(
+        [(0, body), (1, shifted)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = _winnow_fingerprint(spark, str(tmp_path)).collect()
+    fps = {0: set(), 1: set()}
+    for r in rows:
+        fps[r.doc_id].add(r.fp)
+    shared = fps[0] & fps[1]
+    # all but the first window-straddling selections must carry over
+    assert len(shared) >= len(fps[0]) - 2
+    assert len(shared) >= 3
+
+
+def test_winnow_join_brute_force_replay(spark, sf_dir):
+    """Replay the fingerprint pairing in plain Python on top of the
+    (already replay-pinned) winnow selection: distinct (doc, fp),
+    df-prune hot fingerprints, count shared fps per pair, threshold —
+    exact row-set equality required."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        WJ_DF_FLOOR, WJ_DF_FRAC, WJ_MIN_SHARED, _winnow_join,
+        _winnow_rows)
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    pairs_fp = {(r.doc_id, r.fp) for r in
+                _winnow_rows(docs).select("doc_id", "fp").collect()}
+    df = Counter(fp for _, fp in pairs_fp)
+    cut = max(WJ_DF_FLOOR, WJ_DF_FRAC * n_docs)
+    by_fp = defaultdict(list)
+    for d, fp in pairs_fp:
+        if df[fp] <= cut:
+            by_fp[fp].append(d)
+    shared = Counter()
+    for fp, ds in by_fp.items():
+        for a, b in combinations(sorted(ds), 2):
+            shared[(a, b)] += 1
+    expect = {(a, b, c) for (a, b), c in shared.items()
+              if c >= WJ_MIN_SHARED}
+    got = {(r.doc_a, r.doc_b, r.shared_fps)
+           for r in _winnow_join(spark, sf_dir).collect()}
+    assert got == expect
+    assert got, "fixture must exercise at least one near-dup pair"
+
+
+def test_zipf_fit_brute_force_replay(spark, sf_dir):
+    """Replay the per-source OLS in plain Python integers: exact
+    ranks, µ-nat quantized logs, closed-form slope/intercept/r² as
+    half-up integer ratios — equality with every emitted cell."""
+    import math
+    from collections import Counter
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        ZIPF_TOPK, _tokens, _zipf_fit)
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = (load(spark, sf_dir, "documents")
+            .select("source", F.explode(_tokens(F.col("text")))
+                    .alias("tok")).collect())
+    cnt = Counter((r.source, r.tok) for r in rows)
+    per_src = {}
+    for (src, tok), c in cnt.items():
+        per_src.setdefault(src, []).append((-c, tok))
+
+    def r4(a, b):
+        if b == 0:
+            return None
+        num = a * 20000 + b
+        return (num - num % (2 * b)) // (2 * b) / 1e4
+
+    got = {r.source: r for r in _zipf_fit(spark, sf_dir).collect()}
+    assert set(got) == set(per_src)
+    for src, terms in per_src.items():
+        terms.sort()
+        head = terms[:ZIPF_TOPK]
+        n = len(head)
+        xs = [math.floor(math.log(float(i + 1)) * 1e6 + 0.5)
+              for i in range(n)]
+        ys = [math.floor(math.log(float(-c)) * 1e6 + 0.5)
+              for c, _ in head]
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        r = got[src]
+        assert r.n == n
+        assert r.slope == r4(num, d1)
+        assert r.intercept == r4(sy * sxx - sx * sxy, d1 * 10**6)
+        assert r.r2 == r4(num * num, d1 * d2)
+
+
+def test_js_divergence_brute_force_replay_and_bounds(spark, sf_dir):
+    """Replay the pairwise JS pipeline in plain Python (exact counts,
+    µ-nat quantized shared-token terms, closed-form ln2 disjoint
+    mass, half-up ratios) and pin the information-theoretic bounds:
+    0 <= jsd <= ln 2 (+1 quantization ulp at 4dp)."""
+    import math
+    from collections import Counter
+
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        LN2_U, _js_divergence, _tokens)
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+    from pyspark.sql import functions as F
+
+    rows = (load(spark, sf_dir, "documents")
+            .select("source", F.explode(_tokens(F.col("text")))
+                    .alias("tok")).collect())
+    cnt = Counter((r.source, r.tok) for r in rows)
+    toks = {}
+    tot = Counter()
+    for (src, tok), c in cnt.items():
+        toks.setdefault(src, {})[tok] = c
+        tot[src] += c
+
+    def r4(a, b):
+        num = a * 20000 + b
+        return (num - num % (2 * b)) // (2 * b) / 1e4
+
+    got = {(r.src_a, r.src_b): r
+           for r in _js_divergence(spark, sf_dir).collect()}
+    srcs = sorted(toks)
+    expect_pairs = set()
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            shared_toks = set(toks[sa]) & set(toks[sb])
+            if not shared_toks:
+                continue  # pairs sharing no token are absent by spec
+            expect_pairs.add((sa, sb))
+            A, B = tot[sa], tot[sb]
+            sp = sq = sha = shb = 0
+            for t in shared_toks:
+                a, b = toks[sa][t], toks[sb][t]
+                aB, bA = a * B, b * A
+                den = float(aB + bA)
+                sp += a * math.floor(
+                    math.log(2 * aB / den) * 1e6 + 0.5)
+                sq += b * math.floor(
+                    math.log(2 * bA / den) * 1e6 + 0.5)
+                sha += a
+                shb += b
+            sp += (A - sha) * LN2_U
+            sq += (B - shb) * LN2_U
+            r = got[(sa, sb)]
+            assert (r.tokens_a, r.tokens_b) == (A, B)
+            assert r.kl_p_m == r4(sp, A * 10**6)
+            assert r.kl_q_m == r4(sq, B * 10**6)
+            assert r.jsd == r4(sp * B + sq * A, A * B * 2 * 10**6)
+            assert -1e-4 <= r.jsd <= math.log(2) + 1e-4
+    assert set(got) == expect_pairs
+
+
+def test_simhash_join_banding_is_pigeonhole_complete(spark, sf_dir):
+    """The completeness THEOREM behind simhash_join, machine-checked
+    where all-pairs is affordable: at Hamming distance <= 3, 4 bands
+    of 15 bits cannot all differ, so the banded bucket join must
+    equal the unbanded all-pairs popcount filter exactly — same
+    pairs, same distances."""
+    from itertools import combinations
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        SIMHASH_SHA_HAM, _simhash_join)
+
+    out = _simhash_join(spark, sf_dir)
+    # recompute the fingerprints exactly as the operator does, then
+    # brute-force all pairs in Python
+    from mvp_mini_etl_pipeline_1762911573_spark.operators import dedup
+    from mvp_mini_etl_pipeline_1762911573_spark.tables import load
+    import hashlib
+    import re
+    from collections import Counter
+
+    docs = load(out.sparkSession, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    prints = {}
+    for d in docs:
+        toks = [t for t in re.split(r"[ \t\n\x0B\f\r]+", d.text.lower())
+                if t != ""]
+        if not toks:
+            continue
+        tf = Counter(toks)
+        votes = [0] * dedup.SIMHASH_SHA_BITS
+        for tok, c in tf.items():
+            h = int(hashlib.sha256(tok.encode()).hexdigest()[:15], 16)
+            for i in range(dedup.SIMHASH_SHA_BITS):
+                votes[i] += c if (h >> i) & 1 else -c
+        prints[d.doc_id] = sum(1 << i
+                               for i, v in enumerate(votes) if v > 0)
+    expect = set()
+    for a, b in combinations(sorted(prints), 2):
+        ham = bin(prints[a] ^ prints[b]).count("1")
+        if ham <= SIMHASH_SHA_HAM:
+            expect.add((a, b, ham))
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in out.collect()}
+    assert got == expect
