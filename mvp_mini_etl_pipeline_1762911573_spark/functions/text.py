@@ -309,6 +309,17 @@ def _winnow_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
+def _source_token_counts(docs: DataFrame) -> DataFrame:
+    """(source, tok, cnt) unigram reduce — the ONE copy shared by
+    `zipf_fit` and `js_divergence` (two hand-kept copies of this
+    3-line pipeline are exactly the drift class the _gram_array /
+    DUCK_QFEATS docstrings record), mirrored by the one
+    _DUCK_SRC_TOK_CTES oracle chain."""
+    return (docs.select("source",
+                        F.explode(_tokens(F.col("text"))).alias("tok"))
+            .groupBy("source", "tok").agg(F.count("*").alias("cnt")))
+
+
 ZIPF_TOPK = 100  # vocabulary head fitted per source
 
 
@@ -321,15 +332,21 @@ def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     any model sees them.
 
     Exactness: ranks are exact integers (count desc, token asc —
-    deterministic ties); x = floor(ln(rank)·1e6 + 0.5) and y =
-    floor(ln(cnt)·1e6 + 0.5) quantize the one transcendental per
-    term to integer µ-nats (the lm_score ln idiom); every OLS sum
-    (Σx, Σy, Σxy, Σx², Σy²) accumulates exactly in DECIMAL(38,0)/
-    HUGEINT, and slope / intercept / r² are exact half-up integer
-    ratios of the closed forms — slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²),
-    intercept likewise, r² = num²/(d1·d2).  µ-nat magnitudes keep
-    num² inside DECIMAL(38,0) for K = 100 (documented envelope:
-    |x|,|y| <= ~4e7 ⇒ num, d <= ~3e17 ⇒ products <= ~1e35).
+    deterministic ties); x = floor(ln(rank)·1e4 + 0.5) and y =
+    floor(ln(cnt)·1e4 + 0.5) quantize the one transcendental per
+    term to integer 1e-4-nats (the lm_score ln idiom at a coarser
+    grid — cross-engine exactness needs only a SHARED quantization,
+    and the output rounds at 4dp anyway); every OLS sum (Σx, Σy,
+    Σxy, Σx², Σy²) accumulates exactly in DECIMAL(38,0)/HUGEINT, and
+    slope / intercept / r² are exact half-up integer ratios of the
+    closed forms — slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²), intercept
+    likewise, r² = num²/(d1·d2).  The 1e4 grid is what keeps r²
+    INSIDE the half-up helper's own envelope (it computes
+    num²·2e4 + d internally): |x| <= ln(100)·1e4 < 4.7e4 and
+    |y| <= ln(1e12)·1e4 < 2.8e5 at 100 TB token counts give
+    |num| <= ~2.6e14, num²·2e4 <= ~1.4e33 and d1·d2 <= ~6e29 — all
+    far below DECIMAL(38,0)/HUGEINT; at the old 1e6 grid num²·2e4
+    could reach ~2e39 and CRASH both engines (r8 review finding).
 
     Degenerate contract: a source with a single distinct token has
     d1 = 0 → slope/intercept/r² NULL on both engines (zero-denominator
@@ -340,15 +357,13 @@ def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (WindowGroupLimit forwards K+ rows per source), and the OLS
     reduce is 6 numbers per source."""
     docs = load(spark, sf_dir, "documents")
-    ct = (docs.select("source",
-                      F.explode(_tokens(F.col("text"))).alias("tok"))
-          .groupBy("source", "tok").agg(F.count("*").alias("cnt")))
+    ct = _source_token_counts(docs)
     w = Window.partitionBy("source").orderBy(
         F.col("cnt").desc(), F.col("tok").asc())
     top = (ct.withColumn("rnk", F.row_number().over(w))
            .where(F.col("rnk") <= ZIPF_TOPK))
-    x = F.floor(F.log(F.col("rnk").cast("double")) * 1e6 + 0.5)
-    y = F.floor(F.log(F.col("cnt").cast("double")) * 1e6 + 0.5)
+    x = F.floor(F.log(F.col("rnk").cast("double")) * 1e4 + 0.5)
+    y = F.floor(F.log(F.col("cnt").cast("double")) * 1e4 + 0.5)
 
     def dec(c):
         return c.cast("decimal(38,0)")
@@ -371,7 +386,7 @@ def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round4_ratio_dec(
                     (F.col("sy") * F.col("sxx")
                      - F.col("sx") * F.col("sxy")),
-                    (d1 * 1_000_000).cast("decimal(38,0)"))
+                    (d1 * 10_000).cast("decimal(38,0)"))
                 .alias("intercept"),
                 round4_ratio_dec((num * num).cast("decimal(38,0)"),
                                  (d1 * d2).cast("decimal(38,0)"))
@@ -411,9 +426,7 @@ def _js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals join back broadcast-sized; everything downstream is
     |sources|²-row arithmetic."""
     docs = load(spark, sf_dir, "documents")
-    ct = (docs.select("source",
-                      F.explode(_tokens(F.col("text"))).alias("tok"))
-          .groupBy("source", "tok").agg(F.count("*").alias("cnt")))
+    ct = _source_token_counts(docs)
     tot = ct.groupBy("source").agg(F.sum("cnt").alias("total"))
     a = ct.select(F.col("source").alias("src_a"), "tok",
                   F.col("cnt").alias("ca"))
@@ -2099,6 +2112,16 @@ _DUCK_TOKS = ("list_filter(string_split_regex(lower(text), "
 #: bare F.split(lower, WS_RUN) used by the gram pipelines
 _DUCK_TOKS_RAW = f"string_split_regex(lower(text), '[{WS_CHARS}]+')"
 
+#: The DuckDB mirror of `_source_token_counts` (ends defining CTE
+#: `stc(source, tok, cnt)`) — shared by the zipf_fit and
+#: js_divergence oracles.
+_DUCK_SRC_TOK_CTES = f"""stt AS (
+  SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
+), stc AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM stt GROUP BY source, tok
+)"""
+
 #: The DuckDB mirror of `_winnow_rows` up to the per-row window
 #: minima (ends defining CTE `w` with doc_id/pos/n_grams/wmin) —
 #: shared by the winnow_fingerprint and winnow_join oracles.
@@ -2762,21 +2785,16 @@ ORDER BY doc_a, doc_b
     # zipf_fit (r8): identical rank/µ-nat quantization and exact OLS
     # closed forms over HUGEINT sums
     "zipf_fit": f"""
-WITH zt AS (
-  SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
-), zc AS (
-  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
-  FROM zt GROUP BY source, tok
-), ztop AS (
+WITH {_DUCK_SRC_TOK_CTES}, ztop AS (
   SELECT source, cnt,
          row_number() OVER (PARTITION BY source
                             ORDER BY cnt DESC, tok ASC) AS rnk
-  FROM zc
+  FROM stc
 ), zq AS (
   SELECT source,
-         CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT)
+         CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e4 + 0.5) AS HUGEINT)
            AS x,
-         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT)
+         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e4 + 0.5) AS HUGEINT)
            AS y
   FROM ztop WHERE rnk <= {ZIPF_TOPK}
 ), zs AS (
@@ -2790,7 +2808,7 @@ SELECT source, n,
                              'n * sxx - sx * sx')} AS slope,
        {round4_ratio_dec_sql(
            'sy * sxx - sx * sxy',
-           '(n * sxx - sx * sx) * 1000000')} AS intercept,
+           '(n * sxx - sx * sx) * 10000')} AS intercept,
        {round4_ratio_dec_sql(
            '(n * sxy - sx * sy) * (n * sxy - sx * sy)',
            '(n * sxx - sx * sx) * (n * syy - sy * sy)')} AS r2
@@ -2800,21 +2818,16 @@ FROM zs ORDER BY source
     # shared ln shape, count-weighted µ-nat sums in HUGEINT, the
     # disjoint-token mass folded in closed form via LN2_U
     "js_divergence": f"""
-WITH jt AS (
-  SELECT source, unnest({_DUCK_TOKS}) AS tok FROM documents
-), jc AS (
-  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
-  FROM jt GROUP BY source, tok
-), jtot AS (
+WITH {_DUCK_SRC_TOK_CTES}, jtot AS (
   SELECT source, CAST(sum(cnt) AS BIGINT) AS total
-  FROM jc GROUP BY source
+  FROM stc GROUP BY source
 ), jsh AS (
   SELECT a.source AS src_a, b.source AS src_b,
          CAST(a.cnt AS HUGEINT) * tb.total AS aB,
          CAST(b.cnt AS HUGEINT) * ta.total AS bA,
          a.cnt AS ca, b.cnt AS cb
-  FROM jc a
-  JOIN jc b ON a.tok = b.tok AND a.source < b.source
+  FROM stc a
+  JOIN stc b ON a.tok = b.tok AND a.source < b.source
   JOIN jtot ta ON ta.source = a.source
   JOIN jtot tb ON tb.source = b.source
 ), jcell AS (

@@ -373,6 +373,15 @@ def _simhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).groupBy("doc_id").agg(
         *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
+    # The band self-join's two sides each re-derive the vote pipeline
+    # (the plan carries two scan branches).  A localCheckpoint of fp
+    # was MEASURED NO FASTER at sf0.1 (warm runs statistically equal;
+    # same outcome as r7's prefix-join per_doc checkpoint attempt —
+    # the materialization job plus lost stage fusion eats the saving;
+    # don't re-try).  At 100 TB the fingerprint table is the reusable
+    # index you'd WRITE TO STORAGE once and join against — the
+    # double-derivation is a local-mode artifact, not the deployment
+    # shape.
     fp = bit_votes.select(
         "doc_id",
         sum(

@@ -1425,9 +1425,9 @@ def test_zipf_fit_brute_force_replay(spark, sf_dir):
         terms.sort()
         head = terms[:ZIPF_TOPK]
         n = len(head)
-        xs = [math.floor(math.log(float(i + 1)) * 1e6 + 0.5)
+        xs = [math.floor(math.log(float(i + 1)) * 1e4 + 0.5)
               for i in range(n)]
-        ys = [math.floor(math.log(float(-c)) * 1e6 + 0.5)
+        ys = [math.floor(math.log(float(-c)) * 1e4 + 0.5)
               for c, _ in head]
         sx, sy = sum(xs), sum(ys)
         sxy = sum(x * y for x, y in zip(xs, ys))
@@ -1436,10 +1436,13 @@ def test_zipf_fit_brute_force_replay(spark, sf_dir):
         num = n * sxy - sx * sy
         d1 = n * sxx - sx * sx
         d2 = n * syy - sy * sy
+        # the helper's own envelope (it computes a*2e4 + b internally;
+        # the r8 review found the old 1e6 grid could overflow it)
+        assert abs(num * num) * 20000 + abs(d1 * d2) < 10**38
         r = got[src]
         assert r.n == n
         assert r.slope == r4(num, d1)
-        assert r.intercept == r4(sy * sxx - sx * sxy, d1 * 10**6)
+        assert r.intercept == r4(sy * sxx - sx * sxy, d1 * 10**4)
         assert r.r2 == r4(num * num, d1 * d2)
 
 
