@@ -349,11 +349,18 @@ def _simhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     no sign-bit traps.  Vote ties (sum == 0) pack bit 0 under the
     shared `> 0` rule.
 
-    100 TB shape: identical to `dedup_simhash` — one (doc, token)
-    reduce, 60 integer vote states per doc (mergeable partial agg),
-    4 band keys per doc (linear), bucket-equality candidates with
-    fan-out bounded per bucket, popcount verify on candidate rows
-    only.  No stage scales with doc pairs."""
+    100 TB shape: one (doc, token) reduce, 60 integer vote states per
+    doc (mergeable partial agg), 4 band keys per doc (linear),
+    popcount verify on candidate rows only.  The SCALE LEVER is the
+    band width: with w-bit bands, RANDOM bucket collisions contribute
+    ~n²/2^w candidate pairs — at this fixture scale w = 15 keeps them
+    trivial, but at billions of docs you widen the print and the
+    bands (w ≈ 2·log₂(n), the Manku-et-al. '07 sizing) or add a
+    cheap same-bucket prefilter on the remaining bits; the pigeonhole
+    guarantee needs only (HAM+1) bands of ANY width, so widening
+    changes no semantics.  (Contrast `minhash_lsh_join`, whose band
+    keys concatenate R 32-bit slots — collision space 2^64 — and
+    need no such lever.)"""
     docs = load(spark, sf_dir, "documents")
     bits = SIMHASH_SHA_BITS
     tokens = docs.select(
