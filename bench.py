@@ -3,6 +3,17 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Emission contract (r8 verdict #1): the driver captures only the LAST
+~2000 bytes of stdout — r8's final line (51 queries + 51
+anchor_ratios inline) outgrew that window and BENCH_r08.json recorded
+"parsed": null, losing the headline signal.  The final stdout line is
+now a COMPACT headline (<1 KB: metric/value/anchor/repro + per-query
+count + a pointer), and the per-query timings + anchor_ratios are
+written to BENCH_DETAIL_r{NN}.json (NN = next driver round, inferred
+from the CORRECTNESS_r*.json already on disk) plus a stable-name
+BENCH_DETAIL.json copy so the detail is reachable regardless of
+whether the driver runs bench before or after the correctness sweep.
+
 Headline set = the flagship ETL pipeline plus one representative of
 each operator family (join, agg, window, dedup, similarity, text,
 streaming-batch-equiv) — the queries whose plans matter at 100 TB.
@@ -14,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -74,8 +86,12 @@ HEADLINE = [
     "spearman_corr",        # round 8: doubled-rank correlation
     "winnow_fingerprint",   # round 8: windowed-min gram fingerprints
     "winnow_join",          # round 8: df-pruned fingerprint pairing
-    "simhash_join",         # round 8: banded 60-bit popcount join
+    "simhash_join",         # round 8/9: banded 120-bit popcount join
     "js_divergence",        # round 8: source-pair JS divergence
+    "similarity_recall",    # round 9: ANN recall-vs-random readout
+    "token_fertility",      # round 9: per-language tokenizer pieces
+    "novelty_delta",        # round 9: batch-over-corpus gram novelty
+    "host_dedup",           # round 9: URL canonicalization rollup
 ]
 
 #: the cross-machine timing anchor (ADVICE/verdict r7: two rounds in a
@@ -197,10 +213,7 @@ def main() -> None:
             f"bench anchor {ANCHOR!r} missing or zero-timed; "
             "anchor_ratios would silently degrade to wall seconds")
     anchor_sec = timings[ANCHOR]
-    record = {
-        "metric": "headline_total",
-        "value": total,
-        "unit": "sec",
+    detail = {
         "queries": timings,
         # machine-speed-invariant view: seconds / sql_q9 seconds.
         # Compare THESE across rounds; wall-second deltas on different
@@ -210,6 +223,22 @@ def main() -> None:
         "anchor_sec": anchor_sec,
         "anchor_ratios": {k: round(v / anchor_sec, 3)
                           for k, v in timings.items()},
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [int(m.group(1)) for f in os.listdir(repo)
+              if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))]
+    detail_name = f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json"
+    for name in (detail_name, "BENCH_DETAIL.json"):
+        with open(os.path.join(repo, name), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    record = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "anchor": ANCHOR,
+        "anchor_sec": anchor_sec,
+        "detail": detail_name,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # methodology marker (ADVICE r3): totals before round 3 were
         # single cold runs — cross-round deltas spanning the switch
@@ -219,7 +248,11 @@ def main() -> None:
     }
     if repro is not None:
         record["repro"] = repro
-    print(json.dumps(record))
+    line = json.dumps(record)
+    assert len(line) < 1000, (
+        f"headline line grew to {len(line)}B; the driver tail capture "
+        "is ~2000B — keep per-query data in the detail file")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -687,6 +687,59 @@ def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FERT_VOCAB_K = 16       # fertility vocabulary cut: the top-K corpus
+#                         tokens count as single tokenizer pieces
+FERT_OOV_CHARS = 4      # chars per subword piece for an OOV word —
+#                         the public ~4-chars/BPE-token budgeting
+#                         heuristic; pieces(oov) = ceil(len/4)
+
+
+def _token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r9 debut): tokenizer fertility per language — estimated
+    tokenizer pieces per whitespace word, the number a multilingual
+    data team reads next to `mix_temperature` when a language's
+    token budget diverges from its document share (fertility > 1
+    means the vocab under-serves that language).  A word in the
+    top-FERT_VOCAB_K corpus vocabulary costs 1 piece; an
+    out-of-vocabulary word falls back to subword pieces at the
+    public ~4-chars-per-BPE-token budgeting heuristic
+    (ceil(len/4), exact integer form (len+3) div 4).  Everything is
+    exact: BIGINT counts, fertility and OOV-rate as half-up integer
+    ratios (round4_ratio).
+
+    100 TB shape: one explode + token-count agg (partial-agg
+    collapses per-partition vocab first), top-K vocab cut via
+    orderBy+limit → TakeOrderedAndProject (per-partition heap, K
+    driver rows — the vocab_topk pattern), vocab membership as a
+    BROADCAST left join onto the token stream (map-side, K rows
+    shipped), then a per-language agg whose state is |langs| rows.
+    The token stream never shuffles except into the (tok) partial
+    agg."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    vocab = (counts.orderBy(F.col("freq").desc(), F.col("tok").asc())
+             .limit(FERT_VOCAB_K)
+             .select("tok", F.lit(1).alias("in_vocab")))
+    pieces = F.when(F.col("in_vocab").isNotNull(), F.lit(1)).otherwise(
+        F.expr(f"(length(tok) + {FERT_OOV_CHARS - 1}) "
+               f"div {FERT_OOV_CHARS}")).cast("long")
+    per = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(F.count("*").alias("words"),
+             F.sum(pieces).alias("pieces"),
+             F.sum(F.col("in_vocab").isNull().cast("long"))
+              .alias("oov_words")))
+    return (per.select(
+        "lang", "words", "pieces", "oov_words",
+        round4_ratio(F.col("pieces"), F.col("words")).alias("fertility"),
+        round4_ratio(F.col("oov_words"), F.col("words"))
+        .alias("oov_rate"))
+        .orderBy("lang"))
+
+
 def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: two-pass distributed heavy hitters over the token stream.
     Pass 1 finds a candidate SUPERSET with the Karp-Papadimitriou-
@@ -2088,6 +2141,7 @@ QUERIES = {
     "mix_sources": _mix_sources,
     "lm_score": _lm_score,
     "vocab_topk": _vocab_topk,
+    "token_fertility": _token_fertility,
     "naive_bayes_train": _naive_bayes_train,
     "heavy_hitters": _heavy_hitters,
     "doc_chunk": _doc_chunk,
@@ -2589,6 +2643,30 @@ SELECT CAST(row_number() OVER wo AS INTEGER) AS rnk, tok, freq,
              AS BIGINT) / total, 6) AS cum_share
 FROM top, total
 WINDOW wo AS (ORDER BY freq DESC, tok ASC)
+""",
+    "token_fertility": f"""
+WITH tok AS (
+  SELECT lang, unnest({_DUCK_TOKS}) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS freq FROM tok GROUP BY tok
+), vocab AS (
+  SELECT tok, 1 AS in_vocab FROM counts
+  ORDER BY freq DESC, tok ASC LIMIT {FERT_VOCAB_K}
+), per AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS words,
+         CAST(sum(CASE WHEN v.in_vocab IS NOT NULL THEN 1
+                  ELSE (length(t.tok) + {FERT_OOV_CHARS - 1})
+                       // {FERT_OOV_CHARS} END) AS BIGINT) AS pieces,
+         CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS oov_words
+  FROM tok t LEFT JOIN vocab v USING (tok)
+  GROUP BY lang
+)
+SELECT lang, words, pieces, oov_words,
+       {round4_ratio_sql("pieces", "words")} AS fertility,
+       {round4_ratio_sql("oov_words", "words")} AS oov_rate
+FROM per ORDER BY lang
 """,
     "doc_chunk": f"""
 WITH base AS (

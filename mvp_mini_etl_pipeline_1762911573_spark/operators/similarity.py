@@ -28,7 +28,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.exact import round4_ratio_dec, round4_ratio_dec_sql
+from ..functions.exact import (round4_ratio, round4_ratio_dec,
+                               round4_ratio_dec_sql, round4_ratio_sql)
 from ..tables import load
 
 LSH_TABLES = 4  # L independent hash tables ...
@@ -498,22 +499,31 @@ def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     into joins): assignment cost K·n narrow multiplies, search cost
     |probed cells| ≪ n.  Ranking uses round(cos, 6) with id tiebreak so
     both engines order identically."""
-    emb = load(spark, sf_dir, "embeddings")
-    assigned = assign_cells(emb)
-    probes = _ivf_probes(emb, with_vec=True)
-
-    pcos6 = pairwise_cosine_exact_udf()
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .where(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", F.col("vec_id").alias("n_id"),
-                pcos6("q_vec", "embedding").alias("cos_sim"))
-    )
+    scored = _ivf_scored(spark, sf_dir)
     w_k = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc())
     return (scored.withColumn("rnk", F.row_number().over(w_k))
             .where(F.col("rnk") <= TOPK)
             .select("q_id", "n_id", "cos_sim", "rnk"))
+
+
+def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF candidate-scoring stage (everything before the top-k
+    rank cut) — ONE implementation behind `_similarity_ivf` and the
+    r9 `_similarity_recall` evaluation, which needs the pre-cut
+    candidate counts (how much of the corpus the routing actually
+    scanned) as well as the cut results."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = assign_cells(emb)
+    probes = _ivf_probes(emb, with_vec=True)
+
+    pcos6 = pairwise_cosine_exact_udf()
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"),
+                pcos6("q_vec", "embedding").alias("cos_sim"))
+    )
 
 
 PQ_M = 8        # subspaces per vector (dim 64 -> 8 dims each)
@@ -880,10 +890,71 @@ def _pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("dim"))
 
 
+def _similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r9 debut): ANN quality as a DRIVER-VERIFIED query —
+    recall@k of the IVF index (`similarity_ivf`) against the exact
+    brute-force top-k (`similarity_topk`) over the query set, plus
+    the claim that matters for an index: routing BEATS RANDOM — the
+    index found a larger share of the true top-k than a random scan
+    of the same candidate budget would in expectation (recall >
+    scanned/corpus, cross-multiplied in exact integers:
+    hits·|Q|·n_corpus > k_total·scanned).  The r8 verdict's
+    missing-signal item #4: IVF recall was pytest-pinned only; this
+    makes the quality readout part of the oracle contract.  A fixed
+    absolute recall floor would be dishonest here: the fixture
+    embeddings are near-isotropic (no cluster structure), so
+    nprobe=2 recall is data-dependent (0.18-0.50 across SFs) — the
+    routing-beats-random lift IS the index's testable property.
+    Both arms are deterministic (round-6 cosine, id tiebreaks), so
+    the ENTIRE readout — exact integer counts, 4-dp ratios, the
+    boolean — is replayed by the DuckDB oracle, which reuses the
+    committed similarity_topk text and the SAME scored-candidates
+    CTE block as the similarity_ivf oracle (zero drift by
+    construction).
+
+    Scale: the exact arm is the O(n·|Q|) evaluation harness you run
+    on a SAMPLE of queries (|Q| = N_QUERIES bounded), the standard
+    ANN-benchmark shape (recall measured on a query subset, the
+    index serves full traffic); the IVF arm is the production path.
+    The join on (q_id, n_id) is k·|Q| rows broadcast; every
+    aggregate is query-set-sized, never corpus-sized."""
+    emb = load(spark, sf_dir, "embeddings")
+    scored = _ivf_scored(spark, sf_dir)
+    w_k = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("n_id").asc())
+    approx = (scored.withColumn("rnk", F.row_number().over(w_k))
+              .where(F.col("rnk") <= TOPK)
+              .select("q_id", "n_id", F.lit(1).alias("hit")))
+    exact = _similarity_topk(spark, sf_dir).select("q_id", "n_id")
+    hits = (
+        exact.join(F.broadcast(approx), ["q_id", "n_id"], "left")
+        .agg(F.count("*").cast("long").alias("k_total"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+              .cast("long").alias("hits")))
+    scanned = scored.agg(F.count("*").cast("long").alias("scanned"),
+                         F.count_distinct("q_id").cast("long")
+                          .alias("n_queries"))
+    corpus = emb.agg(F.count("*").cast("long").alias("n_corpus"))
+    return (
+        hits.crossJoin(F.broadcast(scanned))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "n_queries", "n_corpus", "k_total", "hits", "scanned",
+            round4_ratio(F.col("hits"), F.col("k_total"))
+            .alias("recall_at_k"),
+            round4_ratio(F.col("scanned"),
+                         F.col("n_queries") * F.col("n_corpus"))
+            .alias("scan_share"),
+            (F.col("hits") * F.col("n_queries") * F.col("n_corpus")
+             > F.col("k_total") * F.col("scanned"))
+            .alias("beats_random")))
+
+
 QUERIES = {
     # similarity_ivf leads: it debuts in round 2's verification window
     # and must stay inside the driver's 50-query cap (see registry.py)
     "similarity_ivf": _similarity_ivf,
+    "similarity_recall": _similarity_recall,
     "pca_power_iter": _pca_power_iter,
     "kmeans_step": _kmeans_step,
     "array_cosine": _array_cosine,
@@ -922,6 +993,39 @@ DUCK_CELLS_CTE = f"""cents AS (
                       DESC, c.c_id ASC) AS rn
     FROM embeddings e, cents c)
   WHERE rn = 1
+)"""
+
+# the IVF candidate-scoring CTE block (assignment -> probes -> scored
+# candidates, everything before the top-k cut) — the oracle mirror of
+# `_ivf_scored`, shared verbatim by the similarity_ivf and
+# similarity_recall oracles so the two readouts of the same index
+# cannot drift
+_DUCK_IVF_SCORED_CTES = f"""cents AS (
+  SELECT vec_id AS c_id, embedding AS c_vec
+  FROM embeddings WHERE vec_id % {DUCK_STRIDE_SQL} = 0
+), assigned AS (
+  SELECT vec_id, embedding, c_id AS cell FROM (
+    SELECT e.vec_id, e.embedding, c.c_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_COS.format(a='e.embedding', b='c.c_vec')}
+                      DESC, c.c_id ASC) AS rn
+    FROM embeddings e, cents c)
+  WHERE rn = 1
+), probes AS (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.c_id AS cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_DUCK_COS.format(a='q.embedding', b='c.c_vec')}
+                      DESC, c.c_id ASC) AS rn
+    FROM embeddings q, cents c WHERE q.vec_id < {N_QUERIES})
+  WHERE rn <= {IVF_NPROBE}
+), scored AS (
+  SELECT p.q_id, a.vec_id AS n_id,
+         {_DUCK_COS.format(a='p.q_vec', b='a.embedding')} AS cos_sim
+  FROM probes p JOIN assigned a USING (cell)
+  WHERE a.vec_id != p.q_id
 )"""
 
 ORACLES = {
@@ -967,33 +1071,7 @@ WHERE rnk <= {TOPK}
 """,
     # similarity_join: rows-only (hyperplane constants engine-local)
     "similarity_ivf": f"""
-WITH cents AS (
-  SELECT vec_id AS c_id, embedding AS c_vec
-  FROM embeddings WHERE vec_id % {DUCK_STRIDE_SQL} = 0
-), assigned AS (
-  SELECT vec_id, embedding, c_id AS cell FROM (
-    SELECT e.vec_id, e.embedding, c.c_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_DUCK_COS.format(a='e.embedding', b='c.c_vec')}
-                      DESC, c.c_id ASC) AS rn
-    FROM embeddings e, cents c)
-  WHERE rn = 1
-), probes AS (
-  SELECT q_id, q_vec, cell FROM (
-    SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.c_id AS cell,
-           row_number() OVER (
-             PARTITION BY q.vec_id
-             ORDER BY {_DUCK_COS.format(a='q.embedding', b='c.c_vec')}
-                      DESC, c.c_id ASC) AS rn
-    FROM embeddings q, cents c WHERE q.vec_id < {N_QUERIES})
-  WHERE rn <= {IVF_NPROBE}
-), scored AS (
-  SELECT p.q_id, a.vec_id AS n_id,
-         {_DUCK_COS.format(a='p.q_vec', b='a.embedding')} AS cos_sim
-  FROM probes p JOIN assigned a USING (cell)
-  WHERE a.vec_id != p.q_id
-)
+WITH {_DUCK_IVF_SCORED_CTES}
 SELECT q_id, n_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id
             ORDER BY cos_sim DESC, n_id ASC) AS rnk FROM scored)
@@ -1086,4 +1164,41 @@ SELECT CAST(dim AS BIGINT) AS dim,
        {round4_ratio_dec_sql("wj", "mx")} AS direction,
        {round4_ratio_dec_sql("abs(wj)", "tot")} AS share
 FROM w, norms ORDER BY dim
+"""
+
+# similarity_recall oracle (r9): reuses the committed similarity_topk
+# text as a subquery and the SAME scored-candidates CTE block as the
+# similarity_ivf oracle — the two arms of the readout are by
+# construction the SQL the driver already certifies.  beats_random is
+# the same exact-integer cross-multiplication as the Spark side:
+# hits·|Q|·n_corpus > k_total·scanned  ⟺  recall@k > scan_share.
+ORACLES["similarity_recall"] = f"""
+WITH {_DUCK_IVF_SCORED_CTES},
+ivf AS (
+  SELECT q_id, n_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos_sim DESC, n_id ASC) AS rnk FROM scored)
+  WHERE rnk <= {TOPK}
+), exact AS (
+  SELECT q_id, n_id FROM ({ORACLES["similarity_topk"]})
+), hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_total,
+         CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits
+  FROM exact e LEFT JOIN ivf i
+    ON i.q_id = e.q_id AND i.n_id = e.n_id
+), scanned AS (
+  SELECT CAST(count(*) AS BIGINT) AS scanned,
+         CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries
+  FROM scored
+), corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings
+)
+SELECT n_queries, n_corpus, k_total, hits, scanned,
+       {round4_ratio_sql("hits", "k_total")} AS recall_at_k,
+       {round4_ratio_sql("scanned", "n_queries * n_corpus")}
+         AS scan_share,
+       (hits * n_queries * n_corpus > k_total * scanned)
+         AS beats_random
+FROM hits, scanned, corpus
 """

@@ -16,26 +16,24 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-8 window (current): the 13 r8 debuts and re-contracted
-promotions FIRST (logit_step, naive_bayes_train, source_overlap,
-minhash_lsh_join, agg_moments, then the session-2 debuts roc_auc,
-calibration_bins, spearman_corr, winnow_fingerprint, winnow_join,
-zipf_fit, js_divergence, simhash_join; agg_hll_sketch and
-sample_stratified were
-promoted from rows-only to full sketch-contract oracles this round —
-their output schemas changed, so each needs a fresh green row under
-the new contract), then the ENTIRE 23-query round-2-stale tier
-(5 rounds without a fresh row — retired in one beat: the
-sql_q3/4/5/7/13/18/22 TPC-H group, the five stream_* batch-equiv
-queries, scalar_string/url/variant, text_quality/stats/tfidf,
-token_count, udaf_mode, unpivot_metrics, similarity_ivf,
-sql_recursive_cte), then the 12 stalest round-3 greens.  Rows-only
-queries (similarity_join, dedup_near, dedup_simhash, bpe_encode) are
-permanently excluded from the window — the driver records only
-`err: no_oracle` for them, a wasted slot (r7's lesson; enforced by
-test_window_contains_only_oracle_checked_queries).
+Round-9 window (current): the 4 r9 debuts FIRST (similarity_recall,
+token_fertility, novelty_delta, host_dedup — debut count deliberately
+small per the r8 verdict's freshness-over-debuts guidance), then
+simhash_join, whose OUTPUT CHANGED this round (120-bit two-BIGINT
+prints with 4x30-bit bands replace the r8 scale-weak 60-bit/4x15
+form — the r8 green row certifies the old recipe, so it re-verifies
+like a debut), then the ENTIRE 36-query round-3-stale tier (6 rounds
+without a fresh row — retired in one beat, rotation_report's exact
+list), then the 9 stalest round-4 greens (alphabetical; bpe_encode,
+which sat between them by staleness, is rows-only and structurally
+excluded).  Rows-only queries (similarity_join, dedup_near,
+dedup_simhash, bpe_encode) are permanently excluded from the window —
+the driver records only `err: no_oracle` for them, a wasted slot
+(r7's lesson; enforced by
+test_window_contains_only_oracle_checked_queries, and skipped by
+rotation_report.py's candidate list since r9).
 
-ROTATION NOTE (round 8 → 9): any round-8 debuts go FIRST, then fill
+ROTATION NOTE (round 9 → 10): any round-9 debuts go FIRST, then fill
 from `python scripts/rotation_report.py` (it derives each query's
 latest official row from CORRECTNESS_r*.json and prints the
 stalest-first candidate list sized to the window; rounds 2, 3 AND 6
@@ -67,52 +65,39 @@ from pyspark.sql import DataFrame, SparkSession
 # size so placement is deliberate, not accidental.
 WINDOW_SIZE = 50
 WINDOW_PRIORITY: list[str] = [
-    # ROUND-8 WINDOW (rotation_report.py's r8 plan, verbatim, per the
-    # r7 verdict's top task 1).  Debuts and contract changes first:
-    # the 5 r8 debuts (logit_step, naive_bayes_train,
-    # source_overlap, minhash_lsh_join, agg_moments) plus the two r8
-    # sketch-contract promotions (agg_hll_sketch, sample_stratified —
-    # their outputs changed, so they need a fresh green row under the
-    # new contract), plus the 8 session-2 debuts (roc_auc,
-    # calibration_bins, spearman_corr, winnow_fingerprint,
-    # winnow_join, zipf_fit, js_divergence, simhash_join).  Then
-    # the full 23-query
-    # round-2-stale tier (5 rounds without a fresh row — retired in
-    # one beat) and the stalest round-3 greens.
-    # 15 + 23 + 12 = 50: exactly full; the 14 freshest-waiting r3
-    # greens (funnel_steps, gap_fill, join_null_safe,
-    # join_range_binned, lm_score,
-    # lm_score_bigram, mix_sources, project_nested,
-    # retention_cohorts, rolling_mau, scd2_intervals, scrub_pii,
-    # seq_pack, split_assign) wait one round, per the documented
-    # coverage-over-freshness trade (bounded by the slack-aware
-    # backlog invariant in tests/test_registry.py).  Rows-only queries are structurally
-    # excluded from this list (test_window_contains_only_oracle_
-    # checked_queries) — a slot the driver can't verify is a slot
-    # wasted.
-    # -- r8 debuts + re-contracted promotions --------------------------
-    "logit_step", "naive_bayes_train", "source_overlap",
-    "minhash_lsh_join", "agg_moments", "agg_hll_sketch",
-    "sample_stratified",
-    # -- r8 session-2 debuts (evaluation + fingerprint family) ---------
-    "roc_auc", "calibration_bins", "spearman_corr", "winnow_fingerprint",
-    "winnow_join", "zipf_fit", "js_divergence", "simhash_join",
-    # -- the entire 23-query round-2-stale tier (stalest-first) --------
-    "scalar_string", "scalar_url", "scalar_variant", "similarity_ivf",
-    "sql_q13", "sql_q18", "sql_q22", "sql_q3", "sql_q4", "sql_q5",
-    "sql_q7", "sql_recursive_cte", "stream_correlate", "stream_enrich",
-    "stream_session", "stream_sliding", "stream_tumbling",
-    "text_quality", "text_stats", "text_tfidf", "token_count",
-    "udaf_mode", "unpivot_metrics",
-    # -- 12 stalest round-3 greens (alphabetical within the tier; the
-    # 8 session-2 debuts evicted the tier's last 8 names —
-    # funnel_steps, gap_fill, join_null_safe, join_range_binned,
-    # lm_score, lm_score_bigram, mix_sources, project_nested wait one
-    # round per the debuts-first rule) --------------------------------------------------------------
-    "agg_corr", "agg_histogram", "asof_forward", "bpe_pair_stats",
-    "coalesce_id", "decontaminate", "decontaminate_filter",
-    "dedup_clusters_star", "dedup_keep_best", "doc_chunk",
-    "events_anomaly_mad", "events_zscore",
+    # ROUND-9 WINDOW (rotation_report.py's r9 plan, verbatim, per the
+    # r8 verdict's top task 2).  4 debuts + 1 output-contract change
+    # first, then the FULL 36-query round-3-stale tier (6 rounds
+    # without a fresh row), then the 9 stalest round-4 greens.
+    # 5 + 36 + 9 = 50: exactly full; the remaining r4 greens
+    # (bitmap_days, cdc_apply, chain_rcte, chi_square,
+    # cusum_changepoint, ... — rotation_report slots 46+) wait for
+    # r10, per the documented coverage-over-freshness trade (bounded
+    # by the slack-aware backlog invariant in tests/test_registry.py).
+    # Rows-only queries are structurally excluded from this list
+    # (test_window_contains_only_oracle_checked_queries) — a slot the
+    # driver can't verify is a slot wasted.
+    # -- r9 debuts ------------------------------------------------------
+    "similarity_recall", "token_fertility", "novelty_delta",
+    "host_dedup",
+    # -- r9 output-contract change: 120-bit prints / 4x30-bit bands
+    # (the r8 green row certified the old 60-bit/4x15 recipe) ----------
+    "simhash_join",
+    # -- the entire 36-query round-3-stale tier (stalest-first,
+    # rotation_report order) -------------------------------------------
+    "funnel_steps", "gap_fill", "join_null_safe", "join_range_binned",
+    "lm_score", "lm_score_bigram", "mix_sources", "project_nested",
+    "retention_cohorts", "rolling_mau", "scd2_intervals", "scrub_pii",
+    "seq_pack", "split_assign", "sql_q1", "sql_q10", "sql_q11",
+    "sql_q12", "sql_q14", "sql_q15", "sql_q16", "sql_q17", "sql_q19",
+    "sql_q2", "sql_q20", "sql_q21", "sql_q6", "sql_q8", "sql_q9",
+    "synthetic_source", "text_repetition", "udtf_tokens", "vocab_topk",
+    "window_cume_dist", "window_fill_forward", "window_range_frame",
+    # -- 9 stalest round-4 greens (alphabetical; bpe_encode is
+    # rows-only and skipped) -------------------------------------------
+    "ab_test", "agg_avg_years", "agg_count", "agg_count_distinct",
+    "agg_cube", "agg_group_count", "asof_nearest", "attribution",
+    "basket_pairs",
 ]
 
 

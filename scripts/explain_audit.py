@@ -86,6 +86,10 @@ AUDIT = [
     "simhash_join",       # round-8: vote agg, band buckets, popcount
     "zipf_fit",           # round-8: vocab reduce, WindowGroupLimit top-K
     "js_divergence",      # round-8: vocab reduce, |src|²-bounded pair join
+    "similarity_recall",  # round-9: two bounded arms + broadcast join
+    "token_fertility",    # round-9: vocab TakeOrdered + broadcast rejoin
+    "novelty_delta",      # round-9: gram-keyed index join, linear
+    "host_dedup",         # round-9: join-free two-level hash agg
 ]
 
 

@@ -26,7 +26,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mvp_mini_etl_pipeline_1762911573_spark.registry import (  # noqa: E402
-    WINDOW_SIZE, all_queries)
+    WINDOW_SIZE, all_oracles, all_queries)
 
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -49,11 +49,21 @@ def main() -> None:
     if gone:
         print(f"# WARNING: official rows for unregistered names: {gone}")
 
+    # rows-only queries (no DuckDB oracle) are structurally excluded
+    # from WINDOW_PRIORITY — the driver records only `err: no_oracle`
+    # for them, a wasted slot.  Skipping them here keeps the printed
+    # list copy-pasteable (r8 verdict: `bpe_encode` surfaced at
+    # candidate slot 47 and was a hand-edit trap).
+    oracles = all_oracles()
+    rows_only = sorted(n for n in registered if n not in oracles)
+    registered = [n for n in registered if n in oracles]
+
     debuts = [n for n in registered if n not in latest]
     greens = sorted((n for n in registered if n in latest),
                     key=lambda n: (latest[n], n))
-    print(f"# {len(registered)} registered queries, {len(debuts)} without "
-          f"an official row, window = {WINDOW_SIZE}")
+    print(f"# {len(registered)} oracle-checked queries ({len(rows_only)} "
+          f"rows-only excluded: {', '.join(rows_only)}), {len(debuts)} "
+          f"without an official row, window = {WINDOW_SIZE}")
     ranked = [(n, "debut") for n in debuts] + \
              [(n, f"r{latest[n]}") for n in greens]
     cut = len(ranked) if show_all else WINDOW_SIZE

@@ -224,7 +224,26 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            # heavily) and empty/whitespace docs vanish pre-vote; every
            # stage (votes, sign packing, bands, popcount) must stay
            # bit-equal on the adversarial shapes
-           "simhash_join"]
+           "simhash_join",
+           # r9: tiny adversarial vocabularies sit mostly INSIDE the
+           # top-16 fertility vocab (OOV mass comes from NBSP-glued
+           # and punctuation-storm tokens — the length surface of the
+           # ceil(len/4) piece estimate), and count ties at the
+           # vocab cut exercise the (freq, tok) ordering on both
+           # engines
+           "token_fertility",
+           # r9: repetition storms collapse the corpus gram index to
+           # a handful of grams (batch docs all-novel or all-seen),
+           # empty/whitespace batch docs fall out gram-less, and the
+           # %10 split leaves some corpora with an EMPTY standing
+           # corpus (every batch gram novel — the left-join-all-NULL
+           # arm)
+           "novelty_delta",
+           # r9: the derived-URL pathologies (www/case/query planting
+           # + %13 page slots) over adversarial doc_id layouts — the
+           # canonicalization and min_by survivor pick must stay
+           # engine-equal when n_chars repeats and copies tie
+           "host_dedup"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 
@@ -311,7 +330,13 @@ EMB_OPS = ["array_cosine", "embedding_normalize", "embedding_quantize",
            # r7: constant/duplicate vectors zero the centered terms
            # (all-zero w → NULL direction/share via the b>0 guard) and
            # extreme coordinates stress the DECIMAL(38,0) per-dim sums
-           "pca_power_iter"]
+           "pca_power_iter",
+           # r9: exact scaled copies make round-6 cosine TIES at 1.0
+           # (the id tie-break surface of BOTH top-k arms) and the
+           # 300-vector corpora give a degenerate few-cell quantizer —
+           # the recall counts, scan shares and the beats_random
+           # cross-multiplication must stay engine-equal on all of it
+           "similarity_recall"]
 
 
 def _gen_embeddings(seed: int, n: int = 300, dim: int = 64):

@@ -1080,11 +1080,13 @@ def test_js_divergence_shuffles_vocab_and_pair_cells(spark, sf_dir):
 
 
 def test_simhash_join_shuffles_votes_and_bands_not_pairs(spark, sf_dir):
-    """simhash_join's scale claim measured (r8): the token stream
-    partial-aggregates onto (doc, token) once, the 60 vote sums are
-    one mergeable state per doc, banding is 4 linear rows per doc,
-    and the popcount verify touches bucket-collision candidates only
-    — no stage scales with doc pairs."""
+    """simhash_join's scale claim measured (r8; r9 widened to
+    2x60-bit prints): the token stream partial-aggregates onto
+    (doc, token) once, the 120 vote sums are one mergeable state per
+    doc, banding is 4 linear rows per doc (30-bit bands — random
+    bucket collisions ~n^2/2^30), and the popcount verify touches
+    bucket-collision candidates only — no stage scales with doc
+    pairs."""
     from pyspark.sql import functions as SF
     from mvp_mini_etl_pipeline_1762911573_spark.tables import load
 
@@ -1101,4 +1103,88 @@ def test_simhash_join_shuffles_votes_and_bands_not_pairs(spark, sf_dir):
     # (doc, tok) partials once, vote states once, 4 band rows twice
     # (both join sides), candidates + final sort
     assert s["shuffle_records"] <= 4 * n_doc_tok + 8 * n_pairs + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_token_fertility_shuffles_vocab_not_tokens(spark, sf_dir):
+    """token_fertility's scale claim measured (r9): the token stream
+    partial-aggregates to per-partition vocab states before its one
+    exchange, the top-K vocab cut is TakeOrderedAndProject (K driver
+    rows) broadcast back onto the stream, and the language agg's
+    state is |langs| rows per partition — shuffle traffic is a
+    small multiple of (vocab + langs) per partition, never of the
+    token count.  The per-partition factor is carried explicitly
+    (the r7 lesson: pins encode the invariant, not the favorable
+    case)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        FERT_VOCAB_K, _tokens)
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    v = toks.select("tok").distinct().count()
+    langs = docs.select("lang").distinct().count()
+    got = profile(all_queries()["token_fertility"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= \
+        34 * (v + langs) + FERT_VOCAB_K + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_novelty_delta_shuffles_grams_linearly(spark, sf_dir):
+    """novelty_delta's scale claim measured (r9): the corpus side
+    collapses to distinct grams, the batch side to (doc, gram) pairs,
+    both exchange hash-partitioned on gram (linear — never a
+    candidate self-join), and the per-doc agg moves one row per
+    batch pair.  Same bound family as ngram_novelty: total shuffle
+    traffic is a small multiple of the full gram-pair count."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        _gram_array,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import WS_RUN
+
+    docs = load(spark, sf_dir, "documents")
+    n_pairs = (docs
+               .select("doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
+               .select(F.explode(_gram_array("ws", 3)).alias("gram"))
+               .count())
+    got = profile(all_queries()["novelty_delta"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 5 * n_pairs + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_host_dedup_aggregates_urls_never_joins(spark, sf_dir):
+    """host_dedup's scale claim measured (r9): canonicalization is
+    map-side, the survivor pick partial-aggregates to per-partition
+    (domain, canon_url) states (≤ sources × 13 page slots by
+    construction), and the rollup exchanges |domains|-sized state —
+    shuffle traffic is bounded by the URL-slot universe per
+    partition, independent of the document count."""
+    docs = load(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    got = profile(all_queries()["host_dedup"](spark, sf_dir))
+    s = got["summary"]
+    # per-url states ≤ sources × 13 page slots × (www/case/query
+    # collapse leaves ONE canon per slot); 34 = 32 partitions + 2
+    assert s["shuffle_records"] <= 34 * (n_sources * 13 + n_sources) \
+        + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_similarity_recall_costs_the_two_arms_not_more(spark, sf_dir):
+    """similarity_recall's scale claim measured (r9): the readout
+    adds only query-set-sized work on top of its two arms — the
+    exact arm's corpus×|Q| scored stream (the documented evaluation
+    harness cost) plus the IVF arm's candidate stream, then a
+    broadcast k·|Q| join and 1-row aggregates.  Shuffle traffic is
+    bounded by a small multiple of corpus × N_QUERIES and spills
+    nothing."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        IVF_NPROBE, N_QUERIES)
+
+    n = load(spark, sf_dir, "embeddings").count()
+    got = profile(all_queries()["similarity_recall"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= (N_QUERIES + IVF_NPROBE + 6) * n \
+        + 64 * 32
     assert s["spill_disk_bytes"] == 0

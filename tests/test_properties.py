@@ -1508,10 +1508,10 @@ def test_js_divergence_brute_force_replay_and_bounds(spark, sf_dir):
 
 def test_simhash_join_banding_is_pigeonhole_complete(spark, sf_dir):
     """The completeness THEOREM behind simhash_join, machine-checked
-    where all-pairs is affordable: at Hamming distance <= 3, 4 bands
-    of 15 bits cannot all differ, so the banded bucket join must
-    equal the unbanded all-pairs popcount filter exactly — same
-    pairs, same distances."""
+    where all-pairs is affordable: at Hamming distance <= 3, the 4
+    bands (30 bits each, 2 per 60-bit print) cannot all differ, so
+    the banded bucket join must equal the unbanded all-pairs popcount
+    filter exactly — same pairs, same distances."""
     from itertools import combinations
 
     from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
@@ -1528,6 +1528,7 @@ def test_simhash_join_banding_is_pigeonhole_complete(spark, sf_dir):
 
     docs = load(out.sparkSession, sf_dir, "documents") \
         .select("doc_id", "text").collect()
+    bits, nprints = dedup.SIMHASH_SHA_BITS, dedup.SIMHASH_SHA_PRINTS
     prints = {}
     for d in docs:
         toks = [t for t in re.split(r"[ \t\n\x0B\f\r]+", d.text.lower())
@@ -1535,17 +1536,117 @@ def test_simhash_join_banding_is_pigeonhole_complete(spark, sf_dir):
         if not toks:
             continue
         tf = Counter(toks)
-        votes = [0] * dedup.SIMHASH_SHA_BITS
+        votes = [[0] * bits for _ in range(nprints)]
         for tok, c in tf.items():
-            h = int(hashlib.sha256(tok.encode()).hexdigest()[:15], 16)
-            for i in range(dedup.SIMHASH_SHA_BITS):
-                votes[i] += c if (h >> i) & 1 else -c
-        prints[d.doc_id] = sum(1 << i
-                               for i, v in enumerate(votes) if v > 0)
+            hx = hashlib.sha256(tok.encode()).hexdigest()
+            for p in range(nprints):
+                h = int(hx[15 * p:15 * (p + 1)], 16)
+                for i in range(bits):
+                    votes[p][i] += c if (h >> i) & 1 else -c
+        prints[d.doc_id] = tuple(
+            sum(1 << i for i, v in enumerate(votes[p]) if v > 0)
+            for p in range(nprints))
     expect = set()
     for a, b in combinations(sorted(prints), 2):
-        ham = bin(prints[a] ^ prints[b]).count("1")
+        ham = sum(bin(pa ^ pb).count("1")
+                  for pa, pb in zip(prints[a], prints[b]))
         if ham <= SIMHASH_SHA_HAM:
             expect.add((a, b, ham))
     got = {(r.doc_a, r.doc_b, r.hamming) for r in out.collect()}
     assert got == expect
+
+
+def test_similarity_recall_counts_the_arm_intersection(spark, sf_dir):
+    """similarity_recall's hits must equal the literal intersection of
+    its two arms' (q_id, n_id) sets, and the ratios must be the
+    exact-integer forms of the counts — recomputed independently from
+    the committed arm queries."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        _similarity_ivf, _similarity_recall, _similarity_topk)
+
+    exact = {(r.q_id, r.n_id)
+             for r in _similarity_topk(spark, sf_dir).collect()}
+    ivf = {(r.q_id, r.n_id)
+           for r in _similarity_ivf(spark, sf_dir).collect()}
+    row = _similarity_recall(spark, sf_dir).collect()[0]
+    assert row.k_total == len(exact)
+    assert row.hits == len(exact & ivf)
+    assert 0 <= row.hits <= row.k_total
+    assert 0.0 <= row.recall_at_k <= 1.0
+    assert 0.0 <= row.scan_share <= 1.0
+    assert row.beats_random == (
+        row.hits * row.n_queries * row.n_corpus
+        > row.k_total * row.scanned)
+    # the quality claim itself: the fixture index must beat random
+    assert row.beats_random
+
+
+def test_token_fertility_invariants(spark, sf_dir):
+    """Every word costs >= 1 piece (fertility >= 1), OOV rate lives in
+    [0, 1], and the per-language word counts partition the corpus
+    token stream exactly."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _token_fertility, _tokens)
+
+    rows = _token_fertility(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = docs.select(
+        F.explode(_tokens(F.col("text"))).alias("t")).count()
+    assert sum(r.words for r in rows) == n_tokens
+    for r in rows:
+        assert r.pieces >= r.words > 0
+        assert 0 <= r.oov_words <= r.words
+        assert r.fertility >= 1.0
+        assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_novelty_delta_matches_set_difference(spark, sf_dir):
+    """novelty_delta == brute-force gram set difference, doc by doc:
+    batch grams never seen in the standing corpus, over the raw
+    WS-split 3-gram universe."""
+    import re as _re
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        NOVELTY_BATCH_MOD, _novelty_delta)
+
+    def grams_of(text):
+        ws = _re.split(r"[ \t\n\x0B\f\r]+", text.lower())
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    docs = load(spark, sf_dir, "documents") \
+        .select("doc_id", "text").collect()
+    corpus = set()
+    for d in docs:
+        if d.doc_id % NOVELTY_BATCH_MOD != 0:
+            corpus |= grams_of(d.text)
+    expect = {}
+    for d in docs:
+        if d.doc_id % NOVELTY_BATCH_MOD == 0:
+            g = grams_of(d.text)
+            if g:
+                expect[d.doc_id] = (len(g), len(g - corpus))
+    got = {r.doc_id: (r.n_grams, r.n_new)
+           for r in _novelty_delta(spark, sf_dir).collect()}
+    assert got == expect
+
+
+def test_host_dedup_rollup_is_conservative(spark, sf_dir):
+    """host_dedup's per-domain rollup must partition the corpus
+    exactly (sum of pages == doc count), keep unique <= pages with
+    dup = pages - unique, and — by the 25-docs-into-13-slots
+    pigeonhole of the URL construction — find at least one duplicate
+    in every domain at every fixture SF."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        _host_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    total_chars = docs.agg(F.sum("n_chars")).collect()[0][0]
+    rows = _host_dedup(spark, sf_dir).collect()
+    assert sum(r.pages for r in rows) == n_docs
+    for r in rows:
+        assert r.unique_pages + r.dup_pages == r.pages
+        assert 0 < r.unique_pages <= r.pages
+        assert r.dup_pages >= 1          # pigeonhole: >13 docs/source
+    assert sum(r.kept_chars for r in rows) <= total_chars

@@ -56,6 +56,34 @@ def test_rotation_backlog_fits_next_round_window():
         "schedule has a real backlog, not just coverage growth")
 
 
+def test_window_rotation_bounds_max_staleness():
+    """r8 verdict item 6: a 50-slot window over N oracle-checked
+    queries is a ceil(N/50)-round re-verification cycle (plus the
+    documented one-round slack) — coverage growth must not SILENTLY
+    stretch it further.  Simulate the current WINDOW_PRIORITY
+    receiving fresh rows next round and assert every other
+    oracle-checked query's latest official row would still be at
+    most ceil(N/50)+1 rounds old.  When this fails, the fix is the
+    rotation itself: fewer debuts, more stale-tier slots (the r8
+    verdict's freshness-over-debuts guidance), never loosening the
+    bound."""
+    import math
+
+    latest = latest_rows()
+    next_round = max(latest.values()) + 1
+    oracles = set(all_oracles())
+    checked = [n for n in all_queries() if n in oracles]
+    window = set(WINDOW_PRIORITY)
+    bound = math.ceil(len(checked) / WINDOW_SIZE) + 1
+    over = {n: next_round - latest[n] for n in checked
+            if n not in window and n in latest
+            and next_round - latest[n] > bound}
+    assert not over, (
+        f"queries whose staleness after the coming round would exceed "
+        f"the ceil({len(checked)}/{WINDOW_SIZE})+1 = {bound}-round "
+        f"cycle: {over} — rotate them into WINDOW_PRIORITY")
+
+
 def test_debuts_are_inside_the_window():
     """A registered query with NO official driver row must be in
     WINDOW_PRIORITY *now* — not next round.  The backlog invariant

@@ -65,12 +65,14 @@ HEAVY = ["dedup_near", "dedup_clusters_star", "similarity_join",
          # R*32-bit hash level — negligible); js_divergence's sources
          # are NOT sharded, so each source just grows a 10x vocabulary
          # and the |sources|²-bounded pair stage is unchanged.
-         # simhash_join is deliberately ABSENT: its fixed 15-bit bands
-         # make RANDOM bucket collisions quadratic in corpus size —
-         # the documented band-width scale lever (widen w with n), not
-         # a linear claim to pin at 10x.
+         # simhash_join joined the pin in r9: the widened 2x60-bit
+         # prints band at 30 bits, so random cross-shard bucket
+         # collisions are ~n²/2^30 — negligible at this n (the r8
+         # 4x15-bit form was deliberately excluded as quadratic); the
+         # bijective rename re-randomizes each shard's token hashes,
+         # keeping per-shard vote/band work 10 isomorphic copies.
          "winnow_fingerprint", "winnow_join", "minhash_lsh_join",
-         "js_divergence"]
+         "js_divergence", "simhash_join"]
 
 
 @pytest.fixture(scope="module")
