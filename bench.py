@@ -225,9 +225,28 @@ def main() -> None:
                           for k, v in timings.items()},
     }
     repo = os.path.dirname(os.path.abspath(__file__))
-    rounds = [int(m.group(1)) for f in os.listdir(repo)
-              if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))]
-    detail_name = f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json"
+    # Current-round inference (r9 review finding: a bare
+    # max(CORRECTNESS)+1 mislabels by +1 whenever the driver runs the
+    # correctness sweep BEFORE bench — which it does, per the r8
+    # artifact mtimes).  The driver writes CORRECTNESS_rN during round
+    # N but BENCH_rN only after this process exits, so:
+    #   max(C) >  max(B)  → round max(C) is in flight (post-sweep)
+    #   max(C) == max(B)  → round max(C) is fully recorded; we are a
+    #                       pre-sweep run of round max(C)+1
+    def _rounds(prefix: str) -> int:
+        return max((int(m.group(1)) for f in os.listdir(repo)
+                    if (m := re.match(rf"{prefix}_r(\d+)\.json$", f))),
+                   default=0)
+    max_c, max_b = _rounds("CORRECTNESS"), _rounds("BENCH")
+    this_round = max_c if max_c > max_b else max_c + 1
+    detail_name = f"BENCH_DETAIL_r{this_round:02d}.json"
+    # self-identifying copy: the headline totals ride inside the
+    # detail file, so a mislabeled or stale file is detectable on
+    # sight instead of silently impersonating another round's numbers
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail.update({"metric": "headline_total", "value": total,
+                   "unit": "sec", "sf": sf_val,
+                   "n_queries": len(timings), "timing": "min-of-2-warm"})
     for name in (detail_name, "BENCH_DETAIL.json"):
         with open(os.path.join(repo, name), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
@@ -239,7 +258,7 @@ def main() -> None:
         "anchor": ANCHOR,
         "anchor_sec": anchor_sec,
         "detail": detail_name,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         # methodology marker (ADVICE r3): totals before round 3 were
         # single cold runs — cross-round deltas spanning the switch
         # partly reflect methodology, and this field makes that break
@@ -249,9 +268,12 @@ def main() -> None:
     if repro is not None:
         record["repro"] = repro
     line = json.dumps(record)
-    assert len(line) < 1000, (
-        f"headline line grew to {len(line)}B; the driver tail capture "
-        "is ~2000B — keep per-query data in the detail file")
+    # hard-fail, never assert: asserts vanish under python -O, which
+    # would silently re-enable the r8 parsed:null regression (review)
+    if len(line) >= 1000:
+        raise SystemExit(
+            f"headline line grew to {len(line)}B; the driver tail "
+            "capture is ~2000B — keep per-query data in the detail file")
     print(line)
 
 

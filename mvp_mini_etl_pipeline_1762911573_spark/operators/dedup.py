@@ -2167,12 +2167,14 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM existing) AS n_existing,
 FROM flags
 """
 
-# identical recurrence over the UNPRUNED distinct gram universe (the
-# min+count reduce is linear in shared grams, so novelty needs no
-# df-threshold — see _ngram_novelty); tokenization is the raw
-# WS_CHARS split shared with the jaccard oracles
-ORACLES["ngram_novelty"] = f"""
-WITH toks AS (
+# the per-doc distinct word-3-gram stream as ONE DuckDB CTE block —
+# the oracle mirror of the Spark-side `_gram_array` centralization
+# (whose docstring records the drift that three hand-kept copies once
+# caused); shared by the ngram_novelty and novelty_delta oracles,
+# which consume the identical raw-WS-split gram universe.  (The other
+# gram oracles differ structurally: decontaminate is 5-grams,
+# source_overlap keys on source — they keep their own blocks.)
+_DUCK_GRAMS3_CTES = """toks AS (
   SELECT doc_id, string_split_regex(lower(text),
                                     '[ \\t\\n\\x0B\\f\\r]+') AS ws
   FROM documents
@@ -2182,7 +2184,14 @@ WITH toks AS (
            range(1, greatest(len(ws) - 1, 1)),
            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
   FROM toks
-), first AS (
+)"""
+
+# identical recurrence over the UNPRUNED distinct gram universe (the
+# min+count reduce is linear in shared grams, so novelty needs no
+# df-threshold — see _ngram_novelty); tokenization is the raw
+# WS_CHARS split shared with the jaccard oracles
+ORACLES["ngram_novelty"] = f"""
+WITH {_DUCK_GRAMS3_CTES}, first AS (
   SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
 )
 SELECT g.doc_id,
@@ -2351,17 +2360,7 @@ ORDER BY doc_a, doc_b
 # the corpus side is the DISTINCT gram index, the batch side the raw
 # per-doc distinct gram stream, novelty = grams with no index hit
 ORACLES["novelty_delta"] = f"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text),
-                                    '[ \\t\\n\\x0B\\f\\r]+') AS ws
-  FROM documents
-), grams AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           range(1, greatest(len(ws) - 1, 1)),
-           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
-  FROM toks
-), corpus AS (
+WITH {_DUCK_GRAMS3_CTES}, corpus AS (
   SELECT DISTINCT gram FROM grams
   WHERE doc_id % {NOVELTY_BATCH_MOD} != 0
 ), batch AS (

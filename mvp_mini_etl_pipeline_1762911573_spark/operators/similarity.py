@@ -897,8 +897,10 @@ def _similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the claim that matters for an index: routing BEATS RANDOM — the
     index found a larger share of the true top-k than a random scan
     of the same candidate budget would in expectation (recall >
-    scanned/corpus, cross-multiplied in exact integers:
-    hits·|Q|·n_corpus > k_total·scanned).  The r8 verdict's
+    scanned/(|Q|·(n_corpus − 1)) — n − 1 because both arms exclude
+    the query itself, so a random scan draws from the other n − 1
+    vectors; cross-multiplied in exact integers:
+    hits·|Q|·(n_corpus − 1) > k_total·scanned).  The r8 verdict's
     missing-signal item #4: IVF recall was pytest-pinned only; this
     makes the quality readout part of the oracle contract.  A fixed
     absolute recall floor would be dishonest here: the fixture
@@ -943,9 +945,9 @@ def _similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             round4_ratio(F.col("hits"), F.col("k_total"))
             .alias("recall_at_k"),
             round4_ratio(F.col("scanned"),
-                         F.col("n_queries") * F.col("n_corpus"))
+                         F.col("n_queries") * (F.col("n_corpus") - 1))
             .alias("scan_share"),
-            (F.col("hits") * F.col("n_queries") * F.col("n_corpus")
+            (F.col("hits") * F.col("n_queries") * (F.col("n_corpus") - 1)
              > F.col("k_total") * F.col("scanned"))
             .alias("beats_random")))
 
@@ -1171,7 +1173,8 @@ FROM w, norms ORDER BY dim
 # similarity_ivf oracle — the two arms of the readout are by
 # construction the SQL the driver already certifies.  beats_random is
 # the same exact-integer cross-multiplication as the Spark side:
-# hits·|Q|·n_corpus > k_total·scanned  ⟺  recall@k > scan_share.
+# hits·|Q|·(n_corpus−1) > k_total·scanned ⟺ recall@k > scan_share
+# (n − 1: both arms exclude the query vector itself).
 ORACLES["similarity_recall"] = f"""
 WITH {_DUCK_IVF_SCORED_CTES},
 ivf AS (
@@ -1196,9 +1199,9 @@ ivf AS (
 )
 SELECT n_queries, n_corpus, k_total, hits, scanned,
        {round4_ratio_sql("hits", "k_total")} AS recall_at_k,
-       {round4_ratio_sql("scanned", "n_queries * n_corpus")}
+       {round4_ratio_sql("scanned", "n_queries * (n_corpus - 1)")}
          AS scan_share,
-       (hits * n_queries * n_corpus > k_total * scanned)
+       (hits * n_queries * (n_corpus - 1) > k_total * scanned)
          AS beats_random
 FROM hits, scanned, corpus
 """

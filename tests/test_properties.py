@@ -1575,7 +1575,7 @@ def test_similarity_recall_counts_the_arm_intersection(spark, sf_dir):
     assert 0.0 <= row.recall_at_k <= 1.0
     assert 0.0 <= row.scan_share <= 1.0
     assert row.beats_random == (
-        row.hits * row.n_queries * row.n_corpus
+        row.hits * row.n_queries * (row.n_corpus - 1)
         > row.k_total * row.scanned)
     # the quality claim itself: the fixture index must beat random
     assert row.beats_random
