@@ -1675,11 +1675,15 @@ def _novelty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the corpus side collapses to DISTINCT grams (the
     persisted gram index of an incremental pipeline — built once,
-    reused every batch); the batch joins it on gram — one linear
-    hash-shuffle each side, per-gram fan-out = #batch docs sharing
-    the gram (a reduce input, never a pair explosion).  NOT a
-    broadcast: the corpus gram index scales with the corpus.  The
-    per-doc agg state is batch-sized.
+    reused every batch); the batch joins it on gram — declared as a
+    plain equi-join, per-gram fan-out = #batch docs sharing the gram
+    (a reduce input, never a pair explosion).  The join strategy is
+    deliberately LEFT TO AQE: at fixture scale the distinct-gram
+    index is tiny and AQE broadcasts it (PLANS_r09 shows
+    BroadcastHashJoin); at corpus scale the index grows with the
+    corpus and AQE falls back to the linear hash-shuffle join — no
+    explicit broadcast() hint that would OOM at 100 TB.  The per-doc
+    agg state is batch-sized.
 
     Exactness: BIGINT counts; the ratio is round4_ratio (half-up in
     int64).  Batch docs with <3 tokens have no grams and are absent
