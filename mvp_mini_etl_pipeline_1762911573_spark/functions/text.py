@@ -594,11 +594,31 @@ def _doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     n_chunks = F.greatest(
         F.ceil(n / F.lit(CHUNK_STRIDE)).cast("int"), F.lit(1))
-    with_chunks = (
-        docs.select("doc_id", toks.alias("toks"), n.alias("n_tokens"),
-                    F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
-                     .alias("chunk_id", "_i"))
-    )
+    # The chunk text is sliced BEFORE the explode (array-of-chunks per
+    # doc, then posexplode): the r7 form exploded chunk ids first and
+    # sliced afterwards, carrying the ENTIRE token array into every
+    # chunk row - O(L^2/stride) bytes per doc, ~33s for a handful of
+    # 30k-token docs (the r9 book-length-document sweep).  The lambda
+    # slices the PROJECTED `toks` column (bound reference, not the
+    # split expression) - the linear-by-measurement _gram_array
+    # pattern; the tail length is clamped at 0 for the n = 0 doc,
+    # whose single empty chunk the start < n_tokens filter drops
+    # exactly as before.
+    per_doc = docs.select(
+        "doc_id", toks.alias("toks"), n.alias("n_tokens"),
+        n_chunks.alias("n_chunks"))
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+        lambda c: F.array_join(
+            F.slice(F.col("toks"), c * CHUNK_STRIDE + 1,
+                    F.greatest(
+                        F.least(F.lit(CHUNK_TOKENS),
+                                F.col("n_tokens") - c * CHUNK_STRIDE),
+                        F.lit(0))),
+            " "))
+    with_chunks = per_doc.select(
+        "doc_id", "n_tokens",
+        F.posexplode(chunk_arr).alias("chunk_id", "chunk_text"))
     start = F.col("chunk_id") * CHUNK_STRIDE
     chunk_len = F.least(F.lit(CHUNK_TOKENS), F.col("n_tokens") - start)
     return (
@@ -608,8 +628,7 @@ def _doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "chunk_id",
             start.cast("int").alias("chunk_start"),
             chunk_len.cast("int").alias("chunk_len"),
-            F.array_join(F.slice("toks", start + 1, chunk_len), " ")
-             .alias("chunk_text"),
+            "chunk_text",
         )
     )
 
@@ -1244,15 +1263,21 @@ def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .groupBy("doc_id")
                  .agg(F.sum("count").alias("n_tok"),
                       F.max("count").alias("mx_tok")))
+    # bigrams via zip_with of the array against its own 1-shifted
+    # slice — per-element O(1).  The r7 form indexed element_at(ws, i)
+    # on the UNPROJECTED split expression inside the lambda, which
+    # Catalyst re-evaluates PER ELEMENT (O(L²): one 20k-token doc took
+    # ~140s — the same book-length-document latent as
+    # collapse_repeats, found by the r9 long-doc sweep).
     bigrams = docs.select(
         "doc_id",
         F.explode(
             F.when(
                 F.size(ws) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(ws, i), F.element_at(ws, i + 1))),
+                F.zip_with(
+                    F.slice(ws, 1, F.size(ws) - 1),
+                    F.slice(ws, 2, F.size(ws) - 1),
+                    lambda a, b: F.concat_ws(" ", a, b)),
             ).otherwise(F.array().cast("array<string>"))).alias("bg"))
     bg_stats = (bigrams.groupBy("doc_id", "bg").count()
                 .groupBy("doc_id")
@@ -1625,22 +1650,39 @@ def _collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rewritten TEXT itself, not just counts.
 
     Cross-engine mechanics: keep token i iff it differs from its
-    predecessor — an indexed HOF filter on both engines (Spark
-    0-based filter() + 1-based element_at guarded by a lazily-
-    evaluated when(); DuckDB 1-based list_filter + ws[i-1], the NULL
-    predecessor at i=1 absorbed by OR).  Counts are exact BIGINTs;
-    repeat_ratio is an int/int round4_ratio (empty doc → 0 tokens →
-    NULL via the b > 0 guard); the cleaned stream hashes through the
-    shared WS_CHARS tokenizer, so both engines hash identical bytes.
+    predecessor.  The Spark side zips the token array against its
+    own 1-shifted copy (NULL prepended) and keeps tokens whose
+    predecessor is NULL or different — per-element work is O(1) by
+    construction.  The r7 form was an indexed HOF filter whose
+    lambda called element_at(ws, i) on the UNPROJECTED split
+    expression: Catalyst evaluates an outer expression referenced
+    inside a lambda PER ELEMENT, so every comparison re-split the
+    whole document — O(L²), found by the r9 book-length-document
+    sweep (a 30k-token doc took minutes; output pruning hid it from
+    count()-based checks).  zip_with's inputs are row-level child
+    expressions evaluated once per row, immune to that inlining
+    regardless of optimizer choices.  DuckDB keeps the 1-based
+    list_filter + ws[i-1] form (list indexing there is O(1) on a
+    materialized list).  Counts are exact BIGINTs; repeat_ratio is
+    an int/int round4_ratio (empty doc → 0 tokens → NULL via the
+    b > 0 guard); the cleaned stream hashes through the shared
+    WS_CHARS tokenizer, so both engines hash identical bytes —
+    output is bit-identical to the r7 form (driver row unchanged).
 
     Scale: pure narrow map (HOFs + one sha256 per doc) — zero
     shuffle except the output ordering; the profiler pin asserts
     no data-sized exchange exists."""
     docs = load(spark, sf_dir, "documents")
     ws = _tokens(F.col("text"))
+    # prev[i] = ws[i-1], prev[0] = NULL: shift by prepending NULL and
+    # truncating to size(ws) (slice length 0 on an empty doc → [])
+    prev = F.slice(
+        F.concat(F.array(F.lit(None).cast("string")), ws),
+        1, F.size(ws))
     keep = F.filter(
-        ws, lambda x, i: F.when(i == 0, F.lit(True))
-        .otherwise(x != F.element_at(ws, i)))
+        F.zip_with(ws, prev,
+                   lambda x, p: F.when(p.isNull() | (x != p), x)),
+        lambda x: x.isNotNull())
     return docs.select(
         "doc_id",
         F.size(ws).alias("n_tokens"),

@@ -474,3 +474,65 @@ def test_prefix_filter_prunes_are_exact_at_the_4dp_boundary():
     assert alpha(45000, 45000) == 29998          # old slack: 29999
     assert accepts(9999, 9999, 20000)
     assert length_ok(9999, 20000)                # old: 2*9999 < 20000
+
+
+def test_collapse_repeats_is_linear_on_book_length_docs(spark, tmp_path):
+    """The r9 book-length-document latent: an indexed-HOF lambda that
+    calls element_at on the UNPROJECTED split expression re-evaluates
+    the whole split PER ELEMENT — O(L²), minutes for one 30k-token
+    doc, invisible to count()-based checks because column pruning
+    drops the rewritten-text column.  The zip_with rewrite is
+    per-element O(1) by construction; this pin evaluates the full
+    output (toPandas, no pruning) on a 30k-token doc and a 20k-token
+    single-token run inside a hard wall-clock bound that the
+    quadratic form misses by more than an order of magnitude."""
+    import random
+    import time
+
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+
+    rng = random.Random(9)
+    words = ["spark", "join", "window", "the", "of"]
+    rows = [
+        (0, " ".join(rng.choices(words, k=30_000)), "en", "src1", 1),
+        (1, " ".join(["the"] * 20_000), "en", "src1", 1),      # one run
+        (2, "", "en", "src2", 0),                              # empty
+        (3, "solo", "de", "src2", 4),
+    ]
+    d = tmp_path / "long"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long").write.parquet(f"{d}/documents.parquet")
+    t0 = time.monotonic()
+    out = {r.doc_id: r for r in
+           all_queries()["collapse_repeats"](spark, str(d)).collect()}
+    took = time.monotonic() - t0
+    assert took < 60, f"quadratic regression: {took:.0f}s for 30k tokens"
+    assert out[1].n_tokens == 20_000
+    assert out[1].n_collapsed == 19_999          # one survivor
+    assert out[3].n_collapsed == 0
+    assert 0 not in (out[0].n_tokens,)           # book doc processed
+    # the two sibling offenders found by the same sweep: the r7
+    # text_repetition built bigrams with element_at(ws, i) on the
+    # unprojected split (O(L²), ~140s for the 20k run) and the r7
+    # doc_chunk carried the whole token array into every chunk row
+    # (O(L²/stride) bytes, ~33s); both now linear — same hard bound.
+    t0 = time.monotonic()
+    rep = {r.doc_id: r for r in
+           all_queries()["text_repetition"](spark, str(d)).collect()}
+    took = time.monotonic() - t0
+    assert took < 60, f"text_repetition quadratic again: {took:.0f}s"
+    # doc_id % 10 == 5 filter: this corpus contributes no rows, which
+    # is itself the guard that the heavy path ran only on the big doc
+    t0 = time.monotonic()
+    chunks = all_queries()["doc_chunk"](spark, str(d)).collect()
+    took = time.monotonic() - t0
+    assert took < 60, f"doc_chunk quadratic again: {took:.0f}s"
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every chunk of the book doc carries ONLY its own text
+    assert all(len(r.chunk_text.split()) == r.chunk_len
+               for r in by_doc[0])
+    assert sum(r.chunk_len for r in by_doc[0]) >= 30_000  # full cover
+    assert rep is not None
