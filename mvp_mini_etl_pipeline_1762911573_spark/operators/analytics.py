@@ -299,8 +299,19 @@ def _events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrarily; RANGE is the deterministic choice).  All outputs are
     exact integers/strings — no rounding hazard anywhere.
 
-    100 TB shape: ONE hash-exchange on user_id feeds the sort + range
-    window (the sessionize/debounce plan shape); no joins, no second
+    Execution form (r9): the trailing count is computed as the
+    DIFFERENCE OF TWO GROWING FRAMES — #events with us ≤ t minus
+    #events with us ≤ t − 24h − 1µs (equal, in exact integer µs, to
+    #events with us < t − 24h).  Spark evaluates a growing
+    [unboundedPreceding, x] frame incrementally (rows only ever enter
+    the buffer) but RECOMPUTES a sliding [-24h, 0] frame from scratch
+    per row — O(n·w) per key, measured 18s for one 50k-event hot user
+    (the r9 hot-entity sweep) vs ~1s for this form.  Values are
+    identical: both frames are peer-inclusive RANGE counts on the
+    same integer key.
+
+    100 TB shape: ONE hash-exchange on user_id feeds the sort + both
+    growing windows (same ordering — one sort); no joins, no second
     shuffle.  Key count = |users| — AQE skew-split absorbs hot
     users; at extreme skew the window is monotone in t so a
     per-(user, day)-salted two-phase variant keeps the same semantics
@@ -309,10 +320,15 @@ def _events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts",
         F.unix_micros("ts").alias("us"))
-    w = (Window.partitionBy("user_id").orderBy("us")
-         .rangeBetween(-RATE_LIMIT_US, 0))
+    w_le = (Window.partitionBy("user_id").orderBy("us")
+            .rangeBetween(Window.unboundedPreceding, 0))
+    w_before = (Window.partitionBy("user_id").orderBy("us")
+                .rangeBetween(Window.unboundedPreceding,
+                              -RATE_LIMIT_US - 1))
     return (
-        ev.withColumn("n_in_window", F.count("*").over(w))
+        ev.withColumn("n_in_window",
+                      F.count("*").over(w_le)
+                      - F.count("*").over(w_before))
         .where(F.col("n_in_window") > RATE_LIMIT_N)
         .select("event_id", "user_id", "event_type",
                 F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),

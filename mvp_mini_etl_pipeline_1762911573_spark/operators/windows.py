@@ -213,8 +213,14 @@ def _window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames need a numeric ORDER BY; micros keeps sub-second order and
     matches the oracle's epoch_us exactly).  RANGE semantics (peers by
     value, not by row) are identical in both engines.  Partitioned by
-    user_id — the frame streams over each user's sorted run with a
-    sliding two-pointer buffer, never the whole partition."""
+    user_id, and kept in the NATIVE sliding-frame form as the
+    coverage demo of that surface — knowing (r9 hot-entity sweep)
+    that Spark RECOMPUTES a sliding frame per row, O(n·w) on a hot
+    key: for rate-limiting-class workloads where one key can hold
+    50k+ events inside the window, use the difference-of-two-
+    growing-frames form instead (`_events_rate_limit`, measured
+    linear).  Here the per-user runs are fixture-bounded and the
+    1-hour window holds few peers."""
     ev = (load(spark, sf_dir, "events")
           .where(F.col("user_id") % 100 == 7)
           .select("user_id", "event_id", "value",

@@ -536,3 +536,48 @@ def test_collapse_repeats_is_linear_on_book_length_docs(spark, tmp_path):
                for r in by_doc[0])
     assert sum(r.chunk_len for r in by_doc[0]) >= 30_000  # full cover
     assert rep is not None
+
+
+def test_events_rate_limit_is_linear_on_a_hot_user(spark, tmp_path):
+    """The r9 hot-entity latent: Spark recomputes a SLIDING range
+    frame ([-24h, 0]) from scratch for every row — O(n·w) per key,
+    ~18s for one 50k-event user — while GROWING frames
+    ([unboundedPreceding, x]) are incremental.  events_rate_limit now
+    takes the difference of two growing-frame counts (us <= t minus
+    us < t − 24h, exact integer µs), which this pin holds to a hard
+    wall-clock bound on a hot key, alongside the peer-inclusive tie
+    semantics the RANGE form exists for."""
+    import datetime as dt
+    import time
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.analytics import (
+        RATE_LIMIT_N,
+    )
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30_000):                       # one hot user, ~3.5d
+        rows.append((i, base + dt.timedelta(seconds=10 * i), 1,
+                     "click", 1.0, "{}"))
+    # a tie cluster: 5 simultaneous events for user 2 — RANGE peers
+    # must all count each other
+    for j in range(5):
+        rows.append((40_000 + j, base, 2, "view", 1.0, "{}"))
+    d = tmp_path / "hot"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(f"{d}/events.parquet")
+    t0 = time.monotonic()
+    out = all_queries()["events_rate_limit"](spark, str(d)).collect()
+    took = time.monotonic() - t0
+    assert took < 60, f"sliding-frame regression: {took:.0f}s"
+    # user 1: events 10s apart -> trailing 24h holds 8640+1 events;
+    # every event past the first RATE_LIMIT_N is flagged
+    flagged_u1 = [r for r in out if r.user_id == 1]
+    assert len(flagged_u1) == 30_000 - RATE_LIMIT_N
+    # the tie cluster: all 5 peers count each other (n_in_window = 5
+    # for every one of them) — flagged iff 5 > RATE_LIMIT_N
+    u2 = [r.n_in_window for r in out if r.user_id == 2]
+    assert u2 == ([5] * 5 if 5 > RATE_LIMIT_N else [])
