@@ -94,13 +94,17 @@ HEADLINE = [
     "host_dedup",           # round 9: URL canonicalization rollup
 ]
 
-#: the cross-machine timing anchor (ADVICE/verdict r7: two rounds in a
+#: the cross-machine timing anchors (ADVICE/verdict r7: two rounds in a
 #: row, every query drifted by one uniform machine-speed factor and
-#: wall-second deltas read as regressions).  sql_q9 is the most stable
-#: heavyweight in the set (6-table join, no iterative jitter); the
-#: emitted `anchor_ratios` divide each query's seconds by its seconds,
-#: so cross-round comparison of RATIOS cancels the machine factor.
-ANCHOR = "sql_q9"
+#: wall-second deltas read as regressions).  r9 follow-up: a SINGLE
+#: anchor is itself a noise source — sql_q9 sped up 2.07→1.65s in r9
+#: and every ratio inflated ~1.25x, reading as a fleet-wide regression.
+#: The normalizer is now the MEDIAN of three stable heavyweights
+#: (scan-agg, 6-table join, fact-fact HAVING): one anchor drifting no
+#: longer moves the ratios.  `anchor_ratios` divide each query's
+#: seconds by that median, so cross-round comparison of RATIOS cancels
+#: the machine factor.
+ANCHORS = ["sql_q1", "sql_q9", "sql_q18"]
 
 
 def main() -> None:
@@ -204,22 +208,27 @@ def main() -> None:
               f"{repro['max_abs_delta_sec']}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # Fail LOUD if the anchor ever leaves HEADLINE or degenerates:
+    # Fail LOUD if any anchor ever leaves HEADLINE or degenerates:
     # a silent 1.0 fallback would make anchor_ratios equal raw wall
     # seconds — machine-dependent again — with nothing flagging it
     # (r8 review finding).
-    if ANCHOR not in timings or timings[ANCHOR] <= 0.0:
+    missing = [a for a in ANCHORS
+               if a not in timings or timings[a] <= 0.0]
+    if missing:
         raise SystemExit(
-            f"bench anchor {ANCHOR!r} missing or zero-timed; "
+            f"bench anchors {missing!r} missing or zero-timed; "
             "anchor_ratios would silently degrade to wall seconds")
-    anchor_sec = timings[ANCHOR]
+    anchor_sec = sorted(timings[a] for a in ANCHORS)[len(ANCHORS) // 2]
     detail = {
         "queries": timings,
-        # machine-speed-invariant view: seconds / sql_q9 seconds.
+        # machine-speed-invariant view: seconds / median-anchor seconds.
         # Compare THESE across rounds; wall-second deltas on different
         # machines are dominated by the host factor (r6->r7 lesson,
-        # twice).
-        "anchor": ANCHOR,
+        # twice), and a single anchor's own drift moved every r9 ratio
+        # (r9 verdict) — the median of three is robust to one drifting.
+        "anchors": ANCHORS,
+        "anchor_secs": {a: timings[a] for a in ANCHORS},
+        "anchor": "median(%s)" % ",".join(ANCHORS),
         "anchor_sec": anchor_sec,
         "anchor_ratios": {k: round(v / anchor_sec, 3)
                           for k, v in timings.items()},
@@ -231,14 +240,18 @@ def main() -> None:
     # artifact mtimes).  The driver writes CORRECTNESS_rN during round
     # N but BENCH_rN only after this process exits, so:
     #   max(C) >  max(B)  → round max(C) is in flight (post-sweep)
-    #   max(C) == max(B)  → round max(C) is fully recorded; we are a
-    #                       pre-sweep run of round max(C)+1
+    #   otherwise         → the latest recorded round is done; we are a
+    #                       pre-sweep run of the NEXT one.  max(C, B)+1,
+    #                       not max(C)+1: after a bench-only round
+    #                       (max_b > max_c) the bare form would relabel
+    #                       itself into an ALREADY-RECORDED round and
+    #                       overwrite its detail file (r9 ADVICE).
     def _rounds(prefix: str) -> int:
         return max((int(m.group(1)) for f in os.listdir(repo)
                     if (m := re.match(rf"{prefix}_r(\d+)\.json$", f))),
                    default=0)
     max_c, max_b = _rounds("CORRECTNESS"), _rounds("BENCH")
-    this_round = max_c if max_c > max_b else max_c + 1
+    this_round = max_c if max_c > max_b else max(max_c, max_b) + 1
     detail_name = f"BENCH_DETAIL_r{this_round:02d}.json"
     # self-identifying copy: the headline totals ride inside the
     # detail file, so a mislabeled or stale file is detectable on
@@ -255,7 +268,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
-        "anchor": ANCHOR,
+        "anchor": "median(%s)" % ",".join(ANCHORS),
         "anchor_sec": anchor_sec,
         "detail": detail_name,
         "sf": sf_val,

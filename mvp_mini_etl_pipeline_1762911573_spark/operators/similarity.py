@@ -928,14 +928,19 @@ def _similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
               .where(F.col("rnk") <= TOPK)
               .select("q_id", "n_id", F.lit(1).alias("hit")))
     exact = _similarity_topk(spark, sf_dir).select("q_id", "n_id")
+    # n_queries comes from the EXACT arm (r9 ADVICE): a query whose
+    # probed cells contain only itself contributes zero rows to the
+    # IVF scored stream, and deriving |Q| there would shrink the
+    # random-baseline denominator while k_total still spans all
+    # queries — violating the documented recall > scanned/(|Q|·(n−1))
+    # semantics.  The exact arm enumerates every query by definition.
     hits = (
         exact.join(F.broadcast(approx), ["q_id", "n_id"], "left")
         .agg(F.count("*").cast("long").alias("k_total"),
              F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-              .cast("long").alias("hits")))
-    scanned = scored.agg(F.count("*").cast("long").alias("scanned"),
-                         F.count_distinct("q_id").cast("long")
-                          .alias("n_queries"))
+              .cast("long").alias("hits"),
+             F.count_distinct("q_id").cast("long").alias("n_queries")))
+    scanned = scored.agg(F.count("*").cast("long").alias("scanned"))
     corpus = emb.agg(F.count("*").cast("long").alias("n_corpus"))
     return (
         hits.crossJoin(F.broadcast(scanned))
@@ -1185,14 +1190,18 @@ ivf AS (
 ), exact AS (
   SELECT q_id, n_id FROM ({ORACLES["similarity_topk"]})
 ), hits AS (
+  -- n_queries from the EXACT arm (r9 ADVICE): the IVF stream can
+  -- drop a query whose probed cells hold only itself, which would
+  -- shrink the random-baseline denominator below the |Q| k_total
+  -- spans.  Mirrors the Spark side exactly.
   SELECT CAST(count(*) AS BIGINT) AS k_total,
          CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END)
-              AS BIGINT) AS hits
+              AS BIGINT) AS hits,
+         CAST(count(DISTINCT e.q_id) AS BIGINT) AS n_queries
   FROM exact e LEFT JOIN ivf i
     ON i.q_id = e.q_id AND i.n_id = e.n_id
 ), scanned AS (
-  SELECT CAST(count(*) AS BIGINT) AS scanned,
-         CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries
+  SELECT CAST(count(*) AS BIGINT) AS scanned
   FROM scored
 ), corpus AS (
   SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM embeddings

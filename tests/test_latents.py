@@ -476,38 +476,61 @@ def test_prefix_filter_prunes_are_exact_at_the_4dp_boundary():
     assert length_ok(9999, 20000)                # old: 2*9999 < 20000
 
 
+def _write_token_docs(spark, path, big_k: int) -> None:
+    """The r9 book-length-document corpus at a parameterized size:
+    one big_k-token random doc, one (2·big_k/3)-token single-token
+    run, one empty doc, one single word."""
+    import random
+
+    rng = random.Random(9)
+    words = ["spark", "join", "window", "the", "of"]
+    rows = [
+        (0, " ".join(rng.choices(words, k=big_k)), "en", "src1", 1),
+        (1, " ".join(["the"] * (big_k * 2 // 3)), "en", "src1", 1),
+        (2, "", "en", "src2", 0),                              # empty
+        (3, "solo", "de", "src2", 4),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long").write.parquet(f"{path}/documents.parquet")
+
+
 def test_collapse_repeats_is_linear_on_book_length_docs(spark, tmp_path):
     """The r9 book-length-document latent: an indexed-HOF lambda that
     calls element_at on the UNPROJECTED split expression re-evaluates
     the whole split PER ELEMENT — O(L²), minutes for one 30k-token
     doc, invisible to count()-based checks because column pruning
     drops the rewritten-text column.  The zip_with rewrite is
-    per-element O(1) by construction; this pin evaluates the full
-    output (toPandas, no pruning) on a 30k-token doc and a 20k-token
-    single-token run inside a hard wall-clock bound that the
-    quadratic form misses by more than an order of magnitude."""
-    import random
+    per-element O(1) by construction.  The pin is a GROWTH-RATE bound,
+    not absolute seconds (r9 ADVICE: a fixed `< 60` both flakes on a
+    loaded machine and silently passes a ~30s quadratic): each op
+    first runs on a 3k-token corpus — that run absorbs codegen
+    warm-up AND measures this machine's speed — then the 30k-token
+    (10×) run must come in under 10× the baseline + 6s jitter grace.
+    Linear forms are scheduling-overhead-bound (big ≈ baseline,
+    measured 0.4-0.7s vs 0.5-3.4s baselines); the quadratic forms
+    (140s, 140s, 33s at this size) blow the bound on any machine
+    since both sides scale with the same host factor."""
     import time
 
     from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
 
-    rng = random.Random(9)
-    words = ["spark", "join", "window", "the", "of"]
-    rows = [
-        (0, " ".join(rng.choices(words, k=30_000)), "en", "src1", 1),
-        (1, " ".join(["the"] * 20_000), "en", "src1", 1),      # one run
-        (2, "", "en", "src2", 0),                              # empty
-        (3, "solo", "de", "src2", 4),
-    ]
+    small = tmp_path / "short"
+    _write_token_docs(spark, small, 3_000)
     d = tmp_path / "long"
-    spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, "
-        "n_chars long").write.parquet(f"{d}/documents.parquet")
-    t0 = time.monotonic()
-    out = {r.doc_id: r for r in
-           all_queries()["collapse_repeats"](spark, str(d)).collect()}
-    took = time.monotonic() - t0
-    assert took < 60, f"quadratic regression: {took:.0f}s for 30k tokens"
+    _write_token_docs(spark, d, 30_000)
+
+    def timed(name, path):
+        t0 = time.monotonic()
+        rows = all_queries()[name](spark, str(path)).collect()
+        return rows, time.monotonic() - t0
+
+    _, base = timed("collapse_repeats", small)
+    out, took = timed("collapse_repeats", d)
+    out = {r.doc_id: r for r in out}
+    assert took < 10 * base + 6, \
+        f"quadratic regression: {took:.1f}s for 10x tokens vs " \
+        f"{base:.1f}s baseline"
     assert out[1].n_tokens == 20_000
     assert out[1].n_collapsed == 19_999          # one survivor
     assert out[3].n_collapsed == 0
@@ -516,18 +539,17 @@ def test_collapse_repeats_is_linear_on_book_length_docs(spark, tmp_path):
     # text_repetition built bigrams with element_at(ws, i) on the
     # unprojected split (O(L²), ~140s for the 20k run) and the r7
     # doc_chunk carried the whole token array into every chunk row
-    # (O(L²/stride) bytes, ~33s); both now linear — same hard bound.
-    t0 = time.monotonic()
-    rep = {r.doc_id: r for r in
-           all_queries()["text_repetition"](spark, str(d)).collect()}
-    took = time.monotonic() - t0
-    assert took < 60, f"text_repetition quadratic again: {took:.0f}s"
+    # (O(L²/stride) bytes, ~33s); both now linear — same ratio bound.
+    _, base = timed("text_repetition", small)
+    rep, took = timed("text_repetition", d)
+    assert took < 10 * base + 6, \
+        f"text_repetition quadratic again: {took:.1f}s vs {base:.1f}s"
     # doc_id % 10 == 5 filter: this corpus contributes no rows, which
     # is itself the guard that the heavy path ran only on the big doc
-    t0 = time.monotonic()
-    chunks = all_queries()["doc_chunk"](spark, str(d)).collect()
-    took = time.monotonic() - t0
-    assert took < 60, f"doc_chunk quadratic again: {took:.0f}s"
+    _, base = timed("doc_chunk", small)
+    chunks, took = timed("doc_chunk", d)
+    assert took < 10 * base + 6, \
+        f"doc_chunk quadratic again: {took:.1f}s vs {base:.1f}s"
     by_doc = {}
     for r in chunks:
         by_doc.setdefault(r.doc_id, []).append(r)
@@ -536,6 +558,19 @@ def test_collapse_repeats_is_linear_on_book_length_docs(spark, tmp_path):
                for r in by_doc[0])
     assert sum(r.chunk_len for r in by_doc[0]) >= 30_000  # full cover
     assert rep is not None
+    # _gram_array consumers (r9 verdict): the shared n-gram builder
+    # (dedup.py::_gram_array) indexes element_at over a PROJECTED
+    # token column — measured linear — but an inlined split expression
+    # inside its lambda would regress to the same O(L²) class as
+    # collapse_repeats.  Pin its two heaviest callers on the same
+    # corpus pair (gram build dominates here: the 5-word vocab
+    # collapses the distinct-gram stream, so pair work is nil and the
+    # timing isolates the array construction).
+    for op in ("dedup_ngram_jaccard", "decontaminate"):
+        _, base = timed(op, small)
+        _, took = timed(op, d)
+        assert took < 10 * base + 6, \
+            f"{op} gram build superlinear: {took:.1f}s vs {base:.1f}s"
 
 
 def test_events_rate_limit_is_linear_on_a_hot_user(spark, tmp_path):
@@ -544,9 +579,17 @@ def test_events_rate_limit_is_linear_on_a_hot_user(spark, tmp_path):
     ~18s for one 50k-event user — while GROWING frames
     ([unboundedPreceding, x]) are incremental.  events_rate_limit now
     takes the difference of two growing-frame counts (us <= t minus
-    us < t − 24h, exact integer µs), which this pin holds to a hard
-    wall-clock bound on a hot key, alongside the peer-inclusive tie
-    semantics the RANGE form exists for."""
+    us < t − 24h, exact integer µs), which this pin holds to a
+    GROWTH-RATE bound on a hot key (r9 ADVICE: the old absolute
+    `< 60` both flaked on loaded machines and would have passed the
+    ~10-20s sliding form at this size): a 3k-event baseline run
+    absorbs warm-up and measures the host speed, then the 60k-event
+    (20×) run must stay under 10× baseline + 6s.  The incremental
+    form is overhead-bound on both (measured ~0.6-0.7s each); the
+    sliding form's 60k run costs ~60k·8640 frame re-scans (~21s on
+    the r9 machine, scaling with the same host factor as the
+    baseline), well past the bound.  The peer-inclusive tie
+    semantics the RANGE form exists for are asserted alongside."""
     import datetime as dt
     import time
 
@@ -556,27 +599,36 @@ def test_events_rate_limit_is_linear_on_a_hot_user(spark, tmp_path):
     from mvp_mini_etl_pipeline_1762911573_spark.registry import all_queries
 
     base = dt.datetime(2024, 1, 1)
-    rows = []
-    for i in range(30_000):                       # one hot user, ~3.5d
-        rows.append((i, base + dt.timedelta(seconds=10 * i), 1,
-                     "click", 1.0, "{}"))
-    # a tie cluster: 5 simultaneous events for user 2 — RANGE peers
-    # must all count each other
-    for j in range(5):
-        rows.append((40_000 + j, base, 2, "view", 1.0, "{}"))
+
+    def write_hot(path, n):
+        rows = [(i, base + dt.timedelta(seconds=10 * i), 1,
+                 "click", 1.0, "{}") for i in range(n)]
+        # a tie cluster: 5 simultaneous events for user 2 — RANGE
+        # peers must all count each other
+        for j in range(5):
+            rows.append((10_000_000 + j, base, 2, "view", 1.0, "{}"))
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        ).write.parquet(f"{path}/events.parquet")
+
+    small = tmp_path / "warm"
+    write_hot(small, 3_000)
     d = tmp_path / "hot"
-    spark.createDataFrame(
-        rows, "event_id long, ts timestamp_ntz, user_id long, "
-        "event_type string, value double, props string"
-    ).write.parquet(f"{d}/events.parquet")
+    write_hot(d, 60_000)
+    t0 = time.monotonic()
+    all_queries()["events_rate_limit"](spark, str(small)).collect()
+    baseline = time.monotonic() - t0
     t0 = time.monotonic()
     out = all_queries()["events_rate_limit"](spark, str(d)).collect()
     took = time.monotonic() - t0
-    assert took < 60, f"sliding-frame regression: {took:.0f}s"
+    assert took < 10 * baseline + 6, \
+        f"sliding-frame regression: {took:.1f}s for 20x events vs " \
+        f"{baseline:.1f}s baseline"
     # user 1: events 10s apart -> trailing 24h holds 8640+1 events;
     # every event past the first RATE_LIMIT_N is flagged
     flagged_u1 = [r for r in out if r.user_id == 1]
-    assert len(flagged_u1) == 30_000 - RATE_LIMIT_N
+    assert len(flagged_u1) == 60_000 - RATE_LIMIT_N
     # the tie cluster: all 5 peers count each other (n_in_window = 5
     # for every one of them) — flagged iff 5 > RATE_LIMIT_N
     u2 = [r.n_in_window for r in out if r.user_id == 2]
