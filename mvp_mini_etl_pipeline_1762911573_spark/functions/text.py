@@ -309,6 +309,64 @@ def _winnow_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
+def _winnow_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r10 debut): the winnowing GUARANTEE as a per-document
+    audit query — Schleimer/Wilkerson/Aiken's theorem says every
+    window of WINNOW_W consecutive gram positions contains a selected
+    fingerprint, which bounds the gap between consecutive selected
+    positions (counting the virtual start at -1) by WINNOW_W.  A
+    plagiarism index built on fingerprints is only as good as that
+    density bound: this query reports, per doc, the selection count,
+    the selection density against the window count, the observed
+    maximum gap, and the boolean the theorem promises — the
+    index-health audit you run after (re)building a MOSS-style
+    fingerprint store, and the query-shaped twin of the pytest
+    pigeonhole pins.
+
+    Determinism/exactness: positions and gaps are exact integers off
+    `_winnow_rows` (the ONE winnowing implementation, mirrored by
+    `_DUCK_WINNOW_CTES`); density is round4_ratio of two BIGINTs.
+    Docs shorter than WINNOW_K words have no grams and drop out
+    (inner semantics on both engines).  Docs with fewer than WINNOW_W
+    grams yield one window spanning what exists, so their max_gap is
+    their first selected position + 1 <= n_grams <= W: the guarantee
+    holds degenerately.
+
+    100 TB shape: one doc-keyed exchange (shared with the winnow
+    selection's own window sort) orders each doc's ~2L/(W+1) selected
+    positions; gaps come from ONE lag pass; per-doc state is the
+    selection, never the gram stream."""
+    docs = load(spark, sf_dir, "documents")
+    sel = _winnow_rows(docs).select("doc_id", "pos").distinct()
+    w_lag = Window.partitionBy("doc_id").orderBy("pos")
+    gaps = sel.select(
+        "doc_id", "pos",
+        (F.col("pos")
+         - F.coalesce(F.lag("pos").over(w_lag), F.lit(-1))).alias("gap"))
+    n_grams = (
+        docs.select(
+            "doc_id",
+            F.greatest(
+                F.size(F.split(F.lower("text"), WS_RUN))
+                - (WINNOW_K - 1), F.lit(0)).alias("n_grams"))
+        .where(F.col("n_grams") > 0))
+    return (
+        gaps.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_fps"),
+             F.max("gap").cast("long").alias("max_gap"))
+        .join(n_grams, "doc_id")
+        .select(
+            "doc_id", F.col("n_grams").cast("long").alias("n_grams"),
+            "n_fps",
+            round4_ratio(
+                F.col("n_fps"),
+                F.greatest(F.col("n_grams") - (WINNOW_W - 1), F.lit(1)))
+            .alias("density"),
+            "max_gap",
+            (F.col("max_gap") <= WINNOW_W).alias("guarantee_holds"))
+        .orderBy("doc_id"))
+
+
 def _source_token_counts(docs: DataFrame) -> DataFrame:
     """(source, tok, cnt) unigram reduce — the ONE copy shared by
     `zipf_fit` and `js_divergence` (two hand-kept copies of this
@@ -968,6 +1026,55 @@ def _lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / (F.col("n_bigrams") * 1e6)), 2).alias("ppl2"),
         )
     )
+
+
+def _source_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r10 debut): per-SOURCE language-model perplexity rollup —
+    the pipeline-level readout on top of `lm_score`'s per-doc filter:
+    a crawl-source whose aggregate perplexity under the corpus unigram
+    LM is far above the fleet is serving boilerplate, spam, or the
+    wrong language, and gets down-weighted or recrawled (the
+    CCNet/RedPajama per-shard perplexity buckets, rolled to source
+    grain).  Same model as lm_score (p(tok) = freq/total over the
+    whole corpus); the rollup reduces the token stream BY SOURCE
+    instead of by doc and adds doc/token volume alongside the
+    aggregate perplexity.
+
+    Cross-engine determinism: identical to lm_score — per-token -ln p
+    quantized to integer micro-nats, exact BIGINT sums, ONE exp at
+    the end (transcendental output, never on a decimal half);
+    avg_nll is round4_ratio (half-up in pure int64).
+
+    100 TB shape: the vocab join is lm_score's one token-keyed
+    shuffle; the source rollup is a second reduce whose state is
+    |sources| rows — strictly cheaper than lm_score's per-doc state.
+    No new shuffle classes, no collect."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(_tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    total = counts.agg(F.sum("freq").alias("total"))
+    nll_u = F.floor(
+        -F.log(F.col("freq") / F.col("total")) * 1e6 + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "source", nll_u.alias("nll_u"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"),
+             F.count("*").cast("long").alias("n_tokens"),
+             F.sum("nll_u").cast("long").alias("sum_nll_u"))
+        .select(
+            "source", "n_docs", "n_tokens",
+            round4_ratio(F.col("sum_nll_u"),
+                         F.col("n_tokens") * F.lit(1_000_000))
+            .alias("avg_nll"),
+            F.round(F.exp(F.col("sum_nll_u")
+                          / (F.col("n_tokens") * 1e6)), 2).alias("ppl"))
+        .orderBy("source"))
 
 
 PMI_MIN_COUNT = 5  # collocation support floor: bigrams rarer than
@@ -2196,6 +2303,8 @@ QUERIES = {
     "doc_fingerprint": _doc_fingerprint,
     "winnow_fingerprint": _winnow_fingerprint,
     "winnow_join": _winnow_join,
+    "winnow_coverage": _winnow_coverage,
+    "source_perplexity": _source_perplexity,
     "zipf_fit": _zipf_fit,
     "js_divergence": _js_divergence,
     "text_stats": _text_stats,
@@ -2901,6 +3010,61 @@ FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= {WJ_MIN_SHARED}
 ORDER BY doc_a, doc_b
+""",
+    # winnow_coverage (r10): the same selection chain as
+    # winnow_fingerprint, gap-audited with one lag pass; every count
+    # and gap is an exact BIGINT, density is round4_ratio
+    "winnow_coverage": f"""
+WITH {_DUCK_WINNOW_CTES}, sel AS (
+  SELECT DISTINCT doc_id,
+         CAST(wmin % {_WINNOW_POS_M} AS BIGINT) AS pos
+  FROM w WHERE w.pos <= greatest(n_grams - {WINNOW_W}, 0)
+), ng AS (
+  SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams
+  FROM w GROUP BY doc_id
+), gaps AS (
+  SELECT doc_id, pos,
+         pos - coalesce(lag(pos) OVER (PARTITION BY doc_id
+                                       ORDER BY pos), -1) AS gap
+  FROM sel
+), cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+         CAST(max(gap) AS BIGINT) AS max_gap
+  FROM gaps GROUP BY doc_id
+)
+SELECT c.doc_id, n.n_grams, c.n_fps,
+       {round4_ratio_sql(
+           "c.n_fps",
+           f"greatest(n.n_grams - {WINNOW_W - 1}, 1)")} AS density,
+       c.max_gap,
+       (c.max_gap <= {WINNOW_W}) AS guarantee_holds
+FROM cov c JOIN ng n ON c.doc_id = n.doc_id
+ORDER BY c.doc_id
+""",
+    # source_perplexity (r10): lm_score's micro-nat model, reduced by
+    # source; exact BIGINT sums, one exp at the end
+    "source_perplexity": f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_DUCK_TOKS}) AS tok FROM documents
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts
+), scored AS (
+  SELECT t.doc_id, t.source,
+         CAST(floor(-ln(c.freq / total.total) * 1e6 + 0.5) AS BIGINT)
+           AS nll_u
+  FROM toks t JOIN counts c ON t.tok = c.tok, total
+)
+SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       {round4_ratio_sql("CAST(sum(nll_u) AS BIGINT)",
+                         "count(*) * 1000000")}
+         AS avg_nll,
+       round(exp(CAST(sum(nll_u) AS BIGINT) / (count(*) * 1e6)), 2)
+         AS ppl
+FROM scored GROUP BY source
+ORDER BY source
 """,
     # zipf_fit (r8): identical rank/µ-nat quantization and exact OLS
     # closed forms over HUGEINT sums

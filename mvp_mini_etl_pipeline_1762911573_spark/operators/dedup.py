@@ -35,7 +35,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.exact import round4_ratio, round4_ratio_sql
-from ..functions.text import WS_RUN
+from ..functions.text import WS_CHARS, WS_RUN
 from ..oracles import USERS_CTE
 from ..tables import load, users_valid
 from .similarity import DUCK_CELLS_CTE, SIM_THRESHOLD
@@ -1708,6 +1708,38 @@ def _novelty_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def _derived_pages(docs: DataFrame) -> DataFrame:
+    """The ONE derived-URL canonicalization pipeline (doc_id, n_chars,
+    source, text, domain, canon_url) behind `host_dedup` (r9),
+    `mirror_detect` and `crawl_frontier` (r10) — mirrored by
+    `_DUCK_PAGES_CTES`.  The documents table carries no URL column, so
+    the page URL derives deterministically from (doc_id, source) with
+    the three classic alias pathologies planted — www. prefixes
+    (doc_id%3), uppercase hosts (doc_id%5), utm query strings
+    (doc_id%4) — and doc_id%13 page slots per source, so every source
+    has genuine same-canonical-URL collisions by pigeonhole at any
+    fixture SF and any id layout.  Spark canonicalizes with the real
+    `parse_url` (HOST/PATH); the oracle mirrors with regexes (exact
+    for these generated URLs).  All map-side string work."""
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.upper("source"))
+         .otherwise(F.col("source")),
+        F.lit(".example.org/page-"),
+        (F.col("doc_id") % 13).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
+         .otherwise(F.lit("")))
+    pages = docs.select("doc_id", "n_chars", "source", "text",
+                        url.alias("url"))
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    domain = F.regexp_replace(host, r"^www\.", "")
+    canon = F.concat(domain, F.parse_url(F.col("url"), F.lit("PATH")))
+    return pages.select("doc_id", "n_chars", "source", "text",
+                        domain.alias("domain"), canon.alias("canon_url"))
+
+
 def _host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT (r9 debut): URL canonicalization + host-level dedup with a
     per-domain rollup — the crawl-frontier hygiene pass that runs
@@ -1731,24 +1763,8 @@ def _host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — min_by with a SCALAR BIGINT ordering key (a struct key would
     fall back to SortAggregate, the r4 trap); the rollup reduces
     URL-grain rows to |domains|.  No joins at all."""
-    docs = load(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
-         .otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 5 == 0, F.upper("source"))
-         .otherwise(F.col("source")),
-        F.lit(".example.org/page-"),
-        (F.col("doc_id") % 13).cast("string"),
-        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
-         .otherwise(F.lit("")))
-    pages = docs.select("doc_id", "n_chars", url.alias("url"))
-    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
-    domain = F.regexp_replace(host, r"^www\.", "")
-    canon = F.concat(domain, F.parse_url(F.col("url"), F.lit("PATH")))
     per_url = (
-        pages.select("doc_id", "n_chars", domain.alias("domain"),
-                     canon.alias("canon_url"))
+        _derived_pages(load(spark, sf_dir, "documents"))
         .groupBy("domain", "canon_url")
         .agg(F.count("*").alias("copies"),
              F.min("doc_id").alias("kept_doc"),
@@ -1765,6 +1781,109 @@ def _host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("dup_rate"),
                 "kept_chars", "first_doc")
         .orderBy("domain"))
+
+
+MIRROR_LEAD_N = 8        # lead-fingerprint length (first N tokens)
+MIRROR_FP_MAX_DOMAINS = 12   # df prune: a lead on more domains than
+#                              this is boilerplate, not mirroring
+
+
+def _mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r10 debut): cross-domain mirror matrix — which PAIRS of
+    domains serve the same content under different canonical URLs.
+    `host_dedup` collapses aliases of one URL; `dedup_content_hash`
+    collapses byte-identical docs anywhere; this composes the two
+    into the crawl-ops readout between them: per domain pair, how
+    many distinct content leads both serve (mirror farms, syndication
+    networks, proxies — the duplication that survives URL
+    canonicalization because the HOSTS differ).
+
+    The content key is a LEAD FINGERPRINT — sha-prefix hash of the
+    first MIRROR_LEAD_N whitespace tokens — rather than a whole-text
+    hash: mirrors re-serve the lead verbatim while injecting their
+    own boilerplate further down (and the fixtures carry shared leads
+    at every SF where byte-identical cross-source texts only appear
+    at sf0.1).  60-bit prints (15 hex chars — 16 would hit the BIGINT
+    sign bit, the r8 simhash lesson).
+
+    Determinism/exactness: tokenization is the raw lowercase split
+    both gram pipelines use; the hash is the public sha256-prefix
+    idiom, bit-identical on both engines; every count is BIGINT.
+
+    100 TB shape: the fingerprint is map-side; the (fp, domain) grain
+    reduce is linear; leads on > MIRROR_FP_MAX_DOMAINS domains are
+    df-pruned BEFORE the self-join (`winnow_join`'s discipline — a
+    boilerplate lead spanning the whole web would otherwise explode
+    |domains|² pairs), so per-fp fan-out is capped by a constant and
+    the pair aggregate only touches genuine mirror candidates."""
+    pages = _derived_pages(load(spark, sf_dir, "documents"))
+    toks = F.split(F.lower("text"), WS_RUN)
+    lead = F.concat_ws(
+        " ", F.slice(toks, 1, MIRROR_LEAD_N))
+    fp = F.conv(F.substring(F.sha2(lead, 256), 1, 15), 16, 10) \
+          .cast("long")
+    fpd = (pages.where(F.col("text") != "")
+           .select(fp.alias("fp"), "domain")
+           .groupBy("fp", "domain")
+           .agg(F.count("*").cast("long").alias("pages")))
+    hot = (fpd.groupBy("fp")
+           .agg(F.count("*").alias("n_domains"))
+           .where(F.col("n_domains") > MIRROR_FP_MAX_DOMAINS)
+           .select("fp"))
+    ff = fpd.join(F.broadcast(hot), "fp", "left_anti")
+    return (
+        ff.alias("a")
+        .join(ff.alias("b"),
+              (F.col("a.fp") == F.col("b.fp"))
+              & (F.col("a.domain") < F.col("b.domain")))
+        .groupBy(F.col("a.domain").alias("domain_a"),
+                 F.col("b.domain").alias("domain_b"))
+        .agg(F.count("*").cast("long").alias("shared_leads"),
+             F.sum("a.pages").cast("long").alias("pages_a"),
+             F.sum("b.pages").cast("long").alias("pages_b"))
+        .orderBy("domain_a", "domain_b"))
+
+
+FRONTIER_GOOD_MIN = 20    # crawl-quality predicate: token count in
+FRONTIER_GOOD_MAX = 5000  # [MIN, MAX] marks a page worth refetching
+
+
+def _crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r10 debut): host-level crawl-frontier priority — the
+    score a recrawl scheduler uses to decide which domains deserve
+    fetch budget: domains whose pages are mostly UNIQUE (low
+    alias-duplication under `host_dedup`'s canonicalization) and
+    mostly GOOD (token count inside the Gopher-ish usable band) rank
+    first; domains serving utm-splintered duplicates of thin pages
+    rank last.  priority = unique_share × good_share, formed as ONE
+    exact integer ratio (unique_pages·n_good) / pages² so the 4-dp
+    report is round4_ratio-safe (int ratios CAN land on decimal
+    halves — the r5 divergence class).
+
+    100 TB shape: the quality predicate and canonicalization are
+    map-side; ONE hash agg to (domain, canon_url) grain (distinct
+    URLs + per-URL goodness), ONE to domain grain — the same
+    two-level reduce as host_dedup, no joins; output is |domains|
+    rows sorted by the exact-rounded score."""
+    pages = _derived_pages(load(spark, sf_dir, "documents"))
+    n_toks = F.size(F.filter(
+        F.split(F.lower("text"), WS_RUN), lambda t: t != ""))
+    good = ((n_toks >= FRONTIER_GOOD_MIN)
+            & (n_toks <= FRONTIER_GOOD_MAX)).cast("long")
+    per_url = (
+        pages.select("domain", "canon_url", good.alias("good"))
+        .groupBy("domain", "canon_url")
+        .agg(F.count("*").alias("copies"), F.sum("good").alias("n_good")))
+    return (
+        per_url.groupBy("domain")
+        .agg(F.sum("copies").cast("long").alias("pages"),
+             F.count("*").cast("long").alias("unique_pages"),
+             F.sum("n_good").cast("long").alias("n_good"))
+        .select("domain", "pages", "unique_pages", "n_good",
+                round4_ratio(
+                    F.col("unique_pages") * F.col("n_good"),
+                    F.col("pages") * F.col("pages")).alias("priority"))
+        .orderBy(F.col("priority").desc(), "domain"))
 
 
 QUERIES = {
@@ -1793,6 +1912,8 @@ QUERIES = {
     "ngram_novelty": _ngram_novelty,
     "novelty_delta": _novelty_delta,
     "host_dedup": _host_dedup,
+    "mirror_detect": _mirror_detect,
+    "crawl_frontier": _crawl_frontier,
 }
 
 ORACLES = {
@@ -2385,9 +2506,11 @@ FROM per ORDER BY doc_id
 # host_dedup oracle (r9): the same derived URLs; HOST/PATH extraction
 # mirrored with regexes (DuckDB has no parse_url) — exact for the
 # generated https://host/path[?query] shape
-ORACLES["host_dedup"] = f"""
-WITH pages AS (
-  SELECT doc_id, n_chars,
+#: DuckDB mirror of `_derived_pages` (ends defining CTE
+#: `canon(doc_id, n_chars, source, text, domain, canon_url)`) —
+#: shared by the host_dedup, mirror_detect and crawl_frontier oracles.
+_DUCK_PAGES_CTES = """pages AS (
+  SELECT doc_id, n_chars, source, text,
          'https://'
          || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
          || CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END
@@ -2396,14 +2519,17 @@ WITH pages AS (
            AS url
   FROM documents
 ), canon AS (
-  SELECT doc_id, n_chars,
+  SELECT doc_id, n_chars, source, text,
          regexp_replace(lower(regexp_extract(url,
              'https://([^/]+)/', 1)), '^www\\.', '') AS domain,
          regexp_replace(lower(regexp_extract(url,
              'https://([^/]+)/', 1)), '^www\\.', '')
          || regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS canon_url
   FROM pages
-), per_url AS (
+)"""
+
+ORACLES["host_dedup"] = f"""
+WITH {_DUCK_PAGES_CTES}, per_url AS (
   SELECT domain, canon_url,
          CAST(count(*) AS BIGINT) AS copies,
          min(doc_id) AS kept_doc,
@@ -2422,4 +2548,58 @@ SELECT domain, pages, unique_pages, dup_pages,
        {round4_ratio_sql("dup_pages", "pages")} AS dup_rate,
        kept_chars, first_doc
 FROM roll ORDER BY domain
+"""
+
+# mirror_detect (r10): lead-fingerprint × domain grain, df-pruned,
+# self-joined — winnow_join's pair discipline over _DUCK_PAGES_CTES
+ORACLES["mirror_detect"] = f"""
+WITH {_DUCK_PAGES_CTES}, fpd AS (
+  SELECT CAST(concat('0x', substr(sha256(array_to_string(
+             string_split_regex(lower(text),
+                                '[{WS_CHARS}]+')[1:{MIRROR_LEAD_N}],
+             ' ')), 1, 15)) AS BIGINT) AS fp,
+         domain, CAST(count(*) AS BIGINT) AS pages
+  FROM canon WHERE text != ''
+  GROUP BY 1, 2
+), hot AS (
+  SELECT fp FROM (SELECT fp, count(*) AS n_domains FROM fpd GROUP BY fp)
+  WHERE n_domains > {MIRROR_FP_MAX_DOMAINS}
+), ff AS (
+  SELECT f.fp, f.domain, f.pages FROM fpd f
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.fp = f.fp)
+)
+SELECT a.domain AS domain_a, b.domain AS domain_b,
+       CAST(count(*) AS BIGINT) AS shared_leads,
+       CAST(sum(a.pages) AS BIGINT) AS pages_a,
+       CAST(sum(b.pages) AS BIGINT) AS pages_b
+FROM ff a JOIN ff b ON a.fp = b.fp AND a.domain < b.domain
+GROUP BY 1, 2
+ORDER BY domain_a, domain_b
+"""
+
+# crawl_frontier (r10): the host_dedup two-level reduce with a
+# quality predicate; priority as ONE exact integer ratio
+ORACLES["crawl_frontier"] = f"""
+WITH {_DUCK_PAGES_CTES}, good AS (
+  SELECT domain, canon_url,
+         CASE WHEN len(list_filter(string_split_regex(lower(text),
+                  '[{WS_CHARS}]+'), t -> t != ''))
+                  BETWEEN {FRONTIER_GOOD_MIN} AND {FRONTIER_GOOD_MAX}
+              THEN 1 ELSE 0 END AS good
+  FROM canon
+), per_url AS (
+  SELECT domain, canon_url, CAST(count(*) AS BIGINT) AS copies,
+         CAST(sum(good) AS BIGINT) AS n_good
+  FROM good GROUP BY domain, canon_url
+), roll AS (
+  SELECT domain, CAST(sum(copies) AS BIGINT) AS pages,
+         CAST(count(*) AS BIGINT) AS unique_pages,
+         CAST(sum(n_good) AS BIGINT) AS n_good
+  FROM per_url GROUP BY domain
+)
+SELECT domain, pages, unique_pages, n_good,
+       {round4_ratio_sql("unique_pages * n_good", "pages * pages")}
+         AS priority
+FROM roll
+ORDER BY priority DESC, domain
 """

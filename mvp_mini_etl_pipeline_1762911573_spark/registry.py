@@ -16,24 +16,23 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-9 window (current): the 4 r9 debuts FIRST (similarity_recall,
-token_fertility, novelty_delta, host_dedup — debut count deliberately
-small per the r8 verdict's freshness-over-debuts guidance), then
-simhash_join, whose OUTPUT CHANGED this round (120-bit two-BIGINT
-prints with 4x30-bit bands replace the r8 scale-weak 60-bit/4x15
-form — the r8 green row certifies the old recipe, so it re-verifies
-like a debut), then the ENTIRE 36-query round-3-stale tier (6 rounds
-without a fresh row — retired in one beat, rotation_report's exact
-list), then the 9 stalest round-4 greens (alphabetical; bpe_encode,
-which sat between them by staleness, is rows-only and structurally
-excluded).  Rows-only queries (similarity_join, dedup_near,
+Round-10 window (current): the 5 r10 debuts FIRST (mirror_detect,
+crawl_frontier, source_perplexity, winnow_coverage, ivfpq_recall —
+the verdict-suggested candidate set, at the <=5 debut budget the r8
+verdict set to protect freshness), then similarity_recall (its
+n_queries derivation moved to the exact arm per the r9 ADVICE —
+values identical on the fixtures, re-windowed as insurance), then
+the ENTIRE 36-query round-4-stale remainder (6 rounds without a
+fresh row — the ceil(N/50)+1 staleness ceiling enforced by
+test_window_rotation_bounds_max_staleness), then the 8 stalest
+round-6 greens.  Rows-only queries (similarity_join, dedup_near,
 dedup_simhash, bpe_encode) are permanently excluded from the window —
 the driver records only `err: no_oracle` for them, a wasted slot
 (r7's lesson; enforced by
 test_window_contains_only_oracle_checked_queries, and skipped by
 rotation_report.py's candidate list since r9).
 
-ROTATION NOTE (round 9 → 10): any round-9 debuts go FIRST, then fill
+ROTATION NOTE (round 10 → 11): any round-10 debuts go FIRST, then fill
 from `python scripts/rotation_report.py` (it derives each query's
 latest official row from CORRECTNESS_r*.json and prints the
 stalest-first candidate list sized to the window; rounds 2, 3 AND 6
@@ -65,39 +64,40 @@ from pyspark.sql import DataFrame, SparkSession
 # size so placement is deliberate, not accidental.
 WINDOW_SIZE = 50
 WINDOW_PRIORITY: list[str] = [
-    # ROUND-9 WINDOW (rotation_report.py's r9 plan, verbatim, per the
-    # r8 verdict's top task 2).  4 debuts + 1 output-contract change
-    # first, then the FULL 36-query round-3-stale tier (6 rounds
-    # without a fresh row), then the 9 stalest round-4 greens.
-    # 5 + 36 + 9 = 50: exactly full; the remaining r4 greens
-    # (bitmap_days, cdc_apply, chain_rcte, chi_square,
-    # cusum_changepoint, ... — rotation_report slots 46+) wait for
-    # r10, per the documented coverage-over-freshness trade (bounded
-    # by the slack-aware backlog invariant in tests/test_registry.py).
+    # ROUND-10 WINDOW (rotation_report.py's r10 plan: the ENTIRE
+    # 36-query round-4-stale remainder is at the ceil(N/50)+1 = 6-round
+    # staleness ceiling and rotates as one beat, per the r9 verdict's
+    # top task).  5 debuts + 1 derivation-clarified re-verify first,
+    # then the 36 r4-stale, then the 8 stalest round-6 greens.
+    # 6 + 36 + 8 = 50: exactly full; the remaining 6 r6 greens
+    # (benford_digits .. dedup_ngram_jaccard, rotation_report slots
+    # 45+) wait for r11 — 5 rounds stale then, inside the ceiling.
     # Rows-only queries are structurally excluded from this list
     # (test_window_contains_only_oracle_checked_queries) — a slot the
     # driver can't verify is a slot wasted.
-    # -- r9 debuts ------------------------------------------------------
-    "similarity_recall", "token_fertility", "novelty_delta",
-    "host_dedup",
-    # -- r9 output-contract change: 120-bit prints / 4x30-bit bands
-    # (the r8 green row certified the old 60-bit/4x15 recipe) ----------
-    "simhash_join",
-    # -- the entire 36-query round-3-stale tier (stalest-first,
-    # rotation_report order) -------------------------------------------
-    "funnel_steps", "gap_fill", "join_null_safe", "join_range_binned",
-    "lm_score", "lm_score_bigram", "mix_sources", "project_nested",
-    "retention_cohorts", "rolling_mau", "scd2_intervals", "scrub_pii",
-    "seq_pack", "split_assign", "sql_q1", "sql_q10", "sql_q11",
-    "sql_q12", "sql_q14", "sql_q15", "sql_q16", "sql_q17", "sql_q19",
-    "sql_q2", "sql_q20", "sql_q21", "sql_q6", "sql_q8", "sql_q9",
-    "synthetic_source", "text_repetition", "udtf_tokens", "vocab_topk",
-    "window_cume_dist", "window_fill_forward", "window_range_frame",
-    # -- 9 stalest round-4 greens (alphabetical; bpe_encode is
-    # rows-only and skipped) -------------------------------------------
-    "ab_test", "agg_avg_years", "agg_count", "agg_count_distinct",
-    "agg_cube", "agg_group_count", "asof_nearest", "attribution",
-    "basket_pairs",
+    # -- r10 debuts -----------------------------------------------------
+    "mirror_detect", "crawl_frontier", "source_perplexity",
+    "winnow_coverage", "ivfpq_recall",
+    # -- r10 derivation change, values identical (r9 ADVICE: n_queries
+    # now counted from the exact arm on both engines) — re-windowed as
+    # cheap insurance even though the r9 row's hashes still hold -------
+    "similarity_recall",
+    # -- the entire 36-query round-4-stale tier (6 rounds without a
+    # fresh row — the staleness ceiling; rotation_report order) --------
+    "bitmap_days", "cdc_apply", "chain_rcte", "chi_square",
+    "cusum_changepoint", "dedup_bloom", "dq_check", "entity_canonical",
+    "events_path_transitions", "events_sessionize", "feature_hash",
+    "gap_fill_interp", "graph_bfs", "graph_pagerank", "graph_triangles",
+    "heavy_hitters", "join_fuzzy", "mix_temperature",
+    "multimodal_pipeline", "profile_columns", "quality_logit",
+    "quantile_bins", "regr_by_group", "rfm_segments", "sample_priority",
+    "scd2_merge", "session_overlap", "skew_report", "skyline_pareto",
+    "source_crawl", "stream_ohlc", "text_bm25", "time_bucket_ohlc",
+    "window_ewma", "window_rolling_median", "window_twap",
+    # -- 8 stalest round-6 greens (rotation_report order) ---------------
+    "agg_approx_count_distinct", "agg_approx_percentiles",
+    "agg_min_max", "agg_rollup", "agg_salted_twophase", "agg_stats",
+    "array_cosine", "asof_join",
 ]
 
 
