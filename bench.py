@@ -92,6 +92,11 @@ HEADLINE = [
     "token_fertility",      # round 9: per-language tokenizer pieces
     "novelty_delta",        # round 9: batch-over-corpus gram novelty
     "host_dedup",           # round 9: URL canonicalization rollup
+    "mirror_detect",        # round 10: df-pruned cross-domain mirrors
+    "crawl_frontier",       # round 10: two-level host priority reduce
+    "source_perplexity",    # round 10: token-keyed LM rollup
+    "winnow_coverage",      # round 10: winnowing-guarantee audit
+    "ivfpq_recall",         # round 10: IVFADC quality readout
 ]
 
 #: the cross-machine timing anchors (ADVICE/verdict r7: two rounds in a

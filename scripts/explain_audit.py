@@ -90,6 +90,11 @@ AUDIT = [
     "token_fertility",    # round-9: vocab TakeOrdered + broadcast rejoin
     "novelty_delta",      # round-9: gram-keyed index join, linear
     "host_dedup",         # round-9: join-free two-level hash agg
+    "mirror_detect",      # round-10: df-pruned lead-fp pair join
+    "crawl_frontier",     # round-10: join-free two-level hash agg
+    "source_perplexity",  # round-10: token-keyed vocab join + rollup
+    "winnow_coverage",    # round-10: one doc exchange, lag audit
+    "ivfpq_recall",       # round-10: three bounded arms, map-side PQ
 ]
 
 

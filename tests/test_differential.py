@@ -243,7 +243,31 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            # + %13 page slots) over adversarial doc_id layouts — the
            # canonicalization and min_by survivor pick must stay
            # engine-equal when n_chars repeats and copies tie
-           "host_dedup"]
+           "host_dedup",
+           # r10: repetition docs give IDENTICAL 8-token leads across
+           # sources (genuine mirror pairs), empty docs are excluded
+           # on both engines, short docs fingerprint fewer-than-8
+           # tokens, and the tiny shared vocabulary pushes some leads
+           # over the 12-domain df prune — both engines must drop the
+           # SAME hot-lead list before pairing
+           "mirror_detect",
+           # r10: adversarial corpora where most docs are OUTSIDE the
+           # [20, 5000] good-token band (empty/whitespace/single-token
+           # → n_good = 0 numerators) and heavy URL aliasing drives
+           # unique_share down — the priority int ratio and its
+           # DESC-order tie-breaks must stay engine-equal
+           "crawl_frontier",
+           # r10: single-doc and empty sources (n_tokens edge), NBSP
+           # tokenizer parity upstream of the micro-nat sums, and
+           # repetition corpora where one token carries ~all mass
+           # (nll_u near 0 — the floor(+0.5) boundary)
+           "source_perplexity",
+           # r10: repetition storms make runs of identical gram hashes
+           # (leftmost-min tie chains → sparse selections with MAXIMAL
+           # gaps — the guarantee boundary), short docs land in the
+           # one-window degenerate branch, and gram-less docs must
+           # drop out of BOTH engines identically
+           "winnow_coverage"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 
@@ -337,6 +361,13 @@ EMB_OPS = ["array_cosine", "embedding_normalize", "embedding_quantize",
            # the recall counts, scan shares and the beats_random
            # cross-multiplication must stay engine-equal on all of it
            "similarity_recall"]
+# ivfpq_recall is deliberately NOT in this tier: its concentrates_hits
+# column is a sketch-contract LITERAL (oracle emits TRUE; the PQ side
+# is not SQL-replayable), and unlike cms_topk's never_under — a
+# theorem — ADC concentration is an empirical property that adversarial
+# tie-heavy corpora (exact scaled copies, constant vectors) can
+# legitimately break.  Its claim is pinned on the committed fixtures
+# (all 3 SFs) by the driver window and scripts/check_query.py.
 
 
 def _gen_embeddings(seed: int, n: int = 300, dim: int = 64):

@@ -1188,3 +1188,106 @@ def test_similarity_recall_costs_the_two_arms_not_more(spark, sf_dir):
     assert s["shuffle_records"] <= (N_QUERIES + IVF_NPROBE + 6) * n \
         + 64 * 32
     assert s["spill_disk_bytes"] == 0
+
+
+def test_mirror_detect_prunes_hot_leads_before_pairing(spark, sf_dir):
+    """mirror_detect's scale claim measured (r10): the lead
+    fingerprint is map-side, the (fp, domain) grain reduce partial-
+    aggregates before its exchange, boilerplate leads are df-pruned
+    BEFORE the self-join (winnow_join's discipline), and the pair
+    aggregate moves candidates only — shuffle traffic is a small
+    multiple of the (fp, domain) grain plus candidate pairs, never
+    |domains|² per hot lead and never the document stream's text."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        MIRROR_LEAD_N, _derived_pages)
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import WS_RUN
+
+    docs = load(spark, sf_dir, "documents")
+    grain = (_derived_pages(docs)
+             .where(F.col("text") != "")
+             .select(F.sha2(F.concat_ws(
+                 " ", F.slice(F.split(F.lower("text"), WS_RUN),
+                              1, MIRROR_LEAD_N)), 256).alias("fp"),
+                     "domain")
+             .distinct().count())
+    got = profile(all_queries()["mirror_detect"](spark, sf_dir))
+    s = got["summary"]
+    n_pairs = s["output_rows"]
+    # grain crosses a bounded number of stages (fpd partials, hot-df
+    # reduce, two pair-join inputs) plus the pair aggregate
+    assert s["shuffle_records"] <= 8 * grain + 4 * n_pairs + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_crawl_frontier_aggregates_urls_never_joins(spark, sf_dir):
+    """crawl_frontier's scale claim measured (r10): host_dedup's
+    two-level reduce with a map-side quality predicate — per-URL
+    states are bounded by the URL-slot universe (sources × 13 page
+    slots), the domain rollup by |domains|, and nothing joins."""
+    docs = load(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    got = profile(all_queries()["crawl_frontier"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 34 * (n_sources * 13 + n_sources) \
+        + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_source_perplexity_shuffles_token_stream_linearly(spark, sf_dir):
+    """source_perplexity's scale claim measured (r10): lm_score's
+    vocab join (the one token-keyed exchange family — vocab partials
+    plus the scored token stream) followed by a source rollup whose
+    state is |sources| per partition; total shuffle traffic is a
+    small multiple of the token count, never quadratic in anything."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _tokens)
+
+    docs = load(spark, sf_dir, "documents")
+    n_toks = docs.select(
+        F.size(_tokens(F.col("text"))).alias("k")
+    ).agg(F.sum("k")).collect()[0][0]
+    got = profile(all_queries()["source_perplexity"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 6 * n_toks + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_winnow_coverage_shuffles_gram_stream_once(spark, sf_dir):
+    """winnow_coverage's scale claim measured (r10): the winnowing
+    selection's one doc_id exchange (winnow_fingerprint's bound) plus
+    the selection-sized lag pass and the doc-grain gram-count join —
+    bounded by a small multiple of the gram stream, with the audit
+    stages adding only selection-sized (~2L/(W+1)) traffic."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        WINNOW_K, WS_RUN)
+
+    docs = load(spark, sf_dir, "documents")
+    n_grams = docs.select(
+        F.greatest(
+            F.size(F.split(F.lower("text"), WS_RUN)) - (WINNOW_K - 1),
+            F.lit(0)).alias("g")
+    ).agg(F.sum("g")).collect()[0][0]
+    got = profile(all_queries()["winnow_coverage"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= 5 * n_grams + 64 * 32
+    assert s["spill_disk_bytes"] == 0
+
+
+def test_ivfpq_recall_costs_the_arms_not_more(spark, sf_dir):
+    """ivfpq_recall's scale claim measured (r10): the readout pays
+    its three arms — the exact corpus×|Q| evaluation stream, the IVF
+    candidate stream (counted twice: once scored for `scanned`, once
+    as ivfpq's ADC input), and the ids-only top-k exchanges — plus
+    query-set-sized joins; PQ encode and cell assignment are
+    zero-shuffle map passes (codebooks/centroids ride in UDF
+    closures), so total traffic stays a small multiple of
+    corpus × N_QUERIES with nothing quadratic in the corpus."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        IVF_NPROBE, N_QUERIES)
+
+    n = load(spark, sf_dir, "embeddings").count()
+    got = profile(all_queries()["ivfpq_recall"](spark, sf_dir))
+    s = got["summary"]
+    assert s["shuffle_records"] <= (N_QUERIES + 3 * IVF_NPROBE + 8) * n \
+        + 64 * 32
+    assert s["spill_disk_bytes"] == 0

@@ -1650,3 +1650,118 @@ def test_host_dedup_rollup_is_conservative(spark, sf_dir):
         assert 0 < r.unique_pages <= r.pages
         assert r.dup_pages >= 1          # pigeonhole: >13 docs/source
     assert sum(r.kept_chars for r in rows) <= total_chars
+
+
+def test_winnow_coverage_guarantee_holds_corpus_wide(spark, sf_dir):
+    """The MOSS density theorem, asserted on every fixture doc: each
+    selected-position gap (virtual start at -1) is within WINNOW_W,
+    selections never exceed grams, and the density ratio stays in
+    (0, 1] against the window count — the query-shaped twin of the
+    winnow_fingerprint pigeonhole pins."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _winnow_coverage)
+
+    rows = _winnow_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.guarantee_holds, (r.doc_id, r.max_gap)
+        assert 1 <= r.max_gap <= r.n_grams
+        assert 1 <= r.n_fps <= r.n_grams
+        assert 0.0 < r.density <= 1.0
+
+
+def test_mirror_detect_finds_planted_mirrors_and_prunes_boilerplate(
+        spark, tmp_path):
+    """Construction test: two sources serving the SAME 8-token lead
+    must surface as a mirror pair with exact page counts, while a
+    boilerplate lead planted on > MIRROR_FP_MAX_DOMAINS domains must
+    be df-pruned (no |domains|² pair wall from one hot lead)."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        MIRROR_FP_MAX_DOMAINS, _mirror_detect)
+
+    lead = "alpha beta gamma delta epsilon zeta eta theta"
+    boiler = "terms of service apply to all pages here"
+    rows, did = [], 0
+    # sources s00/s01 mirror the lead (2 pages on a, 1 on b);
+    # doc_id % 13 spreads page slots, irrelevant to the fingerprint
+    for src, copies in [("s00", 2), ("s01", 1)]:
+        for c in range(copies):
+            rows.append((did, f"{lead} tail {src} {c}", "en", src, 1))
+            did += 1
+    # boilerplate lead on MANY domains -> pruned
+    for j in range(MIRROR_FP_MAX_DOMAINS + 2):
+        rows.append((did, f"{boiler} extra {j}", "en", f"b{j:02d}", 1))
+        did += 1
+    d = tmp_path / "mirror"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long").write.parquet(f"{d}/documents.parquet")
+    got = _mirror_detect(spark, str(d)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.domain_a, r.domain_b) == ("s00.example.org",
+                                        "s01.example.org")
+    assert (r.shared_leads, r.pages_a, r.pages_b) == (1, 2, 1)
+
+
+def test_crawl_frontier_priority_composes_the_two_shares(spark, sf_dir):
+    """priority must equal round4(unique_share × good_share) as the
+    ONE exact integer ratio (unique·n_good)/pages², and the rollup
+    must conserve page counts against host_dedup's."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.dedup import (
+        _crawl_frontier, _host_dedup)
+
+    fr = {r.domain: r for r in _crawl_frontier(spark, sf_dir).collect()}
+    hd = {r.domain: r for r in _host_dedup(spark, sf_dir).collect()}
+    assert set(fr) == set(hd)
+    for dom, r in fr.items():
+        assert r.pages == hd[dom].pages
+        assert r.unique_pages == hd[dom].unique_pages
+        assert 0 <= r.n_good <= r.pages
+        # half-up int-ratio replay
+        num, den = r.unique_pages * r.n_good * 10**4, r.pages * r.pages
+        assert abs(r.priority - ((2 * num + den) // (2 * den)) / 1e4) \
+            < 1e-12
+
+
+def test_source_perplexity_is_the_token_weighted_lm_score(spark, sf_dir):
+    """The source rollup must be consistent with the per-doc grain:
+    token counts conserve exactly, and each source's avg_nll is the
+    token-weighted mean of its docs' (exact micro-nat sums share the
+    same model), reproduced here from lm_score's own columns."""
+    from mvp_mini_etl_pipeline_1762911573_spark.functions.text import (
+        _lm_score, _source_perplexity)
+
+    docs = load(spark, sf_dir, "documents")
+    src_of = {r.doc_id: r.source for r in
+              docs.select("doc_id", "source").collect()}
+    per_doc = _lm_score(spark, sf_dir).collect()
+    agg = {}
+    for r in per_doc:
+        s = agg.setdefault(src_of[r.doc_id], [0, 0, 0.0])
+        s[0] += 1
+        s[1] += r.n_tokens
+        s[2] += r.avg_nll * r.n_tokens      # 4dp-rounded, approximate
+    got = {r.source: r for r in
+           _source_perplexity(spark, sf_dir).collect()}
+    assert set(got) == set(agg)
+    for src, (n_docs, n_toks, nll_sum) in agg.items():
+        assert got[src].n_docs == n_docs
+        assert got[src].n_tokens == n_toks
+        # per-doc avg_nll is rounded to 4dp before re-weighting, so
+        # agree to the accumulated rounding envelope
+        assert abs(got[src].avg_nll - nll_sum / n_toks) < 1e-3
+
+
+def test_ivfpq_recall_readout_is_internally_consistent(spark, sf_dir):
+    """The sketch-contract columns must satisfy the containments the
+    construction promises: the routing surfaces at most k_total true
+    neighbors, scans at most the whole (self-excluded) corpus per
+    query, and the PQ concentration claim holds on the fixtures."""
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.similarity import (
+        _ivfpq_recall)
+
+    r = _ivfpq_recall(spark, sf_dir).collect()[0]
+    assert 0 <= r.cand_hits <= r.k_total
+    assert 0 < r.scanned <= r.n_queries * (r.n_corpus - 1)
+    assert r.concentrates_hits

@@ -72,7 +72,15 @@ HEAVY = ["dedup_near", "dedup_clusters_star", "similarity_join",
          # bijective rename re-randomizes each shard's token hashes,
          # keeping per-shard vote/band work 10 isomorphic copies.
          "winnow_fingerprint", "winnow_join", "minhash_lsh_join",
-         "js_divergence", "simhash_join"]
+         "js_divergence", "simhash_join",
+         # round 10: suffixed tokens keep per-shard structure intact —
+         # winnow_coverage's selection/gap audit is 10 isomorphic
+         # copies of the base winnower; mirror_detect's 8-token leads
+         # are shard-distinct (cross-shard lead collisions only at the
+         # sha 60-bit level), domains stay |sources|, and the
+         # 12-domain df prune caps per-lead fan-out identically per
+         # shard, so grain and pair work are both 10 copies
+         "winnow_coverage", "mirror_detect"]
 
 
 @pytest.fixture(scope="module")
