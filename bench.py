@@ -104,11 +104,15 @@ HEADLINE = [
 #: wall-second deltas read as regressions).  r9 follow-up: a SINGLE
 #: anchor is itself a noise source — sql_q9 sped up 2.07→1.65s in r9
 #: and every ratio inflated ~1.25x, reading as a fleet-wide regression.
-#: The normalizer is now the MEDIAN of three stable heavyweights
-#: (scan-agg, 6-table join, fact-fact HAVING): one anchor drifting no
-#: longer moves the ratios.  `anchor_ratios` divide each query's
-#: seconds by that median, so cross-round comparison of RATIOS cancels
-#: the machine factor.
+#: The normalizer is now the GEOMETRIC MEAN of three stable
+#: heavyweights (scan-agg, 6-table join, fact-fact HAVING).  Not the
+#: median: the three anchors are well separated in magnitude (~0.35 /
+#: 0.73 / 2.1s), so a median just re-selects the middle one and its
+#: solo drift would move every ratio — the r9 failure mode verbatim
+#: (r10 review).  Under the geomean a 1.5x drift in ONE anchor moves
+#: the normalizer only 1.5^(1/3) ≈ 1.14x, and a uniform machine-speed
+#: factor still cancels exactly.  `anchor_ratios` divide each query's
+#: seconds by it — compare RATIOS across rounds, never wall seconds.
 ANCHORS = ["sql_q1", "sql_q9", "sql_q18"]
 
 
@@ -223,17 +227,21 @@ def main() -> None:
         raise SystemExit(
             f"bench anchors {missing!r} missing or zero-timed; "
             "anchor_ratios would silently degrade to wall seconds")
-    anchor_sec = sorted(timings[a] for a in ANCHORS)[len(ANCHORS) // 2]
+    prod = 1.0
+    for a in ANCHORS:
+        prod *= timings[a]
+    anchor_sec = round(prod ** (1.0 / len(ANCHORS)), 4)
     detail = {
         "queries": timings,
-        # machine-speed-invariant view: seconds / median-anchor seconds.
-        # Compare THESE across rounds; wall-second deltas on different
-        # machines are dominated by the host factor (r6->r7 lesson,
-        # twice), and a single anchor's own drift moved every r9 ratio
-        # (r9 verdict) — the median of three is robust to one drifting.
+        # machine-speed-invariant view: seconds / geomean-anchor
+        # seconds.  Compare THESE across rounds; wall-second deltas on
+        # different machines are dominated by the host factor (r6->r7
+        # lesson, twice), and a single anchor's own drift moved every
+        # r9 ratio — the geomean of three dilutes one drifter to its
+        # cube root (see ANCHORS).
         "anchors": ANCHORS,
         "anchor_secs": {a: timings[a] for a in ANCHORS},
-        "anchor": "median(%s)" % ",".join(ANCHORS),
+        "anchor": "geomean(%s)" % ",".join(ANCHORS),
         "anchor_sec": anchor_sec,
         "anchor_ratios": {k: round(v / anchor_sec, 3)
                           for k, v in timings.items()},
@@ -273,7 +281,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
-        "anchor": "median(%s)" % ",".join(ANCHORS),
+        "anchor": "geomean(%s)" % ",".join(ANCHORS),
         "anchor_sec": anchor_sec,
         "detail": detail_name,
         "sf": sf_val,

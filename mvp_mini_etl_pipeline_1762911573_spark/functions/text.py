@@ -218,11 +218,15 @@ def _winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _winnow_rows(docs).orderBy("doc_id", "pos")
 
 
-def _winnow_rows(docs: DataFrame) -> DataFrame:
-    """The winnowing selection pipeline itself (doc_id, fp, pos) —
-    shared by `winnow_fingerprint` (the per-doc report) and
-    `winnow_join` (the fingerprint-overlap candidate join built on
-    it); one copy mirroring the one _DUCK_WINNOW_CTES oracle chain."""
+def _winnow_selected(docs: DataFrame) -> DataFrame:
+    """The winnowing selection core (doc_id, wmin, n_grams) — the ONE
+    implementation mirroring the _DUCK_WINNOW_CTES oracle chain.
+    n_grams (the doc's positional gram count) rides through the
+    distinct unchanged (it is functionally dependent on doc_id) so
+    every consumer reads the gram-count the SELECTION actually saw —
+    `winnow_coverage` once re-derived it from an independent
+    split-size formula, the hand-kept-copy drift class (r10
+    review)."""
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
     # positional (NOT distinct) gram stream — _gram_array dedups, the
@@ -243,13 +247,20 @@ def _winnow_rows(docs: DataFrame) -> DataFrame:
     wdoc = Window.partitionBy("doc_id")
     wmin = (Window.partitionBy("doc_id").orderBy("pos")
             .rowsBetween(Window.currentRow, WINNOW_W - 1))
-    sel = (g.select("doc_id", "pos", c)
-           .withColumn("n_grams", F.count("*").over(wdoc))
-           .withColumn("wmin", F.min("c").over(wmin))
-           .where(F.col("pos")
-                  <= F.greatest(F.col("n_grams") - WINNOW_W, F.lit(0)))
-           .select("doc_id", "wmin").distinct())
-    return sel.select(
+    return (g.select("doc_id", "pos", c)
+            .withColumn("n_grams", F.count("*").over(wdoc))
+            .withColumn("wmin", F.min("c").over(wmin))
+            .where(F.col("pos")
+                   <= F.greatest(F.col("n_grams") - WINNOW_W, F.lit(0)))
+            .select("doc_id", "wmin", "n_grams").distinct())
+
+
+def _winnow_rows(docs: DataFrame) -> DataFrame:
+    """The winnowing selection pipeline (doc_id, fp, pos) — shared by
+    `winnow_fingerprint` (the per-doc report) and `winnow_join` (the
+    fingerprint-overlap candidate join built on it); unpacks
+    `_winnow_selected`'s packed minima."""
+    return _winnow_selected(docs).select(
         "doc_id",
         ((F.col("wmin") - F.pmod("wmin", _WINNOW_POS_M))
          / _WINNOW_POS_M).cast("long").alias("fp"),
@@ -335,29 +346,27 @@ def _winnow_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: one doc-keyed exchange (shared with the winnow
     selection's own window sort) orders each doc's ~2L/(W+1) selected
     positions; gaps come from ONE lag pass; per-doc state is the
-    selection, never the gram stream."""
+    selection, never the gram stream.  n_grams rides on the selection
+    rows themselves (`_winnow_selected` — the count the selection
+    actually saw, the same single-source rule the oracle gets from
+    the shared `w` CTE), so the audit needs no second scan and can
+    never drift from the winnower's own tokenization."""
     docs = load(spark, sf_dir, "documents")
-    sel = _winnow_rows(docs).select("doc_id", "pos").distinct()
+    sel = _winnow_selected(docs).select(
+        "doc_id", "n_grams",
+        F.pmod("wmin", _WINNOW_POS_M).cast("long").alias("pos"))
     w_lag = Window.partitionBy("doc_id").orderBy("pos")
     gaps = sel.select(
-        "doc_id", "pos",
+        "doc_id", "n_grams", "pos",
         (F.col("pos")
          - F.coalesce(F.lag("pos").over(w_lag), F.lit(-1))).alias("gap"))
-    n_grams = (
-        docs.select(
-            "doc_id",
-            F.greatest(
-                F.size(F.split(F.lower("text"), WS_RUN))
-                - (WINNOW_K - 1), F.lit(0)).alias("n_grams"))
-        .where(F.col("n_grams") > 0))
     return (
         gaps.groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("n_fps"),
+        .agg(F.max("n_grams").cast("long").alias("n_grams"),
+             F.count("*").cast("long").alias("n_fps"),
              F.max("gap").cast("long").alias("max_gap"))
-        .join(n_grams, "doc_id")
         .select(
-            "doc_id", F.col("n_grams").cast("long").alias("n_grams"),
-            "n_fps",
+            "doc_id", "n_grams", "n_fps",
             round4_ratio(
                 F.col("n_fps"),
                 F.greatest(F.col("n_grams") - (WINNOW_W - 1), F.lit(1)))
@@ -919,6 +928,31 @@ def _cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_scored_tokens(docs: DataFrame) -> DataFrame:
+    """The unigram-LM token-scoring chain (doc_id, source, nll_u) —
+    ONE implementation behind `_lm_score` (per-doc grain) and
+    `_source_perplexity` (source grain), mirroring the one
+    `_DUCK_LM_SCORED_CTES` oracle chain (r10 review: the two
+    hand-kept copies are exactly the drift class
+    `_source_token_counts` was factored for).  p(tok) = freq/total
+    over the whole corpus; per-token -ln p quantized to integer
+    MICRO-NATS (floor(x*1e6 + 0.5)) so every downstream reduction is
+    an exact integer sum."""
+    toks = docs.select(
+        "doc_id", "source",
+        F.explode(_tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    total = counts.agg(F.sum("freq").alias("total"))
+    nll_u = F.floor(
+        -F.log(F.col("freq") / F.col("total")) * 1e6 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "source", nll_u.alias("nll_u"))
+    )
+
+
 def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT: unigram language-model scoring — the cheap stand-in for
     the KenLM-style perplexity filter every LLM data pipeline runs
@@ -939,19 +973,7 @@ def _lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab covering 99%+ of mass is broadcast and the long tail gets a
     default smoothed prob — the plan here is the general shuffle
     form.)"""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
-    total = counts.agg(F.sum("freq").alias("total"))
-    nll_u = F.floor(
-        -F.log(F.col("freq") / F.col("total")) * 1e6 + F.lit(0.5)
-    ).cast("bigint")
-    scored = (
-        toks.join(counts, "tok")
-        .crossJoin(F.broadcast(total))
-        .select("doc_id", nll_u.alias("nll_u"))
-    )
+    scored = _lm_scored_tokens(load(spark, sf_dir, "documents"))
     return (
         scored.groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"),
@@ -1046,22 +1068,11 @@ def _source_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_nll is round4_ratio (half-up in pure int64).
 
     100 TB shape: the vocab join is lm_score's one token-keyed
-    shuffle; the source rollup is a second reduce whose state is
-    |sources| rows — strictly cheaper than lm_score's per-doc state.
-    No new shuffle classes, no collect."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", F.explode(_tokens(F.col("text"))).alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
-    total = counts.agg(F.sum("freq").alias("total"))
-    nll_u = F.floor(
-        -F.log(F.col("freq") / F.col("total")) * 1e6 + F.lit(0.5)
-    ).cast("bigint")
-    scored = (
-        toks.join(counts, "tok")
-        .crossJoin(F.broadcast(total))
-        .select("doc_id", "source", nll_u.alias("nll_u"))
-    )
+    shuffle (`_lm_scored_tokens`, the shared chain); the source
+    rollup is a second reduce whose state is |sources| rows —
+    strictly cheaper than lm_score's per-doc state.  No new shuffle
+    classes, no collect."""
+    scored = _lm_scored_tokens(load(spark, sf_dir, "documents"))
     return (
         scored.groupBy("source")
         .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"),
@@ -2327,6 +2338,23 @@ _DUCK_SRC_TOK_CTES = f"""stt AS (
   FROM stt GROUP BY source, tok
 )"""
 
+#: The DuckDB mirror of `_lm_scored_tokens` (ends defining CTE
+#: `lm_scored(doc_id, source, nll_u)`) — shared by the lm_score and
+#: source_perplexity oracles; ONE copy of the micro-nat quantization.
+_DUCK_LM_SCORED_CTES = f"""lm_toks AS (
+  SELECT doc_id, source, unnest({_DUCK_TOKS}) AS tok FROM documents
+), lm_counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq
+  FROM lm_toks GROUP BY tok
+), lm_total AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS total FROM lm_counts
+), lm_scored AS (
+  SELECT t.doc_id, t.source,
+         CAST(floor(-ln(c.freq / lm_total.total) * 1e6 + 0.5)
+              AS BIGINT) AS nll_u
+  FROM lm_toks t JOIN lm_counts c ON t.tok = c.tok, lm_total
+)"""
+
 #: The DuckDB mirror of `_winnow_rows` up to the per-row window
 #: minima (ends defining CTE `w` with doc_id/pos/n_grams/wmin) —
 #: shared by the winnow_fingerprint and winnow_join oracles.
@@ -2756,25 +2784,14 @@ SELECT source, n_docs, avail_tokens, weight,
 FROM per_src, totals
 """,
     "lm_score": f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
-), counts AS (
-  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
-), total AS (
-  SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts
-), scored AS (
-  SELECT t.doc_id,
-         CAST(floor(-ln(c.freq / total.total) * 1e6 + 0.5) AS BIGINT)
-           AS nll_u
-  FROM toks t JOIN counts c ON t.tok = c.tok, total
-)
+WITH {_DUCK_LM_SCORED_CTES}
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        {round4_ratio_sql("CAST(sum(nll_u) AS BIGINT)",
                          "count(*) * 1000000")}
          AS avg_nll,
        round(exp(CAST(sum(nll_u) AS BIGINT) / (count(*) * 1e6)), 2)
          AS ppl
-FROM scored GROUP BY doc_id
+FROM lm_scored GROUP BY doc_id
 """,
     "vocab_topk": f"""
 WITH tok AS (
@@ -3041,21 +3058,11 @@ SELECT c.doc_id, n.n_grams, c.n_fps,
 FROM cov c JOIN ng n ON c.doc_id = n.doc_id
 ORDER BY c.doc_id
 """,
-    # source_perplexity (r10): lm_score's micro-nat model, reduced by
-    # source; exact BIGINT sums, one exp at the end
+    # source_perplexity (r10): lm_score's micro-nat model (the shared
+    # lm_scored CTE chain), reduced by source; exact BIGINT sums, one
+    # exp at the end
     "source_perplexity": f"""
-WITH toks AS (
-  SELECT doc_id, source, unnest({_DUCK_TOKS}) AS tok FROM documents
-), counts AS (
-  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY tok
-), total AS (
-  SELECT CAST(sum(freq) AS BIGINT) AS total FROM counts
-), scored AS (
-  SELECT t.doc_id, t.source,
-         CAST(floor(-ln(c.freq / total.total) * 1e6 + 0.5) AS BIGINT)
-           AS nll_u
-  FROM toks t JOIN counts c ON t.tok = c.tok, total
-)
+WITH {_DUCK_LM_SCORED_CTES}
 SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_tokens,
        {round4_ratio_sql("CAST(sum(nll_u) AS BIGINT)",
@@ -3063,7 +3070,7 @@ SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          AS avg_nll,
        round(exp(CAST(sum(nll_u) AS BIGINT) / (count(*) * 1e6)), 2)
          AS ppl
-FROM scored GROUP BY source
+FROM lm_scored GROUP BY source
 ORDER BY source
 """,
     # zipf_fit (r8): identical rank/µ-nat quantization and exact OLS

@@ -35,7 +35,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.exact import round4_ratio, round4_ratio_sql
-from ..functions.text import WS_CHARS, WS_RUN
+from ..functions.text import WS_CHARS, WS_RUN, _tokens
 from ..oracles import USERS_CTE
 from ..tables import load, users_valid
 from .similarity import DUCK_CELLS_CTE, SIM_THRESHOLD
@@ -1866,8 +1866,7 @@ def _crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level reduce as host_dedup, no joins; output is |domains|
     rows sorted by the exact-rounded score."""
     pages = _derived_pages(load(spark, sf_dir, "documents"))
-    n_toks = F.size(F.filter(
-        F.split(F.lower("text"), WS_RUN), lambda t: t != ""))
+    n_toks = F.size(_tokens(F.col("text")))
     good = ((n_toks >= FRONTIER_GOOD_MIN)
             & (n_toks <= FRONTIER_GOOD_MAX)).cast("long")
     per_url = (

@@ -995,20 +995,23 @@ def _ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     approx = (ivfpq_search(emb)
               .select("q_id", "n_id", F.lit(1).alias("hit")))
-    cands = (_ivf_scored(spark, sf_dir)
-             .select("q_id", "n_id", F.lit(1).alias("cand")))
     exact = _similarity_topk(spark, sf_dir).select("q_id", "n_id")
     hits = (
         exact.join(F.broadcast(approx), ["q_id", "n_id"], "left")
-        .join(F.broadcast(cands), ["q_id", "n_id"], "left")
         .agg(F.count("*").cast("long").alias("k_total"),
              F.sum(F.coalesce(F.col("hit"), F.lit(0)))
               .cast("long").alias("hits"),
-             F.sum(F.coalesce(F.col("cand"), F.lit(0)))
-              .cast("long").alias("cand_hits"),
              F.count_distinct("q_id").cast("long").alias("n_queries")))
-    scanned = (_ivf_scored(spark, sf_dir)
-               .agg(F.count("*").cast("long").alias("scanned")))
+    # the candidate stream is CORPUS-scaled (scan_share of |Q|·n) —
+    # it stays distributed and the k·|Q|-row exact arm broadcasts
+    # onto it (a semi-join would drop no duplicates either: each
+    # vector lives in exactly one cell, so (q, n) is unique); the
+    # r10 review caught the inverted form broadcasting the big side.
+    ivf = _ivf_scored(spark, sf_dir)
+    scanned = (
+        ivf.join(F.broadcast(exact), ["q_id", "n_id"], "left_semi")
+        .agg(F.count("*").cast("long").alias("cand_hits"))
+        .crossJoin(ivf.agg(F.count("*").cast("long").alias("scanned"))))
     corpus = emb.agg(F.count("*").cast("long").alias("n_corpus"))
     return (
         hits.crossJoin(F.broadcast(scanned))
