@@ -212,6 +212,7 @@ def main():
         missing = only - set(queries)
         assert not missing, f"unknown query names: {sorted(missing)}"
         queries = {k: v for k, v in queries.items() if k in only}
+        oracles = {k: v for k, v in oracles.items() if k in only}
     extra = set(oracles) - set(queries)
     assert not extra, f"oracle_sql keys missing from queries: {extra}"
     print(f"[contract] {len(queries)} queries, {len(oracles)} with oracle, "
