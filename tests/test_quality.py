@@ -370,3 +370,36 @@ def test_graph_bfs_distances_are_sound(spark, sf_dir):
         if d >= 1:
             assert any(dist.get(m) == d - 1 for m in nbrs[node]), (
                 f"node {node} at dist {d} has no parent at {d - 1}")
+
+
+def test_rows_only_queries_are_partition_invariant(spark, sf_dir):
+    """Reshard determinism for the four rows-only queries (r10): every
+    oracle-backed query is partition-invariance-proven transitively
+    (green at 8 shuffle partitions in this suite and 32 in the driver,
+    both against partition-independent DuckDB), but the rows-only
+    four have no value-hash pin anywhere — a tie broken by arbitrary
+    partition order would ship silently.  On a real cluster both the
+    scan splits and the shuffle fan-out differ from local[32], so:
+    collect each query, re-collect under a different shuffle count AND
+    forcibly shredded scan splits (tiny maxPartitionBytes / zero open
+    cost), and require the output SETS bit-identical.  Also verified
+    once at sf0.01 (15/30/73/500 rows, all identical)."""
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(str(x) for x in r) for r in df.collect())
+    queries = all_queries()
+    for name in ["similarity_join", "dedup_near", "dedup_simhash",
+                 "bpe_encode"]:
+        base = canon(queries[name](spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        try:
+            pert = canon(queries[name](spark, sf_dir))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+            spark.conf.unset("spark.sql.files.openCostInBytes")
+        assert base == pert, (
+            f"{name} output differs under perturbed partitioning: "
+            f"{len(base)} vs {len(pert)} rows; first diffs "
+            f"{list(set(base) ^ set(pert))[:3]}")
