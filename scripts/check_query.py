@@ -16,13 +16,16 @@ import __spark_entry__ as E  # noqa: E402
 from mvp_mini_etl_pipeline_1762911573_spark.session import get_spark  # noqa: E402
 from mvp_mini_etl_pipeline_1762911573_spark.tables import TABLE_NAMES  # noqa: E402
 from scripts.driver_mimic import (  # noqa: E402
-    dtype_conflicts, fetch_oracle, fetch_spark, value_hash)
+    dtype_conflicts, fetch_oracle, fetch_spark, nan_count_conflicts,
+    value_hash)
 
 
 def main(argv):
     sf = "/root/testdata/sf0.01"
     if "--sf" in argv:
         i = argv.index("--sf")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_query.py name [name...] [--sf dir]")
         sf = argv[i + 1]
         del argv[i:i + 2]
     names = argv or sys.exit("usage: check_query.py name [name...] [--sf dir]")
@@ -53,6 +56,12 @@ def main(argv):
         if conflicts:
             print(f"[{name}] DTYPE-MISMATCH: {'; '.join(conflicts)} — "
                   "cast the integer side AS BIGINT in the oracle")
+            failed.append(name)
+            continue
+        nanc = nan_count_conflicts((cols, kinds, rows),
+                                   (o_cols, o_kinds, o_rows))
+        if nanc:
+            print(f"[{name}] NAN-COUNT-MISMATCH: {'; '.join(nanc)}")
             failed.append(name)
             continue
         try:

@@ -188,6 +188,9 @@ def main():
     sf_oracle, only = SF_ORACLE, None
     if "--sf" in argv:
         i = argv.index("--sf")
+        if i + 1 >= len(argv):
+            raise SystemExit(
+                "usage: driver_mimic.py [--sf DIR] [name...]")
         sf_oracle = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     if argv:

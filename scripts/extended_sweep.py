@@ -124,7 +124,7 @@ PLAG_OPS = ["dedup_ngram_jaccard", "dedup_containment", "substring_dedup",
             "source_perplexity"]
 
 
-def gen_book_docs(seed: int, n_books: int = 6, tokens: int = 12_000):
+def gen_book_docs(seed: int, n_books: int = 6, tokens: int = 30_000):
     """Book-length documents (r9 volume family, correctness flavor):
     half low-vocab repetition books, half wide-vocab books, plus a few
     normal docs so df thresholds engage."""
@@ -152,7 +152,7 @@ BOOK_OPS = ["text_repetition", "doc_chunk", "collapse_repeats",
             "text_entropy", "token_count", "lm_score", "text_stats"]
 
 
-def gen_hot_key_events(seed: int, n_hot: int = 20_000, n_bg: int = 500):
+def gen_hot_key_events(seed: int, n_hot: int = 50_000, n_bg: int = 500):
     """One user with n_hot events over a few days (the r9 hot-key
     family, correctness flavor) over a normal background corpus."""
     rng = random.Random(seed)
@@ -288,12 +288,13 @@ def main() -> int:
                     help="comma list of families to run")
     args = ap.parse_args()
 
-    spark = get_spark("extended-sweep")
-    queries, oracles = all_queries(), all_oracles()
     fams = [f.strip() for f in args.families.split(",") if f.strip()]
     unknown = set(fams) - set(FAMILIES)
     if unknown:
         ap.error(f"unknown families: {sorted(unknown)}")
+
+    spark = get_spark("extended-sweep")
+    queries, oracles = all_queries(), all_oracles()
 
     cases = passes = 0
     failures: list[str] = []

@@ -390,13 +390,14 @@ def test_rows_only_queries_are_partition_invariant(spark, sf_dir):
     for name in ["similarity_join", "dedup_near", "dedup_simhash",
                  "bpe_encode"]:
         base = canon(queries[name](spark, sf_dir))
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "13")
         spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
         try:
             pert = canon(queries[name](spark, sf_dir))
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
             spark.conf.unset("spark.sql.files.openCostInBytes")
         assert base == pert, (
