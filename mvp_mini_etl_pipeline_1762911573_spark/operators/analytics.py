@@ -76,12 +76,19 @@ def _funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("step")  # 3 rows — single-partition is fine
     first_n = F.first("n_users").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # try_divide, not /: a step with ZERO users (possible whenever an
+    # upstream stage empties — an empty period, a filter that drops
+    # every signup) makes the next step's denominator 0, and ANSI mode
+    # turns that into a task-killing DIVIDE_BY_ZERO; the oracle's
+    # NULLIF division emits NULL there (r10 empty-input sweep)
     return rows.select(
         "step", "event_type", "n_users",
-        F.round(F.col("n_users")
-                / F.coalesce(F.lag("n_users").over(w), F.col("n_users")),
-                4).alias("conv_rate"),
-        F.round(F.col("n_users") / first_n, 4).alias("overall_rate"),
+        F.round(F.try_divide(
+            F.col("n_users"),
+            F.coalesce(F.lag("n_users").over(w), F.col("n_users"))),
+            4).alias("conv_rate"),
+        F.round(F.try_divide(F.col("n_users"), first_n), 4)
+         .alias("overall_rate"),
     )
 
 

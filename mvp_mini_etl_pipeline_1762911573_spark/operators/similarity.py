@@ -430,6 +430,15 @@ def assign_cells(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
             .select(F.col("vec_id").cast("bigint").alias("c_id"),
                     "embedding")
             .orderBy("c_id").collect())
+        if not cent_rows:
+            # empty corpus (a legitimate shape at scale: a filter can
+            # zero out any input): no centroids means no assignments —
+            # an empty typed result, not an IndexError on cmat.shape
+            # (r10 empty-input sweep; NOT cached, so a later non-empty
+            # load of the same path re-seeds)
+            return (vecs.select("vec_id", "embedding")
+                    .withColumn("cell", F.lit(None).cast("bigint"))
+                    .limit(0))
         c_ids = np.array([r.c_id for r in cent_rows], dtype="int64")
         cmat = np.array([r.embedding for r in cent_rows],
                         dtype="float64")

@@ -34,7 +34,10 @@ def _window_last_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.struct("registered_ts", "custkey")).alias("last_user"),
         F.date_format(F.max("registered_ts"), "yyyy-MM-dd HH:mm:ss")
          .alias("last_ts"),
-    )
+    ).where(F.col("last_ts").isNotNull())
+    # the where drops the single all-NULL row a global aggregate emits
+    # on EMPTY input (the row-based oracle emits none); registered_ts
+    # is non-null for every clean user, so it is a no-op otherwise
 
 
 def _sort_limit1(spark: SparkSession, sf_dir: str) -> DataFrame:

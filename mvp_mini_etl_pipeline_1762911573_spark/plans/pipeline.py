@@ -78,11 +78,15 @@ def flagship_metrics_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     # swap is one line (approx_count_distinct) and ships verified as
     # `agg_approx_count_distinct`; a deployment flips to it when the
     # dashboard tolerates ±2%.
+    # the coalesces fire only on EMPTY input, where sum() is NULL but
+    # the dashboard contract (and the count(*)-based oracle) says 0
     return per_id.agg(
-        F.sum("copies").alias("rows_in"),
+        F.coalesce(F.sum("copies"), F.lit(0).cast("long"))
+         .alias("rows_in"),
         F.count(F.when(v, 1)).alias("rows_out"),
-        (F.sum(F.when(v, F.col("copies"))) - F.count(F.when(v, 1)))
-        .alias("dedup_removed"),
+        F.coalesce(
+            F.sum(F.when(v, F.col("copies"))) - F.count(F.when(v, 1)),
+            F.lit(0).cast("long")).alias("dedup_removed"),
         F.countDistinct(F.when(v, F.col("country"))).alias("countries"),
         F.countDistinct(F.when(v, F.col("city"))).alias("cities"),
         F.round(F.avg(F.when(
