@@ -95,10 +95,22 @@ def _scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: JSON stringify of the whole row (raw modal payload,
     pages/index.js:262)."""
     raw = users_raw(spark, sf_dir)
+    # the when() mirrors the oracle's `||` NULL propagation: a user
+    # whose nation lookup missed (orphan nationkey) has country NULL,
+    # which nulls the WHOLE concatenated payload in SQL — while
+    # to_json would silently DROP the null field and emit a shorter
+    # document (r10 single-row sweep; unreachable on the committed
+    # fixtures, where every customer resolves a nation)
+    fields = [F.col(c) for c in ("id", "name_first", "name_last",
+                                 "country")]
+    all_present = F.lit(True)
+    for c in fields:
+        all_present = all_present & c.isNotNull()
     return raw.select(
         "custkey",
-        F.to_json(F.struct("id", "name_first", "name_last", "country"))
-         .alias("payload"),
+        F.when(all_present,
+               F.to_json(F.struct("id", "name_first", "name_last",
+                                  "country"))).alias("payload"),
     )
 
 

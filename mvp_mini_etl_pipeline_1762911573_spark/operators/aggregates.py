@@ -235,8 +235,15 @@ def _agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = orders.agg(F.min("o_totalprice").alias("lo"),
                         F.max("o_totalprice").alias("hi"))
     step = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
+    # try_divide: a ZERO-WIDTH range (constant column, or one row after
+    # a filter) makes step 0 and ANSI division a task-killing crash.
+    # try_divide yields NULL there, and least() skips NULLs on BOTH
+    # engines, so the degenerate range lands everything in the last
+    # bin with edge_lo == edge_hi == lo — exactly what the oracle's
+    # NULL-propagating DuckDB arithmetic already computes (r10
+    # single-row sweep)
     bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("lo")) / step),
+        F.floor(F.try_divide(F.col("o_totalprice") - F.col("lo"), step)),
         F.lit(HIST_BINS - 1)).cast("int")
     return (
         orders.crossJoin(F.broadcast(bounds))

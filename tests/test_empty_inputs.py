@@ -1,17 +1,20 @@
-"""Empty-input robustness tier (round 10): every oracle-backed query
-run on schema-preserving ZERO-ROW tables, compared to DuckDB on the
-same empty parquet.
+"""Degenerate-cardinality robustness tier (round 10): every
+oracle-backed query run on schema-preserving ZERO-ROW and ONE-ROW
+tables, compared to DuckDB on the same parquet.
 
-At 100 TB an empty input is not exotic — a date filter can zero out
-any partition range, a tenant can have no rows, a backfill can land
-before its data.  The r10 sweep that seeded this tier found FIVE
-operators that crashed (IndexError in the IVF centroid seeding that
-nine consumers share; ANSI DIVIDE_BY_ZERO in funnel_steps whenever a
-funnel stage empties — reachable on NON-empty data too) and two that
-silently diverged from their oracles (metrics_row NULL-vs-0 counts,
-window_last_user's phantom all-NULL aggregate row).  All fixed
-output-identically for non-empty input; this tier keeps the fleet
-empty-safe as operators evolve.
+At 100 TB these shapes are routine, not exotic — a date filter can
+zero out any partition range, a tenant can have no rows or exactly
+one, a backfill can land before its data.  The r10 sweeps that seeded
+this tier found SEVEN defects: five crashes (an IndexError in the IVF
+centroid seeding that nine consumers share; ANSI DIVIDE_BY_ZERO in
+funnel_steps whenever a funnel stage empties and in agg_histogram
+whenever the value range has zero width — both reachable on LARGE
+data too) and two silent oracle divergences (metrics_row NULL-vs-0
+counts, window_last_user's phantom all-NULL aggregate row, and
+scalar_json dropping a NULL field where the oracle's `||` nulls the
+whole payload).  All fixed output-identically for non-degenerate
+input; this tier keeps the fleet safe on these shapes as operators
+evolve.
 
 Documented exceptions, asserted as such below:
 
@@ -21,8 +24,11 @@ Documented exceptions, asserted as such below:
   count=0 aggregates.  Engine-intrinsic (Spark's ExpandExec produces
   nothing from no input rows); repairing it would mean a count-guard
   job or a union hack in three hot operators for a degenerate shape.
-* ivfpq_recall — PQ training on an empty corpus is undefined; the
-  operator raises a named diagnostic instead of returning garbage.
+  On the ONE-ROW corpus only agg_rollup still diverges (its status
+  filter empties the single row back to the empty-relation case).
+* ivfpq_recall — PQ training on an empty (or single-vector) corpus
+  is undefined; the operator raises a named diagnostic instead of
+  returning garbage.
 """
 
 from __future__ import annotations
@@ -37,53 +43,69 @@ from mvp_mini_etl_pipeline_1762911573_spark.tables import TABLE_NAMES
 from .oracle_utils import compare
 
 #: engine-intrinsic grand-total-row divergence (Spark 0 rows, SQL
-#: standard 1): asserted separately, excluded from the equality loop
+#: standard 1): asserted separately, excluded from the equality loops
 GRANDTOTAL_DIVERGENT = ["agg_cube", "agg_rollup", "agg_grouping_sets"]
-#: raises a named diagnostic on an empty corpus by design
+#: raises a named diagnostic on a <2-vector corpus by design
 RAISES_BY_DESIGN = ["ivfpq_recall"]
+
+#: axis -> (rows per table, names excluded from the equality loop)
+AXES = {
+    "empty": (0, set(GRANDTOTAL_DIVERGENT) | set(RAISES_BY_DESIGN)),
+    # cube/grouping_sets group on columns the single row populates, so
+    # they emit real rows and compare equal; rollup's filter empties
+    # its input back to the empty-relation divergence
+    "one_row": (1, {"agg_rollup"} | set(RAISES_BY_DESIGN)),
+}
 
 
 @pytest.fixture(scope="module")
-def empty_dirs(spark, tmp_path_factory):
-    d = tmp_path_factory.mktemp("sf_empty")
-    for t in TABLE_NAMES:
-        (spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
-         .limit(0).coalesce(1)
-         .write.parquet(f"{d}/{t}.parquet"))
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * "
-                    f"FROM '{d}/{t}.parquet/*.parquet'")
-    return str(d), con
+def degenerate_dirs(spark, tmp_path_factory):
+    out = {}
+    for axis, (n, _skip) in AXES.items():
+        d = tmp_path_factory.mktemp(f"sf_{axis}")
+        for t in TABLE_NAMES:
+            (spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+             .limit(n).coalesce(1)
+             .write.parquet(f"{d}/{t}.parquet"))
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM '{d}/{t}.parquet/*.parquet'")
+        out[axis] = (str(d), con)
+    return out
 
 
-def test_every_oracle_query_is_empty_safe(spark, empty_dirs):
-    """One loop, not one test per query: 232 sub-second cases — a
-    per-case parametrize would pay pytest overhead 232x for a tier
-    whose failures are best read as one list."""
-    sf_dir, con = empty_dirs
+@pytest.mark.parametrize("axis", list(AXES))
+def test_every_oracle_query_survives_degenerate_cardinality(
+        spark, degenerate_dirs, axis):
+    """One loop per axis, not one test per query: ~232 sub-second
+    cases each — a per-case parametrize would pay pytest overhead
+    464x for a tier whose failures are best read as one list."""
+    sf_dir, con = degenerate_dirs[axis]
     queries, oracles = all_queries(), all_oracles()
-    skip = set(GRANDTOTAL_DIVERGENT) | set(RAISES_BY_DESIGN)
+    skip = AXES[axis][1]
     failures = []
     for name in sorted(oracles):
         if name in skip:
             continue
         try:
             compare(queries[name](spark, sf_dir), con, oracles[name],
-                    f"{name}@empty")
+                    f"{name}@{axis}")
         except Exception as e:  # noqa: BLE001
             failures.append(f"{name}: {str(e)[:200]}")
     assert not failures, (
-        f"{len(failures)} queries diverge or crash on empty input:\n  "
+        f"{len(failures)} queries diverge or crash on {axis} input:\n  "
         + "\n  ".join(failures))
 
 
-def test_grandtotal_divergence_is_exactly_as_documented(spark, empty_dirs):
-    """The three grouping-set queries: Spark MUST yield zero rows and
-    the oracle MUST yield its grand-total row(s) — if either side ever
-    changes (a Spark version aligning with the standard, an oracle
-    edit), this fails and the docstring above gets rewritten."""
-    sf_dir, con = empty_dirs
+def test_grandtotal_divergence_is_exactly_as_documented(
+        spark, degenerate_dirs):
+    """The three grouping-set queries on EMPTY input: Spark MUST yield
+    zero rows and the oracle MUST yield its grand-total row(s) — if
+    either side ever changes (a Spark version aligning with the
+    standard, an oracle edit), this fails and the docstring above gets
+    rewritten."""
+    sf_dir, con = degenerate_dirs["empty"]
     queries, oracles = all_queries(), all_oracles()
     for name in GRANDTOTAL_DIVERGENT:
         n_spark = queries[name](spark, sf_dir).count()
@@ -92,7 +114,8 @@ def test_grandtotal_divergence_is_exactly_as_documented(spark, empty_dirs):
         assert n_oracle >= 1, f"{name}: oracle emits no grand total"
 
 
-def test_ivfpq_raises_named_diagnostic_on_empty(spark, empty_dirs):
-    sf_dir, _ = empty_dirs
+@pytest.mark.parametrize("axis", list(AXES))
+def test_ivfpq_raises_named_diagnostic(spark, degenerate_dirs, axis):
+    sf_dir, _ = degenerate_dirs[axis]
     with pytest.raises(Exception, match="PQ needs >= 2 codebook seeds"):
         all_queries()["ivfpq_recall"](spark, sf_dir).collect()
