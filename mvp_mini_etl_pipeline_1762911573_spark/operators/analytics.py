@@ -79,8 +79,11 @@ def _funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_divide, not /: a step with ZERO users (possible whenever an
     # upstream stage empties — an empty period, a filter that drops
     # every signup) makes the next step's denominator 0, and ANSI mode
-    # turns that into a task-killing DIVIDE_BY_ZERO; the oracle's
-    # NULLIF division emits NULL there (r10 empty-input sweep)
+    # turns that into a task-killing DIVIDE_BY_ZERO; the oracle wraps
+    # its denominators in explicit NULLIF so it emits NULL there by
+    # contract, not by DuckDB's default /0 behavior (r10 empty-input
+    # sweep; NULLIF added r11 so a DuckDB division-semantics change
+    # can't silently alter the oracle)
     return rows.select(
         "step", "event_type", "n_users",
         F.round(F.try_divide(
@@ -2125,10 +2128,10 @@ WITH t1 AS (
   UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM t3
 )
 SELECT step, event_type, n_users,
-       round(n_users / coalesce(lag(n_users) OVER (ORDER BY step),
-                                n_users), 4) AS conv_rate,
-       round(n_users / first_value(n_users) OVER (ORDER BY step
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       round(n_users / NULLIF(coalesce(lag(n_users) OVER (ORDER BY step),
+                                       n_users), 0), 4) AS conv_rate,
+       round(n_users / NULLIF(first_value(n_users) OVER (ORDER BY step
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0),
              4) AS overall_rate
 FROM rows_
 """,

@@ -78,8 +78,10 @@ def flagship_metrics_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     # swap is one line (approx_count_distinct) and ships verified as
     # `agg_approx_count_distinct`; a deployment flips to it when the
     # dashboard tolerates ±2%.
-    # the coalesces fire only on EMPTY input, where sum() is NULL but
-    # the dashboard contract (and the count(*)-based oracle) says 0
+    # the coalesces fire whenever no (valid) rows exist — EMPTY input
+    # makes sum("copies") NULL, and non-empty input with ZERO valid
+    # rows makes sum(when(valid, copies)) NULL too; the dashboard
+    # contract (and the count(*)-based oracle) says 0 in both shapes
     return per_id.agg(
         F.coalesce(F.sum("copies"), F.lit(0).cast("long"))
          .alias("rows_in"),

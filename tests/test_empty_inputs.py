@@ -5,11 +5,11 @@ tables, compared to DuckDB on the same parquet.
 At 100 TB these shapes are routine, not exotic — a date filter can
 zero out any partition range, a tenant can have no rows or exactly
 one, a backfill can land before its data.  The r10 sweeps that seeded
-this tier found SEVEN defects: five crashes (an IndexError in the IVF
+this tier found EIGHT defects: five crashes (an IndexError in the IVF
 centroid seeding that nine consumers share; ANSI DIVIDE_BY_ZERO in
 funnel_steps whenever a funnel stage empties and in agg_histogram
 whenever the value range has zero width — both reachable on LARGE
-data too) and two silent oracle divergences (metrics_row NULL-vs-0
+data too) and three silent oracle divergences (metrics_row NULL-vs-0
 counts, window_last_user's phantom all-NULL aggregate row, and
 scalar_json dropping a NULL field where the oracle's `||` nulls the
 whole payload).  All fixed output-identically for non-degenerate
