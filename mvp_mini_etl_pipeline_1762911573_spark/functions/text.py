@@ -390,6 +390,72 @@ def _source_token_counts(docs: DataFrame) -> DataFrame:
 ZIPF_TOPK = 100  # vocabulary head fitted per source
 
 
+def _loglog_ols_fit(pts: DataFrame, key: str,
+                    n_name: str = "n") -> DataFrame:
+    """Exact-integer log-log OLS shared by `zipf_fit` (frequency law)
+    and `heaps_law` (growth law) — ONE copy of the closed forms so the
+    two corpus-law fits cannot drift (the _source_token_counts /
+    _gram_array single-copy discipline).
+
+    Input: a points frame (key, x, y) where x and y are ALREADY
+    1e-4-quantized integer log values (floor(ln(v)*1e4 + 0.5)); the
+    caller owns the quantization because the overflow envelope of
+    round4_ratio_dec (num²·2e4 + d inside DECIMAL(38,0)/HUGEINT) is a
+    property of the caller's point count and value range — both
+    callers bound points per key at 100 and values at ln(1e13)·1e4,
+    giving num² ≲ 3.3e30 and d1·d2 ≲ 8e29, far inside the envelope
+    (the zipf_fit docstring's r8 analysis, now shared).
+
+    Every OLS sum (Σx, Σy, Σxy, Σx², Σy²) accumulates exactly in
+    DECIMAL(38,0); slope, intercept, and r² are exact half-up integer
+    ratios of the closed forms (round4_ratio_dec).  Degenerate
+    contract: a key with a single distinct x has d1 = 0 → slope /
+    intercept / r² NULL on both engines, never a crash.
+
+    Returns (key, n_name, slope, intercept, r2) ordered by key."""
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    sums = (pts.groupBy(key)
+            .agg(F.count("*").alias(n_name),
+                 F.sum(dec(F.col("x"))).alias("sx"),
+                 F.sum(dec(F.col("y"))).alias("sy"),
+                 F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+                 F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+                 F.sum(dec(F.col("y")) * F.col("y")).alias("syy")))
+    n = F.col(n_name).cast("decimal(38,0)")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return (sums.select(
+                key, n_name,
+                round4_ratio_dec(num, d1).alias("slope"),
+                round4_ratio_dec(
+                    (F.col("sy") * F.col("sxx")
+                     - F.col("sx") * F.col("sxy")),
+                    (d1 * 10_000).cast("decimal(38,0)"))
+                .alias("intercept"),
+                round4_ratio_dec((num * num).cast("decimal(38,0)"),
+                                 (d1 * d2).cast("decimal(38,0)"))
+                .alias("r2"))
+            .orderBy(key))
+
+
+def _loglog_ols_tail_sql(n: str = "n") -> str:
+    """The DuckDB mirror of _loglog_ols_fit's readout: the three
+    SELECT-list expressions (slope, intercept, r2) over a sums CTE
+    with columns ({n}, sx, sy, sxy, sxx, syy) in HUGEINT."""
+    return (
+        f"{round4_ratio_dec_sql(f'{n} * sxy - sx * sy', f'{n} * sxx - sx * sx')}"
+        " AS slope,\n       "
+        f"{round4_ratio_dec_sql('sy * sxx - sx * sxy', f'({n} * sxx - sx * sx) * 10000')}"
+        " AS intercept,\n       "
+        f"""{round4_ratio_dec_sql(
+            f'({n} * sxy - sx * sy) * ({n} * sxy - sx * sy)',
+            f'({n} * sxx - sx * sx) * ({n} * syy - sy * sy)')}"""
+        " AS r2")
+
+
 def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT (r8 debut): Zipf-law fit per source — OLS of ln(frequency)
     on ln(rank) over the top-ZIPF_TOPK vocabulary: slope (Zipf
@@ -431,34 +497,78 @@ def _zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
            .where(F.col("rnk") <= ZIPF_TOPK))
     x = F.floor(F.log(F.col("rnk").cast("double")) * 1e4 + 0.5)
     y = F.floor(F.log(F.col("cnt").cast("double")) * 1e4 + 0.5)
+    return _loglog_ols_fit(
+        top.select("source", x.alias("x"), y.alias("y")), "source")
 
-    def dec(c):
-        return c.cast("decimal(38,0)")
 
-    sums = (top.select("source", x.alias("x"), y.alias("y"))
-            .groupBy("source")
-            .agg(F.count("*").alias("n"),
-                 F.sum(dec(F.col("x"))).alias("sx"),
-                 F.sum(dec(F.col("y"))).alias("sy"),
-                 F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
-                 F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
-                 F.sum(dec(F.col("y")) * F.col("y")).alias("syy")))
-    n = F.col("n").cast("decimal(38,0)")
-    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    d1 = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    d2 = n * F.col("syy") - F.col("sy") * F.col("sy")
-    return (sums.select(
-                "source", "n",
-                round4_ratio_dec(num, d1).alias("slope"),
-                round4_ratio_dec(
-                    (F.col("sy") * F.col("sxx")
-                     - F.col("sx") * F.col("sxy")),
-                    (d1 * 10_000).cast("decimal(38,0)"))
-                .alias("intercept"),
-                round4_ratio_dec((num * num).cast("decimal(38,0)"),
-                                 (d1 * d2).cast("decimal(38,0)"))
-                .alias("r2"))
-            .orderBy("source"))
+HEAPS_POINTS = 100  # growth-curve sample docs per source (rank-evenly
+#                     spaced so the OLS point count — and with it the
+#                     round4_ratio_dec overflow envelope — is bounded
+#                     by a model constant, not by corpus size)
+
+
+def _heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r11 debut): Heaps'-law vocabulary-growth fit per source —
+    V(n) ≈ K·n^β over the cumulative (tokens seen, distinct tokens
+    seen) curve in doc_id order: β (beta, ~0.4-0.6 for natural
+    language), ln K (intercept), and r².  The GROWTH companion to
+    `zipf_fit`'s frequency law (the two are asymptotically linked):
+    a source whose vocabulary grows too slowly is template/boilerplate
+    text, too fast is noise/codes — the same corpus-forensics read at
+    the other end of the distribution.
+
+    Derivation is doc-grain, never token-instance-grain: the first
+    occurrence of a token is just min(doc_id) per (source, token), so
+    cumulative vocabulary needs ONE vocab-sized reduce plus a per-doc
+    count — no window over token instances.  The curve is then sampled
+    at HEAPS_POINTS rank-evenly-spaced docs per source (the all-integer
+    predicate (rnk·P) DIV n_docs > ((rnk−1)·P) DIV n_docs picks exactly
+    min(P, n_docs) docs — every doc at fixture scale), which bounds
+    the OLS at 100 points/source for ANY corpus — the same envelope
+    discipline as ZIPF_TOPK (see _loglog_ols_fit for the shared exact
+    closed forms and overflow analysis).
+
+    100 TB shape: one (source, token) partial-agg'd reduce carries the
+    vocabulary (the zipf_fit shuffle, reused shape), one per-doc
+    count, a per-source cumulative window keyed on the source
+    partitioning, and a 6-number OLS reduce per source.  Degenerate
+    contract: a source with a single sampled point (or all-equal
+    cum_toks) has d1 = 0 → beta/lnk/r2 NULL on both engines; zero-token
+    docs contribute points only once cum_toks ≥ 1 (ln is never fed 0).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    first_new = (toks.groupBy("source", "tok")
+                 .agg(F.min("doc_id").alias("doc_id"))
+                 .groupBy("source", "doc_id")
+                 .agg(F.count("*").alias("n_new")))
+    per_doc = (docs.select("source", "doc_id",
+                           F.size(_tokens(F.col("text"))).alias("n_toks"))
+               .join(first_new, ["source", "doc_id"], "left")
+               .select("source", "doc_id", "n_toks",
+                       F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = per_doc.select(
+        "source",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("n_toks").over(cum_frame).alias("cum_toks"),
+        F.sum("n_new").over(cum_frame).alias("cum_vocab"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_docs"))
+    sampled = curve.where(
+        (F.col("cum_toks") >= 1)
+        & (F.expr(f"(rnk * {HEAPS_POINTS}) DIV n_docs")
+           > F.expr(f"((rnk - 1) * {HEAPS_POINTS}) DIV n_docs")))
+    x = F.floor(F.log(F.col("cum_toks").cast("double")) * 1e4 + 0.5)
+    y = F.floor(F.log(F.col("cum_vocab").cast("double")) * 1e4 + 0.5)
+    fit = _loglog_ols_fit(
+        sampled.select("source", x.alias("x"), y.alias("y")),
+        "source", n_name="n_points")
+    return fit.select("source", "n_points",
+                      F.col("slope").alias("beta"),
+                      F.col("intercept").alias("lnk"),
+                      "r2")
 
 
 LN2_U = 693147  # floor(ln(2)*1e6 + 0.5): the disjoint-token JS term
@@ -1196,6 +1306,31 @@ GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 8, 10  # ≥80% tokens alphabetic
 GOPHER_MIN_STOP = 2  # at least 2 stopword hits
 
 
+def _gopher_fail_cols() -> dict:
+    """The four Gopher rule FAIL predicates over ``F.col("text")`` —
+    every comparison in INTEGER space by cross-multiplication (no
+    float is formed anywhere; ratio thresholds on doubles are the
+    documented exact-half divergence class).  Single copy shared by
+    `gopher_rules` (the per-rule audit) and `filter_funnel` (stage 1
+    of the curation chain), the _quality_feature_cols discipline."""
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    # total word chars = non-whitespace chars (tokens are split on \s+)
+    sum_len = F.length(F.regexp_replace("text", f"[{WS_CHARS}]", ""))
+    alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_hits = F.size(F.filter(
+        toks, lambda t: F.array_contains(stop_arr, t)))
+    return {
+        "n_fail_nwords": (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS),
+        "n_fail_wlen": (sum_len < GOPHER_MIN_WLEN * n)
+                       | (sum_len > GOPHER_MAX_WLEN * n),
+        "n_fail_alpha": alpha_toks * GOPHER_ALPHA_DEN
+                        < GOPHER_ALPHA_NUM * n,
+        "n_fail_stop": stop_hits < GOPHER_MIN_STOP,
+    }
+
+
 def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT (r7 debut): Gopher-style quality-rule audit (Rae et al.
     2021 §A.1.1, public) — the per-source report of how many documents
@@ -1218,23 +1353,7 @@ def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tokenize once, reuse); one partial-agg'd groupBy on the tiny
     source key — scan-bound."""
     docs = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n = F.size(toks)
-    # total word chars = non-whitespace chars (tokens are split on \s+)
-    sum_len = F.length(F.regexp_replace("text", f"[{WS_CHARS}]", ""))
-    alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_hits = F.size(F.filter(
-        toks, lambda t: F.array_contains(stop_arr, t)))
-
-    fails = {
-        "n_fail_nwords": (n < GOPHER_MIN_WORDS) | (n > GOPHER_MAX_WORDS),
-        "n_fail_wlen": (sum_len < GOPHER_MIN_WLEN * n)
-                       | (sum_len > GOPHER_MAX_WLEN * n),
-        "n_fail_alpha": alpha_toks * GOPHER_ALPHA_DEN
-                        < GOPHER_ALPHA_NUM * n,
-        "n_fail_stop": stop_hits < GOPHER_MIN_STOP,
-    }
+    fails = _gopher_fail_cols()
     flagged = docs.select(
         "source",
         *[F.when(c, 1).otherwise(0).alias(k) for k, c in fails.items()],
@@ -1250,6 +1369,92 @@ def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round4_ratio(F.col("n_pass"), F.col("n_docs"))
                 .alias("pass_share"))
     )
+
+
+#: lm_band stage bounds in integer micro-nats (per-token mean NLL in
+#: [3.390, 3.406] nats on the corpus unigram LM): the two-sided
+#: perplexity band every curation run applies after dedup — too-high
+#: NLL is garbage/wrong-language, too-LOW is repetitive boilerplate
+#: the LM finds too easy.  Compared by cross-multiplication
+#: (sum_nll_u vs n·BOUND), so the stage verdict is integer-exact.
+LM_BAND_MIN_U, LM_BAND_MAX_U = 3_390_000, 3_406_000
+
+
+def _filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r11 debut): per-stage attrition of the canonical curation
+    chain — the funnel readout a pipeline owner reads before shipping
+    a filter config (which stage is doing the removing, and is any
+    stage degenerate?).  `corpus_curate` runs a chain and reports only
+    the survivors; this decomposes the chain per stage:
+
+      1 gopher_rules — all four Gopher quality rules pass
+        (_gopher_fail_cols, the audit's exact integer predicates);
+      2 lang_en     — language filter on the survivors;
+      3 exact_dedup — sha2 content-hash dedup, min-doc_id survivor
+        AMONG stage-2 survivors (dedup after filtering, the canonical
+        order: why hash garbage you already dropped?);
+      4 lm_band     — corpus-unigram-LM mean NLL inside
+        [LM_BAND_MIN_U, LM_BAND_MAX_U] micro-nats (lm_score's model,
+        integer cross-multiplied — no float threshold).
+
+    One row per stage: (stage_idx, stage, n_in, n_out, kept_share,
+    cum_share), shares exact-half-up via round4_ratio (NULL when the
+    stage input is empty — the funnel's honest degenerate shape).
+
+    100 TB shape: the flags are one narrow pass over the corpus; the
+    dedup flag is a window keyed on digest (the exact-dedup shuffle,
+    carrying only flagged survivors' ids in the min); the LM join is
+    lm_score's token-keyed shuffle; the readout is ONE global 5-counter
+    aggregate — a single row — then a 4-row stack.  Nothing scales
+    with anything but the corpus scan."""
+    docs = load(spark, sf_dir, "documents")
+    fails = _gopher_fail_cols()
+    lm = (_lm_scored_tokens(docs)
+          .groupBy("doc_id")
+          .agg(F.count("*").alias("n_lm"),
+               F.sum("nll_u").alias("sum_nll_u")))
+    flagged = (docs.select(
+        "doc_id", "lang",
+        F.sha2(F.col("text"), 256).alias("digest"),
+        sum(F.when(c, 1).otherwise(0) for c in fails.values())
+        .alias("n_fails"))
+        .join(lm, "doc_id", "left"))
+    pass_g = F.col("n_fails") == 0
+    pass_l = pass_g & (F.col("lang") == "en")
+    min12 = F.min(F.when(pass_l, F.col("doc_id"))).over(
+        Window.partitionBy("digest"))
+    # window flags must be PROJECTED before the aggregate (a window
+    # function can't sit inside an agg expression), so the per-doc
+    # verdicts become plain int columns first
+    pass_d = pass_l & (F.col("doc_id") == min12)
+    pass_m = (pass_d & F.col("sum_nll_u").isNotNull()
+              & (F.col("sum_nll_u") >= F.col("n_lm") * LM_BAND_MIN_U)
+              & (F.col("sum_nll_u") <= F.col("n_lm") * LM_BAND_MAX_U))
+    verdicts = flagged.select(
+        *[F.when(c, 1).otherwise(0).alias(k)
+          for k, c in (("p_g", pass_g), ("p_l", pass_l),
+                       ("p_d", pass_d), ("p_m", pass_m))])
+
+    def cnt(c):
+        # global agg: coalesce so the empty corpus yields 0, not NULL
+        return F.coalesce(F.sum(c), F.lit(0)).cast("long")
+
+    agg = verdicts.agg(
+        F.count("*").alias("n0"), cnt("p_g").alias("n1"),
+        cnt("p_l").alias("n2"), cnt("p_d").alias("n3"),
+        cnt("p_m").alias("n4"))
+    stages = agg.select(
+        F.col("n0").alias("n_total"),
+        F.expr("stack(4, 1, 'gopher_rules', n0, n1,"
+               "         2, 'lang_en',      n1, n2,"
+               "         3, 'exact_dedup',  n2, n3,"
+               "         4, 'lm_band',      n3, n4)"
+               " AS (stage_idx, stage, n_in, n_out)"))
+    return stages.select(
+        "stage_idx", "stage", "n_in", "n_out",
+        round4_ratio(F.col("n_out"), F.col("n_in")).alias("kept_share"),
+        round4_ratio(F.col("n_out"), F.col("n_total")).alias("cum_share"),
+    ).orderBy("stage_idx")
 
 
 IMP_BUCKETS = 10_000  # hash-bucket space for acceptance tests
@@ -2292,6 +2497,7 @@ QUERIES = {
     "collocation_pmi": _collocation_pmi,
     "lang_confusion": _lang_confusion,
     "gopher_rules": _gopher_rules,
+    "filter_funnel": _filter_funnel,
     "importance_sample": _importance_sample,
     "cms_topk": _cms_topk,
     "text_repetition": _text_repetition,
@@ -2317,6 +2523,7 @@ QUERIES = {
     "winnow_coverage": _winnow_coverage,
     "source_perplexity": _source_perplexity,
     "zipf_fit": _zipf_fit,
+    "heaps_law": _heaps_law,
     "js_divergence": _js_divergence,
     "text_stats": _text_stats,
 }
@@ -2621,6 +2828,71 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            "count(*)")} AS pass_share
 FROM r
 GROUP BY source
+""",
+    # filter_funnel (r11): the same integer-space Gopher predicates,
+    # digest-window dedup among stage-2 survivors, the shared lm_scored
+    # CTE chain rolled to doc grain with integer cross-multiplied band
+    # bounds, one 5-counter aggregate, 4 stage rows
+    "filter_funnel": f"""
+WITH {_DUCK_LM_SCORED_CTES}, flm AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lm,
+         CAST(sum(nll_u) AS BIGINT) AS sum_nll_u
+  FROM lm_scored GROUP BY doc_id
+), ft AS (
+  SELECT doc_id, lang, sha256(text) AS digest, {_DUCK_TOKS} AS toks,
+         length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g'))
+           AS sum_len
+  FROM documents
+), ff AS (
+  SELECT doc_id, lang, digest,
+    CASE WHEN len(toks) >= {GOPHER_MIN_WORDS}
+          AND len(toks) <= {GOPHER_MAX_WORDS}
+          AND sum_len >= {GOPHER_MIN_WLEN} * len(toks)
+          AND sum_len <= {GOPHER_MAX_WLEN} * len(toks)
+          AND len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              * {GOPHER_ALPHA_DEN} >= {GOPHER_ALPHA_NUM} * len(toks)
+          AND len(list_filter(toks,
+                x -> list_contains({STOPWORDS!r}, x))) >= {GOPHER_MIN_STOP}
+         THEN 1 ELSE 0 END AS pass_g
+  FROM ft
+), fp AS (
+  SELECT f.doc_id, f.digest, f.pass_g,
+         CASE WHEN f.pass_g = 1 AND f.lang = 'en' THEN 1 ELSE 0 END
+           AS pass_l,
+         l.n_lm, l.sum_nll_u
+  FROM ff f LEFT JOIN flm l USING (doc_id)
+), fd AS (
+  SELECT *,
+    CASE WHEN pass_l = 1 AND doc_id =
+           min(CASE WHEN pass_l = 1 THEN doc_id END)
+             OVER (PARTITION BY digest)
+         THEN 1 ELSE 0 END AS pass_d
+  FROM fp
+), fm AS (
+  SELECT *,
+    CASE WHEN pass_d = 1 AND sum_nll_u IS NOT NULL
+          AND sum_nll_u >= n_lm * {LM_BAND_MIN_U}
+          AND sum_nll_u <= n_lm * {LM_BAND_MAX_U}
+         THEN 1 ELSE 0 END AS pass_m
+  FROM fd
+), fagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(coalesce(sum(pass_g), 0) AS BIGINT) AS n1,
+         CAST(coalesce(sum(pass_l), 0) AS BIGINT) AS n2,
+         CAST(coalesce(sum(pass_d), 0) AS BIGINT) AS n3,
+         CAST(coalesce(sum(pass_m), 0) AS BIGINT) AS n4
+  FROM fm
+), stages AS (
+  SELECT 1 AS stage_idx, 'gopher_rules' AS stage,
+         n0 AS n_in, n1 AS n_out, n0 AS n_total FROM fagg
+  UNION ALL SELECT 2, 'lang_en',     n1, n2, n0 FROM fagg
+  UNION ALL SELECT 3, 'exact_dedup', n2, n3, n0 FROM fagg
+  UNION ALL SELECT 4, 'lm_band',     n3, n4, n0 FROM fagg
+)
+SELECT stage_idx, stage, n_in, n_out,
+       {round4_ratio_sql('n_out', 'n_in')} AS kept_share,
+       {round4_ratio_sql('n_out', 'n_total')} AS cum_share
+FROM stages ORDER BY stage_idx
 """,
     # identical public-hash sketch on both engines -> FULL value
     # oracle over a sketch (no accuracy contract needed); top-K cut is
@@ -3095,15 +3367,55 @@ WITH {_DUCK_SRC_TOK_CTES}, ztop AS (
   FROM zq GROUP BY source
 )
 SELECT source, n,
-       {round4_ratio_dec_sql('n * sxy - sx * sy',
-                             'n * sxx - sx * sx')} AS slope,
-       {round4_ratio_dec_sql(
-           'sy * sxx - sx * sxy',
-           '(n * sxx - sx * sx) * 10000')} AS intercept,
-       {round4_ratio_dec_sql(
-           '(n * sxy - sx * sy) * (n * sxy - sx * sy)',
-           '(n * sxx - sx * sx) * (n * syy - sy * sy)')} AS r2
+       {_loglog_ols_tail_sql('n')}
 FROM zs ORDER BY source
+""",
+    # heaps_law (r11): doc-grain first-occurrence derivation, the
+    # identical rank-even sampling predicate in integer `//`, and the
+    # SAME shared OLS tail as zipf_fit (ONE copy of the closed forms)
+    "heaps_law": f"""
+WITH htoks AS (
+  SELECT source, doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+), hfirst AS (
+  SELECT source, min(doc_id) AS doc_id
+  FROM htoks GROUP BY source, tok
+), hnew AS (
+  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_new
+  FROM hfirst GROUP BY source, doc_id
+), hdoc AS (
+  SELECT source, doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_toks
+  FROM documents
+), hcurve AS (
+  SELECT d.source,
+         CAST(row_number() OVER w AS BIGINT) AS rnk,
+         sum(d.n_toks) OVER w AS cum_toks,
+         sum(coalesce(n.n_new, 0)) OVER w AS cum_vocab,
+         count(*) OVER (PARTITION BY d.source) AS n_docs
+  FROM hdoc d LEFT JOIN hnew n USING (source, doc_id)
+  WINDOW w AS (PARTITION BY d.source ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), hpts AS (
+  SELECT source,
+         CAST(floor(ln(CAST(cum_toks AS DOUBLE)) * 1e4 + 0.5)
+              AS HUGEINT) AS x,
+         CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1e4 + 0.5)
+              AS HUGEINT) AS y
+  FROM hcurve
+  WHERE cum_toks >= 1
+    AND (rnk * {HEAPS_POINTS}) // n_docs
+        > ((rnk - 1) * {HEAPS_POINTS}) // n_docs
+), hs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM hpts GROUP BY source
+), hfit AS (
+  SELECT source, n_points,
+         {_loglog_ols_tail_sql('n_points')}
+  FROM hs
+)
+SELECT source, n_points, slope AS beta, intercept AS lnk, r2
+FROM hfit ORDER BY source
 """,
     # js_divergence (r8): exact-integer ratio arguments into ONE
     # shared ln shape, count-weighted µ-nat sums in HUGEINT, the

@@ -913,6 +913,68 @@ def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r11 debut): SemDeDup with the paper's OWN survivor policy —
+    keep the member CLOSEST TO ITS CELL CENTROID (Abbas et al. 2023
+    §3: "we keep the example with the lowest cosine distance to the
+    cluster centroid"), where `dedup_embedding` keeps the lowest id.
+    The two policies differ materially: centroid-nearest keeps the
+    most REPRESENTATIVE member of each duplicate neighborhood, which
+    is what you want feeding a training mix; lowest-id keeps the
+    earliest-crawled.  Emitted as the full kept/pruned verdict table —
+    (vec_id, cell, cent_cos, kept) — one row per corpus vector, so a
+    downstream job applies the dedup as one semi-join.
+
+    Decision rule, fully deterministic: for every within-cell pair at
+    cosine >= SIM_THRESHOLD (the shared _embedding_pair_edges
+    candidate set — SemDeDup's cluster-then-pairwise structure, no
+    cartesian anywhere), the member with the LOWER 6dp cosine to the
+    cell centroid is pruned; on an exact tie the higher vec_id is
+    pruned.  A vector survives iff no pair prunes it — so each
+    duplicate neighborhood keeps exactly its centroid-nearest members
+    and the verdict is independent of evaluation order.
+
+    100 TB shape: cell assignment is assign_cells' map-side
+    model-parameter pass (zero shuffle); cent_cos is one broadcast
+    join against the K <= IVF_K_MAX centroid rows; candidate scoring
+    is the family's bounded within-cell equi-join (Σ|cell|² pairs,
+    the quantizer's tuning knob); the loser set is a distinct over
+    above-threshold pairs — tiny — and the final verdict a left join
+    of ids.  Nothing scales super-linearly in the corpus."""
+    from .similarity import (_ivf_stride_for, assign_cells, cosine)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = (docs.join(emb, docs.doc_id == emb.vec_id)
+            .select("vec_id", "embedding"))
+    celled = assign_cells(emb, vecs)
+    cents = (emb.where(F.col("vec_id") % _ivf_stride_for(emb) == 0)
+             .select(F.col("vec_id").alias("cell"),
+                     F.col("embedding").alias("c_vec")))
+    members = (celled.join(F.broadcast(cents), "cell")
+               .select("vec_id", "cell",
+                       F.round(cosine("embedding", "c_vec"), 6)
+                       .alias("cent_cos")))
+    pairs = _embedding_pair_edges(spark, sf_dir)
+    scored = (pairs
+              .join(members.select(F.col("vec_id").alias("keep_id"),
+                                   F.col("cent_cos").alias("cc_a")),
+                    "keep_id")
+              .join(members.select(F.col("vec_id").alias("dup_id"),
+                                   F.col("cent_cos").alias("cc_b")),
+                    "dup_id"))
+    losers = (scored.select(
+        F.when(F.col("cc_a") < F.col("cc_b"), F.col("keep_id"))
+         .otherwise(F.col("dup_id")).alias("vec_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(1)))
+    return (members.join(losers, "vec_id", "left")
+            .select("vec_id", "cell", "cent_cos",
+                    F.when(F.col("pruned").isNotNull(), 0)
+                     .otherwise(1).alias("kept"))
+            .orderBy("vec_id"))
+
+
 CC_MAX_ITERS = 20  # safety bound; min-label propagation converges in
 #                    O(component diameter) rounds — planted near-dup
 #                    clusters are tiny, real corpora's dup clusters too.
@@ -1899,6 +1961,7 @@ QUERIES = {
     "dedup_clusters": _dedup_clusters,
     "dedup_clusters_star": _dedup_clusters_star,
     "dedup_embedding": _dedup_embedding,
+    "dedup_semantic": _dedup_semantic,
     "dedup_exact": _dedup_exact,
     "dedup_distinct": _dedup_distinct,
     "dedup_content_hash": _dedup_content_hash,
@@ -2055,6 +2118,41 @@ FROM (SELECT *, row_number() OVER (PARTITION BY dup_id
             ORDER BY cos_sim DESC, keep_id ASC) AS rn
       FROM pairs WHERE cos_sim >= {SIM_THRESHOLD})
 WHERE rn = 1
+""",
+    # dedup_semantic (r11): the same quantizer cells and 6dp-rounded
+    # within-cell pair set; survivor policy = centroid-nearest (lower
+    # cent_cos pruned, tie prunes the higher vec_id)
+    "dedup_semantic": f"""
+WITH {DUCK_CELLS_CTE}, members AS (
+  SELECT d.doc_id AS vec_id, c.cell, e.embedding,
+         round(
+           list_dot_product(e.embedding::DOUBLE[], ct.c_vec::DOUBLE[]) /
+           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(ct.c_vec::DOUBLE[], ct.c_vec::DOUBLE[]))),
+           6) AS cent_cos
+  FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  JOIN cells c ON c.vec_id = d.doc_id
+  JOIN cents ct ON ct.c_id = c.cell
+), spairs AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         a.cent_cos AS cc_a, b.cent_cos AS cc_b
+  FROM members a JOIN members b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(
+          list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+          6) >= {SIM_THRESHOLD}
+), losers AS (
+  SELECT DISTINCT CASE WHEN cc_a < cc_b THEN keep_id ELSE dup_id END
+    AS vec_id
+  FROM spairs
+)
+SELECT m.vec_id, m.cell, m.cent_cos,
+       CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM members m LEFT JOIN losers l USING (vec_id)
+ORDER BY m.vec_id
 """,
     "dedup_exact": USERS_CTE + """
 SELECT custkey, id, email, country,

@@ -274,12 +274,92 @@ def _seasonal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "hr"))
 
 
+BURST_BUCKET_S = 3600   # tumbling rate window: 1 hour
+BURST_BASELINE_W = 6    # trailing baseline: the 6 previous windows
+BURST_FACTOR = 2        # burst iff rate >= FACTOR x baseline mean ...
+BURST_MIN_CNT = 6       # ... and at least this many events (a 2x jump
+#                         off a near-zero baseline is noise, not news)
+
+
+def _burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r11 debut): per-event-type burst intervals — tumbling
+    1-hour rates compared against the trailing BURST_BASELINE_W-window
+    mean, maximal above-threshold runs merged into one interval each
+    (the Kleinberg-style burst readout at its cheapest useful form:
+    "this event type ran >=2x its own recent rate from 14:00 to
+    17:00, 312 events, peaking at 19/h").  The anomaly sibling of
+    `events_zscore` (global moments) and `cusum_changepoint`
+    (cumulative drift): LOCAL rate vs local baseline, reported as
+    intervals rather than points.
+
+    Exactness: the burst verdict is the all-integer cross-multiply
+    cnt·W >= FACTOR·Σ(prev W counts) — no float rate is ever formed —
+    on a gap-DENSIFIED hourly series (missing hours count 0: a spike
+    after a quiet gap must compare against the true zero-ish rate, not
+    against the last few busy hours).  Warm-up rows (fewer than W
+    trailing windows) are excluded, so the first W hours of a series
+    can't self-compare.  Runs merge via the gaps-and-islands idiom
+    (`events_sessionize`): island id = hour index − row_number, both
+    integers.  Every output column is an integer or a formatted
+    timestamp string — nothing rounds.
+
+    100 TB shape: the rate table is ONE partial-agg'd groupBy
+    (event_type, hour) — the exchange carries hourly summaries, never
+    raw events; densification explodes a bounded per-type hour span
+    (8.8k rows/type/year); baseline + islands are windows keyed on the
+    same event_type partitioning Catalyst reuses end-to-end.  Series
+    key = partition key, the hypertable chunking note atop this module
+    applies."""
+    ev = load(spark, sf_dir, "events")
+    bi = F.floor(F.unix_timestamp("ts") / BURST_BUCKET_S).cast("long")
+    cnts = (ev.select("event_type", bi.alias("bi"))
+            .groupBy("event_type", "bi")
+            .agg(F.count("*").alias("cnt")))
+    spans = cnts.groupBy("event_type").agg(
+        F.min("bi").alias("b0"), F.max("bi").alias("b1"))
+    dense = spans.select(
+        "event_type", F.explode(F.sequence("b0", "b1")).alias("bi"))
+    filled = (dense.join(cnts, ["event_type", "bi"], "left")
+              .select("event_type", "bi",
+                      F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    wb = (Window.partitionBy("event_type").orderBy("bi")
+          .rowsBetween(-BURST_BASELINE_W, -1))
+    based = filled.select(
+        "event_type", "bi", "cnt",
+        F.sum("cnt").over(wb).alias("bsum"),
+        F.count(F.lit(1)).over(wb).alias("bn"))
+    bursts = based.where(
+        (F.col("bn") == BURST_BASELINE_W)
+        & (F.col("cnt") * BURST_BASELINE_W
+           >= BURST_FACTOR * F.col("bsum"))
+        & (F.col("cnt") >= BURST_MIN_CNT))
+    wr = Window.partitionBy("event_type").orderBy("bi")
+    isl = bursts.withColumn("grp", F.col("bi") - F.row_number().over(wr))
+
+    def hour_str(c):
+        return F.date_format(
+            F.timestamp_seconds(c * BURST_BUCKET_S),
+            "yyyy-MM-dd HH:mm:ss")
+
+    return (isl.groupBy("event_type", "grp")
+            .agg(F.min("bi").alias("bi0"), F.max("bi").alias("bi1"),
+                 F.count("*").alias("n_windows"),
+                 F.sum("cnt").alias("n_events"),
+                 F.max("cnt").alias("peak"))
+            .select("event_type",
+                    hour_str(F.col("bi0")).alias("burst_start"),
+                    hour_str(F.col("bi1")).alias("burst_end"),
+                    "n_windows", "n_events", "peak")
+            .orderBy("event_type", "burst_start"))
+
+
 QUERIES = {
     "time_bucket_ohlc": _time_bucket_ohlc,
     "window_twap": _window_twap,
     "cusum_changepoint": _cusum_changepoint,
     "acf_lags": _acf_lags,
     "seasonal_envelope": _seasonal_envelope,
+    "burst_detect": _burst_detect,
 }
 
 ORACLES = {
@@ -344,6 +424,49 @@ SELECT event_type, n_events,
        round(cusum, {CUSUM_ROUND}) AS peak_cusum,
        CAST(sign(cusum) AS INTEGER) AS drift_sign
 FROM ranked WHERE rn = 1
+""",
+    # burst_detect (r11): identical integer hour indices, the same
+    # densified trailing frame, the same all-integer cross-multiplied
+    # verdict and gaps-and-islands merge — every column integer/string
+    "burst_detect": f"""
+WITH bc AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / {BURST_BUCKET_S}) AS BIGINT) AS bi,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, min(bi) AS b0, max(bi) AS b1 FROM bc GROUP BY 1
+), dense AS (
+  SELECT s.event_type, unnest(generate_series(s.b0, s.b1)) AS bi
+  FROM spans s
+), filled AS (
+  SELECT d.event_type, d.bi, coalesce(c.cnt, 0) AS cnt
+  FROM dense d LEFT JOIN bc c USING (event_type, bi)
+), based AS (
+  SELECT *, sum(cnt) OVER w AS bsum, count(*) OVER w AS bn
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY bi
+               ROWS BETWEEN {BURST_BASELINE_W} PRECEDING
+                        AND 1 PRECEDING)
+), bursts AS (
+  SELECT event_type, bi, cnt,
+         bi - row_number() OVER (PARTITION BY event_type ORDER BY bi)
+           AS grp
+  FROM based
+  WHERE bn = {BURST_BASELINE_W}
+    AND cnt * {BURST_BASELINE_W} >= {BURST_FACTOR} * bsum
+    AND cnt >= {BURST_MIN_CNT}
+)
+SELECT event_type,
+       strftime(to_timestamp(min(bi) * {BURST_BUCKET_S}),
+                '%Y-%m-%d %H:%M:%S') AS burst_start,
+       strftime(to_timestamp(max(bi) * {BURST_BUCKET_S}),
+                '%Y-%m-%d %H:%M:%S') AS burst_end,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(max(cnt) AS BIGINT) AS peak
+FROM bursts GROUP BY event_type, grp
+ORDER BY event_type, burst_start
 """,
 }
 

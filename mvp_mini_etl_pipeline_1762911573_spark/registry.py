@@ -16,23 +16,23 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-10 window (current): the 5 r10 debuts FIRST (mirror_detect,
-crawl_frontier, source_perplexity, winnow_coverage, ivfpq_recall —
-the verdict-suggested candidate set, at the <=5 debut budget the r8
-verdict set to protect freshness), then similarity_recall (its
-n_queries derivation moved to the exact arm per the r9 ADVICE —
-values identical on the fixtures, re-windowed as insurance), then
-the ENTIRE 36-query round-4-stale remainder (6 rounds without a
-fresh row — the ceil(N/50)+1 staleness ceiling enforced by
-test_window_rotation_bounds_max_staleness), then the 8 stalest
-round-6 greens.  Rows-only queries (similarity_join, dedup_near,
-dedup_simhash, bpe_encode) are permanently excluded from the window —
-the driver records only `err: no_oracle` for them, a wasted slot
-(r7's lesson; enforced by
+Round-11 window (current): the 4 r11 debuts FIRST (heaps_law,
+filter_funnel, burst_detect, dedup_semantic — the verdict-suggested
+SURVEY §7 candidate set, inside the <=5 debut budget the r8 verdict
+set to protect freshness), then the 4 rows-only ride-alongs
+(ROWS_ONLY_RIDE_ALONG — r10 verdict item 7: the driver re-records
+their row counts once per ~5 rounds; their official rows dated from
+r4/r6), then the ENTIRE 39-query round-6-stale tier (5 rounds without
+a fresh row — the staleness ceiling enforced by
+test_window_rotation_bounds_max_staleness), then the 3 stalest
+round-7 greens.  Outside a ride-along round, rows-only queries stay
+excluded from the window — the driver records only `err: no_oracle`
+plus a row count for them (r7's lesson; enforced by
 test_window_contains_only_oracle_checked_queries, and skipped by
 rotation_report.py's candidate list since r9).
 
-ROTATION NOTE (round 10 → 11): any round-10 debuts go FIRST, then fill
+ROTATION NOTE (round 11 → 12): empty ROWS_ONLY_RIDE_ALONG again, put
+any round-11 debuts FIRST, then fill
 from `python scripts/rotation_report.py` (it derives each query's
 latest official row from CORRECTNESS_r*.json and prints the
 stalest-first candidate list sized to the window; rounds 2, 3 AND 6
@@ -63,41 +63,49 @@ from pyspark.sql import DataFrame, SparkSession
 # exist; duplicates are an error.  Keep this list at exactly the window
 # size so placement is deliberate, not accidental.
 WINDOW_SIZE = 50
+
+#: Rows-only queries riding the window THIS round (r10 verdict item 7:
+#: their official rows dated from r4/r6, so every ~5 rounds they ride
+#: along once and the driver re-records their row counts — a weaker
+#: check than the hash tier, but fresher than a half-year-old row).
+#: Normally rows-only queries stay out of the window (the r7 lesson:
+#: the driver records `err: no_oracle`, so a permanent slot is a
+#: wasted slot); the ride-along list is the DELIBERATE, bounded
+#: exception, pinned by test_window_contains_only_oracle_checked_
+#: queries to exactly these names.  Empty it again for r12.
+ROWS_ONLY_RIDE_ALONG: list[str] = [
+    "bpe_encode", "dedup_near", "dedup_simhash", "similarity_join",
+]
+
 WINDOW_PRIORITY: list[str] = [
-    # ROUND-10 WINDOW (rotation_report.py's r10 plan: the ENTIRE
-    # 36-query round-4-stale remainder is at the ceil(N/50)+1 = 6-round
-    # staleness ceiling and rotates as one beat, per the r9 verdict's
-    # top task).  5 debuts + 1 derivation-clarified re-verify first,
-    # then the 36 r4-stale, then the 8 stalest round-6 greens.
-    # 6 + 36 + 8 = 50: exactly full; the remaining 6 r6 greens
-    # (benford_digits .. dedup_ngram_jaccard, rotation_report slots
-    # 45+) wait for r11 — 5 rounds stale then, inside the ceiling.
-    # Rows-only queries are structurally excluded from this list
-    # (test_window_contains_only_oracle_checked_queries) — a slot the
-    # driver can't verify is a slot wasted.
-    # -- r10 debuts -----------------------------------------------------
-    "mirror_detect", "crawl_frontier", "source_perplexity",
-    "winnow_coverage", "ivfpq_recall",
-    # -- r10 derivation change, values identical (r9 ADVICE: n_queries
-    # now counted from the exact arm on both engines) — re-windowed as
-    # cheap insurance even though the r9 row's hashes still hold -------
-    "similarity_recall",
-    # -- the entire 36-query round-4-stale tier (6 rounds without a
+    # ROUND-11 WINDOW (rotation_report.py's r11 plan + the r10 verdict:
+    # the ENTIRE 39-query round-6-stale tier is the freshness ceiling
+    # and rotates as one beat).  4 debuts first, then the 4 rows-only
+    # ride-alongs (verdict item 7 — row counts re-recorded once per
+    # ~5 rounds), then the 39 r6-stale greens, then the 3 stalest r7
+    # greens.  4 + 4 + 39 + 3 = 50: exactly full; the remaining r7
+    # tier (46 queries) waits for r12 — 5 rounds stale then, inside
+    # the ceil(240/50)+1 = 6-round ceiling.
+    # -- r11 debuts (SURVEY §7 candidates, <=5 budget) -------------------
+    "heaps_law", "filter_funnel", "burst_detect", "dedup_semantic",
+    # -- rows-only ride-alongs (weaker rows-only check by design) --------
+    *ROWS_ONLY_RIDE_ALONG,
+    # -- the entire 39-query round-6-stale tier (5 rounds without a
     # fresh row — the staleness ceiling; rotation_report order) --------
-    "bitmap_days", "cdc_apply", "chain_rcte", "chi_square",
-    "cusum_changepoint", "dedup_bloom", "dq_check", "entity_canonical",
-    "events_path_transitions", "events_sessionize", "feature_hash",
-    "gap_fill_interp", "graph_bfs", "graph_pagerank", "graph_triangles",
-    "heavy_hitters", "join_fuzzy", "mix_temperature",
-    "multimodal_pipeline", "profile_columns", "quality_logit",
-    "quantile_bins", "regr_by_group", "rfm_segments", "sample_priority",
-    "scd2_merge", "session_overlap", "skew_report", "skyline_pareto",
-    "source_crawl", "stream_ohlc", "text_bm25", "time_bucket_ohlc",
-    "window_ewma", "window_rolling_median", "window_twap",
-    # -- 8 stalest round-6 greens (rotation_report order) ---------------
-    "agg_approx_count_distinct", "agg_approx_percentiles",
-    "agg_min_max", "agg_rollup", "agg_salted_twophase", "agg_stats",
-    "array_cosine", "asof_join",
+    "benford_digits", "csv_flatten", "dedup_content_hash",
+    "dedup_distinct", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_removed_count", "embedding_centroids", "embedding_normalize",
+    "events_debounce", "filter_nonnull", "filter_valid_date",
+    "gini_concentration", "inverted_index", "join_anti",
+    "join_broadcast", "join_equi", "join_left", "join_range",
+    "join_semi", "ks_test", "limit_topn", "metrics_row", "set_except",
+    "set_intersect", "set_intersect_all", "set_union",
+    "similarity_topk", "sort_limit1", "sort_multi", "table_diff",
+    "text_entropy", "udf_cosine", "validity_filter_counts",
+    "window_lag", "window_last_user", "window_ntile_frame",
+    "window_rank", "window_running_sum",
+    # -- 3 stalest round-7 greens (rotation_report order) ---------------
+    "acf_lags", "agg_collect", "agg_grouping_sets",
 ]
 
 
