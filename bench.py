@@ -97,6 +97,10 @@ HEADLINE = [
     "source_perplexity",    # round 10: token-keyed LM rollup
     "winnow_coverage",      # round 10: winnowing-guarantee audit
     "ivfpq_recall",         # round 10: IVFADC quality readout
+    "heaps_law",            # round 11: doc-grain Heaps'-law growth fit
+    "filter_funnel",        # round 11: per-stage curation attrition
+    "burst_detect",         # round 11: densified burst intervals
+    "dedup_semantic",       # round 11: centroid-nearest SemDeDup
 ]
 
 #: the cross-machine timing anchors (ADVICE/verdict r7: two rounds in a

@@ -229,11 +229,14 @@ SELECT event_id,
        1 AS n_uid_entries
 FROM events WHERE event_id % 20 = 0
 """,
+    # var_schema is a literal for the fixed fixture shape, NULL-guarded
+    # like scalar_map_json: schema_of_variant(parse_json(NULL)) is NULL
     "scalar_variant": """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
        CAST(NULL AS VARCHAR) AS absent,
-       'OBJECT<k: BIGINT>' AS var_schema
+       CASE WHEN props IS NULL THEN NULL
+            ELSE 'OBJECT<k: BIGINT>' END AS var_schema
 FROM events WHERE event_id % 10 = 0
 """,
     "scalar_string": USERS_CTE + """
@@ -285,10 +288,13 @@ SELECT custkey,
        '"}' AS payload
 FROM users_raw
 """,
+    # the fixture props are always '{"k": n}', so first_key/n_keys are
+    # literals — but only for NON-NULL props: Spark's from_json(NULL)
+    # is a NULL map whose keys/size are NULL (r11 all-NULL sweep)
     "scalar_map_json": """
 SELECT event_id,
-       'k' AS first_key,
-       1 AS n_keys,
+       CASE WHEN props IS NULL THEN NULL ELSE 'k' END AS first_key,
+       CASE WHEN props IS NULL THEN NULL ELSE 1 END AS n_keys,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_via_map
 FROM events WHERE event_id % 10 = 0

@@ -116,27 +116,40 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: score each candidate language by marker-
-    token hits, pick argmax (ties → lexicographic first).  Compared
-    against the table's `lang` ground truth for an accuracy column."""
-    docs = load(spark, sf_dir, "documents")
+def _lang_pred_col():
+    """The marker-argmax language predictor — ONE copy shared by
+    `lang_id` and `lang_confusion` (the two carried hand-kept twins
+    until r11).  Scores coalesce to 0 on a NULL text so prediction
+    degrades to the documented lexicographic tie → 'de' on BOTH
+    engines (r11 all-NULL sweep: Spark's struct-sort ordered the NULL
+    scores into 'de' while the oracle's CASE, never matching a NULL
+    greatest(), fell through to its ELSE arm 'zh')."""
     toks = _tokens(F.col("text"))
 
     def _hits(markers):
         arr = F.array(*[F.lit(m) for m in markers])
-        return F.size(F.filter(toks,
-                               lambda t: F.array_contains(arr, t)))
+        return F.coalesce(
+            F.size(F.filter(toks,
+                            lambda t: F.array_contains(arr, t))),
+            F.lit(0))
 
     scores = [(lang, _hits(markers))
               for lang, markers in sorted(LANG_MARKERS.items())]
     # argmax via greatest over structs (score, negated-rank via name)
-    pred = F.reverse(F.array_sort(F.array(*[
+    return F.reverse(F.array_sort(F.array(*[
         F.struct(score.alias("s"),
                  F.lit(-i).alias("tie"),
                  F.lit(lang).alias("lang"))
         for i, (lang, score) in enumerate(scores)
     ]))).getItem(0).getField("lang")
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: score each candidate language by marker-
+    token hits, pick argmax (ties → lexicographic first).  Compared
+    against the table's `lang` ground truth for an accuracy column."""
+    docs = load(spark, sf_dir, "documents")
+    pred = _lang_pred_col()
     return docs.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
@@ -1273,21 +1286,7 @@ def _lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤|langs|² key space, and the row totals come from a window over
     the ALREADY-aggregated 25-cell table — scan-bound end to end."""
     docs = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-
-    def _hits(markers):
-        arr = F.array(*[F.lit(m) for m in markers])
-        return F.size(F.filter(toks,
-                               lambda t: F.array_contains(arr, t)))
-
-    scores = [(lang, _hits(markers))
-              for lang, markers in sorted(LANG_MARKERS.items())]
-    pred = F.reverse(F.array_sort(F.array(*[
-        F.struct(score.alias("s"),
-                 F.lit(-i).alias("tie"),
-                 F.lit(lang).alias("lang"))
-        for i, (lang, score) in enumerate(scores)
-    ]))).getItem(0).getField("lang")
+    pred = _lang_pred_col()
     cells = (docs
              .select(F.col("lang").alias("true_lang"),
                      pred.alias("pred_lang"))
@@ -2844,15 +2843,27 @@ WITH {_DUCK_LM_SCORED_CTES}, flm AS (
            AS sum_len
   FROM documents
 ), ff AS (
+  -- pass = NO rule FIRES, counted fail-side exactly like the
+  -- gopher_rules oracle: a NULL text NULLs every predicate, so a
+  -- fail-side CASE yields 0 fails = pass on BOTH engines, where a
+  -- pass-side CASE would yield fail here but pass on the Spark side
+  -- (r11 all-NULL sweep divergence)
   SELECT doc_id, lang, digest,
-    CASE WHEN len(toks) >= {GOPHER_MIN_WORDS}
-          AND len(toks) <= {GOPHER_MAX_WORDS}
-          AND sum_len >= {GOPHER_MIN_WLEN} * len(toks)
-          AND sum_len <= {GOPHER_MAX_WLEN} * len(toks)
-          AND len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
-              * {GOPHER_ALPHA_DEN} >= {GOPHER_ALPHA_NUM} * len(toks)
-          AND len(list_filter(toks,
-                x -> list_contains({STOPWORDS!r}, x))) >= {GOPHER_MIN_STOP}
+    CASE WHEN (CASE WHEN len(toks) < {GOPHER_MIN_WORDS}
+                      OR len(toks) > {GOPHER_MAX_WORDS}
+                    THEN 1 ELSE 0 END)
+             + (CASE WHEN sum_len < {GOPHER_MIN_WLEN} * len(toks)
+                       OR sum_len > {GOPHER_MAX_WLEN} * len(toks)
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN len(list_filter(toks,
+                        x -> regexp_matches(x, '[a-z]')))
+                        * {GOPHER_ALPHA_DEN}
+                      < {GOPHER_ALPHA_NUM} * len(toks)
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN len(list_filter(toks,
+                        x -> list_contains({STOPWORDS!r}, x)))
+                      < {GOPHER_MIN_STOP}
+                     THEN 1 ELSE 0 END) = 0
          THEN 1 ELSE 0 END AS pass_g
   FROM ft
 ), fp AS (
@@ -2955,11 +2966,16 @@ WITH t AS (
   SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
 ), s AS (
   SELECT doc_id, lang,
-    len(list_filter(toks, x -> list_contains(['the','and','of'], x))) AS s_en,
-    len(list_filter(toks, x -> list_contains(['el','la','de'], x))) AS s_es,
-    len(list_filter(toks, x -> list_contains(['der','die','und'], x))) AS s_de,
-    len(list_filter(toks, x -> list_contains(['le','la','et'], x))) AS s_fr,
-    len(list_filter(toks, x -> list_contains(['的','是','在'], x))) AS s_zh
+    coalesce(len(list_filter(toks,
+      x -> list_contains(['the','and','of'], x))), 0) AS s_en,
+    coalesce(len(list_filter(toks,
+      x -> list_contains(['el','la','de'], x))), 0) AS s_es,
+    coalesce(len(list_filter(toks,
+      x -> list_contains(['der','die','und'], x))), 0) AS s_de,
+    coalesce(len(list_filter(toks,
+      x -> list_contains(['le','la','et'], x))), 0) AS s_fr,
+    coalesce(len(list_filter(toks,
+      x -> list_contains(['的','是','在'], x))), 0) AS s_zh
   FROM t
 ), p AS (
   SELECT lang AS true_lang,
@@ -3235,11 +3251,16 @@ WITH t AS (
   SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
 ), s AS (
   SELECT doc_id, lang,
-    len(list_filter(toks, x -> list_contains(['the','and','of'], x))) AS s_en,
-    len(list_filter(toks, x -> list_contains(['el','la','de'], x))) AS s_es,
-    len(list_filter(toks, x -> list_contains(['der','die','und'], x))) AS s_de,
-    len(list_filter(toks, x -> list_contains(['le','la','et'], x))) AS s_fr,
-    len(list_filter(toks, x -> list_contains(['的','是','在'], x))) AS s_zh
+    coalesce(len(list_filter(toks,
+      x -> list_contains(['the','and','of'], x))), 0) AS s_en,
+    coalesce(len(list_filter(toks,
+      x -> list_contains(['el','la','de'], x))), 0) AS s_es,
+    coalesce(len(list_filter(toks,
+      x -> list_contains(['der','die','und'], x))), 0) AS s_de,
+    coalesce(len(list_filter(toks,
+      x -> list_contains(['le','la','et'], x))), 0) AS s_fr,
+    coalesce(len(list_filter(toks,
+      x -> list_contains(['的','是','在'], x))), 0) AS s_zh
   FROM t
 )
 SELECT doc_id, lang AS true_lang,
@@ -3251,14 +3272,19 @@ SELECT doc_id, lang AS true_lang,
          WHEN s_fr THEN 'fr' ELSE 'zh' END) = lang AS correct
 FROM s
 """,
+    # the CASE guard mirrors Spark's NULL-in-NULL-out HOF fold: on a
+    # NULL text, list_prepend(0, NULL) manufactures [0] and the fold
+    # emitted 0 where Spark's aggregate(NULL, ...) emits NULL (r11
+    # all-NULL sweep divergence); empty text stays 0 on both engines
     "doc_fingerprint": f"""
 SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL ELSE
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform({_DUCK_TOKS},
              t -> CAST(concat('0x', substr(sha256(t), 1, 8)) AS BIGINT)
                   % 1000000007)),
-         (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_hash,
+         (acc, h) -> (acc * 31 + h) % 1000000007) END AS rolling_hash,
        sha256(trim(lower(text))) AS content_sha
 FROM documents
 """,

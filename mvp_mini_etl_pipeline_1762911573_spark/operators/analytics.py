@@ -327,7 +327,12 @@ def _events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(user, day)-salted two-phase variant keeps the same semantics
     (carry the previous day's tail count), documented not needed at
     the fixture's user fan-out."""
-    ev = load(spark, sf_dir, "events").select(
+    # an event without a timestamp cannot be rate-limited — excluded
+    # on both sides (Spark gives a NULL RANGE key an empty frame while
+    # DuckDB makes every NULL a peer of every other: 0 vs 1000 flagged
+    # rows on the r11 all-NULL sweep)
+    ev = load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()).select(
         "event_id", "user_id", "event_type", "ts",
         F.unix_micros("ts").alias("us"))
     w_le = (Window.partitionBy("user_id").orderBy("us")
@@ -976,7 +981,13 @@ def _chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-count cell still contributes (0-e)^2/e = e to the statistic,
     and summing over observed cells only would silently understate
     chi2 on sparse tables."""
-    ev = load(spark, sf_dir, "events")
+    # NULL levels are excluded from the contingency table (standard
+    # test practice, and load-bearing: a NULL level would enter the
+    # grid but never re-match through the equi-join — NULL != NULL —
+    # leaving a phantom zero-margin cell whose expected count divides
+    # by zero and kills the task under ANSI; r11 all-NULL sweep)
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull())
     dow = F.pmod(F.datediff(F.to_date("ts"), F.lit("2024-01-01")),
                  F.lit(7))
     obs = (ev.groupBy(F.col("event_type").alias("ty"),
@@ -1509,7 +1520,12 @@ def _roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix scan runs on the bounded table, and the final
     statistic is a 1-row aggregate — nothing after the first reduce
     scales with corpus size."""
-    s = _logit_scores(spark, sf_dir)
+    # un-scorable docs (NULL text -> NULL features -> NULL lp) are
+    # excluded from the evaluation on BOTH sides: the shared
+    # _prefix_scan drops a NULL score value while the oracle's ORDER
+    # BY lp window kept it as a sortable group — 500 phantom negatives
+    # on the r11 all-NULL sweep
+    s = _logit_scores(spark, sf_dir).where(F.col("lp").isNotNull())
     v = (s.groupBy("lp")
          .agg(F.count("*").alias("c"),
               F.coalesce(F.sum("y"), F.lit(0)).alias("c1"))
@@ -1686,7 +1702,7 @@ WITH c AS (
            PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN {RATE_LIMIT_US} PRECEDING AND CURRENT ROW)
            AS BIGINT) AS n_in_window
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT event_id, user_id, event_type, ts, n_in_window
 FROM c WHERE n_in_window > {RATE_LIMIT_N}
@@ -1815,9 +1831,14 @@ FROM per_chan
 """,
     "ab_test": """
 WITH assigned AS (
+  -- '0x' || ..., not concat(): DuckDB concat SKIPS NULL args, so a
+  -- NULL user_id yielded the unparseable literal '0x' where Spark's
+  -- sha2-conv chain NULL-propagates (r11 all-NULL sweep); || keeps
+  -- the NULL and the CAST emits NULL arm = excluded from both arms,
+  -- matching Spark
   SELECT event_type, value,
-         CAST(concat('0x', substr(sha256(CAST(user_id AS VARCHAR)),
-                                  1, 8)) AS BIGINT) % 2 AS arm
+         CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)),
+                             1, 8) AS BIGINT) % 2 AS arm
   FROM events
 ), agg AS (
   SELECT event_type,
@@ -1842,7 +1863,9 @@ WITH obs AS (
          CAST(((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7)
                + 7) % 7 AS INTEGER) AS dow,
          CAST(count(*) AS BIGINT) AS o
-  FROM events GROUP BY 1, 2
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
 ), grid AS (
   SELECT ty, dow
   FROM (SELECT DISTINCT ty FROM obs), (SELECT DISTINCT dow FROM obs)
@@ -2401,7 +2424,7 @@ ORACLES["roc_auc"] = f"""
 WITH {_DUCK_SCORES_CTE}, v AS (
   SELECT lp, CAST(count(*) AS BIGINT) AS c,
          CAST(COALESCE(sum(y), 0) AS BIGINT) AS c1
-  FROM s GROUP BY lp
+  FROM s WHERE lp IS NOT NULL GROUP BY lp
 ), r AS (
   SELECT c, c1,
          2 * CAST(COALESCE(sum(c) OVER (ORDER BY lp

@@ -57,7 +57,16 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         F.lit(1).alias("_is_left"), "*",
         F.lit(None).cast(f"struct<{payload_t}>").alias("_payload"),
     )
-    rt = right.select(
+    # JOIN semantics for NULLs (r11 all-NULL sweep): a NULL key or
+    # NULL timestamp matches NOTHING in an as-of join — but Spark
+    # windows GROUP NULL partition keys and sort NULL timestamps
+    # first, so without these guards a NULL-keyed left row stitched a
+    # payload from the NULL-key "partition" and a NULL-ts right row
+    # became visible to every left row.  Right rows with NULL key/ts
+    # are dropped from the carry stream; left rows always survive
+    # (left-join contract) with their payload masked below.
+    rt = right.where(
+        F.col(key).isNotNull() & F.col(right_ts).isNotNull()).select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(f.dataType).alias(f.name)
@@ -83,10 +92,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
         "*",
         pick("_payload", ignorenulls=True).over(w).alias("_asof"),
     )
+    matchable = F.col("_k").isNotNull() & F.col("_ts").isNotNull()
     return (
         carried.where(F.col("_is_left") == 1)
         .select(*[f.name for f in left.schema.fields],
-                *[F.col("_asof")[c].alias(c) for c in right_cols])
+                *[F.when(matchable, F.col("_asof")[c]).alias(c)
+                  for c in right_cols])
     )
 
 
@@ -165,7 +176,12 @@ def _udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(
             dot / (np.linalg.norm(m, axis=1) * np.sqrt(m.shape[1])))
 
-    emb = load(spark, sf_dir, "embeddings")
+    # NULL embeddings are excluded BEFORE the UDF (np.stack over a None
+    # crashes the Python worker — the r11 all-NULL sweep's crash class;
+    # the embedding family's shared exclusion contract, see
+    # similarity.assign_cells); the oracle carries the same predicate
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull())
     return emb.select(
         "vec_id", F.round(cos_ones("embedding"), 6).alias("cos_to_ones"))
 
@@ -260,7 +276,11 @@ def _asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("uid").alias("_k"), F.col("o_orderdate").alias("_ts"),
         F.lit(1).alias("_is_left"), "o_orderkey", "uid", "o_orderdate",
         F.lit(None).cast(f"struct<{payload_t}>").alias("_payload"))
-    rt = events_u.select(
+    # same NULL-join contract as asof_join: NULL-keyed/NULL-ts events
+    # can never be anyone's nearest, and NULL-keyed/NULL-dated orders
+    # match nothing (masked below)
+    rt = events_u.where(
+        F.col("uid").isNotNull() & F.col("ts").isNotNull()).select(
         F.col("uid").alias("_k"), F.col("ts").alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast("bigint").alias("o_orderkey"),
@@ -281,7 +301,10 @@ def _asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     next_d = F.unix_micros(F.col("_next")["ts"]) - lts
     take_prev = F.col("_next").isNull() | (
         F.col("_prev").isNotNull() & (prev_d <= next_d))
-    chosen = F.when(take_prev, F.col("_prev")).otherwise(F.col("_next"))
+    matchable = F.col("_k").isNotNull() & F.col("_ts").isNotNull()
+    chosen = F.when(
+        matchable,
+        F.when(take_prev, F.col("_prev")).otherwise(F.col("_next")))
     return (
         carried.where(F.col("_is_left") == 1)
         .select(
@@ -363,7 +386,7 @@ SELECT vec_id,
          list_sum(embedding::DOUBLE[]) /
          (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
           * sqrt(len(embedding))), 6) AS cos_to_ones
-FROM embeddings
+FROM embeddings WHERE embedding IS NOT NULL
 """,
     "udaf_mode": """
 SELECT user_id, mode_type, n_events FROM (

@@ -1513,7 +1513,12 @@ def _dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row audit output reports the filter's confusion counts;
     ``n_missed`` is structurally 0 (bloom filters have no false
     negatives) and the oracle + pytest pin that."""
-    docs = load(spark, sf_dir, "documents")
+    # NULL text carries nothing to fingerprint — excluded on both
+    # sides (a NULL reaching the position hash NULLed every Spark
+    # position while DuckDB's concat() SKIPPED the NULL into an
+    # unparseable '0x' literal; r11 all-NULL sweep)
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
     b = docs.select("doc_id", "text",
                     _sha_bucket(F.col("doc_id"), 100).alias("bucket"))
     existing = b.where(F.col("bucket") < BLOOM_EXISTING_HI)
@@ -1929,8 +1934,13 @@ def _crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows sorted by the exact-rounded score."""
     pages = _derived_pages(load(spark, sf_dir, "documents"))
     n_toks = F.size(_tokens(F.col("text")))
-    good = ((n_toks >= FRONTIER_GOOD_MIN)
-            & (n_toks <= FRONTIER_GOOD_MAX)).cast("long")
+    # when/otherwise, not bool.cast: a NULL text NULLs the band
+    # predicate, and cast would propagate NULL through sum(good) into
+    # a NULL n_good/priority where the oracle's CASE counts 0 (r11
+    # all-NULL sweep); a page with no text is NOT good — count it 0
+    good = F.when((n_toks >= FRONTIER_GOOD_MIN)
+                  & (n_toks <= FRONTIER_GOOD_MAX),
+                  F.lit(1)).otherwise(F.lit(0)).cast("long")
     per_url = (
         pages.select("domain", "canon_url", good.alias("good"))
         .groupBy("domain", "canon_url")
@@ -2363,7 +2373,7 @@ WITH b AS (
   SELECT doc_id, text,
          CAST(concat('0x', substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
               AS BIGINT) % 100 AS bucket
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), existing AS (SELECT * FROM b WHERE bucket < {BLOOM_EXISTING_HI}),
 batch AS (SELECT * FROM b WHERE bucket >= {BLOOM_BATCH_LO}),
 seeds AS (SELECT unnest(range({BLOOM_K})) AS i),

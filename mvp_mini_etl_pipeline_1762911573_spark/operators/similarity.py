@@ -423,10 +423,18 @@ def assign_cells(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
     # CC flavors, repeated bench runs) resolves the identical model
     # parameters, and query CONSTRUCTION should not re-run the scan
     # job each time
+    # NULL embeddings (a decode-failed row, an all-NULL backfill — the
+    # r11 all-NULL sweep axis) are EXCLUDED from the quantizer on both
+    # sides: they can't seed a centroid (np.array of Nones crashed ten
+    # consumers here) and can't be assigned a cell; the oracle mirror
+    # (DUCK_CELLS_CTE / _DUCK_IVF_SCORED_CTES) carries the same
+    # IS NOT NULL predicates, so exclusion is engine-identical.
+    vecs = vecs.where(F.col("embedding").isNotNull())
     key = _cent_cache_key(emb)
     if key not in _CENT_CACHE:
         cent_rows = (
-            emb.where(F.col("vec_id") % _ivf_stride_for(emb) == 0)
+            emb.where((F.col("vec_id") % _ivf_stride_for(emb) == 0)
+                      & F.col("embedding").isNotNull())
             .select(F.col("vec_id").cast("bigint").alias("c_id"),
                     "embedding")
             .orderBy("c_id").collect())
@@ -475,9 +483,11 @@ def _ivf_probes(emb: DataFrame, with_vec: bool = False) -> DataFrame:
     implementation shared by _similarity_ivf and ivfpq_search: the
     probe ranking (round-6 sim, c_id tiebreak, NPROBE cut) is
     oracle-sensitive in both paths and must never diverge."""
-    cents = emb.where(F.col("vec_id") % _ivf_stride_for(emb) == 0).select(
+    cents = emb.where((F.col("vec_id") % _ivf_stride_for(emb) == 0)
+                      & F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+    queries = emb.where((F.col("vec_id") < N_QUERIES)
+                        & F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     w_probe = Window.partitionBy("q_id").orderBy(
         F.col("sim").desc(), F.col("c_id").asc())
@@ -557,16 +567,17 @@ def pq_codebooks(emb: DataFrame):
 
     key = _cent_cache_key(emb) + ("pq",)  # app id stays at key[0]
     if key not in _CENT_CACHE:
+        nn = emb.where(F.col("embedding").isNotNull())
         sample = np.array(
             [r.embedding for r in
-             emb.orderBy("vec_id").limit(PQ_TRAIN_N)
-                .select("embedding").collect()],
+             nn.orderBy("vec_id").limit(PQ_TRAIN_N)
+               .select("embedding").collect()],
             dtype="float64")
         seeds = np.array(
             [r.embedding for r in
-             emb.where(F.col("vec_id") % PQ_STRIDE == 0)
-                .orderBy("vec_id").limit(PQ_K)
-                .select("embedding").collect()],
+             nn.where(F.col("vec_id") % PQ_STRIDE == 0)
+               .orderBy("vec_id").limit(PQ_K)
+               .select("embedding").collect()],
             dtype="float64")
         if seeds.ndim != 2 or len(seeds) < 2:
             raise ValueError(
@@ -640,7 +651,8 @@ def pq_search(emb: DataFrame, topk: int = TOPK) -> DataFrame:
 
     cb = pq_codebooks(emb)                       # (M, K, sub)
     m_, k_, sub = cb.shape
-    q_rows = (emb.where(F.col("vec_id") < N_QUERIES)
+    q_rows = (emb.where((F.col("vec_id") < N_QUERIES)
+                        & F.col("embedding").isNotNull())
               .orderBy("vec_id").collect())
     q_ids = [r.vec_id for r in q_rows]
     qmat = np.array([r.embedding for r in q_rows], dtype="float64")
@@ -690,7 +702,8 @@ def ivfpq_search(emb: DataFrame, topk: int = TOPK) -> DataFrame:
 
     cb = pq_codebooks(emb)
     m_, k_, sub = cb.shape
-    q_rows = (emb.where(F.col("vec_id") < N_QUERIES)
+    q_rows = (emb.where((F.col("vec_id") < N_QUERIES)
+                        & F.col("embedding").isNotNull())
               .orderBy("vec_id").collect())
     q_ids = [r.vec_id for r in q_rows]
     qmat = np.array([r.embedding for r in q_rows], dtype="float64")
@@ -1069,7 +1082,8 @@ DUCK_STRIDE_SQL = (
 # dedup oracles (SemDeDup = pairwise within quantizer cells).
 DUCK_CELLS_CTE = f"""cents AS (
   SELECT vec_id AS c_id, embedding AS c_vec
-  FROM embeddings WHERE vec_id % {DUCK_STRIDE_SQL} = 0
+  FROM embeddings
+  WHERE vec_id % {DUCK_STRIDE_SQL} = 0 AND embedding IS NOT NULL
 ), cells AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.c_id AS cell,
@@ -1077,7 +1091,7 @@ DUCK_CELLS_CTE = f"""cents AS (
              PARTITION BY e.vec_id
              ORDER BY {_DUCK_COS.format(a='e.embedding', b='c.c_vec')}
                       DESC, c.c_id ASC) AS rn
-    FROM embeddings e, cents c)
+    FROM embeddings e, cents c WHERE e.embedding IS NOT NULL)
   WHERE rn = 1
 )"""
 
@@ -1088,7 +1102,8 @@ DUCK_CELLS_CTE = f"""cents AS (
 # cannot drift
 _DUCK_IVF_SCORED_CTES = f"""cents AS (
   SELECT vec_id AS c_id, embedding AS c_vec
-  FROM embeddings WHERE vec_id % {DUCK_STRIDE_SQL} = 0
+  FROM embeddings
+  WHERE vec_id % {DUCK_STRIDE_SQL} = 0 AND embedding IS NOT NULL
 ), assigned AS (
   SELECT vec_id, embedding, c_id AS cell FROM (
     SELECT e.vec_id, e.embedding, c.c_id,
@@ -1096,7 +1111,7 @@ _DUCK_IVF_SCORED_CTES = f"""cents AS (
              PARTITION BY e.vec_id
              ORDER BY {_DUCK_COS.format(a='e.embedding', b='c.c_vec')}
                       DESC, c.c_id ASC) AS rn
-    FROM embeddings e, cents c)
+    FROM embeddings e, cents c WHERE e.embedding IS NOT NULL)
   WHERE rn = 1
 ), probes AS (
   SELECT q_id, q_vec, cell FROM (
@@ -1105,7 +1120,8 @@ _DUCK_IVF_SCORED_CTES = f"""cents AS (
              PARTITION BY q.vec_id
              ORDER BY {_DUCK_COS.format(a='q.embedding', b='c.c_vec')}
                       DESC, c.c_id ASC) AS rn
-    FROM embeddings q, cents c WHERE q.vec_id < {N_QUERIES})
+    FROM embeddings q, cents c
+    WHERE q.vec_id < {N_QUERIES} AND q.embedding IS NOT NULL)
   WHERE rn <= {IVF_NPROBE}
 ), scored AS (
   SELECT p.q_id, a.vec_id AS n_id,
@@ -1115,19 +1131,25 @@ _DUCK_IVF_SCORED_CTES = f"""cents AS (
 )"""
 
 ORACLES = {
+    # the CASE guard mirrors Spark's NULL-in-NULL-out narrow map: a
+    # NULL embedding row keeps its vec_id with NULL norm/dims (DuckDB's
+    # list_dot_product ERRORS on NULL rather than propagating — the
+    # r11 all-NULL sweep's oracle-crash class)
     "embedding_normalize": """
+WITH n AS (
+  SELECT vec_id, embedding,
+         CASE WHEN embedding IS NULL THEN NULL
+              ELSE sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) END AS nrm
+  FROM embeddings
+)
 SELECT vec_id,
-       round(sqrt(list_dot_product(embedding::DOUBLE[],
-                                   embedding::DOUBLE[])), 6) AS l2_norm,
-       round(embedding[1] / sqrt(list_dot_product(embedding::DOUBLE[],
-             embedding::DOUBLE[])), 6) AS u0,
-       round(embedding[2] / sqrt(list_dot_product(embedding::DOUBLE[],
-             embedding::DOUBLE[])), 6) AS u1,
-       round(embedding[3] / sqrt(list_dot_product(embedding::DOUBLE[],
-             embedding::DOUBLE[])), 6) AS u2,
-       round(embedding[4] / sqrt(list_dot_product(embedding::DOUBLE[],
-             embedding::DOUBLE[])), 6) AS u3
-FROM embeddings
+       round(nrm, 6) AS l2_norm,
+       round(embedding[1] / nrm, 6) AS u0,
+       round(embedding[2] / nrm, 6) AS u1,
+       round(embedding[3] / nrm, 6) AS u2,
+       round(embedding[4] / nrm, 6) AS u3
+FROM n
 """,
     "array_cosine": """
 SELECT a.vec_id AS id_a,
@@ -1212,10 +1234,14 @@ SELECT a.cell, a.n_vecs, a.c0, a.c1, a.c2, a.c3,
        ), 6) AS shift
 FROM agg a JOIN cents ct ON ct.c_id = a.cell
 """,
+    # embedding IS NOT NULL mirrors Spark's posexplode, which emits
+    # nothing for a NULL array (the generate_series cross join would
+    # keep the row with NULL dims — r11 all-NULL sweep divergence)
     "embedding_centroids": """
 SELECT label, CAST(i - 1 AS INTEGER) AS dim,
        round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
 FROM embeddings, generate_series(1, 8) AS t(i)
+WHERE embedding IS NOT NULL
 GROUP BY label, i
 """,
 }

@@ -362,9 +362,15 @@ def _agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hi"))
 
     def in_bound(i: int, name: str):
-        return ((F.element_at("apx", i) >= F.element_at("lo", i))
-                & (F.element_at("apx", i) <= F.element_at("hi", i))
-                ).alias(name)
+        # coalesce(TRUE): a group whose metric column is entirely NULL
+        # has NULL percentiles on both arms — the accuracy contract is
+        # VACUOUSLY honored, and a NULL boolean would arrive as pandas
+        # object-dtype against the oracle's literal bool (the r11
+        # all-NULL sweep's dtype-kind failure)
+        return F.coalesce(
+            (F.element_at("apx", i) >= F.element_at("lo", i))
+            & (F.element_at("apx", i) <= F.element_at("hi", i)),
+            F.lit(True)).alias(name)
 
     return g.select(
         "status",
@@ -736,13 +742,19 @@ def _chain_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_clusters/_star); recursive CTEs here are for acyclic
     chains/hierarchies, where each level is one equi-join the
     optimizer plans like any other."""
+    # o_custkey IS NOT NULL on both sides: an order with no customer
+    # belongs to no chain.  Load-bearing for the cross-paradigm check —
+    # the recursion's equi-join never matches a NULL key (each NULL
+    # order would stay a 1-link anchor) while the oracle's window
+    # formulation GROUPS NULLs into one 1500-deep phantom chain (r11
+    # all-NULL sweep: 1 row vs 1500)
     load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     return spark.sql("""
         WITH RECURSIVE ords AS (
           SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
                  row_number() OVER (PARTITION BY o_custkey
                                     ORDER BY o_orderdate, o_orderkey) AS rn
-          FROM v_orders
+          FROM v_orders WHERE o_custkey IS NOT NULL
         ), edges AS (
           SELECT a.o_custkey, a.o_orderkey AS prev_key,
                  b.o_orderkey AS next_key, b.d AS next_d
@@ -1235,6 +1247,11 @@ FROM days
 LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
 GROUP BY d
 """,
+    # flags: FILTER + coalesce mirror Spark exactly — collect_set
+    # SKIPS NULL elements and array_join of the resulting EMPTY array
+    # is '', while DuckDB's unfiltered list() keeps NULL and
+    # array_to_string of an empty/all-NULL list is NULL (r11 all-NULL
+    # sweep divergence)
     "agg_collect": """
 SELECT l_orderkey,
        CAST(len(lines) AS INTEGER) AS n_lines,
@@ -1242,11 +1259,12 @@ SELECT l_orderkey,
        lines[-1] AS last_line,
        list_contains(lines, 1) AS has_line1,
        array_to_string(lines, ',') AS lines_csv,
-       array_to_string(flags, '|') AS flags_bar
+       coalesce(array_to_string(flags, '|'), '') AS flags_bar
 FROM (
   SELECT l_orderkey,
          list_sort(list(l_linenumber)) AS lines,
-         list_sort(list(DISTINCT l_returnflag)) AS flags
+         list_sort(list(DISTINCT l_returnflag)
+                   FILTER (l_returnflag IS NOT NULL)) AS flags
   FROM lineitem WHERE l_orderkey % 100 = 0
   GROUP BY l_orderkey
 )
@@ -1295,7 +1313,7 @@ WITH ords AS (
                             ORDER BY o_orderdate, o_orderkey) AS pos,
          min(CAST(o_orderdate AS DATE))
            OVER (PARTITION BY o_custkey) AS first_d
-  FROM orders
+  FROM orders WHERE o_custkey IS NOT NULL
 )
 SELECT pos, CAST(count(*) AS BIGINT) AS n_orders,
        round(avg(date_diff('day', first_d, d)), 4) AS avg_days_since_first,

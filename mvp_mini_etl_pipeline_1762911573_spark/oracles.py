@@ -28,8 +28,13 @@ WITH first_order AS (
   SELECT
     c_custkey AS custkey,
     CAST(c_custkey AS VARCHAR) AS id,
-    split_part(c_name, '#', 1) AS name_first,
-    split_part(c_name, '#', 2) AS name_last,
+    -- CASE guards: DuckDB split_part(NULL, ...) returns '' where
+    -- Spark's returns NULL, so a NULL c_name leaked empty-string name
+    -- parts into every downstream concat/substr (r11 all-NULL sweep)
+    CASE WHEN c_name IS NULL THEN NULL
+         ELSE split_part(c_name, '#', 1) END AS name_first,
+    CASE WHEN c_name IS NULL THEN NULL
+         ELSE split_part(c_name, '#', 2) END AS name_last,
     CASE WHEN c_custkey % 20 = 19 THEN NULL
          ELSE lower(replace(c_name, '#', '.')) || '@example.com' END AS email,
     lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS phone,

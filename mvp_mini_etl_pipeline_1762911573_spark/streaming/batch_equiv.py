@@ -221,6 +221,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    # ts IS NOT NULL in all four windowed-oracle mirrors: Spark's
+    # F.window() DROPS rows without event time (the streaming
+    # semantics — an event that carries no timestamp cannot be placed
+    # in any window) while DuckDB's time_bucket(NULL) kept a NULL
+    # bucket group (r11 all-NULL sweep: 0 vs 1 rows)
     "stream_ohlc": """
 WITH b AS (
   SELECT event_type,
@@ -235,7 +240,7 @@ WITH b AS (
          + least(greatest(CAST(round(value * 100) AS BIGINT), 0),
                  16777215) AS ordk,
          value
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT window_start, event_type,
        (min(ordk) % 16777216) / 100.0 AS open,
@@ -266,6 +271,7 @@ SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S')
        round(sum(value), 2) AS total_value
 FROM events
 LEFT JOIN users_clean ON user_id = custkey
+WHERE ts IS NOT NULL
 GROUP BY time_bucket(INTERVAL 6 HOUR, ts), coalesce(country, 'unknown')
 """,
     "stream_tumbling": """
@@ -274,7 +280,7 @@ SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
        event_type,
        CAST(count(*) AS BIGINT) AS cnt,
        round(sum(value), 2) AS total_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
 """,
     "stream_sliding": """
@@ -282,7 +288,7 @@ WITH offsets AS (SELECT unnest([0, 15, 30, 45]) AS off_min),
      slid AS (
   SELECT time_bucket(INTERVAL 1 HOUR, ts - (off_min * INTERVAL 1 MINUTE))
            + (off_min * INTERVAL 1 MINUTE) AS window_start
-  FROM events, offsets
+  FROM events, offsets WHERE ts IS NOT NULL
 )
 SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(count(*) AS BIGINT) AS cnt

@@ -59,7 +59,13 @@ EVENT_OPS = ["time_bucket_ohlc", "window_twap", "cusum_changepoint",
              # r7: burst corpora put MANY touches in one purchase's
              # window (fan-out + varying credit denominators) while
              # touch-free purchases exercise the direct anti-join arm
-             "attribution_linear"]
+             "attribution_linear",
+             # r11: burst corpora ARE the operator's subject — many
+             # same-hour events spike single buckets off a sparse
+             # baseline, the short generated span exercises the
+             # warm-up exclusion, and hour gaps pin the densified
+             # zero-count baseline arithmetic on both engines
+             "burst_detect"]
 
 TYPES = ["click", "view", "purchase", "signup", "error"]
 
@@ -267,7 +273,21 @@ DOC_OPS = ["text_stats", "text_quality", "token_count", "lang_id",
            # gaps — the guarantee boundary), short docs land in the
            # one-window degenerate branch, and gram-less docs must
            # drop out of BOTH engines identically
-           "winnow_coverage"]
+           "winnow_coverage",
+           # r11: empty/whitespace docs contribute zero-token curve
+           # points (the cum_toks >= 1 guard), repetition docs flatten
+           # cumulative vocabulary (x advances, y stalls — the d2 = 0
+           # direction), tiny sources land n_points = 1 (d1 = 0 →
+           # NULL fit), and the 120-doc corpora keep every doc a
+           # sample point — the DIV predicate's n_docs <= P branch
+           "heaps_law",
+           # r11: most generated docs fail the Gopher word-count rule
+           # (stage-1 attrition near total — funnel stages that empty
+           # exercise the NULL kept_share arm), repetition docs are
+           # exact-duplicate groups (the stage-3 window actually
+           # prunes here, unlike the dup-free fixtures), and the LM
+           # band verdict runs off degenerate micro-nat sums
+           "filter_funnel"]
 # scrub_pii is excluded: it joins the customer table (its PII name
 # dictionary), which these documents-only corpora don't materialize
 
@@ -418,6 +438,50 @@ def test_differential_on_generated_embeddings(spark, diff_emb_dirs,
     con.execute("DROP VIEW IF EXISTS embeddings")
     con.execute(f"CREATE VIEW embeddings AS SELECT * "
                 f"FROM '{sf_dir}/embeddings.parquet/*.parquet'")
+    df = all_queries()[name](spark, sf_dir)
+    compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
+
+
+#: SemDeDup-family operators (documents ⋈ embeddings): the adversarial
+#: embedding corpus paired with a PARTIAL documents table (every other
+#: vec_id has a doc row — the doc-join prune arm both operators carry).
+#: r11: exact scaled copies make round-6 cosine ties at 1.0 on BOTH
+#: the pair threshold AND dedup_semantic's cent_cos comparison — the
+#: tie-prunes-the-higher-vec_id branch is live, and constant/axis
+#: vectors land whole cells on one centroid
+SEM_OPS = ["dedup_semantic", "dedup_embedding"]
+
+
+@pytest.fixture(scope="module")
+def diff_sem_dirs(spark, tmp_path_factory):
+    out = {}
+    con = duckdb.connect()
+    for seed in (21, 22):
+        d = tmp_path_factory.mktemp(f"diffsem{seed}")
+        emb = _gen_embeddings(seed)
+        (spark.createDataFrame(
+            emb, "vec_id long, embedding array<float>, label int")
+         .coalesce(2).write.parquet(f"{d}/embeddings.parquet"))
+        docs = [(i, f"doc {i}", "en", f"src{i % 3}", 6)
+                for (i, _, _) in emb if i % 2 == 0]
+        (spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, "
+                  "source string, n_chars long")
+         .coalesce(2).write.parquet(f"{d}/documents.parquet"))
+        out[seed] = str(d)
+    return out, con
+
+
+@pytest.mark.parametrize("name", SEM_OPS)
+@pytest.mark.parametrize("seed", [21, 22])
+def test_differential_on_semantic_dedup(spark, diff_sem_dirs, name,
+                                        seed):
+    dirs, con = diff_sem_dirs
+    sf_dir = dirs[seed]
+    for t in ("embeddings", "documents"):
+        con.execute(f"DROP VIEW IF EXISTS {t}")
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM '{sf_dir}/{t}.parquet/*.parquet'")
     df = all_queries()[name](spark, sf_dir)
     compare(df, con, all_oracles()[name], f"{name}@seed{seed}")
 

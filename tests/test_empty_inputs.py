@@ -1,6 +1,22 @@
-"""Degenerate-cardinality robustness tier (round 10): every
-oracle-backed query run on schema-preserving ZERO-ROW and ONE-ROW
-tables, compared to DuckDB on the same parquet.
+"""Degenerate-input robustness tier (round 10, widened round 11):
+every oracle-backed query run on schema-preserving ZERO-ROW and
+ONE-ROW tables — and, since r11, on ALL-NULL-optional-column tables
+(every non-key column NULL in every row: the backfill that landed
+with only keys populated) — compared to DuckDB on the same parquet.
+
+The r11 all-NULL sweep that seeded the third axis found 39 failures:
+three crash families (NULL embeddings killed the shared IVF centroid
+seeding and two pandas UDFs — ten consumers; chi_square divided by a
+phantom zero margin because a NULL level enters the grid but never
+re-matches through the equi-join; DuckDB's list_dot_product ERRORS on
+NULL instead of propagating) and four divergence families (DuckDB
+concat()/split_part() swallow NULLs where Spark propagates them;
+Spark windows GROUP NULL partition keys where SQL joins never match
+them — asof/chain_rcte; Spark's F.window() drops NULL event times
+where time_bucket(NULL) kept a phantom group; boolean predicates
+folded NULL differently on the two sides — crawl_frontier, lang_id,
+filter_funnel, roc_auc).  All fixed output-identically for
+non-degenerate input; this tier pins every one.
 
 At 100 TB these shapes are routine, not exotic — a date filter can
 zero out any partition range, a tenant can have no rows or exactly
@@ -28,13 +44,17 @@ Documented exceptions, asserted as such below:
   filter empties the single row back to the empty-relation case).
 * ivfpq_recall — PQ training on an empty (or single-vector) corpus
   is undefined; the operator raises a named diagnostic instead of
-  returning garbage.
+  returning garbage.  The all-NULL corpus is the empty corpus after
+  the embedding family's NOT-NULL exclusion, so it raises there too.
+* agg_rollup on the all-NULL axis — its status filter removes every
+  row, landing back on the empty-relation grand-total divergence.
 """
 
 from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from mvp_mini_etl_pipeline_1762911573_spark.registry import (
     all_oracles, all_queries,
@@ -48,24 +68,45 @@ GRANDTOTAL_DIVERGENT = ["agg_cube", "agg_rollup", "agg_grouping_sets"]
 #: raises a named diagnostic on a <2-vector corpus by design
 RAISES_BY_DESIGN = ["ivfpq_recall"]
 
-#: axis -> (rows per table, names excluded from the equality loop)
+#: per-table primary keys, kept NON-NULL on the all_null axis so
+#: primary-key contracts hold (the r10 duplicate-only dead end:
+#: violating key uniqueness/presence makes both engines reasonable-
+#: but-different on undefined input, which is not a defect)
+TABLE_KEYS = {
+    "region": ["r_regionkey"], "nation": ["n_nationkey"],
+    "customer": ["c_custkey"], "supplier": ["s_suppkey"],
+    "part": ["p_partkey"], "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"], "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+#: axis -> (row transform, names excluded from the equality loop)
 AXES = {
-    "empty": (0, set(GRANDTOTAL_DIVERGENT) | set(RAISES_BY_DESIGN)),
+    "empty": (lambda df, t: df.limit(0),
+              set(GRANDTOTAL_DIVERGENT) | set(RAISES_BY_DESIGN)),
     # cube/grouping_sets group on columns the single row populates, so
     # they emit real rows and compare equal; rollup's filter empties
     # its input back to the empty-relation divergence
-    "one_row": (1, {"agg_rollup"} | set(RAISES_BY_DESIGN)),
+    "one_row": (lambda df, t: df.limit(1),
+                {"agg_rollup"} | set(RAISES_BY_DESIGN)),
+    # rollup's status filter empties the all-NULL input too
+    "all_null": (lambda df, t: df.select(
+        *[F.col(c) if c in TABLE_KEYS[t]
+          else F.lit(None).cast(df.schema[c].dataType).alias(c)
+          for c in df.columns]),
+        {"agg_rollup"} | set(RAISES_BY_DESIGN)),
 }
 
 
 @pytest.fixture(scope="module")
 def degenerate_dirs(spark, tmp_path_factory):
     out = {}
-    for axis, (n, _skip) in AXES.items():
+    for axis, (transform, _skip) in AXES.items():
         d = tmp_path_factory.mktemp(f"sf_{axis}")
         for t in TABLE_NAMES:
-            (spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
-             .limit(n).coalesce(1)
+            df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            (transform(df, t).coalesce(1)
              .write.parquet(f"{d}/{t}.parquet"))
         con = duckdb.connect()
         for t in TABLE_NAMES:
