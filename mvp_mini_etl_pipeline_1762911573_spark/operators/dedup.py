@@ -948,7 +948,12 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = (docs.join(emb, docs.doc_id == emb.vec_id)
             .select("vec_id", "embedding"))
     celled = assign_cells(emb, vecs)
-    cents = (emb.where(F.col("vec_id") % _ivf_stride_for(emb) == 0)
+    # embedding IS NOT NULL: the same exclusion the oracle's cents CTE
+    # and assign_cells' seeding apply — without it the invariant that
+    # no vector lands in a NULL-vec cell is re-established two modules
+    # away instead of locally (r11 review finding)
+    cents = (emb.where((F.col("vec_id") % _ivf_stride_for(emb) == 0)
+                       & F.col("embedding").isNotNull())
              .select(F.col("vec_id").alias("cell"),
                      F.col("embedding").alias("c_vec")))
     members = (celled.join(F.broadcast(cents), "cell")

@@ -95,6 +95,10 @@ AUDIT = [
     "source_perplexity",  # round-10: token-keyed vocab join + rollup
     "winnow_coverage",    # round-10: one doc exchange, lag audit
     "ivfpq_recall",       # round-10: three bounded arms, map-side PQ
+    "heaps_law",          # round-11: doc-grain vocab reduce + bounded OLS
+    "filter_funnel",      # round-11: one corpus pass, digest window, 1-row agg
+    "burst_detect",       # round-11: hourly partial-agg, densified windows
+    "dedup_semantic",     # round-11: broadcast centroids, within-cell pairs
 ]
 
 
