@@ -390,6 +390,12 @@ def _kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("conv").isNotNull(), F.col("conv") - F.col("enter"))
         .otherwise(F.col("last") - F.col("enter")).alias("dur_us"),
         F.col("conv").isNotNull().cast("long").alias("event"))
+    # a subject with NO timestamped events has NULL duration — it was
+    # never observed, so it enters neither curve (without the filter
+    # the NULL t_days row sorts FIRST through Spark's cumulative
+    # windows but LAST through DuckDB's ORDER BY — the r11 NULL-mixed
+    # sweep's curve split)
+    subjects = subjects.where(F.col("dur_us").isNotNull())
     per_t = (subjects
              .select(F.expr("dur_us div 86400000000").alias("t_days"),
                      "event")
@@ -754,6 +760,12 @@ def _skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.round("c_acctbal", 2).alias("bal")),
               "o_custkey")
     )
+    # dominance needs BOTH measures: a point with a NULL balance or
+    # NULL spend is incomparable — the all-pairs NOT EXISTS spec would
+    # keep every such point as never-provably-dominated while the
+    # window form sorts it positionally (r11 NULL-mixed sweep: 5 vs 79
+    # rows); the skyline is defined over fully-measured points
+    pts = pts.where(F.col("bal").isNotNull() & F.col("spend").isNotNull())
     lvl = pts.groupBy("bal").agg(F.max("spend").alias("lvl_max"))
     w_above = (Window.orderBy(F.col("bal").desc())
                .rowsBetween(Window.unboundedPreceding, -1))
@@ -1893,6 +1905,8 @@ WITH pts AS (
            AS spend
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY o.o_custkey, round(c.c_acctbal, 2)
+  HAVING round(c.c_acctbal, 2) IS NOT NULL
+     AND sum(CAST(o.o_totalprice AS DECIMAL(18,2))) IS NOT NULL
 )
 SELECT custkey, bal, spend
 FROM pts p
@@ -2326,7 +2340,7 @@ WITH ev AS (
   SELECT dur_us // 86400000000 AS t_days,
          CAST(sum(event) AS BIGINT) AS n_events,
          CAST(sum(1 - event) AS BIGINT) AS n_censored
-  FROM subjects GROUP BY 1
+  FROM subjects WHERE dur_us IS NOT NULL GROUP BY 1
 ), at_risk AS (
   SELECT *, CAST(sum(n_events + n_censored) OVER
     (ORDER BY t_days ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)

@@ -617,6 +617,10 @@ def pq_encode(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
 
     if vecs is None:
         vecs = emb
+    # the embedding family's NOT-NULL exclusion contract (see
+    # assign_cells): a NULL embedding cannot be encoded, and np.stack
+    # over a None crashes the Arrow worker (r11 NULL-mixed sweep)
+    vecs = vecs.where(F.col("embedding").isNotNull())
     cb = pq_codebooks(emb)                       # (M, K, sub)
     m_, k_, sub = cb.shape
 

@@ -2,7 +2,8 @@
 every oracle-backed query run on schema-preserving ZERO-ROW and
 ONE-ROW tables — and, since r11, on ALL-NULL-optional-column tables
 (every non-key column NULL in every row: the backfill that landed
-with only keys populated) — compared to DuckDB on the same parquet.
+with only keys populated) and NULL-MIXED tables (half the rows NULL
+per non-key column) — compared to DuckDB on the same parquet.
 
 The r11 all-NULL sweep that seeded the third axis found 39 failures:
 three crash families (NULL embeddings killed the shared IVF centroid
@@ -96,6 +97,26 @@ AXES = {
           else F.lit(None).cast(df.schema[c].dataType).alias(c)
           for c in df.columns]),
         {"agg_rollup"} | set(RAISES_BY_DESIGN)),
+    # half the rows NULL per non-key column (key parity decides —
+    # deterministic, identical on both engines): keeps aggregates /
+    # joins / windows on their live-value paths while threading NULLs
+    # through every expression — the partial-aggregation surface the
+    # all-NULL axis shortcuts.  NO exceptions: enough live values
+    # remain that even ivfpq_recall trains and matches its oracle
+    # (its named-diagnostic test therefore excludes this axis).
+    # Seeding sweep (r11) found 3 defects: pq_encode crashing on NULL
+    # embeddings reaching its Arrow worker, kaplan_meier's
+    # never-observed subjects sorting NULLS-FIRST through Spark's
+    # cumulative windows but NULLS-LAST through the oracle's ORDER BY,
+    # and skyline_pareto's incomparable NULL-measure points surviving
+    # the NOT-EXISTS spec while the window form sorted them away.
+    "null_mixed": (lambda df, t: df.select(
+        *[F.col(c) if c in TABLE_KEYS[t]
+          else F.when(F.pmod(F.col(TABLE_KEYS[t][0]), F.lit(2)) == 0,
+                      F.lit(None).cast(df.schema[c].dataType))
+               .otherwise(F.col(c)).alias(c)
+          for c in df.columns]),
+        set()),
 }
 
 
@@ -155,8 +176,11 @@ def test_grandtotal_divergence_is_exactly_as_documented(
         assert n_oracle >= 1, f"{name}: oracle emits no grand total"
 
 
-@pytest.mark.parametrize("axis", list(AXES))
+@pytest.mark.parametrize(
+    "axis", [a for a in AXES if a != "null_mixed"])
 def test_ivfpq_raises_named_diagnostic(spark, degenerate_dirs, axis):
+    """On null_mixed enough live vectors remain to train PQ, so the
+    query runs and matches its oracle in the equality loop instead."""
     sf_dir, _ = degenerate_dirs[axis]
     with pytest.raises(Exception, match="PQ needs >= 2 codebook seeds"):
         all_queries()["ivfpq_recall"](spark, sf_dir).collect()
