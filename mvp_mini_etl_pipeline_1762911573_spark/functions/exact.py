@@ -94,3 +94,24 @@ def round4_ratio_dec_sql(a: str, b: str) -> str:
     return (f"(CASE WHEN ({b}) > 0 THEN "
             f"CAST(({num} - ((({num} % {den}) + {den}) % {den})) // {den} "
             f"AS BIGINT) / 1e4 ELSE NULL END)")
+
+
+def finite_or_null(c) -> Column:
+    """TRUE iff the double column is NULL or a finite number — the
+    measure-hygiene predicate for statistic/quantile/rollup operators
+    (r11 extreme-doubles sweep): a ±inf/NaN measure is corrupt data
+    that silently poisons means/variances/cumulative sums on one
+    engine and LOUDLY kills exact-integer casts on the other (six
+    Spark-side ANSI CAST/overflow crashes, five DuckDB refusals).
+    NULLs pass through so each operator's existing NULL semantics
+    (aggregate-skip, join-miss) stay exactly as tested by the
+    null_mixed tier; only non-finite values are excluded.  SQL mirror:
+    finite_or_null_sql."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.isNull() | (~F.isnan(c) & (F.abs(c) != float("inf")))
+
+
+def finite_or_null_sql(c: str) -> str:
+    """DuckDB mirror of finite_or_null (isfinite is NULL on NULL, so
+    the NULL arm is explicit)."""
+    return f"(({c}) IS NULL OR isfinite({c}))"

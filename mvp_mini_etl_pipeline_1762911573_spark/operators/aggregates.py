@@ -20,7 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.exact import round4_ratio_dec, round4_ratio_dec_sql
+from ..functions.exact import (finite_or_null, finite_or_null_sql,
+                               round4_ratio_dec, round4_ratio_dec_sql)
 from ..oracles import USERS_CTE
 from ..tables import CURRENT_YEAR, load, users_clean, users_valid
 
@@ -145,7 +146,12 @@ def _agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums run ~1e9 per term, where double summation noise reaches
     ~1e-2 absolute — 0dp absorbs it on both engines; corr is
     scale-free and stddev error is ~1e-7, so 6/4dp are safe."""
-    li = load(spark, sf_dir, "lineitem")
+    # r11 extreme-doubles sweep: inf/NaN poison the co-moment sums
+    # (DuckDB refuses, Spark emits garbage); corrupt measures are
+    # excluded like the rest of the stat family
+    li = load(spark, sf_dir, "lineitem").where(
+        finite_or_null("l_quantity")
+        & finite_or_null("l_extendedprice"))
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -231,7 +237,10 @@ def _agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny shuffle of HIST_BINS rows — never a collect-then-requery.
     Bucket arithmetic (floor of the scaled offset, clamped to the last
     bin) is identical IEEE-754 on both engines."""
-    orders = load(spark, sf_dir, "orders")
+    # r11 extremes sweep: an inf bound makes every bucket NaN (and
+    # the INT cast a crash); corrupt prices are excluded like NULLs
+    orders = load(spark, sf_dir, "orders").where(
+        finite_or_null("o_totalprice"))
     bounds = orders.agg(F.min("o_totalprice").alias("lo"),
                         F.max("o_totalprice").alias("hi"))
     step = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_BINS))
@@ -303,7 +312,10 @@ def _agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (what Welford/DataSketches moments do with floats, done here in
     exact integers because the domain is bounded); everything after
     the shuffle is |statuses|-row arithmetic."""
-    orders = load(spark, sf_dir, "orders")
+    # r11 extreme-doubles sweep: floor(inf + 0.5) kills the dollar
+    # quantization cast; finite-or-null keeps NULL semantics intact
+    orders = load(spark, sf_dir, "orders").where(
+        finite_or_null("o_totalprice"))
     d = F.floor(F.col("o_totalprice") + 0.5)
     dd = (d * d).alias("dd")
     base = orders.select(F.col("o_orderstatus").alias("status"),
@@ -500,16 +512,21 @@ SELECT l_returnflag,
        round(stddev_samp(l_quantity), 4) AS qty_stddev,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem
+WHERE (l_quantity IS NULL OR isfinite(l_quantity))
+  AND (l_extendedprice IS NULL OR isfinite(l_extendedprice))
 GROUP BY l_returnflag
 """,
     "agg_histogram": """
-WITH bounds AS (
-  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+WITH fo AS (
+  SELECT * FROM orders
+  WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
+), bounds AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM fo
 ), bucketed AS (
   SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 8.0))
                AS INTEGER), 7) AS bucket,
          lo, hi
-  FROM orders CROSS JOIN bounds
+  FROM fo CROSS JOIN bounds
 )
 SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
        round(min(lo + bucket * ((hi - lo) / 8.0)), 2) AS edge_lo,
@@ -635,6 +652,7 @@ WITH base AS (
   SELECT o_orderstatus AS status,
          CAST(floor(o_totalprice + 0.5) AS BIGINT) AS d
   FROM orders
+  WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
 ), sums AS (
   SELECT status, CAST(count(*) AS BIGINT) AS n,
          sum(CAST(d AS HUGEINT)) AS s1,

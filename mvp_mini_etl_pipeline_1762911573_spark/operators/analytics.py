@@ -28,7 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.exact import (round4_ratio, round4_ratio_dec,
+from ..functions.exact import (finite_or_null, finite_or_null_sql,
+                               round4_ratio, round4_ratio_dec,
                                round4_ratio_dec_sql, round4_ratio_sql)
 from ..tables import load
 
@@ -129,8 +130,11 @@ def _events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample stddev) aggregated once and broadcast back over the event
     stream; rows at |z| ≥ 3 survive.  The rejoin-not-window shape is
     the 100 TB point (see module docstring)."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value")
+    # r11 extreme-doubles sweep: one inf/NaN value poisons the group
+    # moments (Spark emits NaN z everywhere, DuckDB refuses VARSAMP)
+    ev = (load(spark, sf_dir, "events")
+          .where(finite_or_null("value"))
+          .select("event_id", "user_id", "event_type", "value"))
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("m"),
         F.stddev_samp("value").alias("sd"))
@@ -207,7 +211,15 @@ def _gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH obs AS (
           SELECT user_id, CAST(date_trunc('DAY', ts) AS DATE) AS day,
                  round(avg(value), 4) AS v
-          FROM v_events WHERE event_type = 'purchase'
+          FROM v_events
+          WHERE event_type = 'purchase'
+            -- r11 extremes sweep: inf - inf = NaN inside the
+            -- interpolation on one engine, inf on the other; NULL
+            -- rows pass through (a NULL-valued day stays observed,
+            -- exactly as the null_mixed tier pins)
+            AND (value IS NULL
+                 OR (NOT isnan(value)
+                     AND abs(value) != CAST('Infinity' AS DOUBLE)))
           GROUP BY user_id, CAST(date_trunc('DAY', ts) AS DATE)
         ), bounds AS (
           SELECT user_id, min(day) AS dmin, max(day) AS dmax
@@ -439,8 +451,9 @@ def _events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the stream; rows beyond 3 robust sigmas survive.  Same
     rejoin-not-window scale shape as events_zscore; at 100 TB swap
     percentile() for approx_percentile sketches (same plan)."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value")
+    ev = (load(spark, sf_dir, "events")
+          .where(finite_or_null("value"))  # r11 extremes sweep
+          .select("event_id", "user_id", "event_type", "value"))
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med"))
     dev = (ev.join(F.broadcast(med), "event_type")
@@ -753,7 +766,8 @@ def _skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     pts = (
-        orders.groupBy("o_custkey")
+        orders.where(finite_or_null("o_totalprice"))  # r11 extremes
+        .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
               .cast("double").alias("spend"))
         .join(cust.select(F.col("c_custkey").alias("o_custkey"),
@@ -765,7 +779,8 @@ def _skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep every such point as never-provably-dominated while the
     # window form sorts it positionally (r11 NULL-mixed sweep: 5 vs 79
     # rows); the skyline is defined over fully-measured points
-    pts = pts.where(F.col("bal").isNotNull() & F.col("spend").isNotNull())
+    pts = pts.where(F.col("bal").isNotNull() & F.col("spend").isNotNull()
+                    & finite_or_null("bal") & finite_or_null("spend"))
     lvl = pts.groupBy("bal").agg(F.max("spend").alias("lvl_max"))
     w_above = (Window.orderBy(F.col("bal").desc())
                .rowsBetween(Window.unboundedPreceding, -1))
@@ -795,9 +810,10 @@ def _regr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     the co-moment states (sums of x, y, xy, x2) are mergeable, so the
     whole fit is map-side partials plus a 5-row reduce; no window, no
     second scan, and adding series never adds passes."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_type", "value",
-        (F.unix_micros("ts") / 3.6e9).alias("x_hours"))
+    ev = (load(spark, sf_dir, "events")
+          .where(finite_or_null("value"))  # r11 extremes sweep
+          .select("event_type", "value",
+                  (F.unix_micros("ts") / 3.6e9).alias("x_hours")))
     return (
         ev.groupBy("event_type")
         .agg(F.round(F.regr_slope("value", "x_hours"), 8)
@@ -911,9 +927,13 @@ def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-channel.  Both carried columns (ts, type) share the same
     null mask, so the two window passes pick the same source row by
     construction.  Revenue sums in DECIMAL (order-free, exact)."""
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type", "value",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    # r11 extremes sweep: corrupt purchase values must not reach the
+    # DECIMAL revenue sum; the oracle's ev CTE carries the same filter
+    ev = (load(spark, sf_dir, "events")
+          .where(finite_or_null("value"))
+          .select("user_id", "ts", "event_id", "event_type", "value",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("us")))
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     touch = F.when(F.col("event_type").isin("click", "view"),
@@ -956,7 +976,8 @@ def _ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, means and variances for both arms come out of a single
     groupBy (mergeable moment states), no join, no second scan — the
     shape that makes a 100 TB experiment readout a single reduce."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").where(
+        finite_or_null("value"))  # r11 extremes sweep
     arm = F.pmod(
         F.conv(F.substring(
             F.sha2(F.col("user_id").cast("string"), 256), 1, 8), 16, 10)
@@ -1059,7 +1080,8 @@ def _ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the max) so the result is d_stat=0, not an all-NULL row."""
     ev = (load(spark, sf_dir, "events")
           .where(F.col("event_type").isin("purchase", "click")
-                 & F.col("value").isNotNull())
+                 & F.col("value").isNotNull()
+                 & finite_or_null("value"))  # r11 extremes sweep
           .select("event_type", "value"))
     grid = ev.agg(F.expr(
         "percentile(value, array({}))".format(
@@ -1126,7 +1148,8 @@ def _gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     never global), one per-nation agg.  Ranking ties break on custkey;
     tied revenues contribute identically to sum(i * x) under any
     permutation, so the statistic is tie-stable by algebra, not luck."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").where(
+        finite_or_null("o_totalprice"))  # r11 extremes sweep
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     rev = (o.groupBy("o_custkey").agg(
@@ -1250,7 +1273,10 @@ def _benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # code-review r5) — a first SIGNIFICANT digit needs a nonzero
     # amount at cent precision on both engines
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5)
-    o = load(spark, sf_dir, "orders").where(cents >= 1)
+    # cents >= 1 already drops NaN/-inf (NULL/false compare), but +inf
+    # passed straight into the leading-digit cast (r11 extremes sweep)
+    o = load(spark, sf_dir, "orders").where(
+        (cents >= 1) & finite_or_null("o_totalprice"))
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     obs = (o.select(digit.alias("digit"))
            .groupBy("digit").agg(F.count("*").alias("cnt")))
@@ -1631,7 +1657,8 @@ def _spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two sorts inside it); the moment reduce is 6 numbers per group.
     A hot status at extreme scale splits via the same two-level scan
     trick mann_whitney uses — documented trade, not a rewrite."""
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").where(
+        finite_or_null("o_totalprice"))  # r11 extremes sweep
     li = load(spark, sf_dir, "lineitem")
     cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("x"))
     base = (orders
@@ -1726,6 +1753,7 @@ FROM c WHERE n_in_window > {RATE_LIMIT_N}
 WITH s AS (
   SELECT event_type, value FROM events
   WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    AND isfinite(value)
 ), grid AS (
   SELECT unnest(quantile_cont(value, [{pcts}])) AS g FROM s
 ), n AS (
@@ -1754,7 +1782,9 @@ FROM gaps
     "gini_concentration": f"""
 WITH rev AS (
   SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-  FROM orders GROUP BY o_custkey
+  FROM orders
+  WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
+  GROUP BY o_custkey
 ), cust AS (
   SELECT n_name, c_custkey, rev
   FROM rev
@@ -1781,7 +1811,9 @@ FROM per_nation
 WITH d AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
                           AS VARCHAR), 1, 1) AS INTEGER) AS digit
-  FROM orders WHERE floor(o_totalprice * 100 + 0.5) >= 1
+  FROM orders
+  WHERE floor(o_totalprice * 100 + 0.5) >= 1
+    AND isfinite(o_totalprice)
 ), obs AS (
   SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit
 ), t AS (SELECT sum(cnt) AS tot FROM obs)
@@ -1813,7 +1845,7 @@ FROM (
     "attribution": f"""
 WITH ev AS (
   SELECT user_id, ts, event_id, event_type, value, epoch_us(ts) AS us
-  FROM events
+  FROM events WHERE (value IS NULL OR isfinite(value))
 ), carried AS (
   SELECT *,
          last_value(CASE WHEN event_type IN ('click', 'view')
@@ -1851,7 +1883,7 @@ WITH assigned AS (
   SELECT event_type, value,
          CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)),
                              1, 8) AS BIGINT) % 2 AS arm
-  FROM events
+  FROM events WHERE (value IS NULL OR isfinite(value))
 ), agg AS (
   SELECT event_type,
          CAST(count(CASE WHEN arm = 0 THEN value END) AS BIGINT) AS n_a,
@@ -1904,8 +1936,10 @@ WITH pts AS (
          CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
            AS spend
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE (o.o_totalprice IS NULL OR isfinite(o.o_totalprice))
   GROUP BY o.o_custkey, round(c.c_acctbal, 2)
   HAVING round(c.c_acctbal, 2) IS NOT NULL
+     AND isfinite(round(c.c_acctbal, 2))
      AND sum(CAST(o.o_totalprice AS DECIMAL(18,2))) IS NOT NULL
 )
 SELECT custkey, bal, spend
@@ -1922,7 +1956,7 @@ SELECT event_type,
          AS intercept,
        round(regr_r2(value, epoch_us(ts) / 3.6e9), 6) AS r2,
        CAST(regr_count(value, epoch_us(ts) / 3.6e9) AS BIGINT) AS n
-FROM events GROUP BY event_type
+FROM events WHERE (value IS NULL OR isfinite(value)) GROUP BY event_type
 """,
     "basket_pairs": """
 WITH items AS (
@@ -2037,13 +2071,15 @@ JOIN user_days u
 GROUP BY d.obs_day
 """,
     "events_anomaly_mad": f"""
-WITH med AS (
+WITH fme AS (
+  SELECT * FROM events WHERE (value IS NULL OR isfinite(value))
+), med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY event_type
+  FROM fme GROUP BY event_type
 ), dev AS (
   SELECT e.event_type, e.event_id, e.user_id, e.value, m.med,
          abs(e.value - m.med) AS adev
-  FROM events e JOIN med m ON e.event_type = m.event_type
+  FROM fme e JOIN med m ON e.event_type = m.event_type
 ), mad AS (
   SELECT event_type, quantile_cont(adev, 0.5) AS mad
   FROM dev GROUP BY event_type
@@ -2106,7 +2142,7 @@ WHERE rn = 1
 WITH obs AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
          round(avg(value), 4) AS v
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND (value IS NULL OR isfinite(value))
   GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
 ), bounds AS (
   SELECT user_id, min(day) AS dmin, max(day) AS dmax
@@ -2194,13 +2230,15 @@ SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
 FROM counts
 """,
     "events_zscore": f"""
-WITH stats AS (
+WITH fe AS (
+  SELECT * FROM events WHERE (value IS NULL OR isfinite(value))
+), stats AS (
   SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
-  FROM events GROUP BY event_type
+  FROM fe GROUP BY event_type
 )
 SELECT e.event_type, e.event_id, e.user_id, e.value,
        round((e.value - s.m) / s.sd, 4) AS z
-FROM events e JOIN stats s ON e.event_type = s.event_type
+FROM fe e JOIN stats s ON e.event_type = s.event_type
 WHERE abs(round((e.value - s.m) / s.sd, 4)) >= {ZSCORE_CUT}
 """,
 }
@@ -2491,6 +2529,7 @@ WITH cnt AS (
   SELECT o.o_orderstatus AS status, c.x,
          CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y
   FROM orders o JOIN cnt c ON c.l_orderkey = o.o_orderkey
+  WHERE (o.o_totalprice IS NULL OR isfinite(o.o_totalprice))
 ), r AS (
   SELECT status,
          2 * rank() OVER (PARTITION BY status ORDER BY x)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions.exact import finite_or_null
 from ..tables import load
 
 
@@ -151,7 +152,10 @@ def _join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result provably equals the BNLJ plan — the oracle is the plain
     range join, same as `join_range`'s.
     """
-    part = load(spark, sf_dir, "part")
+    # r11 extreme-doubles sweep: floor(inf / W) overflows the INT bin
+    # cast; a part with a corrupt price can match no band
+    part = load(spark, sf_dir, "part").where(
+        finite_or_null("p_retailprice"))
     return range_binned_join(part, _price_bands(spark))
 
 

@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.exact import round4_ratio_dec, round4_ratio_dec_sql
+from ..functions.exact import (finite_or_null, finite_or_null_sql,
+                               round4_ratio_dec, round4_ratio_dec_sql)
 from ..tables import load
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -214,7 +215,10 @@ def _agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (median / p90 / p99) of order totals per
     status — sort-based, linear-interpolated; oracle via DuckDB
     quantile_cont."""
-    orders = load(spark, sf_dir, "orders")
+    # r11 extreme-doubles sweep: an inf sample makes interpolation
+    # emit inf on one engine and NULL (inf - inf = NaN) on the other
+    orders = load(spark, sf_dir, "orders").where(
+        finite_or_null("o_totalprice"))
     return (
         orders.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
@@ -242,7 +246,8 @@ def _quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     real scale the exact percentile pass becomes approx_percentile
     (mergeable sketch, same downstream plan) — exactness is kept here
     for the oracle."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").where(
+        finite_or_null("l_extendedprice"))  # r11 extremes sweep
     cuts = li.agg(
         F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
         F.expr("percentile(l_extendedprice, 0.50)").alias("q2"),
@@ -291,7 +296,8 @@ def _winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile bounds — same downstream clip plan — exactness
     kept here for the oracle, as in quantile_bins."""
     o = load(spark, sf_dir, "orders").where(
-        F.col("o_totalprice").isNotNull())
+        F.col("o_totalprice").isNotNull()
+        & finite_or_null("o_totalprice"))  # r11 extremes sweep
     v = o.select(
         F.col("o_orderstatus").alias("status"), "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"))
@@ -348,7 +354,8 @@ def _agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     untested SF or after a Spark version bump changing GK internals
     is a CONTRACT-MARGIN event, not query logic — widen the window
     knowingly rather than debugging the percentile math."""
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").where(
+        finite_or_null("o_totalprice"))  # r11 extremes sweep
     g = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.approx_percentile(
             "o_totalprice",
@@ -516,7 +523,8 @@ def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exchange carries O(groups·B·parts) rows no matter the corpus;
     the point-estimate agg reuses the same base scan.  B scales the
     map CPU (one sha256 per row-replicate), not the shuffle."""
-    o = load(spark, sf_dir, "orders").select(
+    o = load(spark, sf_dir, "orders").where(
+        finite_or_null("o_totalprice")).select(
         F.col("o_orderstatus").alias("status"), "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"))
     rep = o.select(
@@ -830,6 +838,12 @@ def _sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderdate >= DATE '1996-01-01'
           AND o_orderdate < DATE '1996-04-01'
           AND l_returnflag = 'R'
+          -- r11 extremes sweep: corrupt money must not reach the
+          -- DECIMAL revenue sum (Spark floor maps NaN to 0 silently)
+          AND (l_extendedprice IS NULL OR (NOT isnan(l_extendedprice)
+               AND abs(l_extendedprice) != CAST('Infinity' AS DOUBLE)))
+          AND (l_discount IS NULL OR (NOT isnan(l_discount)
+               AND abs(l_discount) != CAST('Infinity' AS DOUBLE)))
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
@@ -965,7 +979,8 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     recency_days is DAYS SINCE last order, so r_score 1 = most
     recent.  At 100 TB swap percentile → approx_percentile (mergeable
     sketch), same plan."""
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").where(
+        finite_or_null("o_totalprice"))  # r11 extremes sweep
     ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("refd"))
     cust = (
         orders.crossJoin(F.broadcast(ref))
@@ -1034,7 +1049,11 @@ def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ch
         )
         SELECT user_id, count(*) AS live_keys,
-               CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2)
+               -- r11 extremes sweep: a corrupt payload value must not
+               -- poison the DECIMAL sum, but its change record still
+               -- wins last-writer-wins for its key
+               CAST(round(sum(CASE WHEN (value IS NULL OR (NOT isnan(value) AND abs(value) != CAST('Infinity' AS DOUBLE)))
+                              THEN CAST(value AS DECIMAL(18,2)) END), 2)
                     AS DOUBLE) AS total_value
         FROM ranked
         WHERE rn = 1 AND event_type != 'error'
@@ -1139,8 +1158,11 @@ SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
 FROM checks
 """,
     "rfm_segments": """
-WITH ref AS (
-  SELECT CAST(max(o_orderdate) AS DATE) AS refd FROM orders
+WITH fo AS (
+  SELECT * FROM orders
+  WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
+), ref AS (
+  SELECT CAST(max(o_orderdate) AS DATE) AS refd FROM fo
 ), cust AS (
   SELECT o_custkey AS custkey,
          date_diff('day', CAST(max(o_orderdate) AS DATE), refd)
@@ -1148,7 +1170,8 @@ WITH ref AS (
          CAST(count(*) AS BIGINT) AS frequency,
          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
               AS DOUBLE) AS monetary
-  FROM orders, ref GROUP BY o_custkey, refd
+  FROM fo, ref
+  GROUP BY o_custkey, refd
 ), cuts AS (
   SELECT quantile_cont(recency_days, 0.2) AS r1,
          quantile_cont(recency_days, 0.4) AS r2,
@@ -1193,8 +1216,9 @@ WITH ch AS (
   FROM ch
 )
 SELECT user_id, CAST(count(*) AS BIGINT) AS live_keys,
-       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
-         AS total_value
+       CAST(round(sum(CASE WHEN (value IS NULL OR isfinite(value))
+                      THEN CAST(value AS DECIMAL(18,2)) END), 2)
+            AS DOUBLE) AS total_value
 FROM ranked
 WHERE rn = 1 AND event_type != 'error'
 GROUP BY user_id
@@ -1230,6 +1254,8 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= DATE '1996-01-01'
   AND o_orderdate < DATE '1996-04-01'
   AND l_returnflag = 'R'
+  AND (l_extendedprice IS NULL OR isfinite(l_extendedprice))
+  AND (l_discount IS NULL OR isfinite(l_discount))
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
@@ -1470,7 +1496,7 @@ SELECT o_orderstatus AS status,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99
-FROM orders
+FROM orders WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
 GROUP BY o_orderstatus
 """,
     # sketch-contract oracle: exact percentiles are cross-engine
@@ -1485,7 +1511,7 @@ SELECT o_orderstatus AS status,
        true AS p50_in_bound,
        true AS p90_in_bound,
        true AS p99_in_bound
-FROM orders
+FROM orders WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
 GROUP BY o_orderstatus
 """,
     "quantile_bins": """
@@ -1494,6 +1520,7 @@ WITH cuts AS (
          quantile_cont(l_extendedprice, 0.50) AS q2,
          quantile_cont(l_extendedprice, 0.75) AS q3
   FROM lineitem
+  WHERE (l_extendedprice IS NULL OR isfinite(l_extendedprice))
 )
 SELECT CASE WHEN l_extendedprice < q1 THEN 'q1_low'
             WHEN l_extendedprice < q2 THEN 'q2_mid_low'
@@ -1504,13 +1531,15 @@ SELECT CASE WHEN l_extendedprice < q1 THEN 'q1_low'
        round(min(l_extendedprice), 2) AS min_price,
        round(max(l_extendedprice), 2) AS max_price
 FROM lineitem, cuts
+WHERE (l_extendedprice IS NULL OR isfinite(l_extendedprice))
 GROUP BY 1
 """,
     "winsorize": f"""
 WITH v AS (
   SELECT o_orderstatus AS status, o_orderkey,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM orders WHERE o_totalprice IS NOT NULL
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
 ), ranked AS (
   SELECT *, row_number() OVER (
              PARTITION BY status ORDER BY cents, o_orderkey) AS rn,
@@ -1545,7 +1574,7 @@ ORACLES["bootstrap_ci"] = f"""
 WITH o AS (
   SELECT o_orderstatus AS status, o_orderkey,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM orders
+  FROM orders WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
 ), rep AS (
   SELECT status, o_orderkey, cents, b
   FROM o, unnest(range(1, {BOOT_B} + 1)) AS rb(b)

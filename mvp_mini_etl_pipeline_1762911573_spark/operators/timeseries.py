@@ -34,7 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.exact import round4_ratio_dec, round4_ratio_dec_sql
+from ..functions.exact import (finite_or_null, finite_or_null_sql,
+                               round4_ratio_dec, round4_ratio_dec_sql)
 from ..tables import load
 
 OHLC_BUCKET_S = 21600  # 6-hour buckets, epoch-aligned on both engines
@@ -72,7 +73,10 @@ def _time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic by construction.  The decode quantizes open/close
     to cents, exact while 0 <= value < 167,772 (clamped outside),
     which a price-like measure satisfies by specification."""
-    ev = load(spark, sf_dir, "events")
+    # finite ticks only (r11 extreme-doubles sweep): round(inf*100)
+    # kills the packed-key BIGINT cast before the clamp can catch it,
+    # and a corrupt tick belongs in no candle
+    ev = load(spark, sf_dir, "events").where(finite_or_null("value"))
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     bucket_s = (F.floor(F.unix_timestamp("ts") / OHLC_BUCKET_S)
                 .cast("bigint") * OHLC_BUCKET_S)
@@ -130,8 +134,13 @@ def _cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     via groupBy + broadcast rejoin (never an unbounded window over the
     raw stream); ranking happens on the ROUNDED statistic so the
     argmax choice is engine-stable."""
-    ev = load(spark, sf_dir, "events").select(
-        "event_type", "ts", "event_id", "value")
+    # finite-or-null measure hygiene (r11 extreme-doubles sweep): a
+    # corrupt +-inf/NaN measure silently poisons moments/cumulative
+    # sums on one engine and kills exact-integer casts on the other;
+    # NULL semantics stay exactly as the null_mixed tier pins them
+    ev = (load(spark, sf_dir, "events")
+          .where(finite_or_null("value"))
+          .select("event_type", "ts", "event_id", "value"))
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("m"),
         F.stddev_samp("value").alias("sd"),
@@ -375,7 +384,7 @@ WITH b AS (
          + least(greatest(CAST(round(value * 100) AS BIGINT), 0),
                  16777215) AS ordk,
          value
-  FROM events
+  FROM events WHERE (value IS NULL OR isfinite(value))
 )
 SELECT event_type, bucket_start,
        (min(ordk) % 16777216) / 100.0 AS open,
@@ -400,10 +409,12 @@ SELECT event_type, day,
 FROM iv GROUP BY event_type, day
 """,
     "cusum_changepoint": f"""
-WITH stats AS (
+WITH fe AS (
+  SELECT * FROM events WHERE (value IS NULL OR isfinite(value))
+), stats AS (
   SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd,
          CAST(count(*) AS BIGINT) AS n_events
-  FROM events GROUP BY event_type
+  FROM fe GROUP BY event_type
 ), cs AS (
   SELECT e.event_type, s.n_events, e.ts,
          sum((e.value - s.m) / s.sd) OVER (
@@ -411,7 +422,7 @@ WITH stats AS (
            ORDER BY e.ts, e.event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
          e.event_id
-  FROM events e JOIN stats s ON e.event_type = s.event_type
+  FROM fe e JOIN stats s ON e.event_type = s.event_type
 ), ranked AS (
   SELECT *, row_number() OVER (
            PARTITION BY event_type

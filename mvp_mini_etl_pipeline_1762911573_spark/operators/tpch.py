@@ -43,6 +43,21 @@ from ..tables import TABLE_NAMES, load
 _REV = ("CAST(l_extendedprice AS DECIMAL(18,2)) "
         "* (1 - CAST(l_discount AS DECIMAL(18,2)))")
 
+
+def _fin(c: str) -> str:
+    """Portable finite-or-null predicate (r11 extreme-doubles sweep).
+    A corrupt ±inf/NaN money value must never reach the exact-DECIMAL
+    /cents machinery: DuckDB REFUSES the cast (loud), but Spark's
+    floor() silently maps NaN → 0 and ±inf → ±Long.MaxValue — a NaN
+    price would become a phantom $0 order INSIDE a revenue sum, the
+    worst failure mode there is.  NULLs pass through so the NULL
+    semantics the null_mixed tier pins stay untouched.  Spark SQL has
+    no isfinite(), hence the isnan + abs != Infinity spelling — it
+    parses identically on both engines (these strings ARE the oracle
+    too)."""
+    return (f"({c} IS NULL OR (NOT isnan({c}) "
+            f"AND abs({c}) != CAST('Infinity' AS DOUBLE)))")
+
 # derived partsupp stand-in (see module docstring).  The unit cost is
 # quantized to 4dp via floor(x*1e4 + 0.5) — NOT round(double, 4): Spark
 # rounds the double's exact decimal expansion half-up while DuckDB
@@ -50,7 +65,7 @@ _REV = ("CAST(l_extendedprice AS DECIMAL(18,2)) "
 # boundaries (observed: four Q9 groups off by 0.01).  floor over
 # identical IEEE-754 products is bit-identical; the DECIMAL(18,4) ×
 # DECIMAL(5,4) rescale is exact on both engines.
-_PS_CTE = """
+_PS_CTE = f"""
 WITH ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
          CAST(floor(min(l_extendedprice / l_quantity) * 10000 + 0.5)
@@ -59,6 +74,7 @@ WITH ps AS (
          CAST(round(sum(l_quantity), 0) AS BIGINT) AS ps_qty
   FROM lineitem
   WHERE l_quantity > 0
+    AND {_fin('l_extendedprice')} AND {_fin('l_quantity')}
   GROUP BY l_partkey, l_suppkey
 )
 """
@@ -118,6 +134,7 @@ FROM (
   WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
     AND o.o_orderdate >= DATE '1995-01-01'
     AND o.o_orderdate < DATE '1997-01-01'
+    AND {_fin('l.l_extendedprice')} AND {_fin('l.l_discount')}
 ) all_nations
 GROUP BY o_year
 ORDER BY o_year
@@ -139,6 +156,8 @@ FROM (
   JOIN orders o ON o.o_orderkey = l.l_orderkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
   WHERE p.p_name LIKE '%red%'
+    AND {_fin('l.l_extendedprice')} AND {_fin('l.l_discount')}
+    AND {_fin('l.l_quantity')}
 ) profit
 GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
@@ -189,6 +208,7 @@ FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= DATE '1996-09-01'
   AND l_shipdate < DATE '1996-10-01'
+  AND {_fin('l_extendedprice')} AND {_fin('l_discount')}
 """,
     # Q15: top supplier(s) — revenue view + scalar max subquery
     "sql_q15": f"""
@@ -198,6 +218,7 @@ WITH revenue AS (
   FROM lineitem
   WHERE l_shipdate >= DATE '1996-01-01'
     AND l_shipdate < DATE '1996-04-01'
+    AND {_fin('l_extendedprice')} AND {_fin('l_discount')}
   GROUP BY l_suppkey
 )
 SELECT s_suppkey, s_name, total_revenue
@@ -222,12 +243,13 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """,
     # Q17: small-quantity-order revenue — correlated scalar avg per
     # part that must decorrelate to one aggregate pass
-    "sql_q17": """
+    "sql_q17": f"""
 SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 2)
        AS DOUBLE) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23'
+  AND {_fin('l_extendedprice')}
   AND l_quantity < (
     SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
     WHERE l2.l_partkey = p_partkey)

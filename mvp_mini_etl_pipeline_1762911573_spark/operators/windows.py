@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.exact import (finite_or_null,
+                               finite_or_null_sql)
 from ..oracles import USERS_CTE
 from ..tables import load, users_clean
 
@@ -348,7 +350,9 @@ def _window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     window.  Interpolation semantics match DuckDB's quantile_cont
     (both linear — the same parity agg_percentiles pins at the
     grouped level)."""
-    ev = load(spark, sf_dir, "events").where(F.col("user_id") % 10 == 7)
+    ev = load(spark, sf_dir, "events").where(
+        (F.col("user_id") % 10 == 7)
+        & finite_or_null("value"))  # r11 extremes sweep
     w = (Window.partitionBy("user_id")
          .orderBy("ts", "event_id")
          .rowsBetween(-9, Window.currentRow))
@@ -492,7 +496,7 @@ SELECT user_id, event_id, value,
        min(value) OVER w AS min_10,
        max(value) OVER w AS max_10
 FROM events
-WHERE user_id % 10 = 7
+WHERE user_id % 10 = 7 AND (value IS NULL OR isfinite(value))
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
 """

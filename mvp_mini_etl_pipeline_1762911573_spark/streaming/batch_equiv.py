@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..oracles import USERS_CTE
+from ..functions.exact import (finite_or_null,
+                               finite_or_null_sql)
 from ..tables import load, users_clean
 
 
@@ -99,6 +101,9 @@ def ohlc_rollup(events: DataFrame) -> DataFrame:
     min_by) means full-key ties — same µs, same cents — still yield
     one answer on every engine and every micro-batch order: the same
     determinism contract as the batch flavor."""
+    # same finite-ticks-only contract as the batch hypertable rollup
+    # (r11 extreme-doubles sweep: the packed-key cast)
+    events = events.where(finite_or_null("value"))
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     cents = F.least(
         F.greatest(F.round(F.col("value") * 100).cast("bigint"),
@@ -240,7 +245,7 @@ WITH b AS (
          + least(greatest(CAST(round(value * 100) AS BIGINT), 0),
                  16777215) AS ordk,
          value
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
 )
 SELECT window_start, event_type,
        (min(ordk) % 16777216) / 100.0 AS open,

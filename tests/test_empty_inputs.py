@@ -117,6 +117,32 @@ AXES = {
                .otherwise(F.col(c)).alias(c)
           for c in df.columns]),
         set()),
+    # ~3/37 of rows per DOUBLE column replaced by +inf / -inf / NaN
+    # (key mod 37 decides — deterministic, identical on both engines):
+    # the corrupt-measure shape (a bad upstream cast, a sensor glitch)
+    # that is routine at 100 TB.  Seeding sweep (r11) failed 35 of 240
+    # queries: six Spark-side ANSI crashes (cast/overflow), a dozen
+    # DuckDB cast refusals, and — the worst class — Spark's floor()
+    # silently mapping NaN -> 0 and ±inf -> ±Long.MaxValue INSIDE the
+    # exact-cents money machinery (a NaN price became a phantom $0
+    # order in a revenue sum).  Fixed with the finite-or-null measure
+    # contract (functions/exact.py::finite_or_null + the portable
+    # isnan/abs!=Infinity SQL spelling in the shared TPC-H strings):
+    # corrupt measures are excluded like NULLs on BOTH engines, NULL
+    # semantics untouched.  NO exceptions on this axis either.
+    "extreme_doubles": (lambda df, t: df.select(
+        *[F.when(F.pmod(F.col(TABLE_KEYS[t][0]), F.lit(37)) == 0,
+                 F.lit(float("inf")))
+           .when(F.pmod(F.col(TABLE_KEYS[t][0]), F.lit(37)) == 1,
+                 F.lit(float("-inf")))
+           .when(F.pmod(F.col(TABLE_KEYS[t][0]), F.lit(37)) == 2,
+                 F.lit(float("nan")))
+           .otherwise(F.col(c)).alias(c)
+          if df.schema[c].dataType.simpleString() == "double"
+          and c not in TABLE_KEYS[t]
+          else F.col(c)
+          for c in df.columns]),
+        set()),
 }
 
 
@@ -177,10 +203,13 @@ def test_grandtotal_divergence_is_exactly_as_documented(
 
 
 @pytest.mark.parametrize(
-    "axis", [a for a in AXES if a != "null_mixed"])
+    "axis", [a for a in AXES
+             if a not in ("null_mixed", "extreme_doubles")])
 def test_ivfpq_raises_named_diagnostic(spark, degenerate_dirs, axis):
-    """On null_mixed enough live vectors remain to train PQ, so the
-    query runs and matches its oracle in the equality loop instead."""
+    """On null_mixed enough live vectors remain to train PQ, and on
+    extreme_doubles the embeddings (float arrays, not doubles) are
+    untouched — the query runs and matches its oracle in the equality
+    loop on both of those axes instead."""
     sf_dir, _ = degenerate_dirs[axis]
     with pytest.raises(Exception, match="PQ needs >= 2 codebook seeds"):
         all_queries()["ivfpq_recall"](spark, sf_dir).collect()
