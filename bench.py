@@ -101,6 +101,10 @@ HEADLINE = [
     "filter_funnel",        # round 11: per-stage curation attrition
     "burst_detect",         # round 11: densified burst intervals
     "dedup_semantic",       # round 11: centroid-nearest SemDeDup
+    "lm_interp",            # round 12: JM-interpolated bigram LM
+    "degree_powerlaw",      # round 12: similarity-graph degree law
+    "dup_rate_by_source",   # round 12: per-source dup-rate rollup
+    "length_percentiles",   # round 12: per-source length order stats
 ]
 
 #: the cross-machine timing anchors (ADVICE/verdict r7: two rounds in a

@@ -1173,6 +1173,93 @@ def _lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Jelinek-Mercer mixture weight λ = JM_LAMBDA_NUM / JM_LAMBDA_DEN on
+#: the bigram term — an EXACT RATIONAL, never a float literal, so the
+#: interpolated probability stays a ratio of wide integers end to end.
+JM_LAMBDA_NUM = 7
+JM_LAMBDA_DEN = 10
+
+
+def _lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r12 debut): Jelinek-Mercer interpolated bigram/unigram LM
+    scoring per doc — the actual KenLM-filter shape (a pure MLE bigram
+    assigns zero mass to unseen continuations; every production
+    perplexity filter interpolates toward lower orders):
+    P(w2|w1) = λ·c(w1,w2)/c(w1,·) + (1−λ)·freq(w2)/total, scored over
+    every bigram position, composing `lm_score`'s unigram model with
+    `lm_score_bigram`'s bigram model.  Docs with fewer than two tokens
+    have no bigrams and drop out (inner semantics, the bigram sibling's
+    contract).
+
+    Cross-engine determinism: the interpolated probability is formed
+    as ONE exact rational BEFORE any transcendental —
+    num = λn·c2·total + (λd−λn)·freq·c1, den = λd·c1·total — in wide
+    integer space (DECIMAL(38,0) on Spark, HUGEINT on DuckDB; the
+    collocation_pmi overflow discipline: at 100 TB c2,c1 ≤ total ≈
+    1e13 and freq ≤ 1e13 give num ≤ 1e27, far inside both).  num and
+    den convert to double exactly-identically on both engines (exact
+    wide integer → nearest double), the single IEEE division has
+    identical operands, and -ln of it is the lm_score 1-ulp libm
+    class, quantized to integer MICRO-NATS (floor(x·1e6 + 0.5)) so the
+    per-doc reduction is an exact BIGINT sum.  p ∈ (0, 1] by
+    construction (both mixture terms are ≤ their weights), so nll_u
+    ≥ 0 and round4_ratio's non-negative contract holds.
+
+    100 TB shape: the bigram stream shuffles on (w1,w2) then (w1)
+    (lm_score_bigram's exchanges) plus ONE more token-keyed join
+    against the unigram vocab on w2 — all Zipf-headed keys with the
+    same broadcast-top-K remedy documented on lm_score; the two model
+    tables are vocab-sized, not stream-sized."""
+    docs = load(spark, sf_dir, "documents")
+    ws = _tokens(F.col("text"))
+    pairs = (
+        docs.where(F.size(ws) >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.arrays_zip(
+                F.slice(ws, 1, F.size(ws) - 1).alias("w1"),
+                F.slice(ws, 2, F.size(ws) - 1).alias("w2"),
+            )).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"))
+    )
+    cbg = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cw1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    uc = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    total = uc.agg(F.sum("freq").alias("total"))
+    dec = "decimal(19,0)"  # long*long -> decimal(38,0): exact
+    num = ((F.col("c2") * JM_LAMBDA_NUM).cast(dec)
+           * F.col("total").cast(dec)
+           + (F.col("freq") * (JM_LAMBDA_DEN - JM_LAMBDA_NUM)).cast(dec)
+           * F.col("c1").cast(dec)).cast("double")
+    den = ((F.col("c1") * JM_LAMBDA_DEN).cast(dec)
+           * F.col("total").cast(dec)).cast("double")
+    nll_u = F.floor(-F.log(num / den) * 1e6 + F.lit(0.5)).cast("bigint")
+    scored = (
+        pairs.join(cbg, ["w1", "w2"]).join(cw1, ["w1"])
+        .join(uc, pairs.w2 == uc.tok)
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nll_u.alias("nll_u"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.sum("nll_u").alias("sum_nll_u"))
+        .select(
+            "doc_id", "n_bigrams",
+            # exact integer-space rounding (the lm_score_bigram
+            # exact-half precedent); same overflow envelope
+            round4_ratio(F.col("sum_nll_u"),
+                         F.col("n_bigrams") * F.lit(1_000_000))
+            .alias("avg_nll_jm"),
+            F.round(F.exp(F.col("sum_nll_u")
+                          / (F.col("n_bigrams") * 1e6)), 2)
+            .alias("ppl_jm"),
+        )
+    )
+
+
 def _source_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT (r10 debut): per-SOURCE language-model perplexity rollup —
     the pipeline-level readout on top of `lm_score`'s per-doc filter:
@@ -1209,6 +1296,58 @@ def _source_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.col("sum_nll_u")
                           / (F.col("n_tokens") * 1e6)), 2).alias("ppl"))
         .orderBy("source"))
+
+
+def _length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r12 debut): per-source document-length order statistics —
+    p10/p50/p90 of `n_chars` plus the exact mean, the readout a
+    curation pipeline reads to TUNE its length cutoffs per source
+    (Gopher's word-count band is global; real shards need per-source
+    thresholds because a code source and a news source have wildly
+    different healthy lengths).  The `seasonal_envelope` idiom pointed
+    at the corpus: DISCRETE order statistics at pure-integer ceil
+    ranks ((n·k + 99) div 100) — never interpolated percentiles, never
+    float rank arithmetic — over an already-integer measure (n_chars
+    is BIGINT, so there is no cents quantization step).
+
+    NULL-measure contract: rows with NULL n_chars are excluded up
+    front on both engines (an unmeasured length can't rank); a source
+    whose lengths are ALL NULL drops out entirely rather than emitting
+    a row of NULLs.  The mean is an exact wide-integer half-up ratio
+    (round4_ratio_dec — Σ n_chars can pass the int64·2e4 bound at
+    100 TB).
+
+    100 TB shape: ONE hash exchange on the |sources|-sized key feeds
+    the ranking window, the three band extractions (same partition →
+    the windows share one sort), and the final agg.  At production
+    scale swap the exact order statistics for approx_percentile
+    sketches — identical downstream shape; exactness kept here for the
+    oracle (the winsorize/seasonal_envelope note)."""
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("n_chars").isNotNull())
+            .select("source", "doc_id", "n_chars"))
+    part = Window.partitionBy("source")
+    ranked = (docs
+              .withColumn("rn", F.row_number().over(
+                  part.orderBy("n_chars", "doc_id")))
+              .withColumn("n", F.count("*").over(part)))
+    band = lambda k: F.max(F.when(                      # noqa: E731
+        F.col("rn") == F.expr(f"(n * {k} + 99) div 100"),
+        F.col("n_chars"))).over(part)
+    return (ranked
+            .withColumn("p10", band(10))
+            .withColumn("p50", band(50))
+            .withColumn("p90", band(90))
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.max("p10").alias("p10_chars"),
+                 F.max("p50").alias("p50_chars"),
+                 F.max("p90").alias("p90_chars"),
+                 round4_ratio_dec(
+                     F.sum(F.col("n_chars").cast("decimal(38,0)")),
+                     F.count("*").cast("decimal(38,0)"))
+                 .alias("mean_chars"))
+            .orderBy("source"))
 
 
 PMI_MIN_COUNT = 5  # collocation support floor: bigrams rarer than
@@ -1418,7 +1557,13 @@ def _filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum(F.when(c, 1).otherwise(0) for c in fails.values())
         .alias("n_fails"))
         .join(lm, "doc_id", "left"))
-    pass_g = F.col("n_fails") == 0
+    # text IS NOT NULL is an explicit stage-1 conjunct (r11 advice): a
+    # NULL-text doc's four Gopher FAIL predicates all fold to NULL →
+    # n_fails 0, so without the guard it would sail through stages 1-3
+    # and inflate survivor counts before dying at lm_band — a quality
+    # funnel whose stage-1 contract is "all four rules pass" must fail
+    # a doc with no text AT stage 1, on both engines
+    pass_g = (F.col("n_fails") == 0) & F.col("digest").isNotNull()
     pass_l = pass_g & (F.col("lang") == "en")
     min12 = F.min(F.when(pass_l, F.col("doc_id"))).over(
         Window.partitionBy("digest"))
@@ -2493,6 +2638,8 @@ QUERIES = {
     "mutual_info": _mutual_info,
     "collapse_repeats": _collapse_repeats,
     "lm_score_bigram": _lm_score_bigram,
+    "lm_interp": _lm_interp,
+    "length_percentiles": _length_percentiles,
     "collocation_pmi": _collocation_pmi,
     "lang_confusion": _lang_confusion,
     "gopher_rules": _gopher_rules,
@@ -2767,6 +2914,75 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM scored
 GROUP BY doc_id
 """,
+    # lm_interp (r12): Jelinek-Mercer mixture as ONE exact rational in
+    # HUGEINT (Spark DECIMAL(38,0)) before the shared micro-nat ln
+    # quantization; exact BIGINT per-doc sums, round4 integer-space
+    # rounding, ppl transcendental (plain round)
+    "lm_interp": f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_TOKS} AS ws FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(ws[1:len(ws)-1]) AS w1,
+         unnest(ws[2:len(ws)]) AS w2
+  FROM d WHERE len(ws) >= 2
+), cbg AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+), cw1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+), ut AS (
+  SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+), uc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM ut GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(freq) AS BIGINT) AS total FROM uc
+), scored AS (
+  SELECT b.doc_id,
+         CAST(floor(-ln(
+           CAST(CAST(cbg.c2 * {JM_LAMBDA_NUM} AS HUGEINT) * tot.total
+                + CAST(uc.freq * {JM_LAMBDA_DEN - JM_LAMBDA_NUM}
+                       AS HUGEINT) * cw1.c1 AS DOUBLE)
+           / CAST(CAST(cw1.c1 * {JM_LAMBDA_DEN} AS HUGEINT) * tot.total
+                  AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS nll_u
+  FROM bg b
+  JOIN cbg ON cbg.w1 = b.w1 AND cbg.w2 = b.w2
+  JOIN cw1 ON cw1.w1 = b.w1
+  JOIN uc ON uc.tok = b.w2, tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       {round4_ratio_sql("CAST(sum(nll_u) AS BIGINT)",
+                         "count(*) * 1000000")} AS avg_nll_jm,
+       round(exp(sum(nll_u) / (count(*) * 1e6)), 2) AS ppl_jm
+FROM scored
+GROUP BY doc_id
+""",
+    # length_percentiles (r12): the seasonal_envelope discipline on an
+    # already-integer measure — discrete order statistics at integer
+    # ceil ranks, NULL lengths excluded up front, exact wide-int mean
+    "length_percentiles": f"""
+WITH lp AS (
+  SELECT source, doc_id, n_chars
+  FROM documents WHERE n_chars IS NOT NULL
+), ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER w AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM lp
+  WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       max(CASE WHEN rn = (n * 10 + 99) // 100 THEN n_chars END)
+         AS p10_chars,
+       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END)
+         AS p50_chars,
+       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END)
+         AS p90_chars,
+       {round4_ratio_dec_sql("CAST(sum(n_chars) AS HUGEINT)",
+                             "CAST(count(*) AS HUGEINT)")}
+         AS mean_chars
+FROM ranked GROUP BY source
+ORDER BY source
+""",
     # counts exact BIGINT; c12*N and c1*c2 « 2^53 so the division is
     # IEEE-identical; ln is the 1-ulp transcendental class (plain
     # round, same as lm_score's ppl)
@@ -2843,13 +3059,15 @@ WITH {_DUCK_LM_SCORED_CTES}, flm AS (
            AS sum_len
   FROM documents
 ), ff AS (
-  -- pass = NO rule FIRES, counted fail-side exactly like the
-  -- gopher_rules oracle: a NULL text NULLs every predicate, so a
-  -- fail-side CASE yields 0 fails = pass on BOTH engines, where a
-  -- pass-side CASE would yield fail here but pass on the Spark side
-  -- (r11 all-NULL sweep divergence)
+  -- pass = text present AND no rule FIRES, counted fail-side exactly
+  -- like the gopher_rules oracle: a NULL text NULLs every predicate,
+  -- so a fail-side CASE yields 0 fails on BOTH engines — the explicit
+  -- digest IS NOT NULL conjunct (r11 advice, mirrored on the Spark
+  -- side) is what makes a NULL-text doc fail AT stage 1 instead of
+  -- sailing through to lm_band
   SELECT doc_id, lang, digest,
-    CASE WHEN (CASE WHEN len(toks) < {GOPHER_MIN_WORDS}
+    CASE WHEN digest IS NOT NULL
+         AND (CASE WHEN len(toks) < {GOPHER_MIN_WORDS}
                       OR len(toks) > {GOPHER_MAX_WORDS}
                     THEN 1 ELSE 0 END)
              + (CASE WHEN sum_len < {GOPHER_MIN_WLEN} * len(toks)

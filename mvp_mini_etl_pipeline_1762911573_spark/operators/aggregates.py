@@ -502,7 +502,7 @@ SELECT user_id, day_mask,
          AS span_density
 FROM m
 """,
-    "agg_corr": """
+    "agg_corr": f"""
 SELECT l_returnflag,
        round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
        round(covar_samp(l_quantity, l_extendedprice), 0)
@@ -512,14 +512,14 @@ SELECT l_returnflag,
        round(stddev_samp(l_quantity), 4) AS qty_stddev,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem
-WHERE (l_quantity IS NULL OR isfinite(l_quantity))
-  AND (l_extendedprice IS NULL OR isfinite(l_extendedprice))
+WHERE {finite_or_null_sql("l_quantity")}
+  AND {finite_or_null_sql("l_extendedprice")}
 GROUP BY l_returnflag
 """,
-    "agg_histogram": """
+    "agg_histogram": f"""
 WITH fo AS (
   SELECT * FROM orders
-  WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
+  WHERE {finite_or_null_sql("o_totalprice")}
 ), bounds AS (
   SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM fo
 ), bucketed AS (
@@ -652,7 +652,7 @@ WITH base AS (
   SELECT o_orderstatus AS status,
          CAST(floor(o_totalprice + 0.5) AS BIGINT) AS d
   FROM orders
-  WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
+  WHERE {finite_or_null_sql("o_totalprice")}
 ), sums AS (
   SELECT status, CAST(count(*) AS BIGINT) AS n,
          sum(CAST(d AS HUGEINT)) AS s1,

@@ -1783,7 +1783,7 @@ FROM gaps
 WITH rev AS (
   SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders
-  WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
+  WHERE {finite_or_null_sql("o_totalprice")}
   GROUP BY o_custkey
 ), cust AS (
   SELECT n_name, c_custkey, rev
@@ -1845,7 +1845,7 @@ FROM (
     "attribution": f"""
 WITH ev AS (
   SELECT user_id, ts, event_id, event_type, value, epoch_us(ts) AS us
-  FROM events WHERE (value IS NULL OR isfinite(value))
+  FROM events WHERE {finite_or_null_sql("value")}
 ), carried AS (
   SELECT *,
          last_value(CASE WHEN event_type IN ('click', 'view')
@@ -1873,7 +1873,7 @@ SELECT channel, n_purchases, CAST(rev_d AS DOUBLE) AS revenue,
          AS rev_share
 FROM per_chan
 """,
-    "ab_test": """
+    "ab_test": f"""
 WITH assigned AS (
   -- '0x' || ..., not concat(): DuckDB concat SKIPS NULL args, so a
   -- NULL user_id yielded the unparseable literal '0x' where Spark's
@@ -1883,7 +1883,7 @@ WITH assigned AS (
   SELECT event_type, value,
          CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)),
                              1, 8) AS BIGINT) % 2 AS arm
-  FROM events WHERE (value IS NULL OR isfinite(value))
+  FROM events WHERE {finite_or_null_sql("value")}
 ), agg AS (
   SELECT event_type,
          CAST(count(CASE WHEN arm = 0 THEN value END) AS BIGINT) AS n_a,
@@ -1930,13 +1930,13 @@ SELECT round(sum((o - row_tot * col_tot / CAST(n AS DOUBLE))
        CAST(sum(o) AS BIGINT) AS n
 FROM cells
 """,
-    "skyline_pareto": """
+    "skyline_pareto": f"""
 WITH pts AS (
   SELECT o.o_custkey AS custkey, round(c.c_acctbal, 2) AS bal,
          CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
            AS spend
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-  WHERE (o.o_totalprice IS NULL OR isfinite(o.o_totalprice))
+  WHERE {finite_or_null_sql("o.o_totalprice")}
   GROUP BY o.o_custkey, round(c.c_acctbal, 2)
   HAVING round(c.c_acctbal, 2) IS NOT NULL
      AND isfinite(round(c.c_acctbal, 2))
@@ -1949,14 +1949,14 @@ WHERE NOT EXISTS (
   WHERE q.bal >= p.bal AND q.spend >= p.spend
     AND (q.bal > p.bal OR q.spend > p.spend))
 """,
-    "regr_by_group": """
+    "regr_by_group": f"""
 SELECT event_type,
        round(regr_slope(value, epoch_us(ts) / 3.6e9), 8) AS slope,
        round(regr_intercept(value, epoch_us(ts) / 3.6e9), 4)
          AS intercept,
        round(regr_r2(value, epoch_us(ts) / 3.6e9), 6) AS r2,
        CAST(regr_count(value, epoch_us(ts) / 3.6e9) AS BIGINT) AS n
-FROM events WHERE (value IS NULL OR isfinite(value)) GROUP BY event_type
+FROM events WHERE {finite_or_null_sql("value")} GROUP BY event_type
 """,
     "basket_pairs": """
 WITH items AS (
@@ -2072,7 +2072,7 @@ GROUP BY d.obs_day
 """,
     "events_anomaly_mad": f"""
 WITH fme AS (
-  SELECT * FROM events WHERE (value IS NULL OR isfinite(value))
+  SELECT * FROM events WHERE {finite_or_null_sql("value")}
 ), med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
   FROM fme GROUP BY event_type
@@ -2138,11 +2138,11 @@ FROM (
   FROM islands)
 WHERE rn = 1
 """,
-    "gap_fill_interp": """
+    "gap_fill_interp": f"""
 WITH obs AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
          round(avg(value), 4) AS v
-  FROM events WHERE event_type = 'purchase' AND (value IS NULL OR isfinite(value))
+  FROM events WHERE event_type = 'purchase' AND {finite_or_null_sql("value")}
   GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
 ), bounds AS (
   SELECT user_id, min(day) AS dmin, max(day) AS dmax
@@ -2231,7 +2231,7 @@ FROM counts
 """,
     "events_zscore": f"""
 WITH fe AS (
-  SELECT * FROM events WHERE (value IS NULL OR isfinite(value))
+  SELECT * FROM events WHERE {finite_or_null_sql("value")}
 ), stats AS (
   SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
   FROM fe GROUP BY event_type
@@ -2521,7 +2521,7 @@ FROM a ORDER BY bin
 # spearman oracle: identical doubled tie-averaged ranks (the
 # mann_whitney rank discipline) through naive global windows, HUGEINT
 # moment sums, one shared cast-to-double + sqrt expression at the end
-ORACLES["spearman_corr"] = """
+ORACLES["spearman_corr"] = f"""
 WITH cnt AS (
   SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
   FROM lineitem GROUP BY l_orderkey
@@ -2529,7 +2529,7 @@ WITH cnt AS (
   SELECT o.o_orderstatus AS status, c.x,
          CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y
   FROM orders o JOIN cnt c ON c.l_orderkey = o.o_orderkey
-  WHERE (o.o_totalprice IS NULL OR isfinite(o.o_totalprice))
+  WHERE {finite_or_null_sql("o.o_totalprice")}
 ), r AS (
   SELECT status,
          2 * rank() OVER (PARTITION BY status ORDER BY x)

@@ -35,7 +35,8 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.exact import round4_ratio, round4_ratio_sql
-from ..functions.text import WS_CHARS, WS_RUN, _tokens
+from ..functions.text import (WS_CHARS, WS_RUN, _loglog_ols_tail_sql,
+                              _tokens)
 from ..oracles import USERS_CTE
 from ..tables import load, users_valid
 from .similarity import DUCK_CELLS_CTE, SIM_THRESHOLD
@@ -930,9 +931,20 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set — SemDeDup's cluster-then-pairwise structure, no
     cartesian anywhere), the member with the LOWER 6dp cosine to the
     cell centroid is pruned; on an exact tie the higher vec_id is
-    pruned.  A vector survives iff no pair prunes it — so each
-    duplicate neighborhood keeps exactly its centroid-nearest members
-    and the verdict is independent of evaluation order.
+    pruned.  A vector survives iff no pair prunes it, so the verdict
+    is independent of evaluation order.
+
+    Pruning is deliberately TRANSITIVE (r11 advice, documented): a
+    vector can be pruned by a neighbor that is itself pruned — in a
+    chain a–b–c with rising cent_cos, both a and b are pruned even
+    when a and c are not directly similar — so a pruned member is not
+    guaranteed a SURVIVING similar neighbor, only a similar neighbor
+    closer to the centroid.  This is one-pass-stricter than a
+    keep-one-per-connected-group reading of the paper (that policy is
+    `dedup_clusters` + `dedup_keep_best`); the survivor set here is
+    exactly the pairwise-undominated members, which is what "prune
+    the farther of every similar pair" means executed as a set rule.
+    The oracle mirrors the rule verbatim, so parity is unaffected.
 
     100 TB shape: cell assignment is assign_cells' map-side
     model-parameter pass (zero shuffle); cent_cos is one broadcast
@@ -1962,6 +1974,112 @@ def _crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority").desc(), "domain"))
 
 
+DEGREE_TOPK = 100  # degree-histogram head fitted (envelope discipline:
+#                    bounds the OLS point count by a model constant —
+#                    the ZIPF_TOPK/HEAPS_POINTS contract on
+#                    _loglog_ols_fit — and the power-law head lives at
+#                    the low degrees anyway)
+
+
+def _degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r12 debut): degree-distribution power-law fit of the
+    similarity graph — the THIRD corpus law after `zipf_fit`
+    (frequency) and `heaps_law` (growth), read off the dedup graph
+    itself: n_nodes(degree) ≈ C·degree^(−α) over the
+    `_embedding_pair_edges` near-dup graph.  The dedup-graph HEALTH
+    readout: a natural near-dup graph is heavy-tailed (α ≈ 1–3);
+    a flat or bumpy degree histogram means template farms or a broken
+    embedding space, and a missing tail means the similarity threshold
+    is too tight — all visible in (alpha, r2) before any dedup policy
+    runs.
+
+    Exactness: degrees and histogram counts are exact BIGINTs; the fit
+    is the shared `_loglog_ols_fit` (ONE copy of the exact
+    DECIMAL(38,0)/HUGEINT closed forms with 1e-4-quantized ln points).
+    The fitted head is the DEGREE_TOPK LOWEST degrees — deterministic
+    (degree is the sort key and is unique per histogram row), and the
+    bounded point count is what keeps the OLS inside the
+    round4_ratio_dec overflow envelope (see _loglog_ols_fit).
+    Degenerate contract: an empty edge set yields zero rows; a
+    single-degree histogram has d1 = 0 → alpha/lnc/r2 NULL on both
+    engines.
+
+    100 TB shape: edges come from the cell-bounded equi-join
+    (Σ|cell|², no cartesian — the SemDeDup family's shared candidate
+    source); degree is one hash agg on node, the histogram one more on
+    degree (both partial-agg'd); the fitted head is ≤ DEGREE_TOPK rows
+    via TakeOrderedAndProject, and the OLS reduce is 6 numbers."""
+    from ..functions.text import _loglog_ols_fit
+
+    edges = _embedding_pair_edges(spark, sf_dir)
+    nodes = edges.select(F.col("keep_id").alias("node")).unionAll(
+        edges.select(F.col("dup_id").alias("node")))
+    deg = nodes.groupBy("node").agg(F.count("*").alias("deg"))
+    hist = (deg.groupBy("deg").agg(F.count("*").alias("n_nodes"))
+            .orderBy("deg").limit(DEGREE_TOPK))
+    x = F.floor(F.log(F.col("deg").cast("double")) * 1e4 + 0.5)
+    y = F.floor(F.log(F.col("n_nodes").cast("double")) * 1e4 + 0.5)
+    fit = _loglog_ols_fit(
+        hist.select(F.lit("similarity").alias("graph"),
+                    x.alias("x"), y.alias("y")),
+        "graph", n_name="n_points")
+    return fit.select("graph", "n_points",
+                      F.col("slope").alias("alpha"),
+                      F.col("intercept").alias("lnc"),
+                      "r2")
+
+
+def _dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r12 debut): per-source duplication-rate rollup — the
+    per-shard dedup dashboard row, composing `dedup_content_hash`'s
+    grain (byte-identical text anywhere in the corpus) with
+    `host_dedup`'s grain (same canonical URL after alias stripping):
+    for each source, how many of its docs would a content dedup
+    remove, and how many would URL canonicalization alone remove.
+    The two rates bracket a shard's redundancy — alias dups are cheap
+    to kill upstream (crawl config), content dups cost a digest
+    shuffle — so the pair tells crawl ops WHERE to fix each source.
+
+    A doc counts as a dup iff it is not the min-doc_id survivor of its
+    group (exactly the survivor rule of both composed operators), so
+    sum(per-source dups) over sources == each operator's global
+    removed count.  Rates are exact-int half-up ratios (round4_ratio).
+    NULL-text docs share one NULL digest group on both engines (SQL
+    one-NULL-partition window semantics, pinned by the all-NULL tier).
+
+    100 TB shape: both dup verdicts are min-over-partition windows
+    keyed on a DIGEST (64-hex sha256 / canonical URL) — the exchanges
+    carry (doc_id, source, digest), never text; the rollup then
+    reduces doc-grain rows to |sources|.  No self-joins, no collect;
+    the same narrow-digest-shuffle pattern as dedup_content_hash."""
+    from pyspark.sql import Window
+
+    pages = _derived_pages(load(spark, sf_dir, "documents"))
+    wc = Window.partitionBy("chash")
+    wu = Window.partitionBy("domain", "canon_url")
+    flagged = (
+        pages.select("doc_id", "source",
+                     F.sha2(F.col("text"), 256).alias("chash"),
+                     "domain", "canon_url")
+        .select("doc_id", "source",
+                (F.col("doc_id") != F.min("doc_id").over(wc))
+                .cast("long").alias("content_dup"),
+                (F.col("doc_id") != F.min("doc_id").over(wu))
+                .cast("long").alias("alias_dup")))
+    return (
+        flagged.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("content_dup").cast("long").alias("content_dups"),
+             F.sum("alias_dup").cast("long").alias("alias_dups"))
+        .select("source", "n_docs", "content_dups",
+                round4_ratio(F.col("content_dups"), F.col("n_docs"))
+                .alias("content_dup_rate"),
+                "alias_dups",
+                round4_ratio(F.col("alias_dups"), F.col("n_docs"))
+                .alias("alias_dup_rate"))
+        .orderBy("source"))
+
+
 QUERIES = {
     "graph_pagerank": _graph_pagerank,
     "graph_bfs": _graph_bfs,
@@ -1991,6 +2109,8 @@ QUERIES = {
     "host_dedup": _host_dedup,
     "mirror_detect": _mirror_detect,
     "crawl_frontier": _crawl_frontier,
+    "degree_powerlaw": _degree_powerlaw,
+    "dup_rate_by_source": _dup_rate_by_source,
 }
 
 ORACLES = {
@@ -2660,6 +2780,78 @@ SELECT domain, pages, unique_pages, dup_pages,
        {round4_ratio_sql("dup_pages", "pages")} AS dup_rate,
        kept_chars, first_doc
 FROM roll ORDER BY domain
+"""
+
+# degree_powerlaw (r12): the same quantizer cells + 6dp-rounded
+# within-cell edge set as the SemDeDup family; degree/histogram exact
+# BIGINTs, lowest-DEGREE_TOPK head, and the SAME shared OLS tail as
+# zipf_fit/heaps_law (ONE copy of the closed forms)
+ORACLES["degree_powerlaw"] = f"""
+WITH {DUCK_CELLS_CTE}, vecs AS (
+  SELECT d.doc_id, e.embedding, c.cell
+  FROM documents d
+  JOIN embeddings e ON e.vec_id = d.doc_id
+  JOIN cells c ON c.vec_id = d.doc_id
+), dpairs AS (
+  SELECT a.doc_id AS keep_id, b.doc_id AS dup_id
+  FROM vecs a JOIN vecs b
+    ON a.cell = b.cell AND a.doc_id < b.doc_id
+  WHERE round(
+          list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+          6) >= {SIM_THRESHOLD}
+), dnodes AS (
+  SELECT keep_id AS node FROM dpairs
+  UNION ALL SELECT dup_id FROM dpairs
+), ddeg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM dnodes GROUP BY node
+), dhist AS (
+  SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM ddeg GROUP BY deg ORDER BY deg LIMIT {DEGREE_TOPK}
+), dpts AS (
+  SELECT 'similarity' AS graph,
+         CAST(floor(ln(CAST(deg AS DOUBLE)) * 1e4 + 0.5) AS HUGEINT) AS x,
+         CAST(floor(ln(CAST(n_nodes AS DOUBLE)) * 1e4 + 0.5) AS HUGEINT)
+           AS y
+  FROM dhist
+), ds AS (
+  SELECT graph, CAST(count(*) AS BIGINT) AS n_points,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM dpts GROUP BY graph
+), dfit AS (
+  SELECT graph, n_points,
+         {_loglog_ols_tail_sql('n_points')}
+  FROM ds
+)
+SELECT graph, n_points, slope AS alpha, intercept AS lnc, r2
+FROM dfit ORDER BY graph
+"""
+
+# dup_rate_by_source (r12): min-over-group survivor verdicts on the
+# sha256(text) and (domain, canon_url) grains off _DUCK_PAGES_CTES,
+# rolled to source; rates are exact-int half-up ratios
+ORACLES["dup_rate_by_source"] = f"""
+WITH {_DUCK_PAGES_CTES}, flagged AS (
+  SELECT source,
+         CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY sha256(text))
+              THEN 1 ELSE 0 END AS content_dup,
+         CASE WHEN doc_id != min(doc_id)
+                            OVER (PARTITION BY domain, canon_url)
+              THEN 1 ELSE 0 END AS alias_dup
+  FROM canon
+), roll AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(content_dup) AS BIGINT) AS content_dups,
+         CAST(sum(alias_dup) AS BIGINT) AS alias_dups
+  FROM flagged GROUP BY source
+)
+SELECT source, n_docs, content_dups,
+       {round4_ratio_sql("content_dups", "n_docs")} AS content_dup_rate,
+       alias_dups,
+       {round4_ratio_sql("alias_dups", "n_docs")} AS alias_dup_rate
+FROM roll ORDER BY source
 """
 
 # mirror_detect (r10): lead-fingerprint × domain grain, df-pruned,

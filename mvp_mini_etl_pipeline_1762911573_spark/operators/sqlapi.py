@@ -921,9 +921,20 @@ def _dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — at 100 TB the whole suite is a handful of scan+count
     jobs (or one multi-aggregate pass per table), never row-level
     materialization — so the
-    report is driver-tiny no matter the table size."""
+    report is driver-tiny no matter the table size.
+
+    The two `*_finite` checks (r12, the r11 advice item) are the
+    AUDIT SIGNAL for the repo-wide finite-or-null measure contract
+    (functions/exact.py::finite_or_null / tpch._fin): since r11 every
+    revenue/statistic query silently EXCLUDES ±inf/NaN measures on
+    both engines — deliberate, but corrupt-money rows disappearing
+    from revenue without a counter can mask an upstream data-quality
+    failure, so the exclusion count is now a first-class dq row.  The
+    predicate is tpch._fin's portable isnan/abs-Infinity spelling
+    (Spark SQL has no isfinite(); the oracle uses DuckDB's)."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
     load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load(spark, sf_dir, "events").createOrReplaceTempView("v_events")
     return spark.sql("""
         WITH checks AS (
           SELECT 'orders.custkey_not_null' AS check,
@@ -953,6 +964,19 @@ def _dq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT 'customer.acctbal_in_range',
                  count_if(c_acctbal < -1000.0 OR c_acctbal > 10000.0)
           FROM v_customer
+          UNION ALL
+          SELECT 'orders.totalprice_finite',
+                 count_if(o_totalprice IS NOT NULL
+                          AND (isnan(o_totalprice)
+                               OR abs(o_totalprice)
+                                  = CAST('Infinity' AS DOUBLE)))
+          FROM v_orders
+          UNION ALL
+          SELECT 'events.value_finite',
+                 count_if(value IS NOT NULL
+                          AND (isnan(value)
+                               OR abs(value) = CAST('Infinity' AS DOUBLE)))
+          FROM v_events
         )
         SELECT check, CAST(n_violations AS BIGINT) AS n_violations,
                n_violations = 0 AS passed
@@ -1152,15 +1176,24 @@ WITH checks AS (
   SELECT 'customer.acctbal_in_range',
          count(*) FILTER (c_acctbal < -1000.0 OR c_acctbal > 10000.0)
   FROM customer
+  UNION ALL
+  SELECT 'orders.totalprice_finite',
+         count(*) FILTER (o_totalprice IS NOT NULL
+                          AND NOT isfinite(o_totalprice))
+  FROM orders
+  UNION ALL
+  SELECT 'events.value_finite',
+         count(*) FILTER (value IS NOT NULL AND NOT isfinite(value))
+  FROM events
 )
 SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
        n_violations = 0 AS passed
 FROM checks
 """,
-    "rfm_segments": """
+    "rfm_segments": f"""
 WITH fo AS (
   SELECT * FROM orders
-  WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
+  WHERE {finite_or_null_sql("o_totalprice")}
 ), ref AS (
   SELECT CAST(max(o_orderdate) AS DATE) AS refd FROM fo
 ), cust AS (
@@ -1205,7 +1238,7 @@ SELECT r_score, f_score, m_score,
          AS segment_value
 FROM scored GROUP BY r_score, f_score, m_score
 """,
-    "cdc_apply": """
+    "cdc_apply": f"""
 WITH ch AS (
   SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
          ts, event_id, event_type, value
@@ -1216,7 +1249,7 @@ WITH ch AS (
   FROM ch
 )
 SELECT user_id, CAST(count(*) AS BIGINT) AS live_keys,
-       CAST(round(sum(CASE WHEN (value IS NULL OR isfinite(value))
+       CAST(round(sum(CASE WHEN {finite_or_null_sql("value")}
                       THEN CAST(value AS DECIMAL(18,2)) END), 2)
             AS DOUBLE) AS total_value
 FROM ranked
@@ -1240,7 +1273,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
-    "sql_q10": """
+    "sql_q10": f"""
 SELECT c_custkey, c_name,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                       * (1 - CAST(l_discount AS DECIMAL(18,2)))),
@@ -1254,8 +1287,8 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= DATE '1996-01-01'
   AND o_orderdate < DATE '1996-04-01'
   AND l_returnflag = 'R'
-  AND (l_extendedprice IS NULL OR isfinite(l_extendedprice))
-  AND (l_discount IS NULL OR isfinite(l_discount))
+  AND {finite_or_null_sql("l_extendedprice")}
+  AND {finite_or_null_sql("l_discount")}
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
@@ -1491,19 +1524,19 @@ FROM events
 WHERE user_id % 25 = 3
 GROUP BY user_id
 """,
-    "agg_percentiles": """
+    "agg_percentiles": f"""
 SELECT o_orderstatus AS status,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99
-FROM orders WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
+FROM orders WHERE {finite_or_null_sql("o_totalprice")}
 GROUP BY o_orderstatus
 """,
     # sketch-contract oracle: exact percentiles are cross-engine
     # reproducible; the in-bound booleans assert Spark's GK sketch
     # honored its ±2%-rank accuracy contract (literal TRUE here, so a
     # contract breach hash-fails instead of hiding in rows-only)
-    "agg_approx_percentiles": """
+    "agg_approx_percentiles": f"""
 SELECT o_orderstatus AS status,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
@@ -1511,16 +1544,16 @@ SELECT o_orderstatus AS status,
        true AS p50_in_bound,
        true AS p90_in_bound,
        true AS p99_in_bound
-FROM orders WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
+FROM orders WHERE {finite_or_null_sql("o_totalprice")}
 GROUP BY o_orderstatus
 """,
-    "quantile_bins": """
+    "quantile_bins": f"""
 WITH cuts AS (
   SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
          quantile_cont(l_extendedprice, 0.50) AS q2,
          quantile_cont(l_extendedprice, 0.75) AS q3
   FROM lineitem
-  WHERE (l_extendedprice IS NULL OR isfinite(l_extendedprice))
+  WHERE {finite_or_null_sql("l_extendedprice")}
 )
 SELECT CASE WHEN l_extendedprice < q1 THEN 'q1_low'
             WHEN l_extendedprice < q2 THEN 'q2_mid_low'
@@ -1531,7 +1564,7 @@ SELECT CASE WHEN l_extendedprice < q1 THEN 'q1_low'
        round(min(l_extendedprice), 2) AS min_price,
        round(max(l_extendedprice), 2) AS max_price
 FROM lineitem, cuts
-WHERE (l_extendedprice IS NULL OR isfinite(l_extendedprice))
+WHERE {finite_or_null_sql("l_extendedprice")}
 GROUP BY 1
 """,
     "winsorize": f"""
@@ -1574,7 +1607,7 @@ ORACLES["bootstrap_ci"] = f"""
 WITH o AS (
   SELECT o_orderstatus AS status, o_orderkey,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM orders WHERE (o_totalprice IS NULL OR isfinite(o_totalprice))
+  FROM orders WHERE {finite_or_null_sql("o_totalprice")}
 ), rep AS (
   SELECT status, o_orderkey, cents, b
   FROM o, unnest(range(1, {BOOT_B} + 1)) AS rb(b)

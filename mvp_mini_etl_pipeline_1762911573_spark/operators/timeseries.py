@@ -285,32 +285,49 @@ def _seasonal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BURST_BUCKET_S = 3600   # tumbling rate window: 1 hour
 BURST_BASELINE_W = 6    # trailing baseline: the 6 previous windows
-BURST_FACTOR = 2        # burst iff rate >= FACTOR x baseline mean ...
-BURST_MIN_CNT = 6       # ... and at least this many events (a 2x jump
-#                         off a near-zero baseline is noise, not news)
+BURST_SIGMA2 = 4        # squared surprise threshold: burst iff the
+#                         count exceeds the baseline mean by >= sqrt(
+#                         SIGMA2) Poisson standard deviations — see
+#                         the docstring's cross-multiplied form
+BURST_MIN_CNT = 3       # absolute floor: a 1-2 event blip is never
+#                         a burst, whatever the baseline says
 
 
 def _burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT (r11 debut): per-event-type burst intervals — tumbling
-    1-hour rates compared against the trailing BURST_BASELINE_W-window
-    mean, maximal above-threshold runs merged into one interval each
-    (the Kleinberg-style burst readout at its cheapest useful form:
-    "this event type ran >=2x its own recent rate from 14:00 to
-    17:00, 312 events, peaking at 19/h").  The anomaly sibling of
-    `events_zscore` (global moments) and `cusum_changepoint`
-    (cumulative drift): LOCAL rate vs local baseline, reported as
-    intervals rather than points.
+    """EXT (r11 debut; r12 rule change): per-event-type burst
+    intervals — tumbling 1-hour rates compared against the trailing
+    BURST_BASELINE_W-window mean, maximal above-threshold runs merged
+    into one interval each (the Kleinberg-style burst readout at its
+    cheapest useful form: "this event type ran well above its own
+    recent rate from 14:00 to 17:00, 312 events, peaking at 19/h").
+    The anomaly sibling of `events_zscore` (global moments) and
+    `cusum_changepoint` (cumulative drift): LOCAL rate vs local
+    baseline, reported as intervals rather than points.
 
-    Exactness: the burst verdict is the all-integer cross-multiply
-    cnt·W >= FACTOR·Σ(prev W counts) — no float rate is ever formed —
-    on a gap-DENSIFIED hourly series (missing hours count 0: a spike
-    after a quiet gap must compare against the true zero-ish rate, not
-    against the last few busy hours).  Warm-up rows (fewer than W
-    trailing windows) are excluded, so the first W hours of a series
-    can't self-compare.  Runs merge via the gaps-and-islands idiom
-    (`events_sessionize`): island id = hour index − row_number, both
-    integers.  Every output column is an integer or a formatted
-    timestamp string — nothing rounds.
+    Burst rule (r12, the verdict's de-vacuation item): a window is a
+    burst iff its count exceeds the baseline mean by at least
+    sqrt(BURST_SIGMA2) Poisson standard deviations — the
+    scale-INVARIANT surprise test.  The r11 rule (cnt >= 2x baseline
+    mean) was vacuous at dense fixtures: relative fluctuation shrinks
+    as 1/sqrt(rate), so a fixed rate MULTIPLE stops firing exactly
+    when data gets dense (sf0.1 returned 0 rows on both engines — a
+    scale check that verifies the empty set), while a fixed
+    SIGMA threshold fires at a roughly density-free per-hour
+    probability at every SF.  Cross-multiplied to stay all-integer
+    (no float rate, no sqrt): with exc = cnt·W − Σ(prev W counts),
+    burst iff exc > 0 AND exc² >= SIGMA2·W·Σ — exc² in
+    DECIMAL(38,0)/HUGEINT (cnt·W can pass 2^31.5 at 100 TB hourly
+    rates, so the square needs wide space) — AND cnt >= BURST_MIN_CNT.
+
+    Exactness: the verdict is integer compares on a gap-DENSIFIED
+    hourly series (missing hours count 0: a spike after a quiet gap
+    must compare against the true zero-ish rate, not against the last
+    few busy hours).  Warm-up rows (fewer than W trailing windows) are
+    excluded, so the first W hours of a series can't self-compare.
+    Runs merge via the gaps-and-islands idiom (`events_sessionize`):
+    island id = hour index − row_number, both integers.  Every output
+    column is an integer or a formatted timestamp string — nothing
+    rounds.
 
     100 TB shape: the rate table is ONE partial-agg'd groupBy
     (event_type, hour) — the exchange carries hourly summaries, never
@@ -337,10 +354,13 @@ def _burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "bi", "cnt",
         F.sum("cnt").over(wb).alias("bsum"),
         F.count(F.lit(1)).over(wb).alias("bn"))
+    exc = F.col("cnt") * BURST_BASELINE_W - F.col("bsum")
     bursts = based.where(
         (F.col("bn") == BURST_BASELINE_W)
-        & (F.col("cnt") * BURST_BASELINE_W
-           >= BURST_FACTOR * F.col("bsum"))
+        & (exc > 0)
+        & (exc.cast("decimal(38,0)") * exc.cast("decimal(38,0)")
+           >= F.lit(BURST_SIGMA2 * BURST_BASELINE_W)
+           * F.col("bsum").cast("decimal(38,0)"))
         & (F.col("cnt") >= BURST_MIN_CNT))
     wr = Window.partitionBy("event_type").orderBy("bi")
     isl = bursts.withColumn("grp", F.col("bi") - F.row_number().over(wr))
@@ -384,7 +404,7 @@ WITH b AS (
          + least(greatest(CAST(round(value * 100) AS BIGINT), 0),
                  16777215) AS ordk,
          value
-  FROM events WHERE (value IS NULL OR isfinite(value))
+  FROM events WHERE {finite_or_null_sql("value")}
 )
 SELECT event_type, bucket_start,
        (min(ordk) % 16777216) / 100.0 AS open,
@@ -410,7 +430,7 @@ FROM iv GROUP BY event_type, day
 """,
     "cusum_changepoint": f"""
 WITH fe AS (
-  SELECT * FROM events WHERE (value IS NULL OR isfinite(value))
+  SELECT * FROM events WHERE {finite_or_null_sql("value")}
 ), stats AS (
   SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd,
          CAST(count(*) AS BIGINT) AS n_events
@@ -436,9 +456,11 @@ SELECT event_type, n_events,
        CAST(sign(cusum) AS INTEGER) AS drift_sign
 FROM ranked WHERE rn = 1
 """,
-    # burst_detect (r11): identical integer hour indices, the same
-    # densified trailing frame, the same all-integer cross-multiplied
-    # verdict and gaps-and-islands merge — every column integer/string
+    # burst_detect (r11; r12 sigma rule): identical integer hour
+    # indices, the same densified trailing frame, the same all-integer
+    # cross-multiplied Poisson-surprise verdict (exc² in HUGEINT, the
+    # Spark side's DECIMAL(38,0)) and gaps-and-islands merge — every
+    # column integer/string
     "burst_detect": f"""
 WITH bc AS (
   SELECT event_type,
@@ -465,7 +487,10 @@ WITH bc AS (
            AS grp
   FROM based
   WHERE bn = {BURST_BASELINE_W}
-    AND cnt * {BURST_BASELINE_W} >= {BURST_FACTOR} * bsum
+    AND cnt * {BURST_BASELINE_W} - bsum > 0
+    AND CAST(cnt * {BURST_BASELINE_W} - bsum AS HUGEINT)
+        * (cnt * {BURST_BASELINE_W} - bsum)
+        >= {BURST_SIGMA2 * BURST_BASELINE_W} * CAST(bsum AS HUGEINT)
     AND cnt >= {BURST_MIN_CNT}
 )
 SELECT event_type,

@@ -490,13 +490,13 @@ WINDOW w_o AS (PARTITION BY c_mktsegment
 # flavors sharing dedup_clusters' oracle)
 ORACLES["scd2_merge"] = ORACLES["scd2_intervals"]
 
-ORACLES["window_rolling_median"] = """
+ORACLES["window_rolling_median"] = f"""
 SELECT user_id, event_id, value,
        round(quantile_cont(value, 0.5) OVER w, 4) AS med_10,
        min(value) OVER w AS min_10,
        max(value) OVER w AS max_10
 FROM events
-WHERE user_id % 10 = 7 AND (value IS NULL OR isfinite(value))
+WHERE user_id % 10 = 7 AND {finite_or_null_sql("value")}
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
 """

@@ -16,23 +16,22 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-11 window (current): the 4 r11 debuts FIRST (heaps_law,
-filter_funnel, burst_detect, dedup_semantic — the verdict-suggested
-SURVEY §7 candidate set, inside the <=5 debut budget the r8 verdict
-set to protect freshness), then the 4 rows-only ride-alongs
-(ROWS_ONLY_RIDE_ALONG — r10 verdict item 7: the driver re-records
-their row counts once per ~5 rounds; their official rows dated from
-r4/r6), then the ENTIRE 39-query round-6-stale tier (5 rounds without
-a fresh row — the staleness ceiling enforced by
-test_window_rotation_bounds_max_staleness), then the 3 stalest
-round-7 greens.  Outside a ride-along round, rows-only queries stay
-excluded from the window — the driver records only `err: no_oracle`
-plus a row count for them (r7's lesson; enforced by
-test_window_contains_only_oracle_checked_queries, and skipped by
-rotation_report.py's candidate list since r9).
+Round-12 window (current): the 4 r12 debuts FIRST (lm_interp,
+degree_powerlaw, dup_rate_by_source, length_percentiles — the
+verdict-suggested SURVEY §7 candidate set, inside the <=5 debut
+budget the r8 verdict set to protect freshness), then the ENTIRE
+remaining 46-query round-7-stale tier (5 rounds without a fresh row —
+the staleness ceiling enforced by
+test_window_rotation_bounds_max_staleness).  No rows-only ride-alongs
+this round (they rode in r11; next ~r16).  Outside a ride-along
+round, rows-only queries stay excluded from the window — the driver
+records only `err: no_oracle` plus a row count for them (r7's lesson;
+enforced by test_window_contains_only_oracle_checked_queries, and
+skipped by rotation_report.py's candidate list since r9).
 
-ROTATION NOTE (round 11 → 12): empty ROWS_ONLY_RIDE_ALONG again, put
-any round-11 debuts FIRST, then fill
+ROTATION NOTE (round 12 → 13): the r8-stale tier is next (the window
+is now on a clean ~5-round cycle); put any round-12 debuts FIRST,
+keep ROWS_ONLY_RIDE_ALONG empty until ~r16, then fill
 from `python scripts/rotation_report.py` (it derives each query's
 latest official row from CORRECTNESS_r*.json and prints the
 stalest-first candidate list sized to the window; rounds 2, 3 AND 6
@@ -65,47 +64,42 @@ from pyspark.sql import DataFrame, SparkSession
 WINDOW_SIZE = 50
 
 #: Rows-only queries riding the window THIS round (r10 verdict item 7:
-#: their official rows dated from r4/r6, so every ~5 rounds they ride
-#: along once and the driver re-records their row counts — a weaker
-#: check than the hash tier, but fresher than a half-year-old row).
-#: Normally rows-only queries stay out of the window (the r7 lesson:
-#: the driver records `err: no_oracle`, so a permanent slot is a
-#: wasted slot); the ride-along list is the DELIBERATE, bounded
-#: exception, pinned by test_window_contains_only_oracle_checked_
-#: queries to exactly these names.  Empty it again for r12.
-ROWS_ONLY_RIDE_ALONG: list[str] = [
-    "bpe_encode", "dedup_near", "dedup_simhash", "similarity_join",
-]
+#: every ~5 rounds they ride along once and the driver re-records
+#: their row counts — a weaker check than the hash tier, but fresher
+#: than a half-year-old row).  Normally rows-only queries stay out of
+#: the window (the r7 lesson: the driver records `err: no_oracle`, so
+#: a permanent slot is a wasted slot); the ride-along list is the
+#: DELIBERATE, bounded exception, pinned by
+#: test_window_contains_only_oracle_checked_queries to exactly these
+#: names.  EMPTY for r12 (they rode in r11; next ride ~r16:
+#: bpe_encode, dedup_near, dedup_simhash, similarity_join).
+ROWS_ONLY_RIDE_ALONG: list[str] = []
 
 WINDOW_PRIORITY: list[str] = [
-    # ROUND-11 WINDOW (rotation_report.py's r11 plan + the r10 verdict:
-    # the ENTIRE 39-query round-6-stale tier is the freshness ceiling
-    # and rotates as one beat).  4 debuts first, then the 4 rows-only
-    # ride-alongs (verdict item 7 — row counts re-recorded once per
-    # ~5 rounds), then the 39 r6-stale greens, then the 3 stalest r7
-    # greens.  4 + 4 + 39 + 3 = 50: exactly full; the remaining r7
-    # tier (46 queries) waits for r12 — 5 rounds stale then, inside
-    # the ceil(240/50)+1 = 6-round ceiling.
-    # -- r11 debuts (SURVEY §7 candidates, <=5 budget) -------------------
-    "heaps_law", "filter_funnel", "burst_detect", "dedup_semantic",
-    # -- rows-only ride-alongs (weaker rows-only check by design) --------
-    *ROWS_ONLY_RIDE_ALONG,
-    # -- the entire 39-query round-6-stale tier (5 rounds without a
+    # ROUND-12 WINDOW (rotation_report.py's r12 plan + the r11 verdict
+    # item 1: the ENTIRE remaining 46-query round-7-stale tier rotates
+    # as one beat).  4 debuts first, then the 46 r7-stale greens
+    # (rotation_report slots 1-46).  4 + 46 = 50: exactly full; no
+    # rows-only ride-alongs this round (they rode in r11).
+    # -- r12 debuts (SURVEY §7 candidates, <=4 budget) -------------------
+    "lm_interp", "degree_powerlaw", "dup_rate_by_source",
+    "length_percentiles",
+    # -- the entire 46-query round-7-stale tier (5 rounds without a
     # fresh row — the staleness ceiling; rotation_report order) --------
-    "benford_digits", "csv_flatten", "dedup_content_hash",
-    "dedup_distinct", "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_removed_count", "embedding_centroids", "embedding_normalize",
-    "events_debounce", "filter_nonnull", "filter_valid_date",
-    "gini_concentration", "inverted_index", "join_anti",
-    "join_broadcast", "join_equi", "join_left", "join_range",
-    "join_semi", "ks_test", "limit_topn", "metrics_row", "set_except",
-    "set_intersect", "set_intersect_all", "set_union",
-    "similarity_topk", "sort_limit1", "sort_multi", "table_diff",
-    "text_entropy", "udf_cosine", "validity_filter_counts",
-    "window_lag", "window_last_user", "window_ntile_frame",
-    "window_rank", "window_running_sum",
-    # -- 3 stalest round-7 greens (rotation_report order) ---------------
-    "acf_lags", "agg_collect", "agg_grouping_sets",
+    "agg_percentiles", "attribution_linear", "bootstrap_ci", "cms_topk",
+    "collapse_repeats", "collocation_pmi", "corpus_curate",
+    "dedup_clusters", "dedup_containment", "dedup_embedding",
+    "doc_fingerprint", "drift_psi", "embedding_quantize",
+    "etl_fallback_log", "etl_fallback_metrics", "events_rate_limit",
+    "gopher_rules", "importance_sample", "join_prefix_filter",
+    "join_salted", "kaplan_meier", "kmeans_step", "lang_confusion",
+    "lang_id", "mann_whitney", "merge_upsert", "multimodal_frames",
+    "multimodal_schema", "mutual_info", "ngram_novelty",
+    "pca_power_iter", "pivot_events", "quality_audit",
+    "quantile_normalize", "rank_fusion", "raw_modal",
+    "sample_cap_per_group", "sample_hash", "scalar_case", "scalar_date",
+    "scalar_json", "scalar_map_json", "scalar_map_ops",
+    "seasonal_envelope", "substring_dedup", "winsorize",
 ]
 
 

@@ -231,7 +231,7 @@ ORACLES = {
     # semantics — an event that carries no timestamp cannot be placed
     # in any window) while DuckDB's time_bucket(NULL) kept a NULL
     # bucket group (r11 all-NULL sweep: 0 vs 1 rows)
-    "stream_ohlc": """
+    "stream_ohlc": f"""
 WITH b AS (
   SELECT event_type,
          strftime(time_bucket(INTERVAL 1 HOUR, ts),
@@ -245,7 +245,7 @@ WITH b AS (
          + least(greatest(CAST(round(value * 100) AS BIGINT), 0),
                  16777215) AS ordk,
          value
-  FROM events WHERE ts IS NOT NULL AND (value IS NULL OR isfinite(value))
+  FROM events WHERE ts IS NOT NULL AND {finite_or_null_sql("value")}
 )
 SELECT window_start, event_type,
        (min(ordk) % 16777216) / 100.0 AS open,

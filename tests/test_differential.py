@@ -721,6 +721,13 @@ def diff_rel_dirs(spark, tmp_path_factory):
             [(i, f"NATION{i:02d}", i % 5) for i in range(25)],
             "n_nationkey int, n_name string, n_regionkey int"
         ).coalesce(1).write.parquet(f"{d}/nation.parquet")
+        # dq_check audits events.value_finite (r12) — give it the
+        # hostile events corpus too
+        spark.createDataFrame(
+            _gen_events(seed),
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        ).coalesce(2).write.parquet(f"{d}/events.parquet")
         out[seed] = str(d)
     return out, con
 
@@ -730,7 +737,7 @@ def diff_rel_dirs(spark, tmp_path_factory):
 def test_differential_on_generated_orders(spark, diff_rel_dirs, name, seed):
     dirs, con = diff_rel_dirs
     sf_dir = dirs[seed]
-    for t in ("orders", "customer", "nation"):
+    for t in ("orders", "customer", "nation", "events"):
         con.execute(f"DROP VIEW IF EXISTS {t}")
         con.execute(f"CREATE VIEW {t} AS SELECT * "
                     f"FROM '{sf_dir}/{t}.parquet/*.parquet'")

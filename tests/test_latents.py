@@ -172,6 +172,8 @@ def test_dq_check_null_key_not_double_counted(spark, sf_dir, tmp_path):
     nulled.write.parquet(f"{out}/orders.parquet")
     load(spark, sf_dir, "customer").write.parquet(
         f"{out}/customer.parquet")
+    # dq_check also audits events.value_finite (r12) — materialize it
+    load(spark, sf_dir, "events").write.parquet(f"{out}/events.parquet")
 
     got = {r.check: r.n_violations for r in _dq_check(spark, out).collect()}
     base = {r.check: r.n_violations
