@@ -115,3 +115,62 @@ def finite_or_null_sql(c: str) -> str:
     """DuckDB mirror of finite_or_null (isfinite is NULL on NULL, so
     the NULL arm is explicit)."""
     return f"(({c}) IS NULL OR isfinite({c}))"
+
+
+def money_sum(c, dp: int = 2) -> Column:
+    """Order-free exact money sum → DOUBLE.  The r12 many-files sweep
+    proved raw double money sums are PARTIAL-ORDER-DEPENDENT: the same
+    rows in a 1-file vs a 7-file parquet layout flipped sql_q1's
+    sum_charge by a cent, because partial-aggregation order follows
+    file layout — a result that depends on file count is wrong at any
+    scale, and at 1000 executors the order is different every run.
+    Fix = the sql_q10 pattern, shared: accumulate in DECIMAL(18,2)
+    (exact, associative, order-free), round once, ONE cast back to
+    DOUBLE (emitted schema unchanged).  The measure is summed
+    CONDITIONALLY on finite-or-null (the cdc_apply shape) so corrupt
+    ±inf/NaN never reaches the DECIMAL cast while the row still
+    counts for count(*) columns — less invasive than the TPC-H
+    family's row-drop and identical on every committed fixture.
+    SQL mirror: money_sum_sql."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.round(F.sum(F.when(finite_or_null(col),
+                                 col.cast("decimal(18,2)"))), dp)
+            .cast("double"))
+
+
+def money_sum_sql(c: str, dp: int = 2) -> str:
+    """DuckDB mirror of money_sum: identical conditional DECIMAL
+    accumulation, round, cast."""
+    return (f"CAST(round(sum(CASE WHEN {finite_or_null_sql(c)} "
+            f"THEN CAST({c} AS DECIMAL(18,2)) END), {dp}) AS DOUBLE)")
+
+
+def finite_portable_sql(c: str) -> str:
+    """finite-or-null as SQL TEXT that parses identically on Spark SQL
+    and DuckDB (Spark SQL has no isfinite() — the tpch._fin
+    spelling, shared here so queries built as spark.sql(...) strings
+    and their oracles can embed ONE expression)."""
+    return (f"({c} IS NULL OR (NOT isnan({c}) "
+            f"AND abs({c}) != CAST('Infinity' AS DOUBLE)))")
+
+
+def money_sum_portable_sql(c: str, dp: int = 2) -> str:
+    """money_sum as engine-portable SQL text (see money_sum): exact
+    conditional DECIMAL(18,2) sum of a money measure, rounded once,
+    cast back to DOUBLE — embeddable verbatim in BOTH a spark.sql()
+    query and its DuckDB oracle, so the two cannot drift."""
+    return (f"CAST(round(sum(CASE WHEN {finite_portable_sql(c)} "
+            f"THEN CAST({c} AS DECIMAL(18,2)) END), {dp}) AS DOUBLE)")
+
+
+def rev_sum_portable_sql(price: str = "l_extendedprice",
+                         disc: str = "l_discount") -> str:
+    """The TPC-H revenue term sum(price·(1−discount)) as an exact
+    engine-portable DECIMAL sum (the sql_q10 pattern, shared): per-row
+    product in DECIMAL(18,2)·(1−DECIMAL(4,2)) — exact and inside
+    precision 38 — conditional on both measures finite, rounded once,
+    ONE cast to DOUBLE."""
+    return (f"CAST(round(sum(CASE WHEN {finite_portable_sql(price)} "
+            f"AND {finite_portable_sql(disc)} "
+            f"THEN CAST({price} AS DECIMAL(18,2)) "
+            f"* (1 - CAST({disc} AS DECIMAL(4,2))) END), 2) AS DOUBLE)")

@@ -135,9 +135,16 @@ def _scalar_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT: parse_json once into the binary semi-structured
     type, then typed variant_get extraction — the shredded-JSON path
-    that beats per-access string re-parsing at scale."""
+    that beats per-access string re-parsing at scale.
+
+    try_parse_json, not parse_json (r12 string sweeps): a corrupt
+    payload must degrade to NULL like every other JSON reader in the
+    repo (from_json/get_json_object are lenient by design), not kill
+    the job — parse_json THROWS on malformed input.  Spark's parsers
+    accept a leading JSON document with trailing garbage and NULL on
+    leading garbage; the oracle mirrors both via DUCK_JSON_LEAD."""
     ev = load(spark, sf_dir, "events").where(F.col("event_id") % 10 == 0)
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     return ev.select(
         "event_id",
         F.variant_get(v, "$.k", "bigint").alias("k_typed"),
@@ -212,6 +219,20 @@ QUERIES = {
     "scalar_map_json": _scalar_map_json,
 }
 
+def duck_json_lead(col: str) -> str:
+    """DuckDB mirror of Spark's LENIENT JSON readers (r12 string
+    sweeps): from_json / get_json_object / try_parse_json all parse a
+    LEADING JSON document and ignore trailing garbage, but NULL on
+    leading garbage — DuckDB's json_* functions are strict and ERROR
+    on either.  This expression yields the leading document when one
+    exists (valid whole string, or a flat `{...}` prefix — the repo's
+    props payloads are never nested) and NULL otherwise; json_valid()
+    short-circuits the regex for the well-formed fast path."""
+    return (f"(CASE WHEN json_valid({col}) THEN {col} "
+            f"ELSE nullif(regexp_extract({col}, "
+            f"'^[ ]*(\\{{[^{{}}]*\\}})', 1), '') END)")
+
+
 ORACLES = {
     "scrub_pii": USERS_CTE + """
 SELECT custkey,
@@ -229,13 +250,15 @@ SELECT event_id,
        1 AS n_uid_entries
 FROM events WHERE event_id % 20 = 0
 """,
-    # var_schema is a literal for the fixed fixture shape, NULL-guarded
-    # like scalar_map_json: schema_of_variant(parse_json(NULL)) is NULL
-    "scalar_variant": """
+    # var_schema is a literal for the fixed fixture shape; the lead-
+    # document guard mirrors try_parse_json's lenient/NULL contract
+    # (r12 string sweeps) and subsumes the NULL-props guard
+    "scalar_variant": f"""
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+       CAST(json_extract_string({duck_json_lead('props')}, '$.k')
+            AS BIGINT) AS k_typed,
        CAST(NULL AS VARCHAR) AS absent,
-       CASE WHEN props IS NULL THEN NULL
+       CASE WHEN {duck_json_lead('props')} IS NULL THEN NULL
             ELSE 'OBJECT<k: BIGINT>' END AS var_schema
 FROM events WHERE event_id % 10 = 0
 """,
@@ -252,12 +275,18 @@ SELECT custkey,
             ELSE split_part(email, '@', 2) END AS email_domain
 FROM users_raw
 """,
+    # bucket7 is a sign-safe floor mod (((k % 7) + 7) % 7): the Spark
+    # side is F.pmod, and plain `%` is remainder-of-dividend on BOTH
+    # engines, so a negative custkey lands in a NEGATIVE % bucket but a
+    # [0, 7) pmod bucket (r12 negative-keys sweep divergence).  The
+    # gender/cohort branches keep plain % deliberately — Spark's `%`
+    # IS remainder, so those match on any sign
     "scalar_case": USERS_CTE + """
 SELECT custkey,
        CASE WHEN custkey % 2 = 0 THEN 'male' ELSE 'female' END AS gender,
        CASE custkey % 3 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
             ELSE 'gamma' END AS cohort,
-       custkey % 7 AS bucket7
+       ((custkey % 7) + 7) % 7 AS bucket7
 FROM users_raw
 """,
     "scalar_date": """
@@ -281,22 +310,33 @@ SELECT custkey,
        '64' AS size_param
 FROM users_raw
 """,
+    # the chr(11) replace mirrors Spark to_json's JSON control-char
+    # escaping (to \u000B, uppercase hex — DuckDB's own to_json agrees;
+    # r12 unicode sweep planted a vertical tab): the concat oracle
+    # must escape what a real JSON serializer escapes
     "scalar_json": USERS_CTE + """
 SELECT custkey,
-       '{"id":"' || id || '","name_first":"' || name_first ||
-       '","name_last":"' || name_last || '","country":"' || country ||
-       '"}' AS payload
+       '{"id":"' || replace(id, chr(11), '\\u000B')
+       || '","name_first":"' || replace(name_first, chr(11), '\\u000B')
+       || '","name_last":"' || replace(name_last, chr(11), '\\u000B')
+       || '","country":"' || replace(country, chr(11), '\\u000B')
+       || '"}' AS payload
 FROM users_raw
 """,
     # the fixture props are always '{"k": n}', so first_key/n_keys are
-    # literals — but only for NON-NULL props: Spark's from_json(NULL)
-    # is a NULL map whose keys/size are NULL (r11 all-NULL sweep)
-    "scalar_map_json": """
+    # literals — but only where a LEADING document parses: from_json
+    # of NULL or leading-garbage props is a NULL map whose keys/size
+    # are NULL (r11 all-NULL sweep; r12 string sweeps)
+    "scalar_map_json": f"""
 SELECT event_id,
-       CASE WHEN props IS NULL THEN NULL ELSE 'k' END AS first_key,
-       CASE WHEN props IS NULL THEN NULL ELSE 1 END AS n_keys,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_via_map
+       CASE WHEN {duck_json_lead('props')} IS NULL THEN NULL
+            ELSE 'k' END AS first_key,
+       CASE WHEN {duck_json_lead('props')} IS NULL THEN NULL
+            ELSE 1 END AS n_keys,
+       CAST(json_extract_string({duck_json_lead('props')}, '$.k')
+            AS BIGINT) AS k_value,
+       CAST(json_extract_string({duck_json_lead('props')}, '$.k')
+            AS BIGINT) AS k_via_map
 FROM events WHERE event_id % 10 = 0
 """,
 }

@@ -169,7 +169,10 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-token hash = first 8 hex chars of sha256 — a PUBLIC hash both
     # engines implement identically (xxhash64 would be Spark-local and
     # forfeit the oracle); stays in [0, 2^32) so acc*31 + h is safe
-    # under ANSI long arithmetic
+    # under ANSI long arithmetic.  NOTE the oracle's trim(text, ' '):
+    # Spark's trim strips ASCII 0x20 ONLY, DuckDB's default trim
+    # strips Unicode whitespace (NBSP included) — the explicit charset
+    # drags DuckDB onto Spark's contract (r12 unicode sweep)
     def tok_hash(t):
         return F.pmod(
             F.conv(F.substring(F.sha2(t, 256), 1, 8), 16, 10)
@@ -3503,7 +3506,7 @@ SELECT doc_id,
              t -> CAST(concat('0x', substr(sha256(t), 1, 8)) AS BIGINT)
                   % 1000000007)),
          (acc, h) -> (acc * 31 + h) % 1000000007) END AS rolling_hash,
-       sha256(trim(lower(text))) AS content_sha
+       sha256(trim(lower(text), ' ')) AS content_sha
 FROM documents
 """,
     # → rows-only for the hash; content_sha IS checkable but the one

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.exact import (finite_or_null, finite_or_null_sql,
+                               money_sum, money_sum_sql,
                                round4_ratio_dec, round4_ratio_dec_sql)
 from ..oracles import USERS_CTE
 from ..tables import CURRENT_YEAR, load, users_clean, users_valid
@@ -85,7 +86,7 @@ def _agg_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        money_sum("value").alias("total_value"),
     )
 
 
@@ -121,7 +122,7 @@ def _agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup(F.col("r_name").alias("region"),
                       F.col("n_name").alias("nation"))
         .agg(F.count("*").alias("order_cnt"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             money_sum("o_totalprice").alias("revenue"))
     )
 
 
@@ -132,7 +133,7 @@ def _agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube(F.col("o_orderstatus").alias("status"),
                     F.col("o_orderpriority").alias("priority"))
         .agg(F.count("*").alias("order_cnt"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             money_sum("o_totalprice").alias("revenue"))
     )
 
 
@@ -169,23 +170,46 @@ def _agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric aggregate battery on lineitem: min/max/sum/avg/stddev —
-    TPC-H Q1 shape (the canonical pricing-summary scan-agg)."""
-    li = load(spark, sf_dir, "lineitem")
+    TPC-H Q1 shape (the canonical pricing-summary scan-agg).
+
+    Money sums accumulate in exact DECIMAL, never DOUBLE (r12
+    many-files sweep: the 3-factor sum_charge double sum flipped a
+    CENT between a 1-file and a 7-file layout of the SAME rows —
+    partial-aggregation order is a function of file layout, and a
+    result that depends on file count is wrong at any scale).  The
+    sql_q10 discipline: per-row products in DECIMAL (discount/tax at
+    their natural (4,2) width keeps the 3-factor product inside
+    precision 38), exact order-free sums, ONE cast back to DOUBLE.
+    Averages derive from the exact sums — one IEEE division with
+    identical operands on both engines — instead of avg()'s
+    order-dependent double accumulation (count(col), not count(*), to
+    keep avg's NULL-skip semantics).  The finite-or-null measure
+    filter extends to discount/tax because a corrupt ±inf/NaN measure
+    would otherwise hit the DECIMAL cast (extremes-tier contract)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        finite_or_null("l_quantity") & finite_or_null("l_extendedprice")
+        & finite_or_null("l_discount") & finite_or_null("l_tax"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")     # noqa: E731
+    rate = lambda c: F.col(c).cast("decimal(4,2)")     # noqa: E731
+    disc_price = dec("l_extendedprice") * (1 - rate("l_discount"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice")
-                          * (1 - F.col("l_discount"))), 2)
-             .alias("sum_disc_price"),
-            F.round(F.sum(F.col("l_extendedprice")
-                          * (1 - F.col("l_discount"))
-                          * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(dec("l_quantity")), 2)
+             .cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2)
+             .cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2)
+             .cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + rate("l_tax"))), 2)
+             .cast("double").alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")).cast("double")
+                    / F.count("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double")
+                    / F.count("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.sum(dec("l_discount")).cast("double")
+                    / F.count("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -217,12 +241,17 @@ def _agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_salt", F.pmod(F.col("o_orderkey"), F.lit(16)))
     phase1 = salted.groupBy("o_orderstatus", "_salt").agg(
         F.count("*").alias("pc"),
-        F.sum("o_totalprice").alias("ps"),
+        # exact DECIMAL partials (money_sum contract): the partial->
+        # merge tree is exactly the layout-dependent order a double
+        # sum is sensitive to
+        F.sum(F.when(finite_or_null("o_totalprice"),
+                     F.col("o_totalprice").cast("decimal(18,2)")))
+         .alias("ps"),
     )
     return (
         phase1.groupBy(F.col("o_orderstatus").alias("status"))
         .agg(F.sum("pc").alias("order_cnt"),
-             F.round(F.sum("ps"), 2).alias("revenue"))
+             F.round(F.sum("ps"), 2).cast("double").alias("revenue"))
     )
 
 
@@ -534,9 +563,9 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
 FROM bucketed
 GROUP BY bucket
 """,
-    "agg_salted_twophase": """
+    "agg_salted_twophase": f"""
 SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS order_cnt,
-       round(sum(o_totalprice), 2) AS revenue
+       {money_sum_sql("o_totalprice")} AS revenue
 FROM orders GROUP BY o_orderstatus
 """,
     "agg_count": USERS_CTE + """
@@ -559,9 +588,9 @@ SELECT round(avg({CURRENT_YEAR} - year(registered_ts)), 2)
          AS avg_registration_years
 FROM users_clean
 """,
-    "agg_group_count": """
+    "agg_group_count": f"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
-       round(sum(value), 2) AS total_value
+       {money_sum_sql("value")} AS total_value
 FROM events GROUP BY event_type
 """,
     "dedup_removed_count": USERS_CTE + """
@@ -571,36 +600,52 @@ SELECT
   (SELECT CAST(count(*) AS BIGINT) FROM users_valid)
     - (SELECT CAST(count(*) AS BIGINT) FROM users_clean) AS dedup_removed
 """,
-    "agg_rollup": """
+    "agg_rollup": f"""
 SELECT r_name AS region, n_name AS nation,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(sum(o_totalprice), 2) AS revenue
+       {money_sum_sql("o_totalprice")} AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """,
-    "agg_cube": """
+    "agg_cube": f"""
 SELECT o_orderstatus AS status, o_orderpriority AS priority,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(sum(o_totalprice), 2) AS revenue
+       {money_sum_sql("o_totalprice")} AS revenue
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
-    "agg_stats": """
+    # exact DECIMAL money sums (r12 many-files sweep: double sums are
+    # partial-order-dependent, flipping cents across file layouts);
+    # avgs derive from the exact sums — identical IEEE operands
+    "agg_stats": f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-         AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_quantity), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_extendedprice), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_discount), 6) AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  AND {finite_or_null_sql("l_quantity")}
+  AND {finite_or_null_sql("l_extendedprice")}
+  AND {finite_or_null_sql("l_discount")}
+  AND {finite_or_null_sql("l_tax")}
 GROUP BY l_returnflag, l_linestatus
 """,
     "agg_min_max": """

@@ -1804,13 +1804,21 @@ def _derived_pages(docs: DataFrame) -> DataFrame:
     has genuine same-canonical-URL collisions by pigeonhole at any
     fixture SF and any id layout.  Spark canonicalizes with the real
     `parse_url` (HOST/PATH); the oracle mirrors with regexes (exact
-    for these generated URLs).  All map-side string work."""
+    for these generated URLs).  All map-side string work.
+
+    The hostname fragment is SANITIZED to RFC-hostname characters
+    before the URL is built (r12 string sweeps: a source value with
+    spaces/unicode made parse_url throw INVALID_URL and killed the
+    whole family) — exactly what a real URL deriver does with a junk
+    shard label.  A source that sanitizes to '' still yields a valid
+    (collision-prone) host, which is the honest degenerate shape."""
+    src_host = F.regexp_replace("source", "[^A-Za-z0-9.-]", "")
     url = F.concat(
         F.lit("https://"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
          .otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 5 == 0, F.upper("source"))
-         .otherwise(F.col("source")),
+        F.when(F.col("doc_id") % 5 == 0, F.upper(src_host))
+         .otherwise(src_host),
         F.lit(".example.org/page-"),
         (F.col("doc_id") % 13).cast("string"),
         F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
@@ -2745,7 +2753,11 @@ _DUCK_PAGES_CTES = """pages AS (
   SELECT doc_id, n_chars, source, text,
          'https://'
          || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
-         || CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN upper(regexp_replace(source,
+                             '[^A-Za-z0-9.-]', '', 'g'))
+                 ELSE regexp_replace(source, '[^A-Za-z0-9.-]', '', 'g')
+            END
          || '.example.org/page-' || CAST(doc_id % 13 AS VARCHAR)
          || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END
            AS url

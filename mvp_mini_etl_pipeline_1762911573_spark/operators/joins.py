@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.exact import finite_or_null
+from ..functions.exact import finite_or_null, money_sum, money_sum_sql
 from ..tables import load
 
 
@@ -44,7 +44,7 @@ def _join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(F.col("r_name").alias("region"),
                        F.col("n_name").alias("nation"))
         .agg(F.count("*").alias("order_cnt"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             money_sum("o_totalprice").alias("revenue"))
     )
 
 
@@ -58,7 +58,7 @@ def _join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
                       supplier.s_nationkey == nation.n_nationkey, "inner")
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count("*").alias("suppliers"),
-             F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"))
+             money_sum("s_acctbal").alias("total_acctbal"))
     )
 
 
@@ -68,7 +68,7 @@ def _join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("o_totalprice"), 2).alias("spent"))
+        money_sum("o_totalprice").alias("spent"))
     return (
         customer.join(per_cust,
                       customer.c_custkey == per_cust.o_custkey, "left")
@@ -244,7 +244,7 @@ def _join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (salted_orders.salt == salted_customer.salt))
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count("*").alias("order_cnt"),
-             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+             money_sum("o_totalprice").alias("revenue"))
     )
 
 
@@ -283,7 +283,7 @@ def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.groupBy("segment")
         .agg(F.count("*").alias("rows"),
-             F.round(F.sum("acctbal"), 2).alias("total_acctbal"))
+             money_sum("acctbal").alias("total_acctbal"))
         .orderBy("segment")
     )
 
@@ -300,11 +300,11 @@ def _join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = (ev.where(F.col("event_id") % 7 == 0)
          .groupBy(key.alias("k"))
          .agg(F.count("*").alias("cnt_a"),
-              F.round(F.sum("value"), 2).alias("val_a")))
+              money_sum("value").alias("val_a")))
     b = (ev.where(F.col("event_id") % 5 == 0)
          .groupBy(key.alias("k"))
          .agg(F.count("*").alias("cnt_b"),
-              F.round(F.sum("value"), 2).alias("val_b")))
+              money_sum("value").alias("val_b")))
     return (
         a.join(b, a["k"].eqNullSafe(b["k"]), "full_outer")
         .select(F.coalesce(a["k"], b["k"]).alias("key_type"),
@@ -489,16 +489,16 @@ SELECT a.name AS name_a, b.name AS name_b,
 FROM blocked a JOIN blocked b ON a.block = b.block AND a.name < b.name
 WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
 """,
-    "join_null_safe": """
+    "join_null_safe": f"""
 WITH a AS (
   SELECT CASE WHEN event_type != 'error' THEN event_type END AS k,
          CAST(count(*) AS BIGINT) AS cnt_a,
-         round(sum(value), 2) AS val_a
+         {money_sum_sql("value")} AS val_a
   FROM events WHERE event_id % 7 = 0 GROUP BY 1
 ), b AS (
   SELECT CASE WHEN event_type != 'error' THEN event_type END AS k,
          CAST(count(*) AS BIGINT) AS cnt_b,
-         round(sum(value), 2) AS val_b
+         {money_sum_sql("value")} AS val_b
   FROM events WHERE event_id % 5 = 0 GROUP BY 1
 )
 SELECT coalesce(a.k, b.k) AS key_type, cnt_a, val_a, cnt_b, val_b
@@ -506,14 +506,14 @@ FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
 """,
     # the salted plan must produce the PLAIN join's result — the oracle
     # is deliberately salt-free
-    "join_salted": """
+    "join_salted": f"""
 SELECT c_mktsegment AS segment,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(sum(o_totalprice), 2) AS revenue
+       {money_sum_sql("o_totalprice")} AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
-    "merge_upsert": """
+    "merge_upsert": f"""
 WITH updates AS (
   SELECT c_custkey AS u_key, c_acctbal + 100 AS u_acctbal
   FROM customer WHERE c_custkey % 7 = 0
@@ -527,32 +527,32 @@ WITH updates AS (
   FROM customer t FULL OUTER JOIN updates u ON t.c_custkey = u.u_key
 )
 SELECT segment, CAST(count(*) AS BIGINT) AS rows,
-       round(sum(acctbal), 2) AS total_acctbal
+       {money_sum_sql("acctbal")} AS total_acctbal
 FROM merged GROUP BY segment ORDER BY segment
 """,
-    "join_equi": """
+    "join_equi": f"""
 SELECT r_name AS region, n_name AS nation,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(sum(o_totalprice), 2) AS revenue
+       {money_sum_sql("o_totalprice")} AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 """,
-    "join_broadcast": """
+    "join_broadcast": f"""
 SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS suppliers,
-       round(sum(s_acctbal), 2) AS total_acctbal
+       {money_sum_sql("s_acctbal")} AS total_acctbal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """,
-    "join_left": """
+    "join_left": f"""
 SELECT c_custkey AS custkey, c_mktsegment AS segment,
        CAST(coalesce(cnt, 0) AS BIGINT) AS order_cnt,
        coalesce(spent, 0.0) AS total_spent
 FROM customer
 LEFT JOIN (
-  SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice), 2) AS spent
+  SELECT o_custkey, count(*) AS cnt, {money_sum_sql("o_totalprice")} AS spent
   FROM orders GROUP BY o_custkey
 ) ON c_custkey = o_custkey
 """,

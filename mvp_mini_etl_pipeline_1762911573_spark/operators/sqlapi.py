@@ -17,7 +17,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.scalars import duck_json_lead
 from ..functions.exact import (finite_or_null, finite_or_null_sql,
+                               finite_portable_sql, money_sum,
+                               money_sum_portable_sql, money_sum_sql,
+                               rev_sum_portable_sql,
                                round4_ratio_dec, round4_ratio_dec_sql)
 from ..tables import load
 
@@ -29,9 +33,9 @@ def _sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-shipped orders by revenue."""
     for t in ("customer", "orders", "lineitem"):
         load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
-    return spark.sql("""
+    return spark.sql(f"""
         SELECT o_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
+               {rev_sum_portable_sql()}
                  AS revenue,
                date_format(o_orderdate, 'yyyy-MM-dd') AS odate,
                o_orderpriority
@@ -55,9 +59,9 @@ def _sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "supplier", "nation",
               "region"):
         load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
-    return spark.sql("""
+    return spark.sql(f"""
         SELECT n_name AS nation,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
+               {rev_sum_portable_sql()}
                  AS revenue
         FROM v_customer
         JOIN v_orders ON c_custkey = o_custkey
@@ -82,10 +86,10 @@ def _sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "supplier", "nation",
               "region"):
         load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
-    return spark.sql("""
+    return spark.sql(f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
+               {rev_sum_portable_sql()}
                  AS revenue
         FROM v_supplier
         JOIN v_lineitem ON s_suppkey = l_suppkey
@@ -184,12 +188,15 @@ def _sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-orders predicate would be vacuous (FIXTURES note)."""
     for t in ("customer", "orders"):
         load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
-    return spark.sql("""
+    return spark.sql(f"""
         SELECT c_mktsegment AS segment, count(*) AS numcust,
-               round(sum(c_acctbal), 2) AS totacctbal
+               {money_sum_portable_sql('c_acctbal')} AS totacctbal
         FROM v_customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM v_customer
-                           WHERE c_acctbal > 0)
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal
+                                    AS DECIMAL(18,2))) AS DOUBLE)
+                                  / count(c_acctbal)
+                           FROM v_customer WHERE c_acctbal > 0
+                             AND {finite_portable_sql('c_acctbal')})
           AND NOT EXISTS (SELECT 1 FROM v_orders
                           WHERE o_custkey = c_custkey
                             AND o_totalprice > 300000)
@@ -366,17 +373,25 @@ def _agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, array(0.48, 0.88, 0.97))")
         .alias("lo"),
         F.expr("percentile(o_totalprice, array(0.52, 0.92, 1.0))")
-        .alias("hi"))
+        .alias("hi"),
+        F.count("o_totalprice").alias("n_measured"))
 
     def in_bound(i: int, name: str):
         # coalesce(TRUE): a group whose metric column is entirely NULL
         # has NULL percentiles on both arms — the accuracy contract is
         # VACUOUSLY honored, and a NULL boolean would arrive as pandas
         # object-dtype against the oracle's literal bool (the r11
-        # all-NULL sweep's dtype-kind failure)
+        # all-NULL sweep's dtype-kind failure).  n_measured < 50:
+        # below 1/0.02 rows the ±2%-RANK window is narrower than one
+        # rank step, so the interpolated [lo, hi] can exclude the
+        # exact order statistic GK returns (GK holds ALL rows exactly
+        # at this size) — the contract is vacuous by its own math, not
+        # just empirically (r12 long-strings sweep: tiny junk-status
+        # groups landed apx outside a degenerate window)
         return F.coalesce(
-            (F.element_at("apx", i) >= F.element_at("lo", i))
-            & (F.element_at("apx", i) <= F.element_at("hi", i)),
+            (F.col("n_measured") < 50)
+            | ((F.element_at("apx", i) >= F.element_at("lo", i))
+               & (F.element_at("apx", i) <= F.element_at("hi", i))),
             F.lit(True)).alias(name)
 
     return g.select(
@@ -395,11 +410,11 @@ def _agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (status), () — with grouping_id to disambiguate NULL-as-total from
     NULL-as-value.  Single grouping-set expansion pass."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
-    return spark.sql("""
+    return spark.sql(f"""
         SELECT o_orderstatus AS status, o_orderpriority AS priority,
                grouping_id() AS gid,
                count(*) AS order_cnt,
-               round(sum(o_totalprice), 2) AS revenue
+               {money_sum_portable_sql('o_totalprice')} AS revenue
         FROM v_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
@@ -411,9 +426,14 @@ def _unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (status, metric, value) — the inverse of pivot, zero-shuffle
     expand."""
     orders = load(spark, sf_dir, "orders")
+    # money_sum discipline (r12 many-files sweep): exact DECIMAL sum,
+    # avg derived from it over the same finite-conditional count
+    price_fin = F.when(finite_or_null("o_totalprice"),
+                       F.col("o_totalprice"))
     wide = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        money_sum("o_totalprice").alias("revenue"),
+        F.round(F.sum(price_fin.cast("decimal(18,2)")).cast("double")
+                / F.count(price_fin), 2).alias("avg_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
     return wide.unpivot(
@@ -426,7 +446,7 @@ def _sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-filling pattern — left-joined to daily order counts so days
     with no orders appear as zeros."""
     load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_rc")
-    return spark.sql("""
+    return spark.sql(f"""
         WITH RECURSIVE days(d) AS (
           SELECT DATE '1995-01-01'
           UNION ALL
@@ -435,7 +455,7 @@ def _sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT date_format(d, 'yyyy-MM-dd') AS day,
                count(o_orderkey) AS order_cnt,
-               round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+               coalesce({money_sum_portable_sql('o_totalprice')}, 0.0) AS revenue
         FROM days
         LEFT JOIN v_orders_rc ON CAST(o_orderdate AS DATE) = d
         GROUP BY d
@@ -483,7 +503,7 @@ def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(bucket < rate)
         .groupBy("event_type")
         .agg(F.count("*").alias("sampled_cnt"),
-             F.round(F.sum("value"), 2).alias("sampled_value"))
+             money_sum("value").alias("sampled_value"))
         .orderBy("event_type")
     )
 
@@ -788,22 +808,45 @@ def _sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping columns, filter pushed to the parquet scan.  The plan to
     want at 100 TB: partial (map-side) aggregation on ~6 groups means
     the shuffle carries a handful of rows per task regardless of input
-    size; whole-stage codegen covers scan→project→partial-agg."""
+    size; whole-stage codegen covers scan→project→partial-agg.
+
+    Money sums in exact DECIMAL, avgs derived from the exact sums
+    (r12 many-files sweep: the double sum_charge flipped a cent
+    between a 1-file and a 7-file layout of the SAME rows — partial-
+    aggregation order follows file layout; see _agg_stats, the same
+    fix); the finite-or-null measure filter covers all four measures
+    because corrupt ±inf/NaN would hit the DECIMAL casts (tpch._fin's
+    portable spelling — Spark SQL has no isfinite)."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
-    return spark.sql("""
+    fin = (lambda c: f"({c} IS NULL OR (NOT isnan({c}) "
+           f"AND abs({c}) != CAST('Infinity' AS DOUBLE)))")
+    return spark.sql(f"""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)           AS sum_qty,
-               round(sum(l_extendedprice), 2)      AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
-                                                   AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         * (1 + l_tax)), 2)        AS sum_charge,
-               round(avg(l_quantity), 4)           AS avg_qty,
-               round(avg(l_extendedprice), 4)      AS avg_price,
-               round(avg(l_discount), 4)           AS avg_disc,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)
+                    AS DOUBLE)                     AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))),
+                          2) AS DOUBLE)            AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))),
+                          2) AS DOUBLE)            AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                              * (1 + CAST(l_tax AS DECIMAL(4,2)))),
+                          2) AS DOUBLE)            AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DOUBLE) / count(l_quantity), 4)
+                                                   AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / count(l_extendedprice), 4)
+                                                   AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,2)))
+                          AS DOUBLE) / count(l_discount), 4)
+                                                   AS avg_disc,
                count(*)                            AS count_order
         FROM v_lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          AND {fin('l_quantity')} AND {fin('l_extendedprice')}
+          AND {fin('l_discount')} AND {fin('l_tax')}
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """)
@@ -1238,9 +1281,13 @@ SELECT r_score, f_score, m_score,
          AS segment_value
 FROM scored GROUP BY r_score, f_score, m_score
 """,
+    # duck_json_lead mirrors get_json_object's lenient leading-document
+    # parse on corrupt payloads (r12 string sweeps)
     "cdc_apply": f"""
 WITH ch AS (
-  SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+  SELECT user_id,
+         CAST(json_extract_string({duck_json_lead('props')}, '$.k')
+              AS INTEGER) AS k,
          ts, event_id, event_type, value
   FROM events
 ), ranked AS (
@@ -1256,20 +1303,34 @@ FROM ranked
 WHERE rn = 1 AND event_type != 'error'
 GROUP BY user_id
 """,
-    "sql_q1": """
+    # exact DECIMAL money sums, avgs off the exact sums (r12 many-
+    # files sweep — see _sql_q1's docstring)
+    "sql_q1": f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)           AS sum_qty,
-       round(sum(l_extendedprice), 2)      AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)
-                                           AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-                                           AS sum_charge,
-       round(avg(l_quantity), 4)           AS avg_qty,
-       round(avg(l_extendedprice), 4)      AS avg_price,
-       round(avg(l_discount), 4)           AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+                                           AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+            AS DOUBLE)                     AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE)                     AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2)
+            AS DOUBLE)                     AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_quantity), 4)       AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_extendedprice), 4)  AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / count(l_discount), 4)       AS avg_disc,
        CAST(count(*) AS BIGINT)            AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  AND {finite_or_null_sql("l_quantity")}
+  AND {finite_or_null_sql("l_extendedprice")}
+  AND {finite_or_null_sql("l_discount")}
+  AND {finite_or_null_sql("l_tax")}
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
@@ -1293,7 +1354,7 @@ GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """,
-    "sql_recursive_cte": """
+    "sql_recursive_cte": f"""
 WITH RECURSIVE days(d) AS (
   SELECT DATE '1995-01-01'
   UNION ALL
@@ -1301,7 +1362,7 @@ WITH RECURSIVE days(d) AS (
 )
 SELECT strftime(d, '%Y-%m-%d') AS day,
        CAST(count(o_orderkey) AS BIGINT) AS order_cnt,
-       round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+       coalesce({money_sum_portable_sql("o_totalprice")}, 0.0) AS revenue
 FROM days
 LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
 GROUP BY d
@@ -1328,11 +1389,15 @@ FROM (
   GROUP BY l_orderkey
 )
 """,
-    "unpivot_metrics": """
+    "unpivot_metrics": f"""
 WITH wide AS (
   SELECT o_orderstatus AS status,
-         round(sum(o_totalprice), 2) AS revenue,
-         round(avg(o_totalprice), 2) AS avg_price,
+         {money_sum_portable_sql("o_totalprice")} AS revenue,
+         round(CAST(sum(CASE WHEN {finite_portable_sql("o_totalprice")}
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE)
+               / count(CASE WHEN {finite_portable_sql("o_totalprice")}
+                       THEN o_totalprice END), 2) AS avg_price,
          round(max(o_totalprice), 2) AS max_price
   FROM orders GROUP BY o_orderstatus
 )
@@ -1342,18 +1407,18 @@ SELECT status, 'avg_price', avg_price FROM wide
 UNION ALL
 SELECT status, 'max_price', max_price FROM wide
 """,
-    "agg_grouping_sets": """
+    "agg_grouping_sets": f"""
 SELECT o_orderstatus AS status, o_orderpriority AS priority,
        CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
        CAST(count(*) AS BIGINT) AS order_cnt,
-       round(sum(o_totalprice), 2) AS revenue
+       {money_sum_portable_sql("o_totalprice")} AS revenue
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                         (o_orderstatus), ())
 """,
-    "sql_q3": """
+    "sql_q3": f"""
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {rev_sum_portable_sql()} AS revenue,
        strftime(o_orderdate, '%Y-%m-%d') AS odate,
        o_orderpriority
 FROM customer
@@ -1424,10 +1489,10 @@ SELECT lang, source, CAST(count(*) AS BIGINT) AS n_total,
 FROM ranked
 GROUP BY lang, source
 """,
-    "sample_hash": """
+    "sample_hash": f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS sampled_cnt,
-       round(sum(value), 2) AS sampled_value
+       {money_sum_sql("value")} AS sampled_value
 FROM events
 WHERE CAST(concat('0x', substr(sha256(CAST(event_id AS VARCHAR)), 1, 8))
            AS BIGINT) % 10000
@@ -1456,20 +1521,23 @@ FROM (SELECT c_custkey, count(o_orderkey) AS c_count
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """,
-    "sql_q22": """
+    "sql_q22": f"""
 SELECT c_mktsegment AS segment, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       {money_sum_portable_sql('c_acctbal')} AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                   WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal
+                            AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(c_acctbal)
+                   FROM customer WHERE c_acctbal > 0
+                     AND {finite_portable_sql('c_acctbal')})
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 GROUP BY c_mktsegment
 ORDER BY segment
 """,
-    "sql_q5": """
+    "sql_q5": f"""
 SELECT n_name AS nation,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {rev_sum_portable_sql()} AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1482,10 +1550,10 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 ORDER BY revenue DESC
 """,
-    "sql_q7": """
+    "sql_q7": f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INTEGER) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {rev_sum_portable_sql()} AS revenue
 FROM supplier
 JOIN lineitem ON s_suppkey = l_suppkey
 JOIN orders ON o_orderkey = l_orderkey

@@ -116,11 +116,18 @@ def _window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (Window.partitionBy("event_type", "day")
          .orderBy("ts", "event_id"))
     iv = ev.withColumn("dur_us", F.lead("us").over(w) - F.col("us"))
+    # money_sum discipline (r12 many-files sweep): both numerator sums
+    # accumulate exactly — value in DECIMAL(18,2) (cents-exact) times
+    # the integer microsecond weight stays integral at scale 2; the
+    # one division has identical IEEE operands on both engines
+    vfin = F.when(finite_or_null("value"), F.col("value"))
     return (
         iv.groupBy("event_type", "day")
-        .agg(F.round(F.sum(F.col("value") * F.col("dur_us"))
+        .agg(F.round(F.sum(vfin.cast("decimal(18,2)")
+                           * F.col("dur_us")).cast("double")
                      / F.sum("dur_us"), 6).alias("twap"),
-             F.round(F.avg("value"), 6).alias("naive_avg"),
+             F.round(F.sum(vfin.cast("decimal(18,2)")).cast("double")
+                     / F.count(vfin), 6).alias("naive_avg"),
              F.count("dur_us").alias("n_intervals"))
         .orderBy("event_type", "day")
     )
@@ -414,17 +421,20 @@ SELECT event_type, bucket_start,
        CAST(count(*) AS BIGINT) AS n_ticks
 FROM b GROUP BY event_type, bucket_start
 """,
-    "window_twap": """
+    "window_twap": f"""
 WITH iv AS (
-  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value,
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CASE WHEN {finite_or_null_sql("value")} THEN value END AS v,
          lead(epoch_us(ts)) OVER (
            PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
            ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
   FROM events
 )
 SELECT event_type, day,
-       round(sum(value * dur_us) / sum(dur_us), 6) AS twap,
-       round(avg(value), 6) AS naive_avg,
+       round(CAST(sum(CAST(v AS DECIMAL(18,2)) * dur_us) AS DOUBLE)
+             / sum(dur_us), 6) AS twap,
+       round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE)
+             / count(v), 6) AS naive_avg,
        CAST(count(dur_us) AS BIGINT) AS n_intervals
 FROM iv GROUP BY event_type, day
 """,

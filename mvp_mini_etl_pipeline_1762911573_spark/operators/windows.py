@@ -22,8 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..functions.exact import (finite_or_null,
-                               finite_or_null_sql)
+from ..functions.exact import (finite_or_null, finite_or_null_sql,
+                               round4_ratio_dec, round4_ratio_dec_sql)
 from ..oracles import USERS_CTE
 from ..tables import load, users_clean
 
@@ -82,7 +82,12 @@ def _window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", "event_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-            F.round(F.sum("value").over(w), 2).alias("running_value"),
+            # money_sum discipline (r12 many-files sweep): a window
+            # prefix sum is a sequential fold whose association DuckDB
+            # may tree-decompose — exact DECIMAL makes it order-free
+            F.round(F.sum(F.when(finite_or_null("value"),
+                       F.col("value").cast("decimal(18,2)"))).over(w), 2)
+             .cast("double").alias("running_value"),
             F.count("*").over(w).alias("running_cnt"),
         )
     )
@@ -108,16 +113,34 @@ def _window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _window_ntile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-extra: ntile quartiles + sliding 3-row moving average per
-    segment — bounded frames stream in one pass."""
-    customer = load(spark, sf_dir, "customer")
+    segment — bounded frames stream in one pass.
+
+    moving_avg3 is an exact integer-cents ratio, not round(avg(), 2)
+    (r12 unicode sweep: a reshaped 3-row frame landed the cent mean
+    EXACTLY on a half, where Spark's shortest-repr HALF_UP and
+    DuckDB's binary rounding disagree — the round4_ratio class at
+    2dp): cents = floor(100v + 0.5) sum exactly in the frame,
+    round(s/(100n), 2) = round4_ratio_dec(s, 10000n)·100 in pure
+    integer space.  The finite-or-null filter keeps corrupt measures
+    out of the cents cast (extremes-tier contract)."""
+    customer = (load(spark, sf_dir, "customer")
+                .where(finite_or_null("c_acctbal")))
     w_order = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey").asc())
     w_frame = w_order.rowsBetween(-1, 1)
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
     return customer.select(
         F.col("c_custkey").alias("custkey"),
         F.col("c_mktsegment").alias("segment"),
         F.ntile(4).over(w_order).alias("quartile"),
-        F.round(F.avg("c_acctbal").over(w_frame), 2).alias("moving_avg3"),
+        # the final round(·, 2) restores the canonical 2dp double after
+        # the ×100 rescale (the exact 4dp ratio times 100 is 1e-12 off
+        # the shortest repr; the true value is an exact 2dp decimal so
+        # the rounding is identical on both engines)
+        F.round(round4_ratio_dec(
+            F.sum(cents).over(w_frame).cast("decimal(38,0)"),
+            (F.count(cents).over(w_frame) * 10000).cast("decimal(38,0)"))
+            * 100, 2).alias("moving_avg3"),
     )
 
 
@@ -235,7 +258,9 @@ def _window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", "ts_us",
         F.count("*").over(w).alias("n_1h"),
-        F.round(F.sum("value").over(w), 2).alias("val_1h"),
+        F.round(F.sum(F.when(finite_or_null("value"),
+                       F.col("value").cast("decimal(18,2)"))).over(w), 2)
+         .cast("double").alias("val_1h"),
     )
 
 
@@ -411,7 +436,8 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
     "window_range_frame": f"""
 SELECT user_id, event_id, epoch_us(ts) AS ts_us,
        CAST(count(*) OVER w AS BIGINT) AS n_1h,
-       round(sum(value) OVER w, 2) AS val_1h
+       CAST(round(sum(CASE WHEN {finite_or_null_sql("value")} THEN CAST(value AS DECIMAL(18,2)) END)
+                  OVER w, 2) AS DOUBLE) AS val_1h
 FROM events
 WHERE user_id % 100 = 7
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -453,10 +479,11 @@ SELECT region, custkey, acctbal, rnk FROM (
   FROM users_clean
 ) WHERE rnk <= 3
 """,
-    "window_running_sum": """
+    "window_running_sum": f"""
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-       round(sum(value) OVER w, 2) AS running_value,
+       CAST(round(sum(CASE WHEN {finite_or_null_sql("value")} THEN CAST(value AS DECIMAL(18,2)) END)
+                  OVER w, 2) AS DOUBLE) AS running_value,
        CAST(count(*) OVER w AS BIGINT) AS running_cnt
 FROM events
 WHERE user_id % 100 = 7
@@ -472,11 +499,20 @@ FROM events
 WHERE user_id % 100 = 7
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
-    "window_ntile_frame": """
+    # exact integer-cents frame mean (r12 unicode sweep: the 2dp
+    # round-half class) — same derivation as the Spark side
+    "window_ntile_frame": f"""
+WITH wc AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer WHERE {finite_or_null_sql("c_acctbal")}
+)
 SELECT c_custkey AS custkey, c_mktsegment AS segment,
        CAST(ntile(4) OVER w_o AS INTEGER) AS quartile,
-       round(avg(c_acctbal) OVER w_f, 2) AS moving_avg3
-FROM customer
+       round({round4_ratio_dec_sql("sum(cents) OVER w_f",
+                                   "count(cents) OVER w_f * 10000")}
+             * 100, 2) AS moving_avg3
+FROM wc
 WINDOW w_o AS (PARTITION BY c_mktsegment
                ORDER BY c_acctbal DESC, c_custkey ASC),
        w_f AS (PARTITION BY c_mktsegment

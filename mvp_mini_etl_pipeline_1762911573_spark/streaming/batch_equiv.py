@@ -18,8 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..oracles import USERS_CTE
-from ..functions.exact import (finite_or_null,
-                               finite_or_null_sql)
+from ..functions.exact import (finite_or_null, finite_or_null_sql,
+                               money_sum, money_sum_sql)
 from ..tables import load, users_clean
 
 
@@ -29,7 +29,7 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
         events.groupBy(
             F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             money_sum("value").alias("total_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
              .alias("window_start"),
@@ -80,7 +80,7 @@ def session_windows(events: DataFrame, gap_min: int = 30) -> DataFrame:
              .alias("session_start"),
             F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
              .alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            money_sum("value").alias("session_value"),
         )
     )
 
@@ -146,7 +146,7 @@ def enrich_counts(events: DataFrame, users: DataFrame) -> DataFrame:
             F.window("ts", "6 hours").alias("w"),
             F.coalesce("country", F.lit("unknown")).alias("country"))
         .agg(F.count("*").alias("cnt"),
-             F.round(F.sum("value"), 2).alias("total_value"))
+             money_sum("value").alias("total_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
              .alias("window_start"),
@@ -268,23 +268,23 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
 GROUP BY p.user_id, p.event_id, p.value
 ORDER BY 1, 2
 """,
-    "stream_enrich": USERS_CTE + """
+    "stream_enrich": USERS_CTE + f"""
 SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S')
          AS window_start,
        coalesce(country, 'unknown') AS country,
        CAST(count(*) AS BIGINT) AS cnt,
-       round(sum(value), 2) AS total_value
+       {money_sum_sql("value")} AS total_value
 FROM events
 LEFT JOIN users_clean ON user_id = custkey
 WHERE ts IS NOT NULL
 GROUP BY time_bucket(INTERVAL 6 HOUR, ts), coalesce(country, 'unknown')
 """,
-    "stream_tumbling": """
+    "stream_tumbling": f"""
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
          AS window_start,
        event_type,
        CAST(count(*) AS BIGINT) AS cnt,
-       round(sum(value), 2) AS total_value
+       {money_sum_sql("value")} AS total_value
 FROM events WHERE ts IS NOT NULL
 GROUP BY time_bucket(INTERVAL 1 HOUR, ts), event_type
 """,
@@ -300,7 +300,7 @@ SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
 FROM slid
 GROUP BY window_start
 """,
-    "stream_session": """
+    "stream_session": f"""
 WITH gapped AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -318,7 +318,7 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        CAST(count(*) AS BIGINT) AS n_events,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-       round(sum(value), 2) AS session_value
+       {money_sum_sql("value")} AS session_value
 FROM sessions
 GROUP BY user_id, session_id
 """,

@@ -15,6 +15,7 @@ means state per key×window lives ~window+10min.
 
 from __future__ import annotations
 
+from ..functions.exact import money_sum
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .batch_equiv import enrich_counts, tumbling_counts
@@ -104,7 +105,7 @@ def sessionized_stream(events: DataFrame, gap_min: int = 30) -> DataFrame:
         .groupBy(F.session_window("ts", f"{gap_min} minutes").alias("w"),
                  "user_id")
         .agg(F.count("*").alias("n_events"),
-             F.round(F.sum("value"), 2).alias("session_value"))
+             money_sum("value").alias("session_value"))
         .select(
             "user_id",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")

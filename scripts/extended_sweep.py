@@ -226,7 +226,10 @@ def _w_rel(spark, d, seed):
     _write(spark, d, "nation",
            [(i, f"NATION{i:02d}", i % 5) for i in range(25)],
            "n_nationkey int, n_name string, n_regionkey int", parts=1)
-    return ["orders", "customer", "nation"]
+    # dq_check audits events.value_finite (r12) — ship the hostile
+    # events corpus alongside the relational tables
+    _write(spark, d, "events", td._gen_events(seed), EVENT_SCHEMA)
+    return ["orders", "customer", "nation", "events"]
 
 
 def _w_line(spark, d, seed):
