@@ -117,6 +117,78 @@ def finite_or_null_sql(c: str) -> str:
     return f"(({c}) IS NULL OR isfinite({c}))"
 
 
+#: measure-sanity magnitude bound for the DECIMAL(18,2) money paths:
+#: DECIMAL(18,2) holds |v| < 1e16, and cents-quantized BIGINTs hold
+#: |v|·100 < 2^63.  A FINITE measure at or past this bound is as
+#: corrupt as ±inf (no fixture money value comes within 10 orders of
+#: it) — and unlike the old double sums, which degraded gracefully, a
+#: DECIMAL cast of 9e18 is a job-killing overflow on BOTH engines
+#: (r12 review finding).  money_ok = NULL, or finite AND inside the
+#: bound; excluded values behave exactly like NULLs downstream.
+MONEY_ABS_MAX = 1e16
+
+
+def money_ok(c) -> Column:
+    """TRUE iff the measure is NULL or a finite value inside
+    MONEY_ABS_MAX — the guard every DECIMAL(18,2)/cents cast needs.
+    SQL mirrors: money_ok_sql (DuckDB), money_ok_portable_sql."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.isNull() | (~F.isnan(col)
+                           & (F.abs(col) < F.lit(MONEY_ABS_MAX)))
+
+
+def money_ok_sql(c: str) -> str:
+    """DuckDB mirror of money_ok (isfinite subsumes the NaN/inf arms;
+    abs(NaN) comparisons are false anyway, but isfinite is clearer)."""
+    return (f"(({c}) IS NULL OR (isfinite({c}) "
+            f"AND abs({c}) < {MONEY_ABS_MAX:.0e}))")
+
+
+def money_ok_portable_sql(c: str) -> str:
+    """money_ok as SQL text that parses identically on Spark SQL and
+    DuckDB (no isfinite on Spark — the tpch._fin spelling plus the
+    magnitude bound)."""
+    return (f"({c} IS NULL OR (NOT isnan({c}) "
+            f"AND abs({c}) < {MONEY_ABS_MAX:.0e}))")
+
+
+#: rate measures (discount, tax) cast to DECIMAL(4,2) in the 3-factor
+#: TPC-H sums (a wider rate type would push the product past precision
+#: 38); the matching sanity bound — a |rate| >= 100 is corrupt data
+RATE_ABS_MAX = 100
+
+
+def rate_ok(c) -> Column:
+    """money_ok at DECIMAL(4,2) width (NULL passes, like money_ok)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.isNull() | (~F.isnan(col)
+                           & (F.abs(col) < F.lit(RATE_ABS_MAX)))
+
+
+def rate_ok_portable_sql(c: str) -> str:
+    """money_ok at DECIMAL(4,2) width, engine-portable text."""
+    return (f"({c} IS NULL OR (NOT isnan({c}) "
+            f"AND abs({c}) < {RATE_ABS_MAX}))")
+
+
+def money_dec(c) -> Column:
+    """The conditional DECIMAL(18,2) measure term — NULL unless
+    money_ok — shared by money_sum, the window/two-phase variants
+    (money_sum_raw(...).over(w)) and weighted sums that multiply the
+    term before summing (TWAP)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(money_ok(col), col.cast("decimal(18,2)"))
+
+
+def money_sum_raw(c) -> Column:
+    """The unrounded exact money sum (DECIMAL out) — compose with
+    .over(w) for window prefix sums or re-aggregate for two-phase
+    plans; money_sum is this + round + the DOUBLE cast.  ONE copy of
+    the accumulation contract (r12 review: five inline re-spellings
+    invited drift)."""
+    return F.sum(money_dec(c))
+
+
 def money_sum(c, dp: int = 2) -> Column:
     """Order-free exact money sum → DOUBLE.  The r12 many-files sweep
     proved raw double money sums are PARTIAL-ORDER-DEPENDENT: the same
@@ -127,21 +199,18 @@ def money_sum(c, dp: int = 2) -> Column:
     Fix = the sql_q10 pattern, shared: accumulate in DECIMAL(18,2)
     (exact, associative, order-free), round once, ONE cast back to
     DOUBLE (emitted schema unchanged).  The measure is summed
-    CONDITIONALLY on finite-or-null (the cdc_apply shape) so corrupt
-    ±inf/NaN never reaches the DECIMAL cast while the row still
-    counts for count(*) columns — less invasive than the TPC-H
-    family's row-drop and identical on every committed fixture.
-    SQL mirror: money_sum_sql."""
-    col = F.col(c) if isinstance(c, str) else c
-    return (F.round(F.sum(F.when(finite_or_null(col),
-                                 col.cast("decimal(18,2)"))), dp)
-            .cast("double"))
+    CONDITIONALLY on money_ok (the cdc_apply shape) so corrupt
+    ±inf/NaN/absurd-magnitude values never reach the DECIMAL cast
+    while the row still counts for count(*) columns — less invasive
+    than the TPC-H family's row-drop and identical on every committed
+    fixture.  SQL mirror: money_sum_sql."""
+    return F.round(money_sum_raw(c), dp).cast("double")
 
 
 def money_sum_sql(c: str, dp: int = 2) -> str:
     """DuckDB mirror of money_sum: identical conditional DECIMAL
     accumulation, round, cast."""
-    return (f"CAST(round(sum(CASE WHEN {finite_or_null_sql(c)} "
+    return (f"CAST(round(sum(CASE WHEN {money_ok_sql(c)} "
             f"THEN CAST({c} AS DECIMAL(18,2)) END), {dp}) AS DOUBLE)")
 
 
@@ -159,7 +228,7 @@ def money_sum_portable_sql(c: str, dp: int = 2) -> str:
     conditional DECIMAL(18,2) sum of a money measure, rounded once,
     cast back to DOUBLE — embeddable verbatim in BOTH a spark.sql()
     query and its DuckDB oracle, so the two cannot drift."""
-    return (f"CAST(round(sum(CASE WHEN {finite_portable_sql(c)} "
+    return (f"CAST(round(sum(CASE WHEN {money_ok_portable_sql(c)} "
             f"THEN CAST({c} AS DECIMAL(18,2)) END), {dp}) AS DOUBLE)")
 
 
@@ -168,9 +237,9 @@ def rev_sum_portable_sql(price: str = "l_extendedprice",
     """The TPC-H revenue term sum(price·(1−discount)) as an exact
     engine-portable DECIMAL sum (the sql_q10 pattern, shared): per-row
     product in DECIMAL(18,2)·(1−DECIMAL(4,2)) — exact and inside
-    precision 38 — conditional on both measures finite, rounded once,
-    ONE cast to DOUBLE."""
-    return (f"CAST(round(sum(CASE WHEN {finite_portable_sql(price)} "
-            f"AND {finite_portable_sql(disc)} "
+    precision 38 — conditional on both measures money_ok, rounded
+    once, ONE cast to DOUBLE."""
+    return (f"CAST(round(sum(CASE WHEN {money_ok_portable_sql(price)} "
+            f"AND {rate_ok_portable_sql(disc)} "
             f"THEN CAST({price} AS DECIMAL(18,2)) "
             f"* (1 - CAST({disc} AS DECIMAL(4,2))) END), 2) AS DOUBLE)")

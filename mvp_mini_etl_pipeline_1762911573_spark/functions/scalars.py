@@ -219,16 +219,52 @@ QUERIES = {
     "scalar_map_json": _scalar_map_json,
 }
 
+def _duck_json_escape(col: str) -> str:
+    """JSON string-escape a field exactly like Spark's to_json
+    (Jackson) does — backslash and quote first, then the named
+    control-char short escapes, then vertical tab as backslash-u000B
+    (no short form exists for it) — so the
+    concat-built scalar_json oracle escapes the CLASS, not just the
+    one character an axis happened to plant (r12 review).  DuckDB's
+    own to_json agrees with Jackson on all of these.  Remaining
+    C0 controls (0x00-0x07, 0x0E-0x1F) are out of scope: no fixture
+    generator or sweep axis emits them; extend the table before
+    planting one."""
+    e = col
+    for frm, to in [
+        ("chr(92)", "chr(92) || chr(92)"),   # backslash
+        ("chr(34)", "chr(92) || chr(34)"),   # double quote
+        ("chr(8)", "chr(92) || 'b'"),
+        ("chr(9)", "chr(92) || 't'"),
+        ("chr(10)", "chr(92) || 'n'"),
+        ("chr(12)", "chr(92) || 'f'"),
+        ("chr(13)", "chr(92) || 'r'"),
+        ("chr(11)", "chr(92) || 'u000B'"),
+    ]:
+        e = f"replace({e}, {frm}, {to})"
+    return e
+
+
 def duck_json_lead(col: str) -> str:
     """DuckDB mirror of Spark's LENIENT JSON readers (r12 string
     sweeps): from_json / get_json_object / try_parse_json all parse a
     LEADING JSON document and ignore trailing garbage, but NULL on
     leading garbage — DuckDB's json_* functions are strict and ERROR
-    on either.  This expression yields the leading document when one
-    exists (valid whole string, or a flat `{...}` prefix — the repo's
-    props payloads are never nested) and NULL otherwise; json_valid()
-    short-circuits the regex for the well-formed fast path."""
-    return (f"(CASE WHEN json_valid({col}) THEN {col} "
+    on either.  This expression yields the leading OBJECT document
+    when one exists (valid whole-string object, or a flat `{...}`
+    prefix — the repo's props payloads are never nested) and NULL
+    otherwise.  The json_type = 'OBJECT' conjunct (r12 review): a
+    VALID but non-object payload ('123', '[1,2]') parses on DuckDB
+    but is a NULL map to Spark's from_json(MapType), so the object
+    guard is part of the mirror — consumers assert object shape
+    (scalar_map_json's first_key/n_keys literals).  Residual fixture
+    contract: scalar_variant's var_schema literal pins the `{"k": n}`
+    shape — a corpus with valid non-object props would diverge there
+    by design (schema_of_variant types the scalar), exactly like the
+    other fixture-shape literals."""
+    return (f"(CASE WHEN json_valid({col}) "
+            f"AND json_type(TRY_CAST({col} AS JSON)) = 'OBJECT' "
+            f"THEN {col} "
             f"ELSE nullif(regexp_extract({col}, "
             f"'^[ ]*(\\{{[^{{}}]*\\}})', 1), '') END)")
 
@@ -310,17 +346,17 @@ SELECT custkey,
        '64' AS size_param
 FROM users_raw
 """,
-    # the chr(11) replace mirrors Spark to_json's JSON control-char
-    # escaping (to \u000B, uppercase hex — DuckDB's own to_json agrees;
-    # r12 unicode sweep planted a vertical tab): the concat oracle
-    # must escape what a real JSON serializer escapes
-    "scalar_json": USERS_CTE + """
+    # _duck_json_escape mirrors Spark to_json's full JSON string
+    # escaping (backslash/quote/control chars; r12 unicode sweep +
+    # review): the concat oracle must escape the CLASS a real JSON
+    # serializer escapes, not one planted character
+    "scalar_json": USERS_CTE + f"""
 SELECT custkey,
-       '{"id":"' || replace(id, chr(11), '\\u000B')
-       || '","name_first":"' || replace(name_first, chr(11), '\\u000B')
-       || '","name_last":"' || replace(name_last, chr(11), '\\u000B')
-       || '","country":"' || replace(country, chr(11), '\\u000B')
-       || '"}' AS payload
+       '{{"id":"' || {_duck_json_escape("id")}
+       || '","name_first":"' || {_duck_json_escape("name_first")}
+       || '","name_last":"' || {_duck_json_escape("name_last")}
+       || '","country":"' || {_duck_json_escape("country")}
+       || '"}}' AS payload
 FROM users_raw
 """,
     # the fixture props are always '{"k": n}', so first_key/n_keys are

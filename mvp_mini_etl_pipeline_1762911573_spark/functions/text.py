@@ -1691,9 +1691,15 @@ def _mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"),
              F.sum("n_tokens").alias("avail_tokens"))
+        # try_cast + coalesce(0): a source label with NO digits (the
+        # r12 unicode CJK-replace arm) extracts '' whose strict INT
+        # cast is an ANSI crash — a digit-less source gets the base
+        # weight 1, same on both engines
         .withColumn("weight",
-                    (F.regexp_extract("source", r"(\d+)", 1)
-                     .cast("int") % 4 + 1).cast("bigint"))
+                    (F.coalesce(
+                        F.regexp_extract("source", r"(\d+)", 1)
+                         .try_cast("int"), F.lit(0)) % 4 + 1)
+                    .cast("bigint"))
     )
     totals = per_src.agg(F.sum("avail_tokens").alias("corpus_tokens"),
                          F.sum("weight").alias("w_sum"))
@@ -3274,7 +3280,8 @@ GROUP BY 1, 2
 WITH per_src AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len({_DUCK_TOKS})) AS BIGINT) AS avail_tokens,
-         CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 4
+         CAST(coalesce(TRY_CAST(regexp_extract(source, '(\\d+)', 1)
+                                AS INTEGER), 0) % 4
               + 1 AS BIGINT) AS weight
   FROM documents GROUP BY source
 ), totals AS (

@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.exact import (finite_or_null, finite_or_null_sql,
-                               money_sum, money_sum_sql,
+                               money_ok, money_ok_portable_sql,
+                               money_sum, money_sum_raw, money_sum_sql,
+                               rate_ok, rate_ok_portable_sql,
                                round4_ratio_dec, round4_ratio_dec_sql)
 from ..oracles import USERS_CTE
 from ..tables import CURRENT_YEAR, load, users_clean, users_valid
@@ -183,12 +185,14 @@ def _agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Averages derive from the exact sums — one IEEE division with
     identical operands on both engines — instead of avg()'s
     order-dependent double accumulation (count(col), not count(*), to
-    keep avg's NULL-skip semantics).  The finite-or-null measure
-    filter extends to discount/tax because a corrupt ±inf/NaN measure
-    would otherwise hit the DECIMAL cast (extremes-tier contract)."""
+    keep avg's NULL-skip semantics).  The measure filter is money_ok
+    (finite AND inside the DECIMAL capacity — r12 review: a finite
+    9e18 is as corrupt as inf and crashes the cast on both engines),
+    with the tighter RATE_ABS_MAX width bound on the DECIMAL(4,2)
+    rate casts."""
     li = load(spark, sf_dir, "lineitem").where(
-        finite_or_null("l_quantity") & finite_or_null("l_extendedprice")
-        & finite_or_null("l_discount") & finite_or_null("l_tax"))
+        money_ok("l_quantity") & money_ok("l_extendedprice")
+        & rate_ok("l_discount") & rate_ok("l_tax"))
     dec = lambda c: F.col(c).cast("decimal(18,2)")     # noqa: E731
     rate = lambda c: F.col(c).cast("decimal(4,2)")     # noqa: E731
     disc_price = dec("l_extendedprice") * (1 - rate("l_discount"))
@@ -244,9 +248,7 @@ def _agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact DECIMAL partials (money_sum contract): the partial->
         # merge tree is exactly the layout-dependent order a double
         # sum is sensitive to
-        F.sum(F.when(finite_or_null("o_totalprice"),
-                     F.col("o_totalprice").cast("decimal(18,2)")))
-         .alias("ps"),
+        money_sum_raw("o_totalprice").alias("ps"),
     )
     return (
         phase1.groupBy(F.col("o_orderstatus").alias("status"))
@@ -642,10 +644,10 @@ SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-  AND {finite_or_null_sql("l_quantity")}
-  AND {finite_or_null_sql("l_extendedprice")}
-  AND {finite_or_null_sql("l_discount")}
-  AND {finite_or_null_sql("l_tax")}
+  AND {money_ok_portable_sql("l_quantity")}
+  AND {money_ok_portable_sql("l_extendedprice")}
+  AND {rate_ok_portable_sql("l_discount")}
+  AND {rate_ok_portable_sql("l_tax")}
 GROUP BY l_returnflag, l_linestatus
 """,
     "agg_min_max": """

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.exact import (finite_or_null, finite_or_null_sql,
+                               money_ok, money_ok_sql,
                                round4_ratio, round4_ratio_dec,
                                round4_ratio_dec_sql, round4_ratio_sql)
 from ..tables import load
@@ -766,7 +767,7 @@ def _skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     pts = (
-        orders.where(finite_or_null("o_totalprice"))  # r11 extremes
+        orders.where(money_ok("o_totalprice"))  # DECIMAL spend sum
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
               .cast("double").alias("spend"))
@@ -930,7 +931,7 @@ def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11 extremes sweep: corrupt purchase values must not reach the
     # DECIMAL revenue sum; the oracle's ev CTE carries the same filter
     ev = (load(spark, sf_dir, "events")
-          .where(finite_or_null("value"))
+          .where(money_ok("value"))
           .select("user_id", "ts", "event_id", "event_type", "value",
                   F.unix_micros(F.col("ts").cast("timestamp"))
                   .alias("us")))
@@ -954,7 +955,7 @@ def _attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_chan = attributed.groupBy("channel").agg(
         F.count("*").alias("n_purchases"),
-        F.sum(F.col("value").cast("decimal(14,2)")).alias("rev_d"))
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("rev_d"))
     total = per_chan.agg(
         F.sum("rev_d").alias("rev_total"))
     return (
@@ -1149,7 +1150,7 @@ def _gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     tied revenues contribute identically to sum(i * x) under any
     permutation, so the statistic is tie-stable by algebra, not luck."""
     o = load(spark, sf_dir, "orders").where(
-        finite_or_null("o_totalprice"))  # r11 extremes sweep
+        money_ok("o_totalprice"))  # DECIMAL revenue sums downstream
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     rev = (o.groupBy("o_custkey").agg(
@@ -1276,7 +1277,7 @@ def _benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cents >= 1 already drops NaN/-inf (NULL/false compare), but +inf
     # passed straight into the leading-digit cast (r11 extremes sweep)
     o = load(spark, sf_dir, "orders").where(
-        (cents >= 1) & finite_or_null("o_totalprice"))
+        (cents >= 1) & money_ok("o_totalprice"))
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     obs = (o.select(digit.alias("digit"))
            .groupBy("digit").agg(F.count("*").alias("cnt")))
@@ -1658,7 +1659,7 @@ def _spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     A hot status at extreme scale splits via the same two-level scan
     trick mann_whitney uses — documented trade, not a rewrite."""
     orders = load(spark, sf_dir, "orders").where(
-        finite_or_null("o_totalprice"))  # r11 extremes sweep
+        money_ok("o_totalprice"))  # integer-cents ranks downstream
     li = load(spark, sf_dir, "lineitem")
     cnt = li.groupBy("l_orderkey").agg(F.count("*").alias("x"))
     base = (orders
@@ -1783,7 +1784,7 @@ FROM gaps
 WITH rev AS (
   SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
   FROM orders
-  WHERE {finite_or_null_sql("o_totalprice")}
+  WHERE {money_ok_sql("o_totalprice")}
   GROUP BY o_custkey
 ), cust AS (
   SELECT n_name, c_custkey, rev
@@ -1813,7 +1814,7 @@ WITH d AS (
                           AS VARCHAR), 1, 1) AS INTEGER) AS digit
   FROM orders
   WHERE floor(o_totalprice * 100 + 0.5) >= 1
-    AND isfinite(o_totalprice)
+    AND {money_ok_sql("o_totalprice")}
 ), obs AS (
   SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY digit
 ), t AS (SELECT sum(cnt) AS tot FROM obs)
@@ -1845,7 +1846,7 @@ FROM (
     "attribution": f"""
 WITH ev AS (
   SELECT user_id, ts, event_id, event_type, value, epoch_us(ts) AS us
-  FROM events WHERE {finite_or_null_sql("value")}
+  FROM events WHERE {money_ok_sql("value")}
 ), carried AS (
   SELECT *,
          last_value(CASE WHEN event_type IN ('click', 'view')
@@ -1865,7 +1866,7 @@ WITH ev AS (
   FROM carried WHERE event_type = 'purchase'
 ), per_chan AS (
   SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
-         sum(CAST(value AS DECIMAL(14,2))) AS rev_d
+         sum(CAST(value AS DECIMAL(18,2))) AS rev_d
   FROM attributed GROUP BY channel
 )
 SELECT channel, n_purchases, CAST(rev_d AS DOUBLE) AS revenue,
@@ -1936,7 +1937,7 @@ WITH pts AS (
          CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
            AS spend
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-  WHERE {finite_or_null_sql("o.o_totalprice")}
+  WHERE {money_ok_sql("o.o_totalprice")}
   GROUP BY o.o_custkey, round(c.c_acctbal, 2)
   HAVING round(c.c_acctbal, 2) IS NOT NULL
      AND isfinite(round(c.c_acctbal, 2))
@@ -2529,7 +2530,7 @@ WITH cnt AS (
   SELECT o.o_orderstatus AS status, c.x,
          CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y
   FROM orders o JOIN cnt c ON c.l_orderkey = o.o_orderkey
-  WHERE {finite_or_null_sql("o.o_totalprice")}
+  WHERE {money_ok_sql("o.o_totalprice")}
 ), r AS (
   SELECT status,
          2 * rank() OVER (PARTITION BY status ORDER BY x)

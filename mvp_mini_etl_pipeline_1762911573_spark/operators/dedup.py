@@ -1810,9 +1810,14 @@ def _derived_pages(docs: DataFrame) -> DataFrame:
     before the URL is built (r12 string sweeps: a source value with
     spaces/unicode made parse_url throw INVALID_URL and killed the
     whole family) — exactly what a real URL deriver does with a junk
-    shard label.  A source that sanitizes to '' still yields a valid
-    (collision-prone) host, which is the honest degenerate shape."""
-    src_host = F.regexp_replace("source", "[^A-Za-z0-9.-]", "")
+    shard label.  A source that sanitizes to EMPTY gets the 'unknown'
+    placeholder label (r12 review: 'https://.example.org/...' is a
+    host Spark's parse_url rejects to NULL while the oracle's regex
+    would extract it — a placeholder keeps the two engines on one
+    canonical URL and is what a crawler does with an unlabelable
+    shard anyway)."""
+    clean = F.regexp_replace("source", "[^A-Za-z0-9.-]", "")
+    src_host = F.when(clean == "", F.lit("unknown")).otherwise(clean)
     url = F.concat(
         F.lit("https://"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
@@ -2754,9 +2759,16 @@ _DUCK_PAGES_CTES = """pages AS (
          'https://'
          || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
          || CASE WHEN doc_id % 5 = 0
-                 THEN upper(regexp_replace(source,
-                             '[^A-Za-z0-9.-]', '', 'g'))
-                 ELSE regexp_replace(source, '[^A-Za-z0-9.-]', '', 'g')
+                 THEN upper(CASE WHEN regexp_replace(source,
+                                  '[^A-Za-z0-9.-]', '', 'g') = ''
+                            THEN 'unknown'
+                            ELSE regexp_replace(source,
+                                  '[^A-Za-z0-9.-]', '', 'g') END)
+                 ELSE CASE WHEN regexp_replace(source,
+                               '[^A-Za-z0-9.-]', '', 'g') = ''
+                      THEN 'unknown'
+                      ELSE regexp_replace(source,
+                               '[^A-Za-z0-9.-]', '', 'g') END
             END
          || '.example.org/page-' || CAST(doc_id % 13 AS VARCHAR)
          || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END

@@ -19,8 +19,11 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.scalars import duck_json_lead
 from ..functions.exact import (finite_or_null, finite_or_null_sql,
-                               finite_portable_sql, money_sum,
+                               finite_portable_sql, money_dec,
+                               money_ok, money_ok_portable_sql,
+                               money_ok_sql, money_sum,
                                money_sum_portable_sql, money_sum_sql,
+                               rate_ok_portable_sql,
                                rev_sum_portable_sql,
                                round4_ratio_dec, round4_ratio_dec_sql)
 from ..tables import load
@@ -196,7 +199,7 @@ def _sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     AS DECIMAL(18,2))) AS DOUBLE)
                                   / count(c_acctbal)
                            FROM v_customer WHERE c_acctbal > 0
-                             AND {finite_portable_sql('c_acctbal')})
+                             AND {money_ok_portable_sql('c_acctbal')})
           AND NOT EXISTS (SELECT 1 FROM v_orders
                           WHERE o_custkey = c_custkey
                             AND o_totalprice > 300000)
@@ -304,7 +307,7 @@ def _winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept here for the oracle, as in quantile_bins."""
     o = load(spark, sf_dir, "orders").where(
         F.col("o_totalprice").isNotNull()
-        & finite_or_null("o_totalprice"))  # r11 extremes sweep
+        & money_ok("o_totalprice"))  # cents floor: DECIMAL-range bound
     v = o.select(
         F.col("o_orderstatus").alias("status"), "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"))
@@ -428,12 +431,11 @@ def _unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     # money_sum discipline (r12 many-files sweep): exact DECIMAL sum,
     # avg derived from it over the same finite-conditional count
-    price_fin = F.when(finite_or_null("o_totalprice"),
-                       F.col("o_totalprice"))
+    pdec = money_dec("o_totalprice")
     wide = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
         money_sum("o_totalprice").alias("revenue"),
-        F.round(F.sum(price_fin.cast("decimal(18,2)")).cast("double")
-                / F.count(price_fin), 2).alias("avg_price"),
+        F.round(F.sum(pdec).cast("double")
+                / F.count(pdec), 2).alias("avg_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
     return wide.unpivot(
@@ -544,7 +546,7 @@ def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     the point-estimate agg reuses the same base scan.  B scales the
     map CPU (one sha256 per row-replicate), not the shuffle."""
     o = load(spark, sf_dir, "orders").where(
-        finite_or_null("o_totalprice")).select(
+        money_ok("o_totalprice")).select(
         F.col("o_orderstatus").alias("status"), "o_orderkey",
         F.floor(F.col("o_totalprice") * 100 + 0.5).alias("cents"))
     rep = o.select(
@@ -818,8 +820,6 @@ def _sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     because corrupt ±inf/NaN would hit the DECIMAL casts (tpch._fin's
     portable spelling — Spark SQL has no isfinite)."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
-    fin = (lambda c: f"({c} IS NULL OR (NOT isnan({c}) "
-           f"AND abs({c}) != CAST('Infinity' AS DOUBLE)))")
     return spark.sql(f"""
         SELECT l_returnflag, l_linestatus,
                CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)
@@ -845,8 +845,10 @@ def _sql_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*)                            AS count_order
         FROM v_lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-          AND {fin('l_quantity')} AND {fin('l_extendedprice')}
-          AND {fin('l_discount')} AND {fin('l_tax')}
+          AND {money_ok_portable_sql('l_quantity')}
+          AND {money_ok_portable_sql('l_extendedprice')}
+          AND {rate_ok_portable_sql('l_discount')}
+          AND {rate_ok_portable_sql('l_tax')}
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
     """)
@@ -866,7 +868,7 @@ def _sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform with the other revenue queries."""
     for t in ("customer", "orders", "lineitem", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
-    return spark.sql("""
+    return spark.sql(f"""
         SELECT c_custkey, c_name,
                CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                               * (1 - CAST(l_discount AS DECIMAL(18,2)))),
@@ -881,12 +883,10 @@ def _sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderdate >= DATE '1996-01-01'
           AND o_orderdate < DATE '1996-04-01'
           AND l_returnflag = 'R'
-          -- r11 extremes sweep: corrupt money must not reach the
-          -- DECIMAL revenue sum (Spark floor maps NaN to 0 silently)
-          AND (l_extendedprice IS NULL OR (NOT isnan(l_extendedprice)
-               AND abs(l_extendedprice) != CAST('Infinity' AS DOUBLE)))
-          AND (l_discount IS NULL OR (NOT isnan(l_discount)
-               AND abs(l_discount) != CAST('Infinity' AS DOUBLE)))
+          -- corrupt money (non-finite OR past DECIMAL capacity)
+          -- must not reach the DECIMAL revenue sum
+          AND {money_ok_portable_sql('l_extendedprice')}
+          AND {money_ok_portable_sql('l_discount')}
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey ASC
         LIMIT 20
@@ -1047,7 +1047,7 @@ def _rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent.  At 100 TB swap percentile → approx_percentile (mergeable
     sketch), same plan."""
     orders = load(spark, sf_dir, "orders").where(
-        finite_or_null("o_totalprice"))  # r11 extremes sweep
+        money_ok("o_totalprice"))  # DECIMAL monetary sums downstream
     ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("refd"))
     cust = (
         orders.crossJoin(F.broadcast(ref))
@@ -1103,7 +1103,7 @@ def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,2) so the total is exact and accumulation-order-free
     (the sql_q10 pattern)."""
     load(spark, sf_dir, "events").createOrReplaceTempView("v_events")
-    return spark.sql("""
+    return spark.sql(f"""
         WITH ch AS (
           SELECT user_id,
                  CAST(get_json_object(props, '$.k') AS INT) AS k,
@@ -1119,7 +1119,7 @@ def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- r11 extremes sweep: a corrupt payload value must not
                -- poison the DECIMAL sum, but its change record still
                -- wins last-writer-wins for its key
-               CAST(round(sum(CASE WHEN (value IS NULL OR (NOT isnan(value) AND abs(value) != CAST('Infinity' AS DOUBLE)))
+               CAST(round(sum(CASE WHEN {money_ok_portable_sql('value')}
                               THEN CAST(value AS DECIMAL(18,2)) END), 2)
                     AS DOUBLE) AS total_value
         FROM ranked
@@ -1236,7 +1236,7 @@ FROM checks
     "rfm_segments": f"""
 WITH fo AS (
   SELECT * FROM orders
-  WHERE {finite_or_null_sql("o_totalprice")}
+  WHERE {money_ok_sql("o_totalprice")}
 ), ref AS (
   SELECT CAST(max(o_orderdate) AS DATE) AS refd FROM fo
 ), cust AS (
@@ -1296,7 +1296,7 @@ WITH ch AS (
   FROM ch
 )
 SELECT user_id, CAST(count(*) AS BIGINT) AS live_keys,
-       CAST(round(sum(CASE WHEN {finite_or_null_sql("value")}
+       CAST(round(sum(CASE WHEN {money_ok_sql("value")}
                       THEN CAST(value AS DECIMAL(18,2)) END), 2)
             AS DOUBLE) AS total_value
 FROM ranked
@@ -1327,10 +1327,10 @@ SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT)            AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-  AND {finite_or_null_sql("l_quantity")}
-  AND {finite_or_null_sql("l_extendedprice")}
-  AND {finite_or_null_sql("l_discount")}
-  AND {finite_or_null_sql("l_tax")}
+  AND {money_ok_portable_sql("l_quantity")}
+  AND {money_ok_portable_sql("l_extendedprice")}
+  AND {rate_ok_portable_sql("l_discount")}
+  AND {rate_ok_portable_sql("l_tax")}
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
@@ -1348,8 +1348,8 @@ JOIN nation ON c_nationkey = n_nationkey
 WHERE o_orderdate >= DATE '1996-01-01'
   AND o_orderdate < DATE '1996-04-01'
   AND l_returnflag = 'R'
-  AND {finite_or_null_sql("l_extendedprice")}
-  AND {finite_or_null_sql("l_discount")}
+  AND {money_ok_sql("l_extendedprice")}
+  AND {money_ok_sql("l_discount")}
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
@@ -1393,10 +1393,10 @@ FROM (
 WITH wide AS (
   SELECT o_orderstatus AS status,
          {money_sum_portable_sql("o_totalprice")} AS revenue,
-         round(CAST(sum(CASE WHEN {finite_portable_sql("o_totalprice")}
+         round(CAST(sum(CASE WHEN {money_ok_portable_sql("o_totalprice")}
                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
                     AS DOUBLE)
-               / count(CASE WHEN {finite_portable_sql("o_totalprice")}
+               / count(CASE WHEN {money_ok_portable_sql("o_totalprice")}
                        THEN o_totalprice END), 2) AS avg_price,
          round(max(o_totalprice), 2) AS max_price
   FROM orders GROUP BY o_orderstatus
@@ -1529,7 +1529,7 @@ WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal
                             AS DECIMAL(18,2))) AS DOUBLE)
                           / count(c_acctbal)
                    FROM customer WHERE c_acctbal > 0
-                     AND {finite_portable_sql('c_acctbal')})
+                     AND {money_ok_portable_sql('c_acctbal')})
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 GROUP BY c_mktsegment
@@ -1640,7 +1640,7 @@ WITH v AS (
   SELECT o_orderstatus AS status, o_orderkey,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
   FROM orders
-  WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+  WHERE o_totalprice IS NOT NULL AND {money_ok_sql("o_totalprice")}
 ), ranked AS (
   SELECT *, row_number() OVER (
              PARTITION BY status ORDER BY cents, o_orderkey) AS rn,
@@ -1675,7 +1675,7 @@ ORACLES["bootstrap_ci"] = f"""
 WITH o AS (
   SELECT o_orderstatus AS status, o_orderkey,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-  FROM orders WHERE {finite_or_null_sql("o_totalprice")}
+  FROM orders WHERE {money_ok_sql("o_totalprice")}
 ), rep AS (
   SELECT status, o_orderkey, cents, b
   FROM o, unnest(range(1, {BOOT_B} + 1)) AS rb(b)

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.exact import (finite_or_null, finite_or_null_sql,
+                               money_dec, money_ok, money_ok_sql,
                                round4_ratio_dec, round4_ratio_dec_sql)
 from ..tables import load
 
@@ -76,7 +77,7 @@ def _time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finite ticks only (r11 extreme-doubles sweep): round(inf*100)
     # kills the packed-key BIGINT cast before the clamp can catch it,
     # and a corrupt tick belongs in no candle
-    ev = load(spark, sf_dir, "events").where(finite_or_null("value"))
+    ev = load(spark, sf_dir, "events").where(money_ok("value"))
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     bucket_s = (F.floor(F.unix_timestamp("ts") / OHLC_BUCKET_S)
                 .cast("bigint") * OHLC_BUCKET_S)
@@ -95,7 +96,7 @@ def _time_bucket_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("value").alias("high"),
              F.min("value").alias("low"),
              decode(F.max(ordk)).alias("close"),
-             F.sum(F.col("value").cast("decimal(14,2)"))
+             F.sum(F.col("value").cast("decimal(18,2)"))
               .cast("double").alias("volume"),
              F.count("*").alias("n_ticks"))
         .orderBy("event_type", "bucket_start")
@@ -120,14 +121,13 @@ def _window_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulate exactly — value in DECIMAL(18,2) (cents-exact) times
     # the integer microsecond weight stays integral at scale 2; the
     # one division has identical IEEE operands on both engines
-    vfin = F.when(finite_or_null("value"), F.col("value"))
+    vdec = money_dec("value")
     return (
         iv.groupBy("event_type", "day")
-        .agg(F.round(F.sum(vfin.cast("decimal(18,2)")
-                           * F.col("dur_us")).cast("double")
+        .agg(F.round(F.sum(vdec * F.col("dur_us")).cast("double")
                      / F.sum("dur_us"), 6).alias("twap"),
-             F.round(F.sum(vfin.cast("decimal(18,2)")).cast("double")
-                     / F.count(vfin), 6).alias("naive_avg"),
+             F.round(F.sum(vdec).cast("double")
+                     / F.count(vdec), 6).alias("naive_avg"),
              F.count("dur_us").alias("n_intervals"))
         .orderBy("event_type", "day")
     )
@@ -411,20 +411,20 @@ WITH b AS (
          + least(greatest(CAST(round(value * 100) AS BIGINT), 0),
                  16777215) AS ordk,
          value
-  FROM events WHERE {finite_or_null_sql("value")}
+  FROM events WHERE {money_ok_sql("value")}
 )
 SELECT event_type, bucket_start,
        (min(ordk) % 16777216) / 100.0 AS open,
        max(value) AS high, min(value) AS low,
        (max(ordk) % 16777216) / 100.0 AS close,
-       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS volume,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
        CAST(count(*) AS BIGINT) AS n_ticks
 FROM b GROUP BY event_type, bucket_start
 """,
     "window_twap": f"""
 WITH iv AS (
   SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-         CASE WHEN {finite_or_null_sql("value")} THEN value END AS v,
+         CASE WHEN {money_ok_sql("value")} THEN value END AS v,
          lead(epoch_us(ts)) OVER (
            PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
            ORDER BY ts, event_id) - epoch_us(ts) AS dur_us

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.exact import money_ok_portable_sql
 from ..tables import TABLE_NAMES, load
 
 # revenue term used throughout; decimal keeps cross-engine round() exact
@@ -45,18 +46,24 @@ _REV = ("CAST(l_extendedprice AS DECIMAL(18,2)) "
 
 
 def _fin(c: str) -> str:
-    """Portable finite-or-null predicate (r11 extreme-doubles sweep).
-    A corrupt ±inf/NaN money value must never reach the exact-DECIMAL
-    /cents machinery: DuckDB REFUSES the cast (loud), but Spark's
-    floor() silently maps NaN → 0 and ±inf → ±Long.MaxValue — a NaN
-    price would become a phantom $0 order INSIDE a revenue sum, the
-    worst failure mode there is.  NULLs pass through so the NULL
-    semantics the null_mixed tier pins stay untouched.  Spark SQL has
-    no isfinite(), hence the isnan + abs != Infinity spelling — it
-    parses identically on both engines (these strings ARE the oracle
-    too)."""
-    return (f"({c} IS NULL OR (NOT isnan({c}) "
-            f"AND abs({c}) != CAST('Infinity' AS DOUBLE)))")
+    """Portable money-sanity predicate (r11 extreme-doubles sweep;
+    r12 magnitude bound).  A corrupt ±inf/NaN money value must never
+    reach the exact-DECIMAL/cents machinery: DuckDB REFUSES the cast
+    (loud), but Spark's floor() silently maps NaN → 0 and ±inf →
+    ±Long.MaxValue — a NaN price would become a phantom $0 order
+    INSIDE a revenue sum, the worst failure mode there is.  The r12
+    review extended the contract with the DECIMAL(18,2) capacity
+    bound: a FINITE 9e18 is as corrupt as inf, and unlike the old
+    double sums it is a job-killing cast overflow on both engines —
+    so the bound is abs < MONEY_ABS_MAX (exact.py), not != Infinity.
+    NULLs pass through so the NULL semantics the null_mixed tier pins
+    stay untouched.  Spark SQL has no isfinite(), hence the isnan +
+    abs spelling — it parses identically on both engines (these
+    strings ARE the oracle too); this IS
+    exact.money_ok_portable_sql, aliased locally because the module
+    predates the shared helper and documents the TPC-H row-drop
+    flavor of the contract."""
+    return money_ok_portable_sql(c)
 
 # derived partsupp stand-in (see module docstring).  The unit cost is
 # quantized to 4dp via floor(x*1e4 + 0.5) — NOT round(double, 4): Spark
@@ -75,6 +82,12 @@ WITH ps AS (
   FROM lineitem
   WHERE l_quantity > 0
     AND {_fin('l_extendedprice')} AND {_fin('l_quantity')}
+    -- unit-cost capacity bound (r12 review follow-through): price
+    -- and quantity being individually sane does not bound their
+    -- RATIO (a 1e-10 quantity makes a 1e26 unit cost, overflowing
+    -- the DECIMAL(18,4) quantization); the compare is one IEEE
+    -- division with identical operands on both engines
+    AND l_extendedprice / l_quantity < 1e13
   GROUP BY l_partkey, l_suppkey
 )
 """

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.exact import (finite_or_null, finite_or_null_sql,
+                               money_ok, money_ok_sql, money_sum_raw,
                                round4_ratio_dec, round4_ratio_dec_sql)
 from ..oracles import USERS_CTE
 from ..tables import load, users_clean
@@ -85,8 +86,7 @@ def _window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             # money_sum discipline (r12 many-files sweep): a window
             # prefix sum is a sequential fold whose association DuckDB
             # may tree-decompose — exact DECIMAL makes it order-free
-            F.round(F.sum(F.when(finite_or_null("value"),
-                       F.col("value").cast("decimal(18,2)"))).over(w), 2)
+            F.round(money_sum_raw("value").over(w), 2)
              .cast("double").alias("running_value"),
             F.count("*").over(w).alias("running_cnt"),
         )
@@ -121,10 +121,11 @@ def _window_ntile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's binary rounding disagree — the round4_ratio class at
     2dp): cents = floor(100v + 0.5) sum exactly in the frame,
     round(s/(100n), 2) = round4_ratio_dec(s, 10000n)·100 in pure
-    integer space.  The finite-or-null filter keeps corrupt measures
-    out of the cents cast (extremes-tier contract)."""
+    integer space.  The money_ok filter keeps corrupt measures
+    (non-finite OR past the cents-BIGINT capacity) out of the cents
+    cast (extremes-tier contract + the r12 magnitude bound)."""
     customer = (load(spark, sf_dir, "customer")
-                .where(finite_or_null("c_acctbal")))
+                .where(money_ok("c_acctbal")))
     w_order = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey").asc())
     w_frame = w_order.rowsBetween(-1, 1)
@@ -258,8 +259,7 @@ def _window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", "ts_us",
         F.count("*").over(w).alias("n_1h"),
-        F.round(F.sum(F.when(finite_or_null("value"),
-                       F.col("value").cast("decimal(18,2)"))).over(w), 2)
+        F.round(money_sum_raw("value").over(w), 2)
          .cast("double").alias("val_1h"),
     )
 
@@ -436,7 +436,7 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
     "window_range_frame": f"""
 SELECT user_id, event_id, epoch_us(ts) AS ts_us,
        CAST(count(*) OVER w AS BIGINT) AS n_1h,
-       CAST(round(sum(CASE WHEN {finite_or_null_sql("value")} THEN CAST(value AS DECIMAL(18,2)) END)
+       CAST(round(sum(CASE WHEN {money_ok_sql("value")} THEN CAST(value AS DECIMAL(18,2)) END)
                   OVER w, 2) AS DOUBLE) AS val_1h
 FROM events
 WHERE user_id % 100 = 7
@@ -482,7 +482,7 @@ SELECT region, custkey, acctbal, rnk FROM (
     "window_running_sum": f"""
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-       CAST(round(sum(CASE WHEN {finite_or_null_sql("value")} THEN CAST(value AS DECIMAL(18,2)) END)
+       CAST(round(sum(CASE WHEN {money_ok_sql("value")} THEN CAST(value AS DECIMAL(18,2)) END)
                   OVER w, 2) AS DOUBLE) AS running_value,
        CAST(count(*) OVER w AS BIGINT) AS running_cnt
 FROM events
@@ -505,7 +505,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 WITH wc AS (
   SELECT c_custkey, c_mktsegment, c_acctbal,
          CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
-  FROM customer WHERE {finite_or_null_sql("c_acctbal")}
+  FROM customer WHERE {money_ok_sql("c_acctbal")}
 )
 SELECT c_custkey AS custkey, c_mktsegment AS segment,
        CAST(ntile(4) OVER w_o AS INTEGER) AS quartile,

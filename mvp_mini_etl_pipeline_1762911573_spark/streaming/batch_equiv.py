@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..oracles import USERS_CTE
 from ..functions.exact import (finite_or_null, finite_or_null_sql,
-                               money_sum, money_sum_sql)
+                               money_ok, money_ok_sql, money_sum,
+                               money_sum_sql)
 from ..tables import load, users_clean
 
 
@@ -103,7 +104,7 @@ def ohlc_rollup(events: DataFrame) -> DataFrame:
     determinism contract as the batch flavor."""
     # same finite-ticks-only contract as the batch hypertable rollup
     # (r11 extreme-doubles sweep: the packed-key cast)
-    events = events.where(finite_or_null("value"))
+    events = events.where(money_ok("value"))
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     cents = F.least(
         F.greatest(F.round(F.col("value") * 100).cast("bigint"),
@@ -117,7 +118,7 @@ def ohlc_rollup(events: DataFrame) -> DataFrame:
              F.max("value").alias("high"),
              F.min("value").alias("low"),
              decode(F.max(ordk)).alias("close"),
-             F.sum(F.col("value").cast("decimal(14,2)"))
+             F.sum(F.col("value").cast("decimal(18,2)"))
               .cast("double").alias("volume"),
              F.count("*").alias("n_ticks"))
         .select(
@@ -245,13 +246,13 @@ WITH b AS (
          + least(greatest(CAST(round(value * 100) AS BIGINT), 0),
                  16777215) AS ordk,
          value
-  FROM events WHERE ts IS NOT NULL AND {finite_or_null_sql("value")}
+  FROM events WHERE ts IS NOT NULL AND {money_ok_sql("value")}
 )
 SELECT window_start, event_type,
        (min(ordk) % 16777216) / 100.0 AS open,
        max(value) AS high, min(value) AS low,
        (max(ordk) % 16777216) / 100.0 AS close,
-       CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS volume,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
        CAST(count(*) AS BIGINT) AS n_ticks
 FROM b GROUP BY window_start, event_type
 """,

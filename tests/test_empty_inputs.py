@@ -132,6 +132,13 @@ def _long_strings_transform(df, t):
     return df.select(*cols)
 
 
+#: key % 7 == 5 rows: the value is REPLACED by a pure-CJK string (no
+#: ASCII at all) — the shape that caught the empty-sanitized hostname
+#: divergence (r12 review: a source with zero RFC-hostname chars) and
+#: makes JSON payloads wholly unparsable rather than junk-prefixed
+_UNI_REPLACE = "東京テスト値"
+
+
 def _unicode_strings_transform(df, t):
     k = F.pmod(F.col(TABLE_KEYS[t][0]), F.lit(7))
     cols = []
@@ -142,6 +149,8 @@ def _unicode_strings_transform(df, t):
             for m, sfx in _UNI.items():
                 e = F.when((k == m) & F.col(c).isNotNull(),
                            F.concat(F.lit(sfx), F.col(c))).otherwise(e)
+            e = F.when((k == 5) & F.col(c).isNotNull(),
+                       F.lit(_UNI_REPLACE)).otherwise(e)
             cols.append(e.alias(c))
         else:
             cols.append(F.col(c))
