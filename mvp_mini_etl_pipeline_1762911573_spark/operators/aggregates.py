@@ -343,10 +343,17 @@ def _agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (what Welford/DataSketches moments do with floats, done here in
     exact integers because the domain is bounded); everything after
     the shuffle is |statuses|-row arithmetic."""
-    # r11 extreme-doubles sweep: floor(inf + 0.5) kills the dollar
-    # quantization cast; finite-or-null keeps NULL semantics intact
+    # r11 extreme-doubles sweep + r12 domain bound: floor(inf + 0.5)
+    # kills the dollar quantization cast, and a FINITE huge price is
+    # just as lethal further down — dd = d*d must stay in int64
+    # (|d| < 3e9) and n*d^4 inside DECIMAL(38,0)/HUGEINT, so the
+    # operator's documented bounded-domain contract is explicit:
+    # |price| < 1e7 (d^4 = 1e28 leaves 10 orders for n).  NULLs pass
+    rep_bound = 1e7
     orders = load(spark, sf_dir, "orders").where(
-        finite_or_null("o_totalprice"))
+        finite_or_null("o_totalprice")
+        & (F.col("o_totalprice").isNull()
+           | (F.abs("o_totalprice") < rep_bound)))
     d = F.floor(F.col("o_totalprice") + 0.5)
     dd = (d * d).alias("dd")
     base = orders.select(F.col("o_orderstatus").alias("status"),
@@ -700,6 +707,7 @@ WITH base AS (
          CAST(floor(o_totalprice + 0.5) AS BIGINT) AS d
   FROM orders
   WHERE {finite_or_null_sql("o_totalprice")}
+    AND (o_totalprice IS NULL OR abs(o_totalprice) < 1e7)
 ), sums AS (
   SELECT status, CAST(count(*) AS BIGINT) AS n,
          sum(CAST(d AS HUGEINT)) AS s1,

@@ -152,10 +152,16 @@ def _join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result provably equals the BNLJ plan — the oracle is the plain
     range join, same as `join_range`'s.
     """
-    # r11 extreme-doubles sweep: floor(inf / W) overflows the INT bin
-    # cast; a part with a corrupt price can match no band
+    # r11 extreme-doubles sweep + r12: floor(inf / W) overflows the
+    # INT bin cast — and so does a FINITE price past the top band's
+    # 1e9 ceiling.  Prices >= 1e9 match NO band (the open band is
+    # [966, 1e9)), so pre-filtering them is the join's own drop moved
+    # ahead of the bin arithmetic; the plain range-join oracle drops
+    # them naturally, so semantics are untouched
     part = load(spark, sf_dir, "part").where(
-        finite_or_null("p_retailprice"))
+        finite_or_null("p_retailprice")
+        & (F.col("p_retailprice").isNull()
+           | (F.col("p_retailprice") < 1e9)))
     return range_binned_join(part, _price_bands(spark))
 
 
