@@ -152,6 +152,31 @@ def money_ok_portable_sql(c: str) -> str:
             f"AND abs({c}) < {MONEY_ABS_MAX:.0e}))")
 
 
+#: double-moment statistics domain bound (the seasonal_envelope 9e14
+#: precedent, promoted to a shared constant by the r12 finite-huge
+#: arm): once a measure dwarfs the rounding grain by ~15 orders, the
+#: ulp noise of engine-ordered double summation becomes VISIBLE at
+#: any fixed-dp rounding — means/variances/regressions of a corpus
+#: containing a finite 9.5e18 differ between engines in their last
+#: printed digits, unfixably for double math.  A measure that large
+#: is corrupt for these domains; stat_ok excludes it like a NULL.
+STAT_ABS_MAX = 9e14
+
+
+def stat_ok(c) -> Column:
+    """TRUE iff the measure is NULL or finite inside STAT_ABS_MAX —
+    the guard for double-moment paths (mean/var/corr/regr/median)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.isNull() | (~F.isnan(col)
+                           & (F.abs(col) < F.lit(STAT_ABS_MAX)))
+
+
+def stat_ok_sql(c: str) -> str:
+    """DuckDB mirror of stat_ok."""
+    return (f"(({c}) IS NULL OR (isfinite({c}) "
+            f"AND abs({c}) < {STAT_ABS_MAX:.0e}))")
+
+
 #: rate measures (discount, tax) cast to DECIMAL(4,2) in the 3-factor
 #: TPC-H sums (a wider rate type would push the product past precision
 #: 38); the matching sanity bound — a |rate| >= 100 is corrupt data

@@ -24,6 +24,7 @@ from ..functions.exact import (finite_or_null, finite_or_null_sql,
                                money_ok, money_ok_portable_sql,
                                money_sum, money_sum_raw, money_sum_sql,
                                rate_ok, rate_ok_portable_sql,
+                               stat_ok, stat_ok_sql,
                                round4_ratio_dec, round4_ratio_dec_sql)
 from ..oracles import USERS_CTE
 from ..tables import CURRENT_YEAR, load, users_clean, users_valid
@@ -153,8 +154,8 @@ def _agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (DuckDB refuses, Spark emits garbage); corrupt measures are
     # excluded like the rest of the stat family
     li = load(spark, sf_dir, "lineitem").where(
-        finite_or_null("l_quantity")
-        & finite_or_null("l_extendedprice"))
+        stat_ok("l_quantity")
+        & stat_ok("l_extendedprice"))
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -550,8 +551,8 @@ SELECT l_returnflag,
        round(stddev_samp(l_quantity), 4) AS qty_stddev,
        CAST(count(*) AS BIGINT) AS n
 FROM lineitem
-WHERE {finite_or_null_sql("l_quantity")}
-  AND {finite_or_null_sql("l_extendedprice")}
+WHERE {stat_ok_sql("l_quantity")}
+  AND {stat_ok_sql("l_extendedprice")}
 GROUP BY l_returnflag
 """,
     "agg_histogram": f"""

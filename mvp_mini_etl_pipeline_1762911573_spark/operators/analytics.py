@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.exact import (finite_or_null, finite_or_null_sql,
                                money_ok, money_ok_sql,
+                               stat_ok, stat_ok_sql,
                                round4_ratio, round4_ratio_dec,
                                round4_ratio_dec_sql, round4_ratio_sql)
 from ..tables import load
@@ -214,13 +215,14 @@ def _gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
                  round(avg(value), 4) AS v
           FROM v_events
           WHERE event_type = 'purchase'
-            -- r11 extremes sweep: inf - inf = NaN inside the
-            -- interpolation on one engine, inf on the other; NULL
+            -- double-moment domain bound (r11 extremes + r12
+            -- finite-huge arm): inf - inf = NaN inside the
+            -- interpolation on one engine, inf on the other, and a
+            -- finite 9.5e18 makes the day-mean ulp-diverge; NULL
             -- rows pass through (a NULL-valued day stays observed,
             -- exactly as the null_mixed tier pins)
             AND (value IS NULL
-                 OR (NOT isnan(value)
-                     AND abs(value) != CAST('Infinity' AS DOUBLE)))
+                 OR (NOT isnan(value) AND abs(value) < 9e14))
           GROUP BY user_id, CAST(date_trunc('DAY', ts) AS DATE)
         ), bounds AS (
           SELECT user_id, min(day) AS dmin, max(day) AS dmax
@@ -453,7 +455,7 @@ def _events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejoin-not-window scale shape as events_zscore; at 100 TB swap
     percentile() for approx_percentile sketches (same plan)."""
     ev = (load(spark, sf_dir, "events")
-          .where(finite_or_null("value"))  # r11 extremes sweep
+          .where(stat_ok("value"))  # double-moment domain bound (r12)
           .select("event_id", "user_id", "event_type", "value"))
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med"))
@@ -812,7 +814,7 @@ def _regr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole fit is map-side partials plus a 5-row reduce; no window, no
     second scan, and adding series never adds passes."""
     ev = (load(spark, sf_dir, "events")
-          .where(finite_or_null("value"))  # r11 extremes sweep
+          .where(stat_ok("value"))  # double-moment domain bound (r12)
           .select("event_type", "value",
                   (F.unix_micros("ts") / 3.6e9).alias("x_hours")))
     return (
@@ -978,7 +980,7 @@ def _ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (mergeable moment states), no join, no second scan — the
     shape that makes a 100 TB experiment readout a single reduce."""
     ev = load(spark, sf_dir, "events").where(
-        finite_or_null("value"))  # r11 extremes sweep
+        stat_ok("value"))  # double-moment domain bound (r12)
     arm = F.pmod(
         F.conv(F.substring(
             F.sha2(F.col("user_id").cast("string"), 256), 1, 8), 16, 10)
@@ -1884,7 +1886,7 @@ WITH assigned AS (
   SELECT event_type, value,
          CAST('0x' || substr(sha256(CAST(user_id AS VARCHAR)),
                              1, 8) AS BIGINT) % 2 AS arm
-  FROM events WHERE {finite_or_null_sql("value")}
+  FROM events WHERE {stat_ok_sql("value")}
 ), agg AS (
   SELECT event_type,
          CAST(count(CASE WHEN arm = 0 THEN value END) AS BIGINT) AS n_a,
@@ -1957,7 +1959,7 @@ SELECT event_type,
          AS intercept,
        round(regr_r2(value, epoch_us(ts) / 3.6e9), 6) AS r2,
        CAST(regr_count(value, epoch_us(ts) / 3.6e9) AS BIGINT) AS n
-FROM events WHERE {finite_or_null_sql("value")} GROUP BY event_type
+FROM events WHERE {stat_ok_sql("value")} GROUP BY event_type
 """,
     "basket_pairs": """
 WITH items AS (
@@ -2073,7 +2075,7 @@ GROUP BY d.obs_day
 """,
     "events_anomaly_mad": f"""
 WITH fme AS (
-  SELECT * FROM events WHERE {finite_or_null_sql("value")}
+  SELECT * FROM events WHERE {stat_ok_sql("value")}
 ), med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
   FROM fme GROUP BY event_type
@@ -2143,7 +2145,7 @@ WHERE rn = 1
 WITH obs AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
          round(avg(value), 4) AS v
-  FROM events WHERE event_type = 'purchase' AND {finite_or_null_sql("value")}
+  FROM events WHERE event_type = 'purchase' AND {stat_ok_sql("value")}
   GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
 ), bounds AS (
   SELECT user_id, min(day) AS dmin, max(day) AS dmax

@@ -360,6 +360,10 @@ def _window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(({num}) / ({den}), 6) AS ewma
         FROM v_events
         WHERE user_id % 10 = 3
+          -- double-moment domain bound (r12 finite-huge arm): the
+          -- weighted recurrence ulp-diverges once a term dwarfs the
+          -- 6dp rounding grain; same portable spelling as the oracle
+          AND (value IS NULL OR (NOT isnan(value) AND abs(value) < 9e14))
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """)
 
@@ -545,5 +549,6 @@ SELECT user_id, event_id, value,
        round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
 FROM events
 WHERE user_id % 10 = 3
+  AND (value IS NULL OR (NOT isnan(value) AND abs(value) < 9e14))
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """

@@ -217,6 +217,16 @@ AXES = {
     # isnan/abs!=Infinity SQL spelling in the shared TPC-H strings):
     # corrupt measures are excluded like NULLs on BOTH engines, NULL
     # semantics untouched.  NO exceptions on this axis either.
+    # the fourth arm (key % 37 == 3 -> finite 9.5e18) pins the r12
+    # review class: a FINITE value past DECIMAL(18,2)/cents capacity
+    # is a job-killing cast overflow unless every money path guards
+    # with money_ok, where the inf/NaN arms alone never reach the
+    # cast.  Its seeding run also caught six double-moment stat
+    # queries (ab_test, agg_corr, events_anomaly_mad, gap_fill_interp,
+    # regr_by_group, window_ewma) whose means/variances ulp-diverge
+    # between engines once a term dwarfs the rounding grain — closed
+    # with the shared stat_ok domain bound (exact.py STAT_ABS_MAX,
+    # the seasonal_envelope 9e14 precedent)
     "extreme_doubles": (lambda df, t: df.select(
         *[F.when(F.pmod(F.col(TABLE_KEYS[t][0]), F.lit(37)) == 0,
                  F.lit(float("inf")))
@@ -224,6 +234,8 @@ AXES = {
                  F.lit(float("-inf")))
            .when(F.pmod(F.col(TABLE_KEYS[t][0]), F.lit(37)) == 2,
                  F.lit(float("nan")))
+           .when(F.pmod(F.col(TABLE_KEYS[t][0]), F.lit(37)) == 3,
+                 F.lit(9.5e18))
            .otherwise(F.col(c)).alias(c)
           if df.schema[c].dataType.simpleString() == "double"
           and c not in TABLE_KEYS[t]
