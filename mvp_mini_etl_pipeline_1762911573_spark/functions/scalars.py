@@ -250,7 +250,10 @@ def duck_json_lead(col: str) -> str:
     sweeps): from_json / get_json_object / try_parse_json all parse a
     LEADING JSON document and ignore trailing garbage, but NULL on
     leading garbage — DuckDB's json_* functions are strict and ERROR
-    on either.  This expression yields the leading OBJECT document
+    on either.  The skip class before a prefix document is the full
+    JSON whitespace set [ \\t\\r\\n] (r13 advice item: Spark's
+    Jackson readers accept tab/CR/LF before a document, not just
+    ASCII space — RFC 8259 ws).  This expression yields the leading OBJECT document
     when one exists (valid whole-string object, or a flat `{...}`
     prefix — the repo's props payloads are never nested) and NULL
     otherwise.  The json_type = 'OBJECT' conjunct (r12 review): a
@@ -266,7 +269,7 @@ def duck_json_lead(col: str) -> str:
             f"AND json_type(TRY_CAST({col} AS JSON)) = 'OBJECT' "
             f"THEN {col} "
             f"ELSE nullif(regexp_extract({col}, "
-            f"'^[ ]*(\\{{[^{{}}]*\\}})', 1), '') END)")
+            f"'^[ \\t\\r\\n]*(\\{{[^{{}}]*\\}})', 1), '') END)")
 
 
 ORACLES = {

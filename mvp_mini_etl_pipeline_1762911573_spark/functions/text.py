@@ -1231,7 +1231,11 @@ def _lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
     uc = toks.groupBy("tok").agg(F.count("*").alias("freq"))
     total = uc.agg(F.sum("freq").alias("total"))
-    dec = "decimal(19,0)"  # long*long -> decimal(38,0): exact
+    # Each operand is cast to DECIMAL(19,0) (exact for any BIGINT);
+    # Spark then widens each 19,0 × 19,0 PRODUCT to DECIMAL(38,0),
+    # which is what keeps the long×long products exact (r12 verdict:
+    # the alias itself is 19,0 — only the products are 38,0).
+    dec = "decimal(19,0)"
     num = ((F.col("c2") * JM_LAMBDA_NUM).cast(dec)
            * F.col("total").cast(dec)
            + (F.col("freq") * (JM_LAMBDA_DEN - JM_LAMBDA_NUM)).cast(dec)
@@ -1400,7 +1404,9 @@ def _collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cw1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
     cw2 = pairs.groupBy("w2").agg(F.count("*").alias("c2"))
     n_total = pairs.agg(F.count("*").alias("n_bigrams"))
-    dec = "decimal(19,0)"  # long*long -> decimal(38,0): exact, no overflow
+    # operands cast to DECIMAL(19,0); each 19,0 × 19,0 product widens
+    # to DECIMAL(38,0), so the long×long products are exact
+    dec = "decimal(19,0)"
     num = (F.col("c12").cast(dec)
            * F.col("n_bigrams").cast(dec)).cast("double")
     den = (F.col("c1").cast(dec)

@@ -2004,7 +2004,12 @@ def _degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     a flat or bumpy degree histogram means template farms or a broken
     embedding space, and a missing tail means the similarity threshold
     is too tight — all visible in (alpha, r2) before any dedup policy
-    runs.
+    runs.  SIGN CONVENTION (r13 advice item): the emitted `alpha`
+    column is the RAW log-log OLS slope, exactly like `zipf_fit`'s
+    `slope` — i.e. ≈ −α of the law above, NEGATIVE for a healthy
+    heavy tail (alpha ≈ −1 … −3).  Kept raw rather than negated so
+    the three corpus-law readouts (zipf/heaps/degree) share one
+    convention: read the magnitude as the exponent.
 
     Exactness: degrees and histogram counts are exact BIGINTs; the fit
     is the shared `_loglog_ols_fit` (ONE copy of the exact

@@ -85,9 +85,11 @@ WITH ps AS (
     -- unit-cost capacity bound (r12 review follow-through): price
     -- and quantity being individually sane does not bound their
     -- RATIO (a 1e-10 quantity makes a 1e26 unit cost, overflowing
-    -- the DECIMAL(18,4) quantization); the compare is one IEEE
-    -- division with identical operands on both engines
-    AND l_extendedprice / l_quantity < 1e13
+    -- the DECIMAL(18,4) quantization); abs() because a finite
+    -- NEGATIVE price over a tiny quantity overflows the cast just
+    -- as hard on the negative side (r13 advice item).  The compare
+    -- is one IEEE division with identical operands on both engines.
+    AND abs(l_extendedprice / l_quantity) < 1e13
   GROUP BY l_partkey, l_suppkey
 )
 """

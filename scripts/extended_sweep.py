@@ -226,9 +226,13 @@ def _w_rel(spark, d, seed):
     _write(spark, d, "nation",
            [(i, f"NATION{i:02d}", i % 5) for i in range(25)],
            "n_nationkey int, n_name string, n_regionkey int", parts=1)
-    # dq_check audits events.value_finite (r12) — ship the hostile
-    # events corpus alongside the relational tables
-    _write(spark, d, "events", td._gen_events(seed), EVENT_SCHEMA)
+    # dq_check audits events.value_finite (r12) — ship the HOSTILE
+    # events corpus alongside the relational tables so the counter's
+    # non-zero path is exercised here too (r13 advice item: this
+    # line previously wrote the all-finite corpus, leaving the new
+    # check at 0 in the relational sweep)
+    _write(spark, d, "events", td._gen_events_hostile(seed),
+           EVENT_SCHEMA)
     return ["orders", "customer", "nation", "events"]
 
 

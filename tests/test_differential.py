@@ -722,9 +722,12 @@ def diff_rel_dirs(spark, tmp_path_factory):
             "n_nationkey int, n_name string, n_regionkey int"
         ).coalesce(1).write.parquet(f"{d}/nation.parquet")
         # dq_check audits events.value_finite (r12) — give it the
-        # hostile events corpus too
+        # hostile events corpus so the finite-violation counter's
+        # non-zero path is exercised in the relational family too
+        # (r13 advice item: this previously wrote the all-finite
+        # corpus despite the comment)
         spark.createDataFrame(
-            _gen_events(seed),
+            _gen_events_hostile(seed),
             "event_id long, ts timestamp_ntz, user_id long, "
             "event_type string, value double, props string"
         ).coalesce(2).write.parquet(f"{d}/events.parquet")

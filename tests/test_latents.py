@@ -635,3 +635,56 @@ def test_events_rate_limit_is_linear_on_a_hot_user(spark, tmp_path):
     # for every one of them) — flagged iff 5 > RATE_LIMIT_N
     u2 = [r.n_in_window for r in out if r.user_id == 2]
     assert u2 == ([5] * 5 if 5 > RATE_LIMIT_N else [])
+
+
+def test_ps_unit_cost_guard_bounds_negative_ratios(spark, tmp_path):
+    """Latent (r13 advice, medium): the _PS_CTE unit-cost capacity
+    guard was ONE-SIDED (`ratio < 1e13`) — a finite NEGATIVE price
+    (passes money_ok) over a tiny positive quantity gives a hugely
+    negative ratio that sailed through the filter, and the
+    floor(ratio*1e4+0.5) DECIMAL(18,4) cast then overflowed: DuckDB
+    raises ConversionException, Spark NULLs/throws.  The guard is now
+    `abs(ratio) < 1e13`; this probe ships exactly that row (price
+    -9e13 over qty 1e-4 → ratio -9e17) beside in-domain rows and
+    asserts the CTE output matches cross-engine — with the old guard
+    the oracle side of this compare RAISES."""
+    import duckdb
+
+    from mvp_mini_etl_pipeline_1762911573_spark.operators.tpch import (
+        _PS_CTE,
+    )
+    from tests.oracle_utils import compare
+
+    rows = [
+        # (okey, pkey, skey, lineno, qty, price)
+        (1, 1, 1, 1, 10.0, 250.0),          # in-domain
+        (2, 1, 1, 2, 4.0, 100.0),           # in-domain, same (p,s)
+        (3, 2, 1, 1, 0.0001, -9e13),        # ratio -9e17: must drop
+        (4, 2, 1, 2, 0.0001, 9e13),         # ratio +9e17: must drop
+        (5, 3, 2, 1, 2.0, -50.0),           # sane negative: kept
+    ]
+    spark.createDataFrame(
+        [(o, p, s, ln, q, pr, 0.0, 0.0, "N", "O") for
+         (o, p, s, ln, q, pr) in rows],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string",
+    ).withColumn("l_shipdate",
+                 F.to_timestamp(F.lit("1995-06-01 00:00:00"))
+                 .cast("timestamp_ntz")) \
+     .coalesce(1).write.parquet(f"{tmp_path}/lineitem.parquet")
+    sql = _PS_CTE + (
+        "SELECT ps_partkey, ps_suppkey, "
+        "CAST(ps_unit_cost AS DOUBLE) AS ps_unit_cost, "
+        "ps_qty FROM ps ORDER BY ps_partkey, ps_suppkey")
+    spark.read.parquet(f"{tmp_path}/lineitem.parquet") \
+         .createOrReplaceTempView("lineitem")
+    con = _duck_with_views(str(tmp_path), ["lineitem"])
+    compare(spark.sql(sql), con, sql, "ps-cte@negative-ratio")
+    # the hostile (p=2, s=1) group must be absent entirely (both its
+    # rows are out of capacity), and the sane negative survives
+    got = {(r.ps_partkey, r.ps_suppkey): float(r.ps_unit_cost)
+           for r in spark.sql(sql).collect()}
+    assert (2, 1) not in got
+    assert got[(3, 2)] == -25.0
