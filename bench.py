@@ -105,6 +105,7 @@ HEADLINE = [
     "degree_powerlaw",      # round 12: similarity-graph degree law
     "dup_rate_by_source",   # round 12: per-source dup-rate rollup
     "length_percentiles",   # round 12: per-source length order stats
+    "dup_cluster_sizes",    # round 13: CC cluster-size tail histogram
 ]
 
 #: the cross-machine timing anchors (ADVICE/verdict r7: two rounds in a

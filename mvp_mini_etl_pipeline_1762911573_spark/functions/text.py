@@ -1717,8 +1717,14 @@ def _mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source", "n_docs", "avail_tokens", "weight",
             target.alias("target_tokens"),
-            F.round(F.least(F.lit(1.0),
-                            target / F.col("avail_tokens")), 4)
+            # r13 empty-keys sweep: a source whose every doc is
+            # tokenless has avail_tokens = 0 — target/avail is an
+            # ANSI DIVIDE_BY_ZERO crash on Spark and NULL on DuckDB;
+            # the fraction is undefined, so both engines emit NULL
+            # (oversubscribed still flags it when target > 0)
+            F.when(F.col("avail_tokens") > 0,
+                   F.round(F.least(F.lit(1.0),
+                                   target / F.col("avail_tokens")), 4))
              .alias("sample_frac"),
             (target > F.col("avail_tokens")).alias("oversubscribed"),
         )
@@ -2054,9 +2060,16 @@ def _text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_term[1:]:
         total = total + p
     scored = part.groupBy("doc_id").agg(F.round(total, 4).alias("bm25"))
+    # limit FIRST (TakeOrderedAndProject: per-partition heap + driver
+    # 20-row merge), THEN rank the bounded frame — the previous
+    # rank-then-filter form ranked every matching doc through one
+    # partition (r13 WindowExec audit; InferWindowGroupLimit did not
+    # fire on the empty-partition spec).  (bm25, doc_id) is a total
+    # order, so limit-then-rank is value-identical.
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()) \
+                .limit(20)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (scored.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 20))
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 RRF_K = 60           # the standard reciprocal-rank-fusion constant
@@ -2535,7 +2548,13 @@ def _mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "avail_tokens",
                 F.round(share, 6).alias("nat_share"),
                 F.round(weight, 6).alias("temp_weight"),
-                F.round(weight / share, 4).alias("resample_factor"))
+                # r13 empty-keys sweep: avail_tokens = 0 makes share 0
+                # (weight/share an ANSI crash vs DuckDB NULL) — the
+                # resample factor of an empty source is undefined on
+                # both engines
+                F.when(F.col("avail_tokens") > 0,
+                       F.round(weight / share, 4))
+                 .alias("resample_factor"))
         .orderBy("source")
     )
 
@@ -2831,8 +2850,9 @@ WITH per_src AS (
 SELECT source, n_docs, avail_tokens,
        round(avail_tokens / CAST(tok_total AS DOUBLE), 6) AS nat_share,
        round(w_raw / w_sum, 6) AS temp_weight,
-       round((w_raw / w_sum)
-             / (avail_tokens / CAST(tok_total AS DOUBLE)), 4)
+       CASE WHEN avail_tokens = 0 THEN NULL ELSE
+         round((w_raw / w_sum)
+               / (avail_tokens / CAST(tok_total AS DOUBLE)), 4) END
          AS resample_factor
 FROM w, totals
 """,
@@ -3298,9 +3318,10 @@ WITH per_src AS (
 SELECT source, n_docs, avail_tokens, weight,
        CAST(floor(corpus_tokens * {MIX_BUDGET_FRAC} * weight / w_sum
                   + 0.5) AS BIGINT) AS target_tokens,
-       round(least(1.0,
-         floor(corpus_tokens * {MIX_BUDGET_FRAC} * weight / w_sum + 0.5)
-         / avail_tokens), 4) AS sample_frac,
+       CASE WHEN avail_tokens = 0 THEN NULL ELSE
+         round(least(1.0,
+           floor(corpus_tokens * {MIX_BUDGET_FRAC} * weight / w_sum + 0.5)
+           / avail_tokens), 4) END AS sample_frac,
        floor(corpus_tokens * {MIX_BUDGET_FRAC} * weight / w_sum + 0.5)
          > avail_tokens AS oversubscribed
 FROM per_src, totals

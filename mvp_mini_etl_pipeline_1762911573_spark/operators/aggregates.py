@@ -141,32 +141,109 @@ def _agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT: bivariate statistics battery — Pearson correlation and
+    """EXT: bivariate statistics battery — Pearson correlation,
     sample/population covariance of quantity vs extended price per
-    return flag, plus the univariate stddev.  Single-pass mergeable
-    co-moments (the same partial-aggregation shape as sum/avg: each
-    partition keeps (n, Σx, Σy, Σxy…) and merges — constant memory at
-    100 TB).  Covariance is rounded to integer dollars: its co-moment
-    sums run ~1e9 per term, where double summation noise reaches
-    ~1e-2 absolute — 0dp absorbs it on both engines; corr is
-    scale-free and stddev error is ~1e-7, so 6/4dp are safe."""
+    return flag, plus the univariate quantity stddev.  Single-pass
+    mergeable co-moments: each partition keeps (n, Sx, Sy, Sxy, Sxx,
+    Syy) and merges — constant memory at 100 TB.
+
+    Exactness (r13 max-cardinality rewrite): both measures quantize to
+    integer CENTS (floor(v*100 + 0.5) — exact recovery of the 2dp
+    measure grid, the fleet money contract) and all six co-moment sums
+    accumulate in DECIMAL(38,0)/HUGEINT — order-free, so results
+    cannot depend on partial-aggregation order or file layout.  The
+    covariances are EXACT half-up integer ratios (round4_ratio_dec at
+    4dp; the r13 sweep caught a 2-row group whose covar_pop landed
+    EXACTLY on a .5 and the engines' double round() legitimately
+    disagreed — the agg_stats many-files class, closed the same way).
+    corr and stddev pass through sqrt (irrational for any
+    non-degenerate group), computed from DOUBLE casts of the SAME
+    exact integers — identical IEEE operands on both engines, then
+    round(6)/round(4).
+
+    The r13 sweep also caught a crash: Spark's corr() aggregate
+    RAISES ANSI DIVIDE_BY_ZERO on a zero-variance group with n >= 2
+    (DuckDB returns NULL; covar/stddev carry proper guards, corr does
+    not) — one constant-valued group would kill the whole job at any
+    scale.  The closed-form corr here guards variance > 0 explicitly
+    and NULLs degenerate groups on both engines.
+
+    NULL semantics match the engine aggregates they replace: the
+    pairwise stats sum only rows where BOTH measures are non-NULL
+    (corr/covar pair-skip), the quantity stddev sums rows where
+    quantity alone is non-NULL, and n = count(*) counts every
+    surviving row.
+
+    Bounded-domain contract (the agg_moments discipline): |measure| <
+    1e7 on top of stat_ok, so cents <= 1e9, each Sxy term <= 1e18,
+    and the covar numerator n*Sxy - Sx*Sy <= n^2 * 1e18 stays inside
+    DECIMAL(38,0)/HUGEINT to ~3e9 rows per group; past that, requantize
+    to dollars (the agg_moments dial) — same downstream shape."""
     # r11 extreme-doubles sweep: inf/NaN poison the co-moment sums
     # (DuckDB refuses, Spark emits garbage); corrupt measures are
-    # excluded like the rest of the stat family
+    # excluded like the rest of the stat family, and the r13 capacity
+    # bound excludes finite-but-huge measures the cents cast cannot
+    # hold (NULLs still pass — they carry the pair-skip semantics)
+    rep_bound = 1e7
     li = load(spark, sf_dir, "lineitem").where(
-        stat_ok("l_quantity")
-        & stat_ok("l_extendedprice"))
+        stat_ok("l_quantity") & stat_ok("l_extendedprice")
+        & (F.col("l_quantity").isNull()
+           | (F.abs("l_quantity") < rep_bound))
+        & (F.col("l_extendedprice").isNull()
+           | (F.abs("l_extendedprice") < rep_bound)))
+    dec = "decimal(38,0)"
+    qc = F.floor(F.col("l_quantity") * 100 + 0.5)
+    pc = F.floor(F.col("l_extendedprice") * 100 + 0.5)
+    both = F.col("l_quantity").isNotNull() \
+        & F.col("l_extendedprice").isNotNull()
+    qok = F.col("l_quantity").isNotNull()
+    base = li.select(
+        "l_returnflag",
+        F.when(both, qc).cast("long").alias("xq"),
+        F.when(both, pc).cast("long").alias("yp"),
+        F.when(qok, qc).cast("long").alias("q"))
+    sums = base.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.count("xq").alias("np"),
+        F.sum(F.col("xq").cast(dec)).alias("sx"),
+        F.sum(F.col("yp").cast(dec)).alias("sy"),
+        F.sum(F.col("xq").cast(dec) * F.col("yp")).alias("sxy"),
+        F.sum(F.col("xq").cast(dec) * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yp").cast(dec) * F.col("yp")).alias("syy"),
+        F.count("q").alias("nq"),
+        F.sum(F.col("q").cast(dec)).alias("sq"),
+        F.sum(F.col("q").cast(dec) * F.col("q")).alias("sqq"))
+    npd = F.col("np").cast(dec)
+    cv = npd * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = npd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = npd * F.col("syy") - F.col("sy") * F.col("sy")
+    nqd = F.col("nq").cast(dec)
+    vq = nqd * F.col("sqq") - F.col("sq") * F.col("sq")
+    # corr = cv / sqrt(vx*vy): scale factors cancel, so the exact
+    # integers go straight in; sqrt/division over identical IEEE
+    # operands on both engines
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        cv.cast("double")
+        / F.sqrt(vx.cast("double") * vy.cast("double")))
+    # covar_samp = cv / (np*(np-1)*1e4), covar_pop = cv / (np^2*1e4)
+    # (1e4 converts cents^2 back to measure units); exact 4dp half-up
+    # ratios — NULL when np < 2 / np < 1, matching the engine aggs
+    stddev = F.when(
+        F.col("nq") >= 2,
+        F.sqrt(vq.cast("double")
+               / (F.col("nq").cast("double")
+                  * (F.col("nq") - 1).cast("double"))) / 100.0)
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6)
-             .alias("qty_price_corr"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 0)
-             .alias("qty_price_covar"),
-            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 0)
-             .alias("qty_price_covar_pop"),
-            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
-            F.count("*").alias("n"),
+        sums.select(
+            "l_returnflag",
+            F.round(corr, 6).alias("qty_price_corr"),
+            round4_ratio_dec(cv, npd * (F.col("np") - 1).cast(dec)
+                             * 10000).alias("qty_price_covar"),
+            round4_ratio_dec(cv, npd * npd * 10000)
+            .alias("qty_price_covar_pop"),
+            F.round(stddev, 4).alias("qty_stddev"),
+            "n",
         )
     )
 
@@ -541,19 +618,60 @@ SELECT user_id, day_mask,
          AS span_density
 FROM m
 """,
+    # exact HUGEINT co-moments over integer cents — the r13 rewrite
+    # (see _agg_corr): covariances as exact 4dp half-up ratios; corr
+    # and stddev through sqrt over identical IEEE operands
     "agg_corr": f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CASE WHEN l_quantity IS NOT NULL
+               AND l_extendedprice IS NOT NULL
+              THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) END
+           AS xq,
+         CASE WHEN l_quantity IS NOT NULL
+               AND l_extendedprice IS NOT NULL
+              THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           END AS yp,
+         CASE WHEN l_quantity IS NOT NULL
+              THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) END
+           AS q
+  FROM lineitem
+  WHERE {stat_ok_sql("l_quantity")}
+    AND {stat_ok_sql("l_extendedprice")}
+    AND (l_quantity IS NULL OR abs(l_quantity) < 1e7)
+    AND (l_extendedprice IS NULL OR abs(l_extendedprice) < 1e7)
+), sums AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(xq) AS HUGEINT) AS np,
+         coalesce(sum(CAST(xq AS HUGEINT)), 0) AS sx,
+         coalesce(sum(CAST(yp AS HUGEINT)), 0) AS sy,
+         coalesce(sum(CAST(xq AS HUGEINT) * yp), 0) AS sxy,
+         coalesce(sum(CAST(xq AS HUGEINT) * xq), 0) AS sxx,
+         coalesce(sum(CAST(yp AS HUGEINT) * yp), 0) AS syy,
+         CAST(count(q) AS HUGEINT) AS nq,
+         coalesce(sum(CAST(q AS HUGEINT)), 0) AS sq,
+         coalesce(sum(CAST(q AS HUGEINT) * q), 0) AS sqq
+  FROM base GROUP BY l_returnflag
+)
 SELECT l_returnflag,
-       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-       round(covar_samp(l_quantity, l_extendedprice), 0)
+       CASE WHEN np * sxx - sx * sx > 0 AND np * syy - sy * sy > 0
+            THEN round(CAST(np * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                              * CAST(np * syy - sy * sy AS DOUBLE)), 6)
+         END AS qty_price_corr,
+       {round4_ratio_dec_sql("np * sxy - sx * sy",
+                             "np * (np - 1) * 10000")}
          AS qty_price_covar,
-       round(covar_pop(l_quantity, l_extendedprice), 0)
+       {round4_ratio_dec_sql("np * sxy - sx * sy", "np * np * 10000")}
          AS qty_price_covar_pop,
-       round(stddev_samp(l_quantity), 4) AS qty_stddev,
-       CAST(count(*) AS BIGINT) AS n
-FROM lineitem
-WHERE {stat_ok_sql("l_quantity")}
-  AND {stat_ok_sql("l_extendedprice")}
-GROUP BY l_returnflag
+       CASE WHEN nq >= 2
+            THEN round(sqrt(CAST(nq * sqq - sq * sq AS DOUBLE)
+                            / (CAST(nq AS DOUBLE)
+                               * CAST(nq - 1 AS DOUBLE))) / 100.0, 4)
+         END AS qty_stddev,
+       n
+FROM sums
 """,
     "agg_histogram": f"""
 WITH fo AS (

@@ -2098,6 +2098,62 @@ def _dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source"))
 
 
+def _dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT D62 (r13 debut): duplicate-cluster SIZE histogram + tail
+    stats off `dedup_clusters`' connected components — the dedup
+    SIZING readout a pipeline owner consults before running the
+    policy: how much would transitive dedup remove, and is the
+    removal mass spread across many small pairs (healthy crawl) or
+    concentrated in a few giant clusters (a template farm / mirror
+    run that one upstream fix would kill)?  Per size: how many
+    clusters, how many docs they hold, how many docs a keep-one
+    policy removes, the cumulative removed count from the LARGEST
+    size down (the tail-concentration curve), and each size's exact
+    share of total removals.
+
+    Exactness: every count is an exact BIGINT off the CC labels;
+    `removed_share` is the shared exact-int half-up ratio
+    (round4_ratio) — no doubles form before the final /1e4.
+    Degenerate contract: an empty edge set yields zero rows;
+    cluster_size is the (unique) histogram key, so the cumulative
+    frame is tie-free and RANGE/ROWS framing coincide on both
+    engines.
+
+    100 TB shape: reuses `_dedup_clusters` (cell-bounded edges +
+    checkpointed min-label fixpoint — see its docstring for the
+    large-star switch at scale); this readout adds one distinct on
+    (cluster_id, size) — cardinality = #clusters, already a tiny
+    fraction of the corpus — then a hash-agg to #distinct-sizes rows.
+    The two windows run over THAT bounded histogram (≤ max cluster
+    size rows, a model-sized frame — the seasonal_envelope idiom), so
+    their single partition is by construction, not by accident; both
+    are in tests/test_plans.py's WindowExec allow-list."""
+    from pyspark.sql import Window
+
+    clusters = _dedup_clusters(spark, sf_dir)
+    hist = (clusters.select("cluster_id", "cluster_size").distinct()
+            .groupBy("cluster_size")
+            .agg(F.count("*").cast("long").alias("n_clusters")))
+    w_top = (Window.orderBy(F.col("cluster_size").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy()
+    n_removed = ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+    return (
+        hist.select(
+            "cluster_size", "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long")
+            .alias("n_docs"),
+            n_removed.cast("long").alias("n_removed"))
+        .select(
+            "cluster_size", "n_clusters", "n_docs", "n_removed",
+            F.sum("n_removed").over(w_top).cast("long")
+            .alias("removed_cum_top"),
+            round4_ratio(F.col("n_removed"),
+                         F.sum("n_removed").over(w_all))
+            .alias("removed_share"))
+        .orderBy("cluster_size"))
+
+
 QUERIES = {
     "graph_pagerank": _graph_pagerank,
     "graph_bfs": _graph_bfs,
@@ -2129,6 +2185,7 @@ QUERIES = {
     "crawl_frontier": _crawl_frontier,
     "degree_powerlaw": _degree_powerlaw,
     "dup_rate_by_source": _dup_rate_by_source,
+    "dup_cluster_sizes": _dup_cluster_sizes,
 }
 
 ORACLES = {
@@ -2442,6 +2499,32 @@ SELECT cluster_id,
          AS chars_dropped
 FROM members
 GROUP BY cluster_id
+"""
+
+# cluster-size histogram + tail stats: wraps the cluster oracle (one
+# source of truth for the transitive-closure semantics), reduces to
+# one row per cluster then per size; cumulative frame is tie-free
+# (cluster_size is the unique key) so the default RANGE frame matches
+# Spark's explicit ROWS frame
+ORACLES["dup_cluster_sizes"] = f"""
+WITH clusters AS ({ORACLES["dedup_clusters"]}),
+per_cluster AS (
+  SELECT DISTINCT cluster_id, cluster_size FROM clusters
+),
+hist AS (
+  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+         CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removed
+  FROM per_cluster GROUP BY cluster_size
+)
+SELECT cluster_size, n_clusters, n_docs, n_removed,
+       CAST(sum(n_removed) OVER (ORDER BY cluster_size DESC)
+            AS BIGINT) AS removed_cum_top,
+       {round4_ratio_sql("n_removed",
+                         "CAST(sum(n_removed) OVER () AS BIGINT)")}
+         AS removed_share
+FROM hist
+ORDER BY cluster_size
 """
 
 # wraps the decontaminate oracle verbatim (one source of truth for the

@@ -42,22 +42,30 @@ def _limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5: general multi-column ORDER BY with nulls-last — global
-    range-partitioned sort.  Output must carry its own order proof for
-    the order-insensitive hash gate, so rank is materialized."""
+    """L5: general multi-column ORDER BY with nulls-last.  Output must
+    carry its own order proof for the order-insensitive hash gate, so
+    rank is materialized.
+
+    100 TB shape (r13 WindowExec audit): the LIMIT runs FIRST —
+    orderBy+limit plans as TakeOrderedAndProject (per-partition heap +
+    driver K-merge, never a global sort) — and the row_number window
+    ranks the ≤500 surviving rows.  The previous form ranked the WHOLE
+    table through one partition and only then filtered pos <= 500
+    (InferWindowGroupLimit did not fire on the empty-partition spec);
+    the sort keys form a total order (custkey tie-break), so limit-
+    then-rank is value-identical.  The remaining single-partition
+    window is over the bounded result frame — allow-listed in
+    tests/test_plans.py."""
     users = users_clean(spark, sf_dir)
-    ordered = users.orderBy(
-        F.col("country").asc_nulls_last(),
-        F.col("acctbal").desc(),
-        F.col("custkey").asc(),
-    )
+    order_cols = [F.col("country").asc_nulls_last(),
+                  F.col("acctbal").desc(), F.col("custkey").asc()]
+    top = users.orderBy(*order_cols).limit(500)
     from pyspark.sql import Window
-    w = Window.orderBy(F.col("country").asc_nulls_last(),
-                       F.col("acctbal").desc(), F.col("custkey").asc())
-    return ordered.select(
+    w = Window.orderBy(*order_cols)
+    return top.select(
         F.row_number().over(w).alias("pos"),
         "custkey", "country", "acctbal",
-    ).where(F.col("pos") <= 500)
+    )
 
 
 QUERIES = {

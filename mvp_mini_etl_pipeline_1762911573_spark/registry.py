@@ -16,22 +16,25 @@ module silently pushes a later debut query out of the window),
 of the registry, in order.  Everything else follows in module order.
 Rotating coverage for a new round = editing one list.
 
-Round-12 window (current): the 4 r12 debuts FIRST (lm_interp,
-degree_powerlaw, dup_rate_by_source, length_percentiles — the
-verdict-suggested SURVEY §7 candidate set, inside the <=5 debut
-budget the r8 verdict set to protect freshness), then the ENTIRE
-remaining 46-query round-7-stale tier (5 rounds without a fresh row —
-the staleness ceiling enforced by
-test_window_rotation_bounds_max_staleness).  No rows-only ride-alongs
-this round (they rode in r11; next ~r16).  Outside a ride-along
-round, rows-only queries stay excluded from the window — the driver
-records only `err: no_oracle` plus a row count for them (r7's lesson;
-enforced by test_window_contains_only_oracle_checked_queries, and
-skipped by rotation_report.py's candidate list since r9).
+Round-13 window (current): the ONE r13 debut FIRST (dup_cluster_sizes
+— the r12 verdict capped this round's debut budget at <=1 because the
+r8-stale tier is 49 queries: 1 + 49 = exactly one 50-slot window),
+then the ENTIRE 49-query round-8-stale tier (5 rounds without a fresh
+row — the staleness ceiling enforced by
+test_window_rotation_bounds_max_staleness).  The other three SURVEY
+§7 r13 candidates (ttr_by_source, source_length_drift, burst_overlap)
+are deliberately HELD for r14 per the verdict's slack arithmetic.
+No rows-only ride-alongs this round (they rode in r11; next ~r16).
+Outside a ride-along round, rows-only queries stay excluded from the
+window — the driver records only `err: no_oracle` plus a row count
+for them (r7's lesson; enforced by
+test_window_contains_only_oracle_checked_queries, and skipped by
+rotation_report.py's candidate list since r9).
 
-ROTATION NOTE (round 12 → 13): the r8-stale tier is next (the window
-is now on a clean ~5-round cycle); put any round-12 debuts FIRST,
-keep ROWS_ONLY_RIDE_ALONG empty until ~r16, then fill
+ROTATION NOTE (round 13 → 14): the r9-stale tier is next (ab_test
+leads it); put any round-13 debuts FIRST, budget the r14 debuts
+against the tier size per rotation_report.py, keep
+ROWS_ONLY_RIDE_ALONG empty until ~r16, then fill
 from `python scripts/rotation_report.py` (it derives each query's
 latest official row from CORRECTNESS_r*.json and prints the
 stalest-first candidate list sized to the window; rounds 2, 3 AND 6
@@ -76,30 +79,29 @@ WINDOW_SIZE = 50
 ROWS_ONLY_RIDE_ALONG: list[str] = []
 
 WINDOW_PRIORITY: list[str] = [
-    # ROUND-12 WINDOW (rotation_report.py's r12 plan + the r11 verdict
-    # item 1: the ENTIRE remaining 46-query round-7-stale tier rotates
-    # as one beat).  4 debuts first, then the 46 r7-stale greens
-    # (rotation_report slots 1-46).  4 + 46 = 50: exactly full; no
-    # rows-only ride-alongs this round (they rode in r11).
-    # -- r12 debuts (SURVEY §7 candidates, <=4 budget) -------------------
-    "lm_interp", "degree_powerlaw", "dup_rate_by_source",
-    "length_percentiles",
-    # -- the entire 46-query round-7-stale tier (5 rounds without a
+    # ROUND-13 WINDOW (rotation_report.py's r13 plan + the r12 verdict
+    # item 1: the ENTIRE 49-query round-8-stale tier rotates as one
+    # beat, which caps the debut budget at ONE).  1 debut first, then
+    # the 49 r8-stale greens (rotation_report slots 1-49).  1 + 49 =
+    # 50: exactly full; no rows-only ride-alongs (they rode in r11;
+    # next ~r16).
+    # -- r13 debut (SURVEY §7 candidate, <=1 budget per r12 verdict) ----
+    "dup_cluster_sizes",
+    # -- the entire 49-query round-8-stale tier (5 rounds without a
     # fresh row — the staleness ceiling; rotation_report order) --------
-    "agg_percentiles", "attribution_linear", "bootstrap_ci", "cms_topk",
-    "collapse_repeats", "collocation_pmi", "corpus_curate",
-    "dedup_clusters", "dedup_containment", "dedup_embedding",
-    "doc_fingerprint", "drift_psi", "embedding_quantize",
-    "etl_fallback_log", "etl_fallback_metrics", "events_rate_limit",
-    "gopher_rules", "importance_sample", "join_prefix_filter",
-    "join_salted", "kaplan_meier", "kmeans_step", "lang_confusion",
-    "lang_id", "mann_whitney", "merge_upsert", "multimodal_frames",
-    "multimodal_schema", "mutual_info", "ngram_novelty",
-    "pca_power_iter", "pivot_events", "quality_audit",
-    "quantile_normalize", "rank_fusion", "raw_modal",
-    "sample_cap_per_group", "sample_hash", "scalar_case", "scalar_date",
-    "scalar_json", "scalar_map_json", "scalar_map_ops",
-    "seasonal_envelope", "substring_dedup", "winsorize",
+    "agg_corr", "agg_histogram", "agg_hll_sketch", "agg_moments",
+    "asof_forward", "bpe_pair_stats", "calibration_bins", "coalesce_id",
+    "decontaminate", "decontaminate_filter", "dedup_clusters_star",
+    "dedup_keep_best", "doc_chunk", "events_anomaly_mad",
+    "events_zscore", "js_divergence", "logit_step", "minhash_lsh_join",
+    "naive_bayes_train", "roc_auc", "sample_stratified",
+    "scalar_string", "scalar_url", "scalar_variant", "similarity_ivf",
+    "source_overlap", "spearman_corr", "sql_q13", "sql_q18", "sql_q22",
+    "sql_q3", "sql_q4", "sql_q5", "sql_q7", "sql_recursive_cte",
+    "stream_correlate", "stream_enrich", "stream_session",
+    "stream_sliding", "stream_tumbling", "text_quality", "text_stats",
+    "text_tfidf", "token_count", "udaf_mode", "unpivot_metrics",
+    "winnow_fingerprint", "winnow_join", "zipf_fit",
 ]
 
 

@@ -99,6 +99,10 @@ AUDIT = [
     "filter_funnel",      # round-11: one corpus pass, digest window, 1-row agg
     "burst_detect",       # round-11: hourly partial-agg, densified windows
     "dedup_semantic",     # round-11: broadcast centroids, within-cell pairs
+    "lm_interp",          # round-12: bigram/unigram joins, exact mixture
+    "dup_cluster_sizes",  # round-13: CC reuse + bounded histogram windows
+    "sort_multi",         # round-13: TakeOrdered-then-rank (audit fix;
+    #                       text_bm25 got the same fix — in list above)
 ]
 
 

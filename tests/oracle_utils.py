@@ -40,7 +40,13 @@ def normalize(df: pd.DataFrame) -> tuple[pd.DataFrame, dict]:
     kinds = {c: _kind(df[c].dtype) for c in df.columns}
     rows = [tuple(_norm_cell(v) for v in row)
             for row in df.itertuples(index=False, name=None)]
-    rows.sort(key=lambda r: tuple(str(x) if x is not None else "" for x in r))
+    # NULL must sort DISTINCTLY from "" (r13 empty-keys axis: a cube
+    # over a corpus containing real empty strings has NULL-subtotal
+    # and ''-value rows whose old shared sort key "" made the
+    # canonical order ambiguous — identical row SETS failed the
+    # positional compare).  \x00/\x01 prefixes keep the key total.
+    rows.sort(key=lambda r: tuple(
+        "\x00" if x is None else "\x01" + str(x) for x in r))
     return rows, kinds
 
 

@@ -13,6 +13,16 @@ NEGATIVE-KEYS (sign-flipped keyish ids, referentially consistent),
 and MANY-FILES (7 parquet files per table — the partial-aggregation-
 order probe that proved raw double money sums flip cents across file
 layouts and seeded the repo-wide money_sum DECIMAL contract).
+Round 13 added four more (4 raw seeded failures → 3 defects fixed +
+one test-gate fix): MAX-CARDINALITY (every string group size 1 — the
+inverse of hot-key; caught Spark corr()'s ANSI zero-variance crash
+and an exact-.5 covariance rounding tie, both closed by agg_corr's
+exact-cents co-moment rewrite), UNICODE-KEYS (value-keyed prefixes —
+groups/joins run ON unicode keys instead of being split by them),
+EMPTY-KEYS (''/zero-width/whitespace-only values; caught the mix_*
+zero-token-source ANSI divides and the normalize() NULL-vs-'' sort
+ambiguity), and MIXED-SF (facts sf0.01 vs dims sf0.001 — orphan FKs
+and flipped broadcast thresholds; clean).
 
 The r11 all-NULL sweep that seeded the third axis found 39 failures:
 three crash families (NULL embeddings killed the shared IVF centroid
@@ -169,6 +179,74 @@ def _negative_keys_transform(df, t):
     return df.select(*cols)
 
 
+def _max_cardinality_transform(df, t):
+    """Every non-key string value made per-row UNIQUE (append the
+    primary key): every string group is size 1 — the partial-agg →
+    final-agg path where map-side combining reduces NOTHING, the
+    inverse of the hot-key family.  Same-order rows share the
+    lineitem suffix (key col 1 only), so tiny same-key clusters with
+    constant measures also appear — the shape that caught agg_corr."""
+    k = F.col(TABLE_KEYS[t][0]).cast("string")
+    cols = []
+    for c in df.columns:
+        if (df.schema[c].dataType.simpleString() == "string"
+                and c not in TABLE_KEYS[t]):
+            cols.append(F.when(F.col(c).isNotNull(),
+                               F.concat(F.col(c), F.lit("#"), k))
+                        .otherwise(F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def _unicode_keys_transform(df, t):
+    """Adversarial unicode prefixes chosen BY VALUE (crc32 % 5), not
+    by row: equal values stay equal, so groups and joins run ON
+    unicode keys instead of being split by them (the r12 axis keyed
+    its prefixes on the row's primary key, which fragments every
+    group — this axis keeps group/join identity intact)."""
+    cols = []
+    for c in df.columns:
+        if (df.schema[c].dataType.simpleString() == "string"
+                and c not in TABLE_KEYS[t]):
+            m = F.pmod(F.crc32(F.col(c)), F.lit(5))
+            e = F.col(c)
+            for i, sfx in _UNI.items():
+                e = F.when(F.col(c).isNotNull() & (m == i),
+                           F.concat(F.lit(sfx), F.col(c))).otherwise(e)
+            cols.append(e.alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def _empty_keys_transform(df, t):
+    """Zero-width / empty-string / whitespace-only values (key % 11 ∈
+    {0,1,2}) in every non-key string column — the ''-vs-NULL
+    distinction axis (empty crawl fields, trimmed-to-nothing text)."""
+    k = F.pmod(F.col(TABLE_KEYS[t][0]), F.lit(11))
+    cols = []
+    for c in df.columns:
+        if (df.schema[c].dataType.simpleString() == "string"
+                and c not in TABLE_KEYS[t]):
+            e = (F.when(F.col(c).isNotNull() & (k == 0), F.lit(""))
+                  .when(F.col(c).isNotNull() & (k == 1), F.lit("​"))
+                  .when(F.col(c).isNotNull() & (k == 2), F.lit("  "))
+                  .otherwise(F.col(c)))
+            cols.append(e.alias(c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+#: mixed-SF layout: fact tables 10× the dimensions' scale — ~90% of
+#: fact foreign keys are ORPHANS (the broadcast-threshold-flip /
+#: partial-backfill shape; r12 verdict item 3's fourth axis).  Not a
+#: row transform: these tables load from sf0.01 while the rest stay
+#: at sf0.001 (see the fixture's source override).
+MIXED_SF_FACTS = {"orders", "lineitem", "events"}
+
+
 #: axis -> (row transform, names excluded from the equality loop)
 AXES = {
     "empty": (lambda df, t: df.limit(0),
@@ -292,6 +370,26 @@ AXES = {
     # window prefix sums, streaming equivalents, TWAP).  NO
     # exceptions.
     "many_files": (lambda df, t: df.repartition(7), set()),
+    # r13 axes (seeding sweeps found 4 raw failures → 3 distinct
+    # defects fixed, all committed with the axis):
+    # every-group-size-1 strings.  Seeding found agg_corr's
+    # zero-variance-group ANSI corr() crash AND its exact-.5 covar
+    # rounding tie (both closed by the exact-cents co-moment rewrite).
+    "max_cardinality": (_max_cardinality_transform, set()),
+    # unicode group/join KEYS with identity preserved.  Seeding: 0
+    # failures (the r12 value-prefix axis had already hardened the
+    # string surface).
+    "unicode_keys": (_unicode_keys_transform, set()),
+    # ''/zero-width/whitespace-only values.  Seeding found the
+    # mix_sources / mix_temperature ANSI divide-by-zero on a
+    # zero-token source, and a TEST-GATE defect: normalize()'s sort
+    # key mapped NULL and '' to the same key, making the canonical
+    # row order ambiguous the moment a corpus contains real empty
+    # strings (agg_cube false positive).
+    "empty_keys": (_empty_keys_transform, set()),
+    # facts at sf0.01 vs dims at sf0.001 (orphan FKs, broadcast-flip).
+    # Seeding: 0 failures.
+    "mixed_sf": (lambda df, t: df, set()),
 }
 
 
@@ -301,7 +399,10 @@ def degenerate_dirs(spark, tmp_path_factory):
     for axis, (transform, _skip) in AXES.items():
         d = tmp_path_factory.mktemp(f"sf_{axis}")
         for t in TABLE_NAMES:
-            df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            src = ("/root/testdata/sf0.01"
+                   if axis == "mixed_sf" and t in MIXED_SF_FACTS
+                   else "/root/testdata/sf0.001")
+            df = spark.read.parquet(f"{src}/{t}.parquet")
             out_df = transform(df, t)
             if axis != "many_files":  # many_files IS the file layout
                 out_df = out_df.coalesce(1)

@@ -129,9 +129,11 @@ def test_tpch_and_pipeline_goldens(spark):
     assert tuple(totals) == (27939, 500)
     assert sp.count() == 116
 
+    # r13 exact-cents co-moment rewrite: covariances are exact 4dp
+    # half-up ratios now (previously 0dp double rounds)
     assert tuple(q["agg_corr"](spark, sf)
                  .where("l_returnflag = 'A'").first()) == \
-        ("A", -0.020151, -8879.0, -8874.0, 14.4432, 1962)
+        ("A", -0.020151, -8878.6251, -8874.0998, 14.4432, 1962)
 
     hist = sorted(tuple(r) for r in
                   q["agg_histogram"](spark, sf).collect())

@@ -406,3 +406,104 @@ def test_ks_test_grid_is_broadcast(spark, sf_dir):
     plan = _plan(all_queries()["ks_test"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def _top_level_lists(s: str) -> list[str]:
+    out, depth, cur = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                cur = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                out.append(s[cur:i])
+    return out
+
+
+def _unpartitioned_window_count(plan: str) -> int:
+    """Count physical Window nodes with an EMPTY partition spec — the
+    exact condition for Spark's `WindowExec: No Partition Defined`
+    warning.  Formatted-plan format: `Arguments: [exprs]` (no
+    partition, no order), `[exprs], [orderSpec]` (no partition —
+    order entries carry ASC/DESC NULLS markers, which is what
+    distinguishes them from a partition-only `[exprs], [partSpec]`),
+    or `[exprs], [partSpec], [orderSpec]` (partitioned).
+    WindowGroupLimit nodes (different Arguments shape, always
+    partition-pruned) are excluded by the exact node-name match."""
+    import re
+
+    n = 0
+    for block in plan.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or not re.match(r"\(\d+\) Window(\s|$)",
+                                     lines[0].strip()):
+            continue
+        arg = next((ln for ln in lines if ln.startswith("Arguments:")),
+                   "")
+        lists = _top_level_lists(arg)
+        if len(lists) == 1 or (
+                len(lists) == 2 and (" ASC NULLS " in lists[1]
+                                     or " DESC NULLS " in lists[1])):
+            n += 1
+    return n
+
+
+#: queries ALLOWED to plan an unpartitioned (single-partition) Window,
+#: each because the window provably runs over a BOUNDED frame — a
+#: model-constant grid, a post-limit top-K, or a reduced domain-sized
+#: table — never the raw stream (r12 verdict item 3: the WindowExec
+#: warning is indistinguishable from a real scale bug in a log, so the
+#: allowed emitters are enumerated and everything else must stay
+#: silent).  Value = max allowed count of such nodes in the plan.
+UNPARTITIONED_WINDOW_ALLOWED = {
+    "benford_digits": 1,      # 9-row first-digit grid rank
+    "chi_square": 1,          # levels x levels contingency grid
+    "drift_psi": 3,           # decile-edge grid (10 buckets + ranks)
+    "dup_cluster_sizes": 2,   # cluster-size histogram (<= max size)
+    "funnel_steps": 1,        # 3-row funnel-stage frame
+    "kaplan_meier": 3,        # distinct-duration risk table (time-
+    #                           domain bounded; prefix sums over it)
+    "ks_test": 2,             # percentile-grid CDF prefix sums
+    "mann_whitney": 1,        # bucket-offset grid prefix sum (docstring
+    #                           pins the <=200-row value grid)
+    "rank_fusion": 3,         # two top-K retriever lists + fused rank
+    "roc_auc": 1,             # quantized-threshold grid cumulative
+    "skew_report": 1,         # rank over post-limit SKEW_TOP rows
+    "skyline_pareto": 1,      # window form over the reduced candidate
+    #                           frame (dominance prune first)
+    "sort_multi": 1,          # rank over post-TakeOrdered 500 rows
+    "text_bm25": 1,           # rank over post-TakeOrdered 20 rows
+    "vocab_topk": 1,          # rank+coverage over post-limit VOCAB_K
+}
+
+
+def test_unpartitioned_windows_only_where_allowed(spark, sf_dir):
+    """Engine-wide invariant (r12 verdict item 3): a query may move
+    data through a single-partition Window ONLY if it is in the
+    allow-list above (bounded frame by construction).  A new
+    unbounded global window — the classic silent scale killer — fails
+    this test instead of hiding among the known warnings.  The counts
+    are pinned exactly, so a listed query GROWING a new unpartitioned
+    window also fails."""
+    offenders = []
+    for name, fn in all_queries().items():
+        try:
+            k = _unpartitioned_window_count(_plan(fn(spark, sf_dir)))
+        except Exception as e:  # pragma: no cover - surface the name
+            offenders.append((name, f"plan failed: {e}"))
+            continue
+        allowed = UNPARTITIONED_WINDOW_ALLOWED.get(name, 0)
+        if k > allowed:
+            offenders.append((name, f"{k} unpartitioned Window nodes "
+                                    f"(allowed {allowed})"))
+    assert not offenders, offenders
+    # the list must not go stale the other way either: every allowed
+    # entry still exists and still plans at least one such window
+    for name, allowed in UNPARTITIONED_WINDOW_ALLOWED.items():
+        k = _unpartitioned_window_count(
+            _plan(all_queries()[name](spark, sf_dir)))
+        assert 1 <= k <= allowed, (
+            f"{name}: {k} unpartitioned windows vs allowed {allowed} — "
+            "shrink/remove its allow-list entry")
