@@ -2541,17 +2541,21 @@ def _mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = per_src.agg(F.sum("avail_tokens").alias("tok_total"),
                          F.sum("w_raw").alias("w_sum"))
-    share = F.col("avail_tokens") / F.col("tok_total")
-    weight = F.col("w_raw") / F.col("w_sum")
+    # r13 empty-keys sweep + review follow-up: every division here
+    # needs a positive-denominator guard.  A source whose every doc
+    # is tokenless has avail_tokens = 0 (resample undefined), and a
+    # WHOLE corpus of such sources has tok_total = 0 and w_sum = 0.0
+    # — Spark's ANSI division raises where DuckDB's /0 yields NULL,
+    # so all three columns go NULL on both engines in that case.
+    share = F.when(F.col("tok_total") > 0,
+                   F.col("avail_tokens") / F.col("tok_total"))
+    weight = F.when(F.col("w_sum") > 0,
+                    F.col("w_raw") / F.col("w_sum"))
     return (
         per_src.crossJoin(F.broadcast(totals))
         .select("source", "n_docs", "avail_tokens",
                 F.round(share, 6).alias("nat_share"),
                 F.round(weight, 6).alias("temp_weight"),
-                # r13 empty-keys sweep: avail_tokens = 0 makes share 0
-                # (weight/share an ANSI crash vs DuckDB NULL) — the
-                # resample factor of an empty source is undefined on
-                # both engines
                 F.when(F.col("avail_tokens") > 0,
                        F.round(weight / share, 4))
                  .alias("resample_factor"))

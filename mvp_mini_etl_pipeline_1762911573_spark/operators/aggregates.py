@@ -175,10 +175,14 @@ def _agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving row.
 
     Bounded-domain contract (the agg_moments discipline): |measure| <
-    1e7 on top of stat_ok, so cents <= 1e9, each Sxy term <= 1e18,
-    and the covar numerator n*Sxy - Sx*Sy <= n^2 * 1e18 stays inside
-    DECIMAL(38,0)/HUGEINT to ~3e9 rows per group; past that, requantize
-    to dollars (the agg_moments dial) — same downstream shape."""
+    1e7 on top of stat_ok, so cents <= 1e9 and each Sxy term <= 1e18.
+    The BINDING term is not the covar numerator cv = n*Sxy - Sx*Sy
+    (<= 2n²·1e18) itself but round4_ratio_dec's internal x20000 on it
+    (r13 review): 4e22·n² must stay inside DECIMAL(38,0)/HUGEINT, so
+    the envelope is ~5e7 rows per group at worst-case measures — or
+    ~5e9 at realistic |measure| < 1e5.  Past that, requantize to
+    dollars (the agg_moments dial, x1e4 headroom) — same downstream
+    shape."""
     # r11 extreme-doubles sweep: inf/NaN poison the co-moment sums
     # (DuckDB refuses, Spark emits garbage); corrupt measures are
     # excluded like the rest of the stat family, and the r13 capacity

@@ -87,9 +87,13 @@ WITH ps AS (
     -- RATIO (a 1e-10 quantity makes a 1e26 unit cost, overflowing
     -- the DECIMAL(18,4) quantization); abs() because a finite
     -- NEGATIVE price over a tiny quantity overflows the cast just
-    -- as hard on the negative side (r13 advice item).  The compare
-    -- is one IEEE division with identical operands on both engines.
-    AND abs(l_extendedprice / l_quantity) < 1e13
+    -- as hard on the negative side (r13 advice item).  The bound is
+    -- 1e10, NOT the 1e13 it shipped with (r13 review): DECIMAL(18,4)
+    -- holds < 1e14, and floor(ratio*1e4+0.5) scales by 1e4 first, so
+    -- any |ratio| >= 1e10 overflows the cast (1e11 probe-verified to
+    -- raise on both engines under the old bound).  The compare is
+    -- one IEEE division with identical operands on both engines.
+    AND abs(l_extendedprice / l_quantity) < 1e10
   GROUP BY l_partkey, l_suppkey
 )
 """

@@ -644,10 +644,14 @@ def test_ps_unit_cost_guard_bounds_negative_ratios(spark, tmp_path):
     negative ratio that sailed through the filter, and the
     floor(ratio*1e4+0.5) DECIMAL(18,4) cast then overflowed: DuckDB
     raises ConversionException, Spark NULLs/throws.  The guard is now
-    `abs(ratio) < 1e13`; this probe ships exactly that row (price
-    -9e13 over qty 1e-4 → ratio -9e17) beside in-domain rows and
-    asserts the CTE output matches cross-engine — with the old guard
-    the oracle side of this compare RAISES."""
+    `abs(ratio) < 1e10` (the r13 review tightened the bound again:
+    DECIMAL(18,4) holds < 1e14 and the quantization scales by 1e4
+    first, so the initially-shipped 1e13 left ratios in [1e10, 1e13)
+    crashing both engines); this probe ships the negative-huge row
+    (price -9e13 over qty 1e-4 → ratio -9e17), a mid-hole row
+    (ratio ~1e11 — passes 1e13, overflows the cast), and in-domain
+    rows, and asserts the CTE output matches cross-engine — with
+    either old guard the oracle side of this compare RAISES."""
     import duckdb
 
     from mvp_mini_etl_pipeline_1762911573_spark.operators.tpch import (
@@ -662,6 +666,10 @@ def test_ps_unit_cost_guard_bounds_negative_ratios(spark, tmp_path):
         (3, 2, 1, 1, 0.0001, -9e13),        # ratio -9e17: must drop
         (4, 2, 1, 2, 0.0001, 9e13),         # ratio +9e17: must drop
         (5, 3, 2, 1, 2.0, -50.0),           # sane negative: kept
+        (6, 4, 2, 1, 0.01, 1e9),            # ratio 1e11: the r13
+        #                                     review's mid-hole case
+        #                                     (passes 1e13, overflows
+        #                                     DECIMAL(18,4)): drop
     ]
     spark.createDataFrame(
         [(o, p, s, ln, q, pr, 0.0, 0.0, "N", "O") for
@@ -682,9 +690,34 @@ def test_ps_unit_cost_guard_bounds_negative_ratios(spark, tmp_path):
          .createOrReplaceTempView("lineitem")
     con = _duck_with_views(str(tmp_path), ["lineitem"])
     compare(spark.sql(sql), con, sql, "ps-cte@negative-ratio")
-    # the hostile (p=2, s=1) group must be absent entirely (both its
-    # rows are out of capacity), and the sane negative survives
+    # the hostile (p=2, s=1) and mid-hole (p=4, s=2) groups must be
+    # absent entirely (out of capacity), and the sane negative
+    # survives
     got = {(r.ps_partkey, r.ps_suppkey): float(r.ps_unit_cost)
            for r in spark.sql(sql).collect()}
     assert (2, 1) not in got
+    assert (4, 2) not in got
     assert got[(3, 2)] == -25.0
+
+
+def test_mix_queries_survive_wholly_tokenless_corpus(spark, tmp_path):
+    """Latent (r13 review): the empty-keys axis produced zero-token
+    SOURCES (guarded in r13), but a WHOLLY tokenless corpus zeroes
+    tok_total/w_sum themselves — Spark's ANSI division raises where
+    DuckDB /0 yields NULL.  All mixture columns are NULL on both
+    engines in that case; this pins the whole-corpus form."""
+    from mvp_mini_etl_pipeline_1762911573_spark.registry import (
+        all_oracles, all_queries,
+    )
+    from tests.oracle_utils import compare
+
+    spark.createDataFrame(
+        [(0, "", "en", "web", 0), (1, "   ", "en", "web", 3),
+         (2, "​", "es", "book", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    con = _duck_with_views(str(tmp_path), ["documents"])
+    for name in ("mix_temperature", "mix_sources"):
+        compare(all_queries()[name](spark, str(tmp_path)), con,
+                all_oracles()[name], f"{name}@tokenless-corpus")

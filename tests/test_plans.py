@@ -487,23 +487,22 @@ def test_unpartitioned_windows_only_where_allowed(spark, sf_dir):
     this test instead of hiding among the known warnings.  The counts
     are pinned exactly, so a listed query GROWING a new unpartitioned
     window also fails."""
-    offenders = []
+    offenders, counts = [], {}
     for name, fn in all_queries().items():
         try:
-            k = _unpartitioned_window_count(_plan(fn(spark, sf_dir)))
+            counts[name] = _unpartitioned_window_count(
+                _plan(fn(spark, sf_dir)))
         except Exception as e:  # pragma: no cover - surface the name
             offenders.append((name, f"plan failed: {e}"))
             continue
         allowed = UNPARTITIONED_WINDOW_ALLOWED.get(name, 0)
-        if k > allowed:
-            offenders.append((name, f"{k} unpartitioned Window nodes "
-                                    f"(allowed {allowed})"))
+        if counts[name] > allowed:
+            offenders.append((name, f"{counts[name]} unpartitioned "
+                                    f"Window nodes (allowed {allowed})"))
     assert not offenders, offenders
     # the list must not go stale the other way either: every allowed
     # entry still exists and still plans at least one such window
     for name, allowed in UNPARTITIONED_WINDOW_ALLOWED.items():
-        k = _unpartitioned_window_count(
-            _plan(all_queries()[name](spark, sf_dir)))
-        assert 1 <= k <= allowed, (
-            f"{name}: {k} unpartitioned windows vs allowed {allowed} — "
-            "shrink/remove its allow-list entry")
+        assert 1 <= counts[name] <= allowed, (
+            f"{name}: {counts[name]} unpartitioned windows vs allowed "
+            f"{allowed} — shrink/remove its allow-list entry")
