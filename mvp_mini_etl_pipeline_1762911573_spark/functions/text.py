@@ -1721,7 +1721,11 @@ def _mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             # tokenless has avail_tokens = 0 — target/avail is an
             # ANSI DIVIDE_BY_ZERO crash on Spark and NULL on DuckDB;
             # the fraction is undefined, so both engines emit NULL
-            # (oversubscribed still flags it when target > 0)
+            # (oversubscribed still flags it when target > 0).  A
+            # NULL inventory (all-NULL text) is NULL too — the when()
+            # covers it, and the oracle's CASE spells IS NULL
+            # explicitly because DuckDB's least() SKIPS NULLs (the
+            # pre-r13 behavior emitted a phantom 1.0 there).
             F.when(F.col("avail_tokens") > 0,
                    F.round(F.least(F.lit(1.0),
                                    target / F.col("avail_tokens")), 4))
@@ -3322,8 +3326,8 @@ WITH per_src AS (
 SELECT source, n_docs, avail_tokens, weight,
        CAST(floor(corpus_tokens * {MIX_BUDGET_FRAC} * weight / w_sum
                   + 0.5) AS BIGINT) AS target_tokens,
-       CASE WHEN avail_tokens = 0 THEN NULL ELSE
-         round(least(1.0,
+       CASE WHEN avail_tokens IS NULL OR avail_tokens = 0 THEN NULL
+         ELSE round(least(1.0,
            floor(corpus_tokens * {MIX_BUDGET_FRAC} * weight / w_sum + 0.5)
            / avail_tokens), 4) END AS sample_frac,
        floor(corpus_tokens * {MIX_BUDGET_FRAC} * weight / w_sum + 0.5)
