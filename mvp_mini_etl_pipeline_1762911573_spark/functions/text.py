@@ -316,7 +316,12 @@ def _winnow_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys on PRUNED fingerprints with per-fp fan-out capped by the df
     threshold, and the pair aggregate touches candidates only."""
     docs = load(spark, sf_dir, "documents")
-    f = _winnow_rows(docs).select("doc_id", "fp").distinct()
+    # r13 OPT (guide §1.2): the distinct (doc, fp) selection feeds the
+    # df table and BOTH sides of the pair self-join — unmaterialized,
+    # the two-window winnowing selection ran 3× (12 parquet scans in
+    # the before-plan).  One eager materialization per invocation.
+    f = (_winnow_rows(docs).select("doc_id", "fp").distinct()
+         .localCheckpoint(eager=True))
     n_docs_df = docs.agg(F.count("*").alias("n_docs"))
     fp_df = f.groupBy("fp").agg(F.count("*").alias("df"))
     hot = (fp_df.crossJoin(F.broadcast(n_docs_df))
@@ -619,7 +624,10 @@ def _js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals join back broadcast-sized; everything downstream is
     |sources|²-row arithmetic."""
     docs = load(spark, sf_dir, "documents")
-    ct = _source_token_counts(docs)
+    # r13 OPT (guide §1.2): the (source, token) reduce feeds the
+    # per-source totals and BOTH sides of the token pair join —
+    # unmaterialized, the corpus tokenize+reduce ran 3×.  Vocab-sized.
+    ct = _source_token_counts(docs).localCheckpoint(eager=True)
     tot = ct.groupBy("source").agg(F.sum("cnt").alias("total"))
     a = ct.select(F.col("source").alias("src_a"), "tok",
                   F.col("cnt").alias("ca"))
@@ -1026,15 +1034,25 @@ def _cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16, 10).cast("long"),
             F.lit(CMS_W))
 
+    # r13 OPT (guide §2.3 "aggregate before you shuffle"): h_j depends
+    # only on the token, so the sketch is built from the VOCAB table
+    # (d sha2 per distinct token, cnt = Σ freq) instead of the raw
+    # occurrence stream (d sha2 per occurrence) — and the vocab reduce
+    # is the same one the exact top-K branch needs, materialized once
+    # instead of re-tokenizing the corpus twice.  Identical counters:
+    # Σ_{tok→(j,b)} freq(tok) == #occurrences hashing to (j, b).
+    vocab = (toks.groupBy("tok").agg(F.count("*").alias("freq"))
+             .localCheckpoint(eager=True))
     sketch = (
-        toks.select(F.explode(F.array(*[
+        vocab.select("freq", F.explode(F.array(*[
             F.struct(F.lit(j).alias("j"),
                      bucket(j, F.col("tok")).alias("bucket"))
             for j in range(CMS_D)])).alias("p"))
-        .select(F.col("p.j").alias("j"), F.col("p.bucket").alias("bucket"))
+        .select("freq", F.col("p.j").alias("j"),
+                F.col("p.bucket").alias("bucket"))
         .groupBy("j", "bucket")
-        .agg(F.count("*").alias("cnt")))
-    top = (toks.groupBy("tok").agg(F.count("*").alias("freq"))
+        .agg(F.sum("freq").alias("cnt")))
+    top = (vocab
            .orderBy(F.col("freq").desc(), F.col("tok").asc())
            .limit(CMS_TOPK))
     probes = top.select(
@@ -1064,18 +1082,26 @@ def _lm_scored_tokens(docs: DataFrame) -> DataFrame:
     over the whole corpus; per-token -ln p quantized to integer
     MICRO-NATS (floor(x*1e6 + 0.5)) so every downstream reduction is
     an exact integer sum."""
+    # r13 OPT (guide §1.2/§2.3): the token stream feeds the vocab
+    # reduce AND the score join — materialized once instead of
+    # re-tokenizing the corpus per consumer branch; and nll_u depends
+    # only on the token, so the -ln is taken per VOCAB entry (model
+    # table) instead of per occurrence, then attached with the same
+    # single token-keyed join.  Identical values row for row.
     toks = docs.select(
         "doc_id", "source",
-        F.explode(_tokens(F.col("text"))).alias("tok"))
+        F.explode(_tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=True)
     counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
     total = counts.agg(F.sum("freq").alias("total"))
     nll_u = F.floor(
         -F.log(F.col("freq") / F.col("total")) * 1e6 + F.lit(0.5)
     ).cast("bigint")
+    model = (counts.crossJoin(F.broadcast(total))
+             .select("tok", nll_u.alias("nll_u")))
     return (
-        toks.join(counts, "tok")
-        .crossJoin(F.broadcast(total))
-        .select("doc_id", "source", nll_u.alias("nll_u"))
+        toks.join(model, "tok")
+        .select("doc_id", "source", "nll_u")
     )
 
 
@@ -1215,6 +1241,11 @@ def _lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables are vocab-sized, not stream-sized."""
     docs = load(spark, sf_dir, "documents")
     ws = _tokens(F.col("text"))
+    # r13 OPT (guide §1.2): `pairs` feeds three consumers (the bigram
+    # model, the w1 marginals, and the per-occurrence scoring join) —
+    # unmaterialized, the scan→tokenize→zip→explode chain ran three
+    # times (10 parquet scans in the before-plan).  One eager
+    # materialization per invocation; values unchanged.
     pairs = (
         docs.where(F.size(ws) >= 2)
         .select(
@@ -1243,12 +1274,23 @@ def _lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = ((F.col("c1") * JM_LAMBDA_DEN).cast(dec)
            * F.col("total").cast(dec)).cast("double")
     nll_u = F.floor(-F.log(num / den) * 1e6 + F.lit(0.5)).cast("bigint")
-    scored = (
-        pairs.join(cbg, ["w1", "w2"]).join(cw1, ["w1"])
-        .join(uc, pairs.w2 == uc.tok)
+    # r13 OPT (guide §2.3 "aggregate before you shuffle", applied to
+    # expression work): nll_u depends only on (w1, w2) — form the
+    # model TABLE first (bigram-vocab grain: c2 ⋈ c1 ⋈ freq ⋈ total,
+    # one -ln per bigram TYPE), then attach it to the occurrence
+    # stream with ONE (w1, w2)-keyed join.  The old shape joined the
+    # full stream three times (by (w1,w2), by w1, by w2) and took the
+    # log per OCCURRENCE.  Row-for-row identical values: the join is
+    # inner on keys that exist by construction (cbg/cw1/uc are built
+    # from the same streams), multiplicity 1 on the model side, and
+    # the per-doc BIGINT sum is order-free.
+    model = (
+        cbg.join(cw1, ["w1"])
+        .join(uc, cbg.w2 == uc.tok)
         .crossJoin(F.broadcast(total))
-        .select("doc_id", nll_u.alias("nll_u"))
+        .select("w1", "w2", nll_u.alias("nll_u"))
     )
+    scored = pairs.join(model, ["w1", "w2"]).select("doc_id", "nll_u")
     return (
         scored.groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"),

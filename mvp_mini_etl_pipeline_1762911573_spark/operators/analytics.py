@@ -876,12 +876,18 @@ def _attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "event_type", "value",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
     horizon_us = ATTR_WINDOW_H * 3600 * 1_000_000
+    # r13 OPT (guide §1.2): p feeds the touch join AND the direct-
+    # credit anti-join; pc below feeds the per-purchase totals AND the
+    # credit join — unmaterialized, the events scan + purchase×touch
+    # range join chain ran repeatedly (28 parquet scans in the
+    # before-plan).  Both frames are purchase-grained (tiny).
     p = (ev.where((F.col("event_type") == "purchase")
                   & F.col("value").isNotNull() & ~F.isnan("value")
                   & (F.col("value") > 0) & (F.col("value") < 9e6))
          .select("user_id", F.col("event_id").alias("p_id"),
                  F.col("us").alias("p_us"),
-                 F.floor(F.col("value") * 100 + 0.5).alias("cents")))
+                 F.floor(F.col("value") * 100 + 0.5).alias("cents"))
+         .localCheckpoint(eager=True))
     t = (ev.where(F.col("event_type").isin("click", "view"))
          .select(F.col("user_id").alias("t_user"),
                  F.col("us").alias("t_us"),
@@ -890,7 +896,7 @@ def _attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("t_us") < F.col("p_us"))
                & (F.col("t_us") >= F.col("p_us") - horizon_us))
     pc = j.groupBy("p_id", "cents", "channel").agg(
-        F.count("*").alias("k"))
+        F.count("*").alias("k")).localCheckpoint(eager=True)
     pn = pc.groupBy("p_id").agg(F.sum("k").alias("n"))
     num = (F.col("cents").cast("decimal(19,0)") * F.col("k")
            * ATTR_Q).cast("decimal(38,0)")
@@ -899,7 +905,10 @@ def _attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("p_id", "channel",
                       ((num - F.pmod(num, den)) / den)
                       .cast("decimal(38,0)").alias("q")))
-    direct = (p.join(j.select("p_id").distinct(), "p_id", "left_anti")
+    # the attributed-purchase id set off the already-reduced pc (same
+    # distinct p_id set as j — pc is j grouped by (p_id, …)), so the
+    # anti-join never re-derives the range join
+    direct = (p.join(pc.select("p_id").distinct(), "p_id", "left_anti")
               .select("p_id", F.lit("direct").alias("channel"),
                       (F.col("cents").cast("decimal(38,0)") * ATTR_Q)
                       .alias("q")))
@@ -1349,6 +1358,14 @@ def _prefix_scan(vals: DataFrame) -> DataFrame:
     per-bucket totals (single-partition window bounded by the
     measure's DOMAIN / bucket width, not the corpus) and broadcasts
     the offsets back."""
+    # r13 OPT (guide §1.2): the value table feeds BOTH the in-bucket
+    # window branch and the bucket-totals branch — unmaterialized,
+    # the whole corpus-reducing chain beneath it (scoring, groupBy)
+    # ran twice per consumer (roc_auc's before-plan carried 14 parquet
+    # scans).  The input is by contract an already-reduced
+    # per-DISTINCT-value frame (bounded by the measure's domain, not
+    # the corpus), so one eager materialization is model-sized.
+    vals = vals.localCheckpoint(eager=True)
     vals = vals.withColumn(
         "bkt", F.floor(F.col("value") / MW_BUCKET_W).cast("long"))
     w_in = (Window.partitionBy("bkt").orderBy("value")

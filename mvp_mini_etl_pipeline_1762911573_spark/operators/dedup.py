@@ -288,7 +288,12 @@ def _dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned instead by the recall pytest (test_quality.py) against
     exact token-Jaccard on planted near-duplicates."""
     docs = load(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(docs)
+    # r13 OPT (guide §1.2): both sides of the chunk self-join re-derived
+    # the 48-column vote pipeline; fp is |docs| × 2 columns.  LAZY
+    # checkpoint (the simhash_join finding): eager serializes the DAG
+    # behind a materialization barrier, lazy folds the single
+    # derivation into the first consuming job.
+    fp = simhash_fingerprints(docs).localCheckpoint(eager=False)
     chunks = fp.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
@@ -400,13 +405,16 @@ def _simhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           for p in range(prints) for i in range(bits)])
     # The band self-join's two sides each re-derive the vote pipeline
     # (the plan carries two scan branches).  A localCheckpoint of fp
-    # was MEASURED NO FASTER at sf0.1 (warm runs statistically equal;
-    # same outcome as r7's prefix-join per_doc checkpoint attempt —
-    # the materialization job plus lost stage fusion eats the saving;
-    # don't re-try).  At 100 TB the fingerprint table is the reusable
-    # index you'd WRITE TO STORAGE once and join against — the
-    # double-derivation is a local-mode artifact, not the deployment
-    # shape.
+    # was MEASURED NO FASTER at sf0.1 — re-confirmed in the r13
+    # optimization round (baseline 5.17 s vs 6.28 s checkpointed
+    # min-warm, with far worse variance): on an unsaturated local[32]
+    # the two branches are independent stages the scheduler runs
+    # CONCURRENTLY, so the duplicate derivation costs CPU but almost
+    # no wall-clock, while the eager checkpoint serializes the whole
+    # pipeline behind one materialization barrier.  At 100 TB the
+    # fingerprint table is the reusable index you'd WRITE TO STORAGE
+    # once and join against — the double-derivation is a local-mode
+    # artifact, not the deployment shape.
     fp = bit_votes.select(
         "doc_id",
         *[sum(
@@ -414,7 +422,8 @@ def _simhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(F.lit(0)).cast("long")
              for i in range(bits)),
             F.lit(0).cast("long"),
-        ).alias(f"fp{p}") for p in range(prints)])
+        ).alias(f"fp{p}") for p in range(prints)]).localCheckpoint(
+        eager=False)
     # 4 bands of 30 bits: band 2p   = low 30 bits of print p,
     #                     band 2p+1 = high 30 bits of print p
     band_mask = (1 << SIMHASH_BAND_BITS) - 1
@@ -470,8 +479,15 @@ def _pruned_gram_stream(docs: DataFrame) -> DataFrame:
     no extra shuffle of the gram index."""
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
+    # r13 OPT (guide §1.2): the raw gram stream feeds the df table and
+    # the returned anti-joined stream, whose consumers (Jaccard /
+    # containment) each read it 3× more — one eager materialization
+    # here collapses every downstream re-derivation of the
+    # scan→split→gram-explode chain; the broadcast anti-join replay
+    # per consumer is cheap against the checkpointed stream.
     grams = toks.select(
-        "doc_id", F.explode(_gram_array("ws", 3)).alias("gram"))
+        "doc_id", F.explode(_gram_array("ws", 3)).alias("gram")
+        ).localCheckpoint(eager=True)
     n_docs_df = docs.agg(F.count("*").alias("n_docs"))
     gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
     hot = (
@@ -587,8 +603,13 @@ def _substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
+    # r13 OPT (guide §1.2): the gram stream feeds the df table AND the
+    # join-back — unmaterialized, the scan→split→8-gram-explode chain
+    # ran twice (6 parquet scans in the before-plan).  One eager
+    # materialization per invocation.
     grams = toks.select(
-        "doc_id", F.explode(_gram_array("ws", SUBSTR_N)).alias("gram"))
+        "doc_id", F.explode(_gram_array("ws", SUBSTR_N)).alias("gram")
+        ).localCheckpoint(eager=True)
     # grams are distinct per doc (_gram_array array_distincts), so
     # count(*) per gram == number of documents containing it
     gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
@@ -694,8 +715,13 @@ def _join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
+    # r13 OPT (guide §1.2): the gram stream feeds the df table, the
+    # rank join, the per-doc arrays AND both verify sides —
+    # unmaterialized, the scan→split→gram-explode chain ran 5× (16
+    # parquet scans in the before-plan).  One eager materialization.
     grams = toks.select(
-        "doc_id", F.explode(_gram_array("ws", 3)).alias("gram"))
+        "doc_id", F.explode(_gram_array("ws", 3)).alias("gram")
+        ).localCheckpoint(eager=False)
     df_tbl = grams.groupBy("gram").agg(F.count("*").alias("df"))
     # global rarity order: (df asc, gram asc) — total and shared by
     # every document, the precondition of the prefix theorem
@@ -968,10 +994,15 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & F.col("embedding").isNotNull())
              .select(F.col("vec_id").alias("cell"),
                      F.col("embedding").alias("c_vec")))
+    # r13 OPT (guide §1.2): members feeds the keep-side join, the
+    # dup-side join AND the final verdict left-join — unmaterialized,
+    # the assign_cells Arrow pass + centroid-cosine ran 3× (34 parquet
+    # scans in the before-plan).  |corpus| rows of (ids, double).
     members = (celled.join(F.broadcast(cents), "cell")
                .select("vec_id", "cell",
                        F.round(cosine("embedding", "c_vec"), 6)
-                       .alias("cent_cos")))
+                       .alias("cent_cos"))
+               .localCheckpoint(eager=True))
     pairs = _embedding_pair_edges(spark, sf_dir)
     scored = (pairs
               .join(members.select(F.col("vec_id").alias("keep_id"),
@@ -1026,8 +1057,18 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
 
-    labels = (sym.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node"))
+    # r13 OPT: seed labels with min(self, min neighbor) in ONE
+    # aggregation over sym instead of identity labels — this IS the
+    # first propagation round, computed without the per-round
+    # join+agg+join chain (the identity seed spent a full round
+    # discovering it).  Same fixpoint: min-label propagation is
+    # monotone and label(u) starts at min(N(u) ∪ {u}) ≥ the component
+    # min, so the converged labels — and the emitted clusters — are
+    # unchanged; planted diameter-≈2 clusters now converge in 1-2
+    # loop rounds instead of 2-3.
+    labels = (sym.groupBy(F.col("src").alias("node"))
+              .agg(F.min("dst").alias("m"))
+              .select("node", F.least("node", "m").alias("label"))
               .localCheckpoint(eager=True))
     for _ in range(CC_MAX_ITERS):
         neigh_min = (
@@ -1211,10 +1252,14 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
+    # r13 OPT (guide §1.2): the 5-gram stream feeds the benchmark
+    # index (twice: sizes + the broadcast join side) and the train
+    # side — one eager materialization instead of three
+    # scan→gram-explode derivations.
     grams = toks.select(
         "doc_id",
         F.explode(_gram_array("ws", DECON_N)).alias("gram"),
-    )
+    ).localCheckpoint(eager=True)
     bench = grams.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("bench_doc"), "gram")
     train = grams.where(F.col("doc_id") % 10 != 0).select(
@@ -1585,8 +1630,13 @@ def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
+    # r13 OPT (guide §1.2): the gram stream feeds the first-occurrence
+    # table AND the join-back — one eager materialization instead of
+    # re-running the scan→gram-explode chain twice (8 parquet scans in
+    # the before-plan).
     grams = toks.select(
-        "doc_id", F.explode(_gram_array("ws", 3)).alias("gram"))
+        "doc_id", F.explode(_gram_array("ws", 3)).alias("gram")
+        ).localCheckpoint(eager=True)
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
         grams.join(first, "gram")
@@ -1651,8 +1701,13 @@ def _minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("doc_id",
                        F.split(F.lower("text"), WS_RUN).alias("ws"))
+    # r13 OPT (guide §1.2): the gram stream feeds the signature agg
+    # AND both sides of the verify join — unmaterialized, the
+    # scan→split→gram-explode chain ran 3× (12 parquet scans in the
+    # before-plan).  One eager materialization per invocation.
     grams = toks.select("doc_id",
-                        F.explode(_gram_array("ws", 3)).alias("gram"))
+                        F.explode(_gram_array("ws", 3)).alias("gram")
+                        ).localCheckpoint(eager=False)
 
     def slot(i):
         return F.min(
@@ -1711,9 +1766,13 @@ def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select("source",
                        F.split(F.lower("text"), WS_RUN).alias("ws"))
+    # r13 OPT (guide §1.2): the distinct (source, gram) set feeds the
+    # per-source sizes and BOTH sides of the overlap self-join —
+    # unmaterialized, the scan→gram-explode→distinct chain ran 3× (8
+    # parquet scans in the before-plan).  One eager materialization.
     dg = (toks.select("source",
                       F.explode(_gram_array("ws", 3)).alias("gram"))
-          .distinct())
+          .distinct().localCheckpoint(eager=True))
     per_src = dg.groupBy("source").agg(F.count("*").alias("n"))
     pairs = (dg.alias("a")
              .join(dg.alias("b"),
@@ -1919,10 +1978,15 @@ def _mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ", F.slice(toks, 1, MIRROR_LEAD_N))
     fp = F.conv(F.substring(F.sha2(lead, 256), 1, 15), 16, 10) \
           .cast("long")
+    # r13 OPT (guide §1.2): the (fp, domain) rollup feeds the hot-fp
+    # list and BOTH sides of the domain-pair self-join —
+    # unmaterialized, the sha2-lead fingerprint scan ran 3× (8 parquet
+    # scans in the before-plan).  One eager materialization.
     fpd = (pages.where(F.col("text") != "")
            .select(fp.alias("fp"), "domain")
            .groupBy("fp", "domain")
-           .agg(F.count("*").cast("long").alias("pages")))
+           .agg(F.count("*").cast("long").alias("pages"))
+           .localCheckpoint(eager=True))
     hot = (fpd.groupBy("fp")
            .agg(F.count("*").alias("n_domains"))
            .where(F.col("n_domains") > MIRROR_FP_MAX_DOMAINS)

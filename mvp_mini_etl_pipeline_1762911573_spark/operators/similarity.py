@@ -601,7 +601,8 @@ def pq_codebooks(emb: DataFrame):
     return _CENT_CACHE[key]
 
 
-def pq_encode(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
+def pq_encode(emb: DataFrame, vecs: DataFrame | None = None,
+              carry: tuple = ()) -> DataFrame:
     """D4 scale path #3 (completing the LSH / IVF / PQ ANN triad):
     product-quantization encoding — each vector becomes PQ_M argmin-L2
     codeword ids, 4 bits each at PQ_K=16, i.e. 64 float32s -> 8 codes
@@ -635,7 +636,11 @@ def pq_encode(emb: DataFrame, vecs: DataFrame | None = None) -> DataFrame:
             codes[:, m] = np.argmin(d, axis=1)
         return pd.Series(list(codes))
 
-    return vecs.select("vec_id", encode("embedding").alias("codes"))
+    # ``carry`` (r13 OPT) lets a caller that already holds an enriched
+    # vector frame (e.g. assign_cells' (vec_id, embedding, cell)) keep
+    # extra columns through the encode pass instead of re-scanning the
+    # corpus and joining the two Arrow passes back on vec_id.
+    return vecs.select("vec_id", *carry, encode("embedding").alias("codes"))
 
 
 def pq_search(emb: DataFrame, topk: int = TOPK) -> DataFrame:
@@ -727,9 +732,13 @@ def ivfpq_search(emb: DataFrame, topk: int = TOPK) -> DataFrame:
             out += tables[qidx, m, cmat[:, m]]
         return pd.Series(out)
 
-    coded = (assign_cells(emb)
-             .join(pq_encode(emb), "vec_id")
-             .select("vec_id", "cell", "codes"))
+    # r13 OPT (guide §1.2): encode straight off assign_cells' output —
+    # one corpus scan feeding both Arrow passes — instead of two
+    # independent scans joined back on vec_id (the join contributed to
+    # ivfpq_recall's 30-scan before-plan).  Identical values: same
+    # codebooks, same vectors, cell carried through the encode pass.
+    coded = pq_encode(emb, assign_cells(emb), carry=("cell",)) \
+        .select("vec_id", "cell", "codes")
     w_k = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col("n_id").asc())
     return (
@@ -947,6 +956,15 @@ def _similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join on (q_id, n_id) is k·|Q| rows broadcast; every
     aggregate is query-set-sized, never corpus-sized."""
     emb = load(spark, sf_dir, "embeddings")
+    # r13 OPT note: `scored` feeds both the top-k cut and the
+    # `scanned` count, and `exact` is a second independent branch — an
+    # eager localCheckpoint of scored was A/B-measured SLOWER here
+    # (1.20 s → 1.76 s min-warm at sf0.1): on an unsaturated local[32]
+    # the duplicate branches run as CONCURRENT stages, so the repeat
+    # derivation costs CPU but no wall-clock, while the checkpoint
+    # serializes the DAG behind a materialization barrier.  At 100 TB
+    # the IVF candidate stream is the index you'd materialize once —
+    # see the PLANS note; locally the double derivation stays.
     scored = _ivf_scored(spark, sf_dir)
     w_k = Window.partitionBy("q_id").orderBy(
         F.col("cos_sim").desc(), F.col("n_id").asc())
@@ -1021,7 +1039,15 @@ def _ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     approx = (ivfpq_search(emb)
               .select("q_id", "n_id", F.lit(1).alias("hit")))
-    exact = _similarity_topk(spark, sf_dir).select("q_id", "n_id")
+    # r13 OPT: LAZY checkpoints — the exact arm feeds the recall agg
+    # AND the cand_hits semi-join, the IVF stream feeds the semi-join
+    # AND the scanned count.  Lazy (not eager) so materialization
+    # folds into the first consuming job instead of a serializing
+    # up-front barrier (eager was A/B-measured slower here); each
+    # duplicated corpus-scale derivation then runs once per
+    # invocation instead of twice.
+    exact = (_similarity_topk(spark, sf_dir).select("q_id", "n_id")
+             .localCheckpoint(eager=False))
     hits = (
         exact.join(F.broadcast(approx), ["q_id", "n_id"], "left")
         .agg(F.count("*").cast("long").alias("k_total"),
@@ -1033,7 +1059,7 @@ def _ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # onto it (a semi-join would drop no duplicates either: each
     # vector lives in exactly one cell, so (q, n) is unique); the
     # r10 review caught the inverted form broadcasting the big side.
-    ivf = _ivf_scored(spark, sf_dir)
+    ivf = _ivf_scored(spark, sf_dir).localCheckpoint(eager=False)
     scanned = (
         ivf.join(F.broadcast(exact), ["q_id", "n_id"], "left_semi")
         .agg(F.count("*").cast("long").alias("cand_hits"))
