@@ -198,9 +198,12 @@ def main() -> None:
     # the max per-query relative delta vs the first sweep.  Off-switch
     # for quick iteration: SPARK_GRAFT_BENCH_NO_REPRO=1.
     repro = None
+    suspects: list[str] = []
+    first_pass: dict[str, float] = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_NO_REPRO"):
         max_abs = 0.0
         sum_a = sum_b = 0.0
+        repro_secs: dict[str, float] = {}
         for name in HEADLINE:
             fn = queries[name]
             warms = []
@@ -209,6 +212,7 @@ def main() -> None:
                 fn(spark, sf_dir).count()
                 warms.append(time.monotonic() - t0)
             second = min(warms)
+            repro_secs[name] = second
             # max ABS drift + total relative drift, not per-query
             # relative: sub-second queries jitter ~0.1s of scheduler
             # noise, which reads as a scary 40% while meaning nothing
@@ -224,6 +228,39 @@ def main() -> None:
         print(f"# repro totals: {round(sum_b, 3)}s vs {round(sum_a, 3)}s "
               f"(delta {repro['total_delta_pct']:.1%}, max abs "
               f"{repro['max_abs_delta_sec']}s)", file=sys.stderr)
+        # divergence defense (r13 verdict "what's wrong" #1): the r13
+        # driver run had a mid-run DAGScheduler failure + retry storm
+        # land BOTH warm runs of 8 queries inside the failure window —
+        # 21.3s of phantom cost that min-of-2 could not reject because
+        # both of its samples were poisoned.  The repro sweep SAW the
+        # divergence (max_abs 9.7s) and still reported the bad first-
+        # pass number.  Now: any query whose two sweeps disagree by
+        # more than 50% of the smaller AND by more than 0.25s absolute
+        # (sub-second scheduler jitter stays exempt) is re-run
+        # min-of-2 once more, and its reported time is the MIN ACROSS
+        # ALL SIX samples; the first-pass value is preserved in the
+        # detail file and the names ride the headline as `suspect`.
+        # This changes only which of the already-measured samples is
+        # reported for a divergent query — methodology (min-of-warm on
+        # .count(), caches warm) is unchanged.
+        for name in HEADLINE:
+            a, b = timings[name], repro_secs[name]
+            if abs(a - b) > max(0.25, 0.5 * min(a, b)):
+                suspects.append(name)
+        for name in suspects:
+            fn = queries[name]
+            retry = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).count()
+                retry.append(time.monotonic() - t0)
+            first_pass[name] = timings[name]
+            timings[name] = round(
+                min(timings[name], repro_secs[name], *retry), 3)
+            print(f"# suspect {name}: first {first_pass[name]}s, "
+                  f"repro {round(repro_secs[name], 3)}s, retry "
+                  f"{[round(r, 3) for r in retry]} -> min "
+                  f"{timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # Fail LOUD if any anchor ever leaves HEADLINE or degenerates:
@@ -255,6 +292,11 @@ def main() -> None:
         "anchor_ratios": {k: round(v / anchor_sec, 3)
                           for k, v in timings.items()},
     }
+    if first_pass:
+        # the pre-retry numbers for divergent queries, kept per the
+        # "keep the old numbers too" bench-contract rule
+        detail["suspect_first_pass"] = {
+            k: round(v, 3) for k, v in first_pass.items()}
     repo = os.path.dirname(os.path.abspath(__file__))
     # Current-round inference (r9 review finding: a bare
     # max(CORRECTNESS)+1 mislabels by +1 whenever the driver runs the
@@ -302,6 +344,12 @@ def main() -> None:
     }
     if repro is not None:
         record["repro"] = repro
+    if suspects:
+        # names whose sweeps diverged and were re-measured (see the
+        # repro block); cap the inline list so the headline stays
+        # under the driver's ~2000B tail-capture window
+        record["suspect"] = (suspects if len(suspects) <= 10
+                             else len(suspects))
     line = json.dumps(record)
     # hard-fail, never assert: asserts vanish under python -O, which
     # would silently re-enable the r8 parsed:null regression (review)

@@ -171,7 +171,9 @@ def _udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double")
     def cos_ones(v: pd.Series) -> pd.Series:
         import numpy as np
-        m = np.stack(v.map(lambda a: np.asarray(a, dtype="float64")))
+        # batch-level conversion, not a per-row lambda (see
+        # similarity._f64_matrix — same 8x measured win, same values)
+        m = np.array(v.to_list(), dtype="float64")
         dot = m.sum(axis=1)
         return pd.Series(
             dot / (np.linalg.norm(m, axis=1) * np.sqrt(m.shape[1])))
