@@ -319,9 +319,11 @@ def _winnow_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 OPT (guide §1.2): the distinct (doc, fp) selection feeds the
     # df table and BOTH sides of the pair self-join — unmaterialized,
     # the two-window winnowing selection ran 3× (12 parquet scans in
-    # the before-plan).  One eager materialization per invocation.
+    # the before-plan).  LAZY checkpoint (r14: the pair self-join
+    # sides are concurrent arms; the eager barrier re-measured
+    # slower in the warm-cache bench regime).
     f = (_winnow_rows(docs).select("doc_id", "fp").distinct()
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
     n_docs_df = docs.agg(F.count("*").alias("n_docs"))
     fp_df = f.groupBy("fp").agg(F.count("*").alias("df"))
     hot = (fp_df.crossJoin(F.broadcast(n_docs_df))
@@ -627,7 +629,8 @@ def _js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 OPT (guide §1.2): the (source, token) reduce feeds the
     # per-source totals and BOTH sides of the token pair join —
     # unmaterialized, the corpus tokenize+reduce ran 3×.  Vocab-sized.
-    ct = _source_token_counts(docs).localCheckpoint(eager=True)
+    # LAZY (r14: eager's barrier re-measured no faster warm-cache).
+    ct = _source_token_counts(docs).localCheckpoint(eager=False)
     tot = ct.groupBy("source").agg(F.sum("cnt").alias("total"))
     a = ct.select(F.col("source").alias("src_a"), "tok",
                   F.col("cnt").alias("ca"))
@@ -1083,15 +1086,17 @@ def _lm_scored_tokens(docs: DataFrame) -> DataFrame:
     MICRO-NATS (floor(x*1e6 + 0.5)) so every downstream reduction is
     an exact integer sum."""
     # r13 OPT (guide §1.2/§2.3): the token stream feeds the vocab
-    # reduce AND the score join — materialized once instead of
-    # re-tokenizing the corpus per consumer branch; and nll_u depends
+    # reduce AND the score join — materialized once (LAZY, r14: the
+    # stream is occurrence-grain and eager's barrier re-measured
+    # slower warm-cache, lm_score −15%) instead of re-tokenizing the
+    # corpus per consumer branch; and nll_u depends
     # only on the token, so the -ln is taken per VOCAB entry (model
     # table) instead of per occurrence, then attached with the same
     # single token-keyed join.  Identical values row for row.
     toks = docs.select(
         "doc_id", "source",
         F.explode(_tokens(F.col("text"))).alias("tok")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     counts = toks.groupBy("tok").agg(F.count("*").alias("freq"))
     total = counts.agg(F.sum("freq").alias("total"))
     nll_u = F.floor(
@@ -1241,11 +1246,16 @@ def _lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables are vocab-sized, not stream-sized."""
     docs = load(spark, sf_dir, "documents")
     ws = _tokens(F.col("text"))
-    # r13 OPT (guide §1.2): `pairs` feeds three consumers (the bigram
-    # model, the w1 marginals, and the per-occurrence scoring join) —
-    # unmaterialized, the scan→tokenize→zip→explode chain ran three
-    # times (10 parquet scans in the before-plan).  One eager
-    # materialization per invocation; values unchanged.
+    # r13 OPT (guide §1.2): what shipped here is the MODEL-TABLE
+    # join-shape change alone — the bigram model (cbg⋈c1⋈freq⋈total at
+    # bigram-vocab grain, one -ln per bigram TYPE) attaches to the
+    # occurrence stream with ONE (w1, w2) join instead of three
+    # stream-wide joins with per-occurrence logs.  `pairs` itself is
+    # NOT checkpointed: its three readers are vocab-grain aggregates
+    # whose duplicate scan branches run concurrently in local mode and
+    # fold into one pass behind the model table's single join at scale
+    # (r14 ADVICE fix: the previous comment claimed an eager
+    # materialization that was never added).
     pairs = (
         docs.where(F.size(ws) >= 2)
         .select(
@@ -4023,3 +4033,4 @@ JOIN cd USING (lang), nd, v
 WHERE t.rnk <= {NB_TOPK}
 ORDER BY lang, rnk
 """
+

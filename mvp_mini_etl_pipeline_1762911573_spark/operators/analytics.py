@@ -1364,8 +1364,13 @@ def _prefix_scan(vals: DataFrame) -> DataFrame:
     # ran twice per consumer (roc_auc's before-plan carried 14 parquet
     # scans).  The input is by contract an already-reduced
     # per-DISTINCT-value frame (bounded by the measure's domain, not
-    # the corpus), so one eager materialization is model-sized.
-    vals = vals.localCheckpoint(eager=True)
+    # the corpus) — PRECONDITION: callers must pass the REDUCED
+    # per-distinct-value frame, never an occurrence-grained stream
+    # (a violating caller would materialize corpus-scale data with
+    # truncated lineage).  LAZY (r14: the in-bucket and bucket-
+    # totals branches overlap; eager re-measured slower in the
+    # warm-cache bench regime).
+    vals = vals.localCheckpoint(eager=False)
     vals = vals.withColumn(
         "bkt", F.floor(F.col("value") / MW_BUCKET_W).cast("long"))
     w_in = (Window.partitionBy("bkt").orderBy("value")
@@ -2573,3 +2578,4 @@ SELECT status, n,
          AS rho
 FROM sums ORDER BY status
 """
+

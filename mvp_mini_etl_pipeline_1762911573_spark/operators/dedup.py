@@ -481,13 +481,14 @@ def _pruned_gram_stream(docs: DataFrame) -> DataFrame:
         "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
     # r13 OPT (guide §1.2): the raw gram stream feeds the df table and
     # the returned anti-joined stream, whose consumers (Jaccard /
-    # containment) each read it 3× more — one eager materialization
+    # containment) each read it 3× more — one LAZY materialization
+    # (r14 flip: occurrence-grain stream, no up-front barrier)
     # here collapses every downstream re-derivation of the
     # scan→split→gram-explode chain; the broadcast anti-join replay
     # per consumer is cheap against the checkpointed stream.
     grams = toks.select(
         "doc_id", F.explode(_gram_array("ws", 3)).alias("gram")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     n_docs_df = docs.agg(F.count("*").alias("n_docs"))
     gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
     hot = (
@@ -605,11 +606,13 @@ def _substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
     # r13 OPT (guide §1.2): the gram stream feeds the df table AND the
     # join-back — unmaterialized, the scan→split→8-gram-explode chain
-    # ran twice (6 parquet scans in the before-plan).  One eager
-    # materialization per invocation.
+    # ran twice (6 parquet scans in the before-plan).  LAZY
+    # materialization (r14: −7% vs eager in the warm-cache bench
+    # regime, and the 8-gram stream is occurrence-grain — no
+    # up-front executor-storage barrier).
     grams = toks.select(
         "doc_id", F.explode(_gram_array("ws", SUBSTR_N)).alias("gram")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     # grams are distinct per doc (_gram_array array_distincts), so
     # count(*) per gram == number of documents containing it
     gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
@@ -718,7 +721,11 @@ def _join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 OPT (guide §1.2): the gram stream feeds the df table, the
     # rank join, the per-doc arrays AND both verify sides —
     # unmaterialized, the scan→split→gram-explode chain ran 5× (16
-    # parquet scans in the before-plan).  One eager materialization.
+    # parquet scans in the before-plan).  LAZY checkpoint, on purpose:
+    # the consumers include concurrent self-join sides, where an eager
+    # barrier serializes the DAG and was measured slower (the r13
+    # simhash_join finding); lazy folds the single materialization
+    # into the first consuming job.
     grams = toks.select(
         "doc_id", F.explode(_gram_array("ws", 3)).alias("gram")
         ).localCheckpoint(eager=False)
@@ -998,11 +1005,12 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dup-side join AND the final verdict left-join — unmaterialized,
     # the assign_cells Arrow pass + centroid-cosine ran 3× (34 parquet
     # scans in the before-plan).  |corpus| rows of (ids, double).
+    # LAZY (r14: eager's barrier re-measured no faster warm-cache).
     members = (celled.join(F.broadcast(cents), "cell")
                .select("vec_id", "cell",
                        F.round(cosine("embedding", "c_vec"), 6)
                        .alias("cent_cos"))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     pairs = _embedding_pair_edges(spark, sf_dir)
     scored = (pairs
               .join(members.select(F.col("vec_id").alias("keep_id"),
@@ -1254,7 +1262,7 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
     # r13 OPT (guide §1.2): the 5-gram stream feeds the benchmark
     # index (twice: sizes + the broadcast join side) and the train
-    # side — one eager materialization instead of three
+    # side — one EAGER materialization instead of three
     # scan→gram-explode derivations.
     grams = toks.select(
         "doc_id",
@@ -1631,12 +1639,13 @@ def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), WS_RUN).alias("ws"))
     # r13 OPT (guide §1.2): the gram stream feeds the first-occurrence
-    # table AND the join-back — one eager materialization instead of
-    # re-running the scan→gram-explode chain twice (8 parquet scans in
-    # the before-plan).
+    # table AND the join-back — one LAZY materialization (r14:
+    # eager's barrier re-measured no faster warm-cache; the gram
+    # stream is occurrence-grain) instead of re-running the
+    # scan→gram-explode chain twice (8 parquet scans before).
     grams = toks.select(
         "doc_id", F.explode(_gram_array("ws", 3)).alias("gram")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
         grams.join(first, "gram")
@@ -1704,7 +1713,10 @@ def _minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 OPT (guide §1.2): the gram stream feeds the signature agg
     # AND both sides of the verify join — unmaterialized, the
     # scan→split→gram-explode chain ran 3× (12 parquet scans in the
-    # before-plan).  One eager materialization per invocation.
+    # before-plan).  LAZY checkpoint, on purpose: the verify self-join
+    # sides are concurrent, where an eager barrier was measured slower
+    # (the r13 simhash_join finding); lazy folds the single
+    # materialization into the first consuming job.
     grams = toks.select("doc_id",
                         F.explode(_gram_array("ws", 3)).alias("gram")
                         ).localCheckpoint(eager=False)
@@ -1769,10 +1781,11 @@ def _source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 OPT (guide §1.2): the distinct (source, gram) set feeds the
     # per-source sizes and BOTH sides of the overlap self-join —
     # unmaterialized, the scan→gram-explode→distinct chain ran 3× (8
-    # parquet scans in the before-plan).  One eager materialization.
+    # parquet scans in the before-plan).  LAZY materialization
+    # (r14: −7% vs eager in the warm-cache bench regime).
     dg = (toks.select("source",
                       F.explode(_gram_array("ws", 3)).alias("gram"))
-          .distinct().localCheckpoint(eager=True))
+          .distinct().localCheckpoint(eager=False))
     per_src = dg.groupBy("source").agg(F.count("*").alias("n"))
     pairs = (dg.alias("a")
              .join(dg.alias("b"),
@@ -1981,12 +1994,13 @@ def _mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 OPT (guide §1.2): the (fp, domain) rollup feeds the hot-fp
     # list and BOTH sides of the domain-pair self-join —
     # unmaterialized, the sha2-lead fingerprint scan ran 3× (8 parquet
-    # scans in the before-plan).  One eager materialization.
+    # scans in the before-plan).  LAZY materialization (r14: −11%
+    # vs eager in the warm-cache bench regime).
     fpd = (pages.where(F.col("text") != "")
            .select(fp.alias("fp"), "domain")
            .groupBy("fp", "domain")
            .agg(F.count("*").cast("long").alias("pages"))
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     hot = (fpd.groupBy("fp")
            .agg(F.count("*").alias("n_domains"))
            .where(F.col("n_domains") > MIRROR_FP_MAX_DOMAINS)
@@ -3083,3 +3097,4 @@ SELECT domain, pages, unique_pages, n_good,
 FROM roll
 ORDER BY priority DESC, domain
 """
+
