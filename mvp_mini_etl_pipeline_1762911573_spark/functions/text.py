@@ -1451,11 +1451,21 @@ def _collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(ws, 2, F.size(ws) - 1).alias("w2"))).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    cbg = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-           .where(F.col("c12") >= PMI_MIN_COUNT))
-    cw1 = pairs.groupBy("w1").agg(F.count("*").alias("c1"))
-    cw2 = pairs.groupBy("w2").agg(F.count("*").alias("c2"))
-    n_total = pairs.agg(F.count("*").alias("n_bigrams"))
+    # r14 OPT (guide §2.3 "aggregate before you shuffle", the cms_topk
+    # move): the positional marginals and the grand total are sums
+    # over the (w1, w2)-reduced bigram-VOCAB table — c1(w) = Σ_{w2}
+    # c12(w, w2) etc., exact integer identities — so the corpus
+    # tokenize→zip→explode stream is derived and shuffled ONCE instead
+    # of four times.  The vocab table is lazily checkpointed (bounded
+    # by bigram-type count, not stream size); its three readers are
+    # model-grain re-aggregations.
+    bg = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+          .localCheckpoint(eager=False))
+    cbg = bg.where(F.col("c12") >= PMI_MIN_COUNT)
+    cw1 = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    cw2 = bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n_total = bg.agg(F.coalesce(F.sum("c12"), F.lit(0).cast("long"))
+                     .alias("n_bigrams"))
     # operands cast to DECIMAL(19,0); each 19,0 × 19,0 product widens
     # to DECIMAL(38,0), so the long×long products are exact
     dec = "decimal(19,0)"
@@ -2089,9 +2099,14 @@ def _text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = docs.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"))
+    # r14 OPT (guide §1.2): the query-term stream feeds the tf table
+    # AND the df table — unmaterialized, the scan+tokenize+explode
+    # ran twice.  Lazy checkpoint; the stream is filtered to the
+    # |BM25_QUERY| terms, so the materialization is tiny.
     terms = (docs.select("doc_id", "dl",
                          F.explode(_tokens(F.col("text"))).alias("term"))
-             .where(F.col("term").isin(*BM25_QUERY)))
+             .where(F.col("term").isin(*BM25_QUERY))
+             .localCheckpoint(eager=False))
     tf = terms.groupBy("doc_id", "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl"))
     df_ = (terms.select("doc_id", "term").distinct()
@@ -2269,13 +2284,31 @@ def _mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: three partial-agg'd counts over the corpus (cell/lang/
     source keys — AQE absorbs skew), the term computation on the
     ALREADY-reduced cell table (model-sized), three 1-row reductions
-    crossJoined at the end.  The corpus is scanned once per marginal;
-    a single-pass grouping-sets rewrite is the documented variant."""
+    crossJoined at the end.  r14 OPT (guide §1.2 step 1 — this
+    docstring's own "documented variant"): the cell table and every
+    marginal now come from ONE cube() pass (grouping-sets partial
+    agg, a single corpus scan + one bounded shuffle) instead of four
+    independent scan+agg derivations; grouping_id() separates the
+    four grains, so data NULLs in lang/source stay distinct from
+    grouping NULLs and every count is the exact integer the four
+    separate aggregations produced."""
     docs = load(spark, sf_dir, "documents").select("lang", "source")
-    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("nxy"))
-    nl = docs.groupBy("lang").agg(F.count("*").alias("nx"))
-    ns = docs.groupBy("source").agg(F.count("*").alias("ny"))
-    tot = docs.agg(F.count("*").alias("n"))
+    cube = (docs.cube("lang", "source")
+            .agg(F.count("*").alias("c"), F.grouping_id().alias("gid"))
+            .localCheckpoint(eager=False))
+    # gid bit per column, 1 = grouped away: 0 ⇒ (lang, source) cell,
+    # 1 ⇒ lang marginal, 2 ⇒ source marginal, 3 ⇒ grand total
+    cells = cube.where(F.col("gid") == 0).select(
+        "lang", "source", F.col("c").alias("nxy"))
+    nl = cube.where(F.col("gid") == 1).select(
+        "lang", F.col("c").alias("nx"))
+    ns = cube.where(F.col("gid") == 2).select(
+        "source", F.col("c").alias("ny"))
+    # agg + coalesce, not a bare select: cube() over an EMPTY corpus
+    # emits zero rows (no grand-total row), while the old docs.agg
+    # count produced one 0 — the empty-input sweep pins that shape
+    tot = cube.where(F.col("gid") == 3).agg(
+        F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("n"))
     dec = "decimal(19,0)"
     num = (F.col("nxy").cast(dec) * F.col("n").cast(dec)).cast("double")
     den = (F.col("nx").cast(dec) * F.col("ny").cast(dec)).cast("double")
@@ -2393,7 +2426,12 @@ def _naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "lang", F.explode(_tokens(F.col("text"))).alias("tok"))
-    cls_tok = tok.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    # r14 OPT (guide §1.2): the class-vocab table feeds the class
+    # totals, the vocab count AND the top-K window — unmaterialized,
+    # the corpus tokenize+reduce ran three times.  Lazy checkpoint:
+    # model-sized (classes × vocab), no up-front barrier.
+    cls_tok = (tok.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+               .localCheckpoint(eager=False))
     cls = cls_tok.groupBy("lang").agg(
         F.sum("cnt").alias("total_tokens"))
     cls_docs = docs.groupBy("lang").agg(

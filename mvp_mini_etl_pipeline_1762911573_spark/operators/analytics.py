@@ -718,7 +718,13 @@ def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     All post-join math is count ratios (IEEE division only), so the
     DuckDB oracle matches bit-exactly at round(6)."""
     li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # r14 OPT (guide §1.2): the distinct (order, item) table feeds the
+    # item counts, BOTH self-join sides (via fitems) and the order
+    # count — unmaterialized, the scan+distinct ran four times.  Lazy
+    # checkpoint (it is the reduced form a basket pipeline would
+    # materialize; the self-join sides are concurrent, so no barrier).
+    items = (li.select("l_orderkey", "l_partkey").distinct()
+             .localCheckpoint(eager=False))
     icnt = items.groupBy("l_partkey").agg(F.count("*").alias("item_cnt"))
     freq = icnt.where(F.col("item_cnt") >= BASKET_MIN_SUP)
     fitems = items.join(F.broadcast(freq.select("l_partkey")), "l_partkey")

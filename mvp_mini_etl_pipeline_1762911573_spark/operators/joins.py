@@ -408,17 +408,22 @@ def _entity_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbr = (sym.join(labels, sym["dst"] == labels["node"])
                .groupBy(F.col("src").alias("node"))
                .agg(F.min("label").alias("nbr_min")))
+        # r14 (the dedup_clusters discipline, both halves): the
+        # convergence signal rides the label frame itself — changed ⟺
+        # a strictly smaller neighbor label arrived — instead of a
+        # separate old-vs-new join job, and the LAZY checkpoint
+        # materializes inside the probing count, so each round is ONE
+        # Spark job instead of three (ckpt + probe-join + count).
         new_labels = (
             labels.join(nbr, "node", "left")
             .select("node",
                     F.least("label", F.coalesce("nbr_min", "label"))
-                     .alias("label"))
-            .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.label") != F.col("o.label"))
-                   .count())
-        labels = new_labels
+                     .alias("label"),
+                    (F.coalesce("nbr_min", "label") < F.col("label"))
+                     .alias("changed"))
+            .localCheckpoint(eager=False))
+        changed = new_labels.where("changed").count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:

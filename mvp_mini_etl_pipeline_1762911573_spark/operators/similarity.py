@@ -916,9 +916,13 @@ def _pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     qa = F.transform(F.col("embedding").cast("array<double>"),
                      lambda x: F.floor(x * 1000 + 0.5).cast("long"))
+    # r14 OPT (guide §1.2): q feeds the (n, g) totals AND the
+    # coefficient pass — unmaterialized, the quantize+per-vector-sum
+    # HOFs ran twice.  Lazy checkpoint, no up-front barrier.
     q = emb.select("vec_id", qa.alias("qa"),
                    F.aggregate(qa, F.lit(0).cast("long"),
-                               lambda acc, x: acc + x).alias("ti"))
+                               lambda acc, x: acc + x).alias("ti")) \
+        .localCheckpoint(eager=False)
     totals = q.agg(F.count("*").alias("n"), F.sum("ti").alias("g"))
     r = (q.crossJoin(F.broadcast(totals))
          .select("qa", (F.col("n") * F.col("ti") - F.col("g"))

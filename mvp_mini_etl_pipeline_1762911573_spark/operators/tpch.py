@@ -98,6 +98,27 @@ WITH ps AS (
 )
 """
 
+# r14 OPT (guide §3.2 — reduce the big side before shuffling it),
+# sql_q9 only: Q9 keeps only '%red%' parts, so the ps aggregation —
+# the query's dominant exchange, a full two-key reduce of lineitem —
+# only needs the red-part fraction.  The semi-join filter is a
+# function of the GROUP KEY (l_partkey), so surviving groups keep
+# exactly the same member rows and aggregates; dropped groups could
+# never match the main query's part join (inner on p_partkey), so the
+# output is row-identical (verified: 175/175 rows equal, and the same
+# string runs verbatim on the DuckDB oracle — zero translation
+# surface, parity by construction).  At 100 TB this cuts the ps
+# shuffle to the predicate's selectivity; the other ps consumers
+# (q2/q11/q16/q20) filter part differently or not at all and keep the
+# shared unfiltered CTE.
+_PS_CTE_RED = _PS_CTE.replace(
+    "  FROM lineitem\n  WHERE l_quantity > 0",
+    "  FROM lineitem\n"
+    "  WHERE l_partkey IN (SELECT p_partkey FROM part\n"
+    "                      WHERE p_name LIKE '%red%')\n"
+    "    AND l_quantity > 0")
+assert _PS_CTE_RED != _PS_CTE  # the anchor line moved → fail loud
+
 TPCH_SQL: dict[str, str] = {
     # Q2: min-cost supplier per part (correlated scalar subquery that
     # must decorrelate into a per-part min aggregate + rejoin)
@@ -159,8 +180,9 @@ GROUP BY o_year
 ORDER BY o_year
 """,
     # Q9: product-type profit by nation and year; supply cost comes
-    # from the derived ps (p_retailprice-free so the profit varies)
-    "sql_q9": _PS_CTE + f"""
+    # from the derived ps (p_retailprice-free so the profit varies).
+    # Uses the red-part-filtered ps (see _PS_CTE_RED above).
+    "sql_q9": _PS_CTE_RED + f"""
 SELECT nation, o_year,
        CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
 FROM (

@@ -82,6 +82,14 @@ from mvp_mini_etl_pipeline_1762911573_spark.registry import (
 from mvp_mini_etl_pipeline_1762911573_spark.tables import TABLE_NAMES
 from .oracle_utils import compare
 
+# r14 (r13 verdict "what's wrong" #4): the degenerate-axis sweep runs
+# every oracle query across ~12 table axes and dominates the full
+# suite's ~1.5 h runtime — the driver's independent pytest run timed
+# out at 31%.  Marked `slow` so a <15-min core tier can gate a round:
+#   python -m pytest tests/ -q -m "not slow"   # core tier
+#   python -m pytest tests/ -q                 # full suite (unchanged)
+pytestmark = pytest.mark.slow
+
 #: engine-intrinsic grand-total-row divergence (Spark 0 rows, SQL
 #: standard 1): asserted separately, excluded from the equality loops
 GRANDTOTAL_DIVERGENT = ["agg_cube", "agg_rollup", "agg_grouping_sets"]
